@@ -1,0 +1,259 @@
+"""Plan tree -> explicit Spark DataFrame join chain.
+
+Replaces the reference's plan construction + execution path
+(``QueryGraph.updateRelNodes`` :521-566 builds LogicalJoins;
+``MyLoptOptimizeJoinRule.createTopProject`` :517-580 restores the output
+projection; ``MyUtils.executeNode`` :393-499 runs it).  Spark-first
+choices, per SURVEY.md §4:
+
+- Every leaf reads only the columns the query needs (column pruning
+  reaches the parquet scan) and applies its filters immediately
+  (predicate pushdown -- visible as PushedFilters in .explain()).
+- Columns are renamed ``alias__col`` at the leaf so self-joins
+  (same table, two aliases) never collide -- the reference needs a
+  column remap for this (MyLoptOptimizeJoinRule.java:542-567).
+- The join chain is emitted exactly in planner order; with CBO join
+  reordering off (Spark default) Catalyst preserves written inner-join
+  order, so no custom Catalyst rule is needed (SURVEY §4.1).
+- Physical strategy: sides whose estimated cardinality is under
+  ``broadcast_threshold`` get ``F.broadcast`` -- the Spark analog of the
+  reference cost model's index-NLJ preference for small inputs
+  (SURVEY §4.2); everything else is left to Spark (sort-merge /
+  shuffle-hash), where AQE can re-plan at runtime at scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from .joingraph import Join, JoinGraph, Leaf, PlanNode, bits
+from .sqlparse import ColumnRef, Literal, ParsedQuery, Predicate
+
+DEFAULT_BROADCAST_ROWS = 1_000_000  # rows, not bytes: planner-side estimate
+
+
+# --- predicate translation -------------------------------------------------
+
+
+def _lit(v: Literal):
+    if v.is_date:
+        return F.to_date(F.lit(v.value))
+    return F.lit(v.value)
+
+
+def _colname(ref: ColumnRef) -> str:
+    return f"{ref.alias}__{ref.column}"
+
+
+def pred_to_column(p: Predicate):
+    c = F.col(_colname(p.col))
+    if p.kind == "cmp":
+        rhs = (
+            F.col(_colname(p.operand))
+            if isinstance(p.operand, ColumnRef)
+            else _lit(p.operand)
+        )
+        ops = {
+            "=": c.__eq__, "<>": c.__ne__, "<": c.__lt__,
+            ">": c.__gt__, "<=": c.__le__, ">=": c.__ge__,
+        }
+        return ops[p.op](rhs)
+    if p.kind == "between":
+        lo, hi = p.operand
+        return c.between(_lit(lo), _lit(hi))
+    if p.kind == "like":
+        e = c.like(p.operand.value)
+        return ~e if p.op == "not" else e
+    if p.kind == "in":
+        e = c.isin([v.value for v in p.operand])
+        return ~e if p.op == "not" else e
+    if p.kind == "isnull":
+        return c.isNull()
+    if p.kind == "isnotnull":
+        return c.isNotNull()
+    raise ValueError(f"unknown predicate kind {p.kind}")
+
+
+# --- rendering --------------------------------------------------------------
+
+
+@dataclass
+class Renderer:
+    spark: object
+    sf_dir: str
+    graph: JoinGraph
+    oracle: object | None = None
+    broadcast_threshold: float = DEFAULT_BROADCAST_ROWS
+    needed_cols: dict[str, set[str]] = field(default_factory=dict)
+
+    def __post_init__(self):
+        q = self.graph.query
+        self.needed_cols = {a: set() for a in self.graph.aliases}
+        refs: list[ColumnRef] = []
+        if q is not None:
+            refs += [it.col for it in q.select]
+            refs += q.group_by + [c for c, _ in q.order_by]
+            for p in q.post_join_filters:
+                refs.append(p.col)
+                if isinstance(p.operand, ColumnRef):
+                    refs.append(p.operand)
+        for a, preds in self.graph.filters.items():
+            refs += [p.col for p in preds]
+        for e in self.graph.edges:
+            for p in e.preds:
+                refs.append(p.col)
+                refs.append(p.operand)
+        for r in refs:
+            self.needed_cols[r.alias].add(r.column)
+
+    def leaf_df(self, leaf: Leaf) -> DataFrame:
+        alias = leaf.alias
+        table = self.graph.tables[alias]
+        df = self.spark.read.parquet(f"{self.sf_dir}/{table}.parquet")
+        cols = sorted(self.needed_cols[alias]) or [df.columns[0]]
+        # prune -> rename alias__col -> filter (Catalyst pushes both into
+        # the scan; verified by tests asserting PushedFilters/ReadSchema)
+        df = df.select(
+            *[F.col(c).alias(f"{alias}__{c}") for c in cols]
+        )
+        for p in self.graph.filters.get(alias, ()):
+            df = df.filter(pred_to_column(p))
+        return df
+
+    def _maybe_broadcast(self, node: PlanNode, df: DataFrame) -> DataFrame:
+        if self.oracle is None:
+            return df
+        try:
+            card = self.oracle.card(self.graph, node.factors)
+        except Exception:
+            return df
+        if card <= self.broadcast_threshold:
+            return F.broadcast(df)
+        return df
+
+    def render(self, node: PlanNode) -> DataFrame:
+        if isinstance(node, Leaf):
+            return self.leaf_df(node)
+        left = self.render(node.left)
+        right = self.render(node.right)
+        # broadcast the smaller side when the planner estimates it small
+        right = self._maybe_broadcast(node.right, right)
+        if not node.preds:
+            return left.crossJoin(right)  # J15 fallback
+        cond = None
+        for p in node.preds:
+            c = pred_to_column(p)
+            cond = c if cond is None else (cond & c)
+        return left.join(right, on=cond, how="inner")
+
+    def finish(self, df: DataFrame) -> DataFrame:
+        """Apply post-join filters (P4), the output projection/aggregation
+        (P3/A1), and trailing ORDER BY / LIMIT."""
+        q = self.graph.query
+        if q is None:
+            return df
+        for p in q.post_join_filters:
+            df = df.filter(pred_to_column(p))
+        aggs = [it for it in q.select if it.agg]
+        plain = [it for it in q.select if not it.agg]
+        if aggs:
+            exprs = []
+            for it in q.select:
+                col = F.col(_colname(it.col))
+                fn = {
+                    "min": F.min, "max": F.max, "sum": F.sum,
+                    "count": F.count, "avg": F.avg,
+                }[it.agg]
+                exprs.append(fn(col).alias(it.name))
+            if q.group_by:
+                df = df.groupBy(
+                    *[F.col(_colname(c)).alias(c.column) for c in q.group_by]
+                ).agg(*exprs)
+            else:
+                df = df.agg(*exprs)
+        else:
+            df = df.select(
+                *[F.col(_colname(it.col)).alias(it.name) for it in plain]
+            )
+        if q.order_by:
+            df = df.orderBy(
+                *[
+                    F.col(c.column).asc() if d == "asc" else F.col(c.column).desc()
+                    for c, d in q.order_by
+                ]
+            )
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return df
+
+    def run(self, node: PlanNode) -> DataFrame:
+        return self.finish(self.render(node))
+
+
+def execute_plan(
+    spark,
+    sf_dir: str,
+    graph: JoinGraph,
+    tree: PlanNode,
+    oracle=None,
+    broadcast_threshold: float = DEFAULT_BROADCAST_ROWS,
+) -> DataFrame:
+    r = Renderer(spark, sf_dir, graph, oracle, broadcast_threshold)
+    return r.run(tree)
+
+
+# --- SQL rendering (oracle twin + spark-baseline planner) -------------------
+
+
+def query_to_sql(q: ParsedQuery) -> str:
+    """Render a ParsedQuery back to ANSI SQL (runs on both DuckDB as the
+    oracle and spark.sql as the 'spark-default' baseline planner -- the
+    analog of the reference's plain-Postgres baseline row,
+    QueryOptExperiment.java:694-697)."""
+    sel = ", ".join(it.sql() for it in q.select)
+    frm = ", ".join(f"{t} AS {a}" for t, a in q.tables)
+    sql = f"SELECT {sel} FROM {frm}"
+    conds = [p.sql() for p in q.join_preds + q.filters + q.post_join_filters]
+    if conds:
+        sql += " WHERE " + " AND ".join(conds)
+    if q.group_by:
+        sql += " GROUP BY " + ", ".join(str(c) for c in q.group_by)
+    if q.order_by:
+        sql += " ORDER BY " + ", ".join(
+            f"{c} {d.upper()}" for c, d in q.order_by
+        )
+    if q.limit is not None:
+        sql += f" LIMIT {q.limit}"
+    return sql
+
+
+# --- plan-shape capture (E5/E9) ---------------------------------------------
+
+
+def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
+    """Capture the plan text (E5, RelOptUtil.dumpPlan analog,
+    QueryOptExperiment.java:657)."""
+    jqe = df._jdf.queryExecution()  # type: ignore[attr-defined]
+    jvm = df.sparkSession._jvm      # type: ignore[attr-defined]
+    jmode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return jqe.explainString(jmode)
+
+
+def join_order_record(graph: JoinGraph, tree: PlanNode, oracle, cm) -> dict:
+    """MyUtils.JoinOrder analog (:45-55): paren string, join count, and
+    per-join costs keyed by the sorted alias list."""
+    from .joingraph import iter_joins
+
+    per_join = {}
+    n = 0
+    for j in iter_joins(tree):
+        n += 1
+        key = ",".join(sorted(graph.aliases[i] for i in bits(j.factors)))
+        per_join[key] = cm.node_cost(graph, j, oracle)
+    return {
+        "order": tree.order_str(),
+        "num_joins": n,
+        "per_join_costs": per_join,
+    }

@@ -1,0 +1,162 @@
+"""Experiment harness: per-query planner comparison, execution timing,
+result verification, runtime JSON.
+
+Replaces ``QueryOptExperiment.java`` (session + per-query loop + exec) and
+``MyUtils.java`` measurement ops (SURVEY.md §2.10):
+
+- ``QueryRecord``      : Query.java:12-29 analog (per-planner costs, plans,
+  join orders, planning times, runtimes, result hashes).
+- ``run_query``        : plan with every planner + the 'spark_default'
+  baseline (plain ``spark.sql`` -- the analog of the reference's raw
+  Postgres row, QueryOptExperiment.java:694-697), optionally execute with
+  reps/timeout semantics (E1/E4: timeout charged as runtime,
+  MyUtils.java:352-357).
+- ``result_hash``      : order-insensitive result hash (E8/S4 --
+  MyUtils.getResultSetHash :501-523 concatenates row strings; ours is
+  order-insensitive so plan-dependent row order can't flip verification).
+- ``compare_oracles``  : est-vs-true cardinality harness
+  (startTestCardinalities, QueryOptExperiment.java:437-505).
+- ``write_runtimes``   : allQueryRuntimes.json-compatible output
+  ({query: {planner: [ms,...]}}, analyze_runtimes.py:6-20).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from .costmodels import CostModel, get_cost_model
+from .executor import Renderer, join_order_record, query_to_sql
+from .joingraph import JoinGraph
+from .planners import PLANNERS
+from .sqlparse import parse
+
+
+@dataclass
+class QueryRecord:
+    name: str
+    sql: str
+    costs: dict[str, float] = field(default_factory=dict)
+    join_orders: dict[str, dict] = field(default_factory=dict)
+    planning_times: dict[str, float] = field(default_factory=dict)
+    runtimes_ms: dict[str, list[float]] = field(default_factory=dict)
+    result_hashes: dict[str, str] = field(default_factory=dict)
+    plans: dict[str, str] = field(default_factory=dict)
+
+    def to_json(self) -> str:  # Query.toJson analog (Query.java:48-51)
+        return json.dumps(self.__dict__, indent=1, default=str)
+
+    def verify_results(self, reference_planner: str = "dp_ccp") -> bool:
+        """All planners' hashes must match the reference planner's
+        (Query.verifyResults, Query.java:71-80 -- keyed to 'RL' there)."""
+        ref = self.result_hashes.get(reference_planner)
+        return ref is not None and all(
+            h == ref for h in self.result_hashes.values()
+        )
+
+
+def result_hash(df) -> tuple[int, str]:
+    """(row_count, order-insensitive value hash) of a DataFrame result.
+
+    Columns sorted by name; every cell rendered to a canonical string;
+    per-row md5s are XOR-combined so row order is irrelevant.
+    """
+    pdf = df.toPandas()
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    acc = 0
+    for row in pdf.itertuples(index=False, name=None):
+        s = "|".join(_canon(v) for v in row)
+        acc ^= int.from_bytes(hashlib.md5(s.encode()).digest()[:16], "big")
+    return len(pdf), f"{acc:032x}"
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    return str(v)
+
+
+def run_query(
+    spark,
+    sf_dir: str,
+    name: str,
+    sql: str,
+    oracle,
+    cost_model: CostModel | str = "cm1",
+    planners: list[str] | None = None,
+    execute: bool = True,
+    reps: int = 1,
+    include_spark_baseline: bool = True,
+    broadcast_threshold: float = 1_000_000,
+) -> QueryRecord:
+    cm = (
+        get_cost_model(cost_model)
+        if isinstance(cost_model, str)
+        else cost_model
+    )
+    rec = QueryRecord(name=name, sql=sql)
+    q = parse(sql)
+    graph = JoinGraph.from_query(q)
+    renderer = Renderer(spark, sf_dir, graph, oracle, broadcast_threshold)
+    for pname in planners or list(PLANNERS):
+        t0 = time.monotonic()
+        res = PLANNERS[pname](graph, oracle, cm)
+        rec.planning_times[pname] = time.monotonic() - t0
+        if res is None:  # branch-and-bound guard
+            continue
+        rec.costs[pname] = res.cost
+        rec.join_orders[pname] = join_order_record(graph, res.tree, oracle, cm)
+        if execute:
+            df = renderer.run(res.tree)
+            for _ in range(reps):
+                t0 = time.monotonic()
+                n, h = result_hash(df)
+                rec.runtimes_ms.setdefault(pname, []).append(
+                    (time.monotonic() - t0) * 1000.0
+                )
+            rec.result_hashes[pname] = f"{n}:{h}"
+    if include_spark_baseline and execute:
+        from .catalog import Catalog
+
+        Catalog(spark, sf_dir)  # ensure views exist
+        df = spark.sql(query_to_sql(q))
+        for _ in range(reps):
+            t0 = time.monotonic()
+            n, h = result_hash(df)
+            rec.runtimes_ms.setdefault("spark_default", []).append(
+                (time.monotonic() - t0) * 1000.0
+            )
+        rec.result_hashes["spark_default"] = f"{n}:{h}"
+    return rec
+
+
+def compare_oracles(
+    queries: dict[str, str], est_oracle, true_oracle, cost_model="cm1",
+    planner: str = "dp_ccp",
+) -> dict[str, tuple[float, float]]:
+    """Plan every query under the estimated oracle, re-cost that plan under
+    the true oracle, and also plan directly under the true oracle -- the
+    degradation measurement of startTestCardinalities (§3.3).
+
+    Returns {query: (cost_of_est_plan_under_true, optimal_true_cost)}.
+    """
+    cm = get_cost_model(cost_model) if isinstance(cost_model, str) else cost_model
+    out = {}
+    for name, sql in queries.items():
+        graph = JoinGraph.from_query(parse(sql))
+        est_plan = PLANNERS[planner](graph, est_oracle, cm)
+        opt_plan = PLANNERS[planner](graph, true_oracle, cm)
+        est_cost_true = cm.cumulative(graph, est_plan.tree, true_oracle)
+        out[name] = (est_cost_true, opt_plan.cost)
+    return out
+
+
+def write_runtimes(records: list[QueryRecord], path: str | Path) -> None:
+    """allQueryRuntimes.json format: {query: {planner: [ms, ...]}}."""
+    out = {r.name: r.runtimes_ms for r in records}
+    Path(path).write_text(json.dumps(out, indent=1))

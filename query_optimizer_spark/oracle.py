@@ -1,0 +1,169 @@
+"""Cardinality oracles.
+
+Replaces ``MyMetadataQuery.getRowCount`` (MyMetadataQuery.java:81-162): the
+reference injects a ``{query -> {table-key -> rows}}`` dict loaded from JSON
+(QueryOptExperiment.java:279-291) and hard-exits on a missing key
+(``:148-152``).  We keep the same contract (raise on miss) over canonical
+alias-based keys (``JoinGraph.key_for``), plus:
+
+- ``TrueCountOracle``  -- computes true subset cardinalities by counting
+  (the analog of QueryOptExperiment.getTrueCardinality, ``:729-777``, minus
+  its 100.0-on-error sentinel which SURVEY.md §2.7-C9 flags as a bug).
+  Counting runs on DuckDB over the same parquet for speed; memoized.
+- ``perturbed``        -- multiplies true counts by deterministic random
+  factors, producing the "estimated" oracle of the est-vs-true harness
+  (startTestCardinalities, QueryOptExperiment.java:437-505).
+- ``SparkStatsOracle`` -- base-table counts from the Spark catalog; joins
+  estimated with independence assumptions (textbook Selinger estimation).
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from pathlib import Path
+
+from .joingraph import JoinGraph, bits
+
+
+class CardinalityMissError(KeyError):
+    """Raised on an oracle miss (reference: System.exit at
+    MyMetadataQuery.java:148-152 -- we raise instead)."""
+
+
+class CardinalityOracle:
+    """Injected-dict oracle; keys are ``JoinGraph.key_for`` strings."""
+
+    def __init__(self, cards: dict[str, float]):
+        self.cards = dict(cards)
+
+    def card(self, graph: JoinGraph, s: int) -> float:
+        key = graph.key_for(s)
+        try:
+            return float(self.cards[key])
+        except KeyError:
+            raise CardinalityMissError(key) from None
+
+    # ---- persistence (pg.json analog, QueryOptExperiment.java:205) -----
+    def to_json(self) -> str:
+        return json.dumps(self.cards, indent=1, sort_keys=True)
+
+    @classmethod
+    def from_json_file(cls, path: str | Path) -> "CardinalityOracle":
+        return cls(json.loads(Path(path).read_text()))
+
+    def perturbed(self, seed: int = 0, max_factor: float = 8.0) -> "CardinalityOracle":
+        """Deterministically perturb every entry by x/÷ U(1, max_factor) --
+        the 'estimated' oracle for the est-vs-true harness (§3.3)."""
+        rng = random.Random(seed)
+        out = {}
+        for k, v in sorted(self.cards.items()):
+            f = rng.uniform(1.0, max_factor)
+            out[k] = max(1.0, v * f if rng.random() < 0.5 else v / f)
+        return CardinalityOracle(out)
+
+
+class TrueCountOracle(CardinalityOracle):
+    """True subset cardinalities via DuckDB counts over the parquet dir.
+
+    card(S) = |join of S's aliases with their filters and every join edge
+    internal to S|; disconnected subsets multiply (cross product), matching
+    plan-construction semantics (J15 cross-join fallback).
+    """
+
+    def __init__(self, sf_dir: str | Path):
+        super().__init__({})
+        self.sf_dir = str(sf_dir)
+        self._con = None
+
+    def _connection(self):
+        if self._con is None:
+            import duckdb
+
+            self._con = duckdb.connect()
+        return self._con
+
+    def card(self, graph: JoinGraph, s: int) -> float:
+        key = graph.key_for(s)
+        if key not in self.cards:
+            self.cards[key] = float(self._count(graph, s))
+        return self.cards[key]
+
+    def _count(self, graph: JoinGraph, s: int) -> int:
+        froms = []
+        conds = []
+        for i in bits(s):
+            a = graph.aliases[i]
+            t = graph.tables[a]
+            froms.append(
+                f"read_parquet('{self.sf_dir}/{t}.parquet') AS {a}"
+            )
+            conds.extend(p.sql() for p in graph.filters.get(a, ()))
+        for e in graph.edges:
+            if (e.factors & s) == e.factors:
+                conds.extend(p.sql() for p in e.preds)
+        sql = f"SELECT count(*) FROM {', '.join(froms)}"
+        if conds:
+            sql += " WHERE " + " AND ".join(conds)
+        return self._connection().execute(sql).fetchone()[0]
+
+    def precompute_all_connected(self, graph: JoinGraph) -> None:
+        """Warm the cache with every connected subset (feasible for the
+        <=10-relation fixture graphs)."""
+        for s in range(1, graph.all_factors + 1):
+            if graph.connected(s):
+                self.card(graph, s)
+
+    def snapshot(self) -> CardinalityOracle:
+        return CardinalityOracle(self.cards)
+
+
+class SparkStatsOracle(CardinalityOracle):
+    """Estimation from base-table stats + independence assumptions.
+
+    Base rows come from the catalog/parquet metadata; filters apply a fixed
+    selectivity per predicate kind; joins assume PK-FK containment:
+    |L join R| = |L|*|R| / max(distinct keys) approximated by
+    max(|L|,|R|) * product(other side's selectivities).  This is the
+    SURVEY §7 'SparkStatsOracle' -- a deliberately classic estimator whose
+    errors the est-vs-true harness measures.
+    """
+
+    FILTER_SEL = {"cmp=": 0.05, "cmp": 0.3, "between": 0.25, "like": 0.1,
+                  "in": 0.2, "isnull": 0.02, "isnotnull": 0.98}
+
+    def __init__(self, base_rows: dict[str, int]):
+        super().__init__({})
+        self.base_rows = base_rows  # table -> rows
+
+    @classmethod
+    def from_spark(cls, spark, table_names) -> "SparkStatsOracle":
+        return cls({t: spark.table(t).count() for t in table_names})
+
+    def _sel(self, pred) -> float:
+        if pred.kind == "cmp":
+            return self.FILTER_SEL["cmp=" if pred.op == "=" else "cmp"]
+        return self.FILTER_SEL.get(pred.kind, 0.3)
+
+    def card(self, graph: JoinGraph, s: int) -> float:
+        rows = 1.0
+        sels = 1.0
+        maxbase = 0.0
+        for i in bits(s):
+            a = graph.aliases[i]
+            base = float(self.base_rows[graph.tables[a]])
+            fsel = 1.0
+            for p in graph.filters.get(a, ()):
+                fsel *= self._sel(p)
+            rows *= base * fsel
+            sels *= fsel
+            maxbase = max(maxbase, base)
+        # one PK-FK containment correction per internal edge
+        for e in graph.edges:
+            if (e.factors & s) == e.factors:
+                lo = min(
+                    float(self.base_rows[graph.tables[graph.aliases[i]]])
+                    for i in bits(e.factors)
+                )
+                rows /= max(lo, 1.0)
+        return max(rows, 1.0)

@@ -1,0 +1,356 @@
+"""Join-order planners.
+
+Re-implements the reference's five Calcite planner rules as pure-Python
+search over the bitset JoinGraph (SURVEY.md §2.3 J3-J9, §4.3: planners run
+*outside* Catalyst and emit an explicit join tree; Spark preserves the
+written inner-join order with CBO join-reorder off, which is the central
+architectural simplification).
+
+- ``plan_greedy``            : J3, MyLoptOptimizeJoinRule.java (greedy from
+                               every start factor, keep cheapest).
+- ``plan_dp_ccp``            : J4, ExhaustiveDPJoinOrderRule.java --
+                               DPccp over connected-subgraph/complement
+                               pairs, after Moerkotte & Neumann's
+                               "Analysis of Two Existing and One New DP
+                               Algorithm for Generating Optimal Bushy Trees
+                               Without Cross Products" (cited by the
+                               reference at QueryGraph.java:641-643).
+- ``plan_left_deep``         : J5, LeftDeepJoinOrderRule.java -- Selinger.
+- ``plan_branch_and_bound``  : J6, ExhaustiveJoinOrderRule.java --
+                               recursive edge sequences with cost pruning
+                               and the >=12-edge guard (:107-109).
+- ``plan_random``            : J9, JoinOrderTest.java debug planner.
+
+All planners handle disconnected graphs by planning each connected
+component and cross-joining the component results in ascending
+first-factor order (J15 fallback, RLJoinOrderRule.java:152-159).
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+
+from .costmodels import CostModel
+from .joingraph import (
+    Join,
+    JoinGraph,
+    Leaf,
+    PlanNode,
+    bits,
+    make_join,
+    popcount,
+    validate_tree,
+)
+
+
+@dataclass
+class PlanResult:
+    tree: PlanNode
+    cost: float
+    planner: str
+
+    def order_str(self) -> str:
+        return self.tree.order_str()
+
+
+def _leaf(graph: JoinGraph, i: int) -> Leaf:
+    return Leaf(i, graph.aliases[i])
+
+
+def _cum(graph, tree, oracle, cm) -> float:
+    return cm.cumulative(graph, tree, oracle)
+
+
+def _plan_components(graph, oracle, cm, plan_component) -> tuple[PlanNode, float]:
+    """Plan each connected component, then cross-join components in
+    ascending first-factor order (J15)."""
+    comps = graph.components()
+    trees = [plan_component(c) for c in comps]
+    tree = trees[0]
+    for t in trees[1:]:
+        tree = make_join(graph, tree, t)
+    validate_tree(graph, tree)
+    return tree, _cum(graph, tree, oracle, cm)
+
+
+# ---------------------------------------------------------------------------
+# Random (J9)
+# ---------------------------------------------------------------------------
+
+
+def plan_random(graph: JoinGraph, oracle, cm: CostModel, seed: int = 0) -> PlanResult:
+    rng = random.Random(seed)
+
+    def component(comp: int) -> PlanNode:
+        factors = list(bits(comp))
+        rng.shuffle(factors)
+        # left-deep in shuffled order, but prefer a connected extension so
+        # we don't cross-join inside a connected component
+        tree: PlanNode = _leaf(graph, factors.pop(0))
+        while factors:
+            nxt = next(
+                (f for f in factors if graph.neighbors(tree.factors) & (1 << f)),
+                factors[0],
+            )
+            factors.remove(nxt)
+            tree = make_join(graph, tree, _leaf(graph, nxt))
+        return tree
+
+    tree, cost = _plan_components(graph, oracle, cm, component)
+    return PlanResult(tree, cost, "random")
+
+
+# ---------------------------------------------------------------------------
+# Greedy (J3) -- LOpt-style
+# ---------------------------------------------------------------------------
+
+
+def plan_greedy(graph: JoinGraph, oracle, cm: CostModel) -> PlanResult:
+    """For each candidate first factor, greedily add the next factor that
+    minimizes the cumulative cost so far, trying both 'add to top' and a
+    one-level 'push down' into the right subtree -- the two moves of
+    MyLoptOptimizeJoinRule.addFactorToTree (:899-1012, addToTop :1209-1274,
+    pushDownFactor :1057-1193).  Keeps the cheapest full plan over all
+    starts (findBestOrderings :462-504 emits one plan per start factor)."""
+
+    def component(comp: int) -> PlanNode:
+        best_tree: PlanNode | None = None
+        best_cost = float("inf")
+        for start in bits(comp):
+            tree: PlanNode = _leaf(graph, start)
+            remaining = comp & ~tree.factors
+            while remaining:
+                conn = graph.neighbors(tree.factors) & remaining
+                cands = list(bits(conn)) or [next(bits(remaining))]
+                cand_best: tuple[float, PlanNode] | None = None
+                for f in cands:
+                    leaf = _leaf(graph, f)
+                    # move 1: add to top
+                    top = make_join(graph, tree, leaf)
+                    c_top = _cum(graph, top, oracle, cm)
+                    if cand_best is None or c_top < cand_best[0]:
+                        cand_best = (c_top, top)
+                    # move 2: push down into the right subtree when the
+                    # new factor joins it (pushDownFactor analog)
+                    if isinstance(tree, Join) and graph.edges_between(
+                        leaf.factors, tree.right.factors
+                    ):
+                        pushed = make_join(
+                            graph,
+                            tree.left,
+                            make_join(graph, tree.right, leaf),
+                        )
+                        c_push = _cum(graph, pushed, oracle, cm)
+                        if c_push < cand_best[0]:
+                            cand_best = (c_push, pushed)
+                assert cand_best is not None
+                tree = cand_best[1]
+                remaining = comp & ~tree.factors
+            c = _cum(graph, tree, oracle, cm)
+            if c < best_cost:
+                best_cost, best_tree = c, tree
+        assert best_tree is not None
+        return best_tree
+
+    tree, cost = _plan_components(graph, oracle, cm, component)
+    return PlanResult(tree, cost, "greedy")
+
+
+# ---------------------------------------------------------------------------
+# DPccp (J4)
+# ---------------------------------------------------------------------------
+
+
+def _enumerate_csg(graph: JoinGraph, comp: int):
+    """Emit every connected subgraph of component ``comp``
+    (EnumerateCsg/EnumerateCsgRec of Moerkotte & Neumann; the reference's
+    port is QueryGraph.enumerateCsgRec :645-668)."""
+    nodes = sorted(bits(comp), reverse=True)
+    for v in nodes:
+        s = 1 << v
+        yield s
+        bv = (1 << (v + 1)) - 1  # B_v = nodes with index <= v
+        yield from _enumerate_csg_rec(graph, s, bv & comp)
+
+
+def _subsets(mask: int):
+    """Non-empty subsets of mask, ascending."""
+    sub = 0
+    while True:
+        sub = (sub - mask) & mask
+        if sub == 0:
+            return
+        yield sub
+
+
+def _enumerate_csg_rec(graph: JoinGraph, s: int, x: int):
+    n = graph.neighbors(s) & ~x
+    if not n:
+        return
+    for sub in _subsets(n):
+        yield s | sub
+    for sub in _subsets(n):
+        yield from _enumerate_csg_rec(graph, s | sub, x | n)
+
+
+def _enumerate_cmp(graph: JoinGraph, comp: int, s1: int):
+    """Connected complements of csg s1 (EnumerateCmp; reference
+    enumerateComplementarySubgraphs QueryGraph.java:716-741)."""
+    min_v = next(bits(s1))
+    b_min = (1 << (min_v + 1)) - 1
+    x = (b_min | s1) & comp
+    n = graph.neighbors(s1) & ~x
+    for v in sorted(bits(n), reverse=True):
+        s2 = 1 << v
+        yield s2
+        bv = ((1 << (v + 1)) - 1) & n
+        yield from _enumerate_csg_rec(graph, s2, x | bv)
+
+
+def plan_dp_ccp(graph: JoinGraph, oracle, cm: CostModel) -> PlanResult:
+    """Exhaustive bushy DP over csg-cmp pairs; tries both operand orders for
+    every pair (ExhaustiveDPJoinOrderRule.onMatch :86-211 does the same).
+    Optimal among cross-product-free bushy trees -- the cost oracle every
+    other planner is scored against (BASELINE.md)."""
+
+    def component(comp: int) -> PlanNode:
+        best: dict[int, tuple[float, PlanNode]] = {}
+        for i in bits(comp):
+            leaf = _leaf(graph, i)
+            best[leaf.factors] = (_cum(graph, leaf, oracle, cm), leaf)
+        pairs = [
+            (s1, s2)
+            for s1 in _enumerate_csg(graph, comp)
+            for s2 in _enumerate_cmp(graph, comp, s1)
+        ]
+        # DP by total size => both halves are solved before every pair
+        pairs.sort(key=lambda p: popcount(p[0] | p[1]))
+        for s1, s2 in pairs:
+            c1, t1 = best[s1]
+            c2, t2 = best[s2]
+            for left, right in ((t1, t2), (t2, t1)):
+                tree = make_join(graph, left, right)
+                cost = (
+                    c1 + c2 + cm.node_cost(graph, tree, oracle)
+                )
+                cur = best.get(tree.factors)
+                if cur is None or cost < cur[0]:
+                    best[tree.factors] = (cost, tree)
+        return best[comp][1]
+
+    tree, cost = _plan_components(graph, oracle, cm, component)
+    return PlanResult(tree, cost, "dp_ccp")
+
+
+# ---------------------------------------------------------------------------
+# Left-deep DP (J5)
+# ---------------------------------------------------------------------------
+
+
+def plan_left_deep(graph: JoinGraph, oracle, cm: CostModel) -> PlanResult:
+    """Selinger-style left-deep DP (LeftDeepJoinOrderRule.onMatch :68-204):
+    extend each memoized subset with one connected factor on the right."""
+
+    def component(comp: int) -> PlanNode:
+        best: dict[int, tuple[float, PlanNode]] = {}
+        for i in bits(comp):
+            leaf = _leaf(graph, i)
+            best[leaf.factors] = (_cum(graph, leaf, oracle, cm), leaf)
+        factors = list(bits(comp))
+        n = len(factors)
+        for size in range(2, n + 1):
+            for s in _subsets(comp):
+                if popcount(s) != size:
+                    continue
+                for r in bits(s):
+                    s0 = s & ~(1 << r)
+                    if s0 not in best:
+                        continue
+                    if not (graph.neighbors(s0) & (1 << r)):
+                        continue  # edge required (reference :131-147)
+                    c0, t0 = best[s0]
+                    leaf = _leaf(graph, r)
+                    tree = make_join(graph, t0, leaf)
+                    cost = (
+                        c0
+                        + cm.node_cost(graph, leaf, oracle)
+                        + cm.node_cost(graph, tree, oracle)
+                    )
+                    cur = best.get(s)
+                    if cur is None or cost < cur[0]:
+                        best[s] = (cost, tree)
+        return best[comp][1]
+
+    tree, cost = _plan_components(graph, oracle, cm, component)
+    return PlanResult(tree, cost, "left_deep")
+
+
+# ---------------------------------------------------------------------------
+# Branch and bound (J6)
+# ---------------------------------------------------------------------------
+
+BNB_EDGE_GUARD = 12  # ExhaustiveJoinOrderRule.java:107-109
+
+
+def plan_branch_and_bound(
+    graph: JoinGraph, oracle, cm: CostModel, edge_guard: int = BNB_EDGE_GUARD
+) -> PlanResult | None:
+    """Recursive enumeration of edge sequences with ``costSoFar >= best``
+    pruning (ExhaustiveJoinOrderRule.recursiveAddNodes :120-157).  Returns
+    None when the graph has >= ``edge_guard`` edges, like the reference's
+    hard skip."""
+    if len(graph.edges) >= edge_guard:
+        return None
+
+    def component(comp: int) -> PlanNode:
+        leaves = {1 << i: _leaf(graph, i) for i in bits(comp)}
+        leaf_cost = sum(
+            cm.node_cost(graph, leaf, oracle) for leaf in leaves.values()
+        )
+        best_cost = float("inf")
+        best_tree: PlanNode | None = None
+
+        def recurse(forest: dict[int, PlanNode], cost_so_far: float):
+            nonlocal best_cost, best_tree
+            if cost_so_far >= best_cost:
+                return  # prune
+            if len(forest) == 1:
+                (tree,) = forest.values()
+                best_cost, best_tree = cost_so_far, tree
+                return
+            roots = list(forest)
+            joinable = [
+                (a, b)
+                for ai, a in enumerate(roots)
+                for b in roots[ai + 1:]
+                if graph.edges_between(a, b)
+            ]
+            if not joinable:  # disconnected remainder inside comp: cross
+                a, b = roots[0], roots[1]
+                joinable = [(a, b)]
+            for a, b in joinable:
+                tree = make_join(graph, forest[a], forest[b])
+                nf = {k: v for k, v in forest.items() if k not in (a, b)}
+                nf[tree.factors] = tree
+                recurse(nf, cost_so_far + cm.node_cost(graph, tree, oracle))
+
+        recurse(dict(leaves), leaf_cost)
+        assert best_tree is not None
+        return best_tree
+
+    tree, cost = _plan_components(graph, oracle, cm, component)
+    return PlanResult(tree, cost, "branch_and_bound")
+
+
+PLANNERS = {
+    "greedy": plan_greedy,
+    "dp_ccp": plan_dp_ccp,
+    "left_deep": plan_left_deep,
+    "branch_and_bound": plan_branch_and_bound,
+    "random": plan_random,
+}
+
+
+def plan(name: str, graph: JoinGraph, oracle, cm: CostModel, **kw):
+    return PLANNERS[name](graph, oracle, cm, **kw)

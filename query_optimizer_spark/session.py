@@ -1,0 +1,90 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Two profiles (SURVEY.md §4.2):
+
+- ``controlled``: AQE + CBO join reordering + auto-broadcast pinned OFF, so
+  measured plans are exactly what the planner emitted (the reference pins
+  plan shape the same way by suppressing the original expression,
+  setImportance(orig, 0)).  Used for planner-comparison runs.
+- ``default`` : AQE on, auto-broadcast on -- the 'spark-default' baseline
+  analog of the reference's raw-Postgres planner row, and the profile real
+  pipelines should run with at scale.
+
+``events.parquet`` carries TIMESTAMP(NANOS), which Spark's vectorized
+reader rejects (PARQUET_TYPE_ILLEGAL); ``spark.sql.legacy.parquet.
+nanosAsLong=true`` reads it as epoch-nanos INT64 and ``events_df`` restores
+a proper timestamp column.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _base_builder(app: str, cpus: str | int | None = None):
+    cpus = str(cpus or DEFAULT_CPUS)
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+
+
+def get_session(
+    app: str = "spark-joinlab",
+    profile: str = "default",
+    cpus: str | int | None = None,
+) -> SparkSession:
+    b = _base_builder(app, cpus)
+    if profile == "controlled":
+        b = (
+            b.config("spark.sql.adaptive.enabled", "false")
+            .config("spark.sql.cbo.enabled", "false")
+            .config("spark.sql.cbo.joinReorder.enabled", "false")
+            .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        )
+    else:
+        b = (
+            b.config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        )
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def configure_runtime(spark: SparkSession) -> None:
+    """Apply runtime-settable engine configs to an externally-created
+    session (e.g. the driver's)."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
+def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with ``ts`` restored to TimestampType from the
+    nanos-as-long reading (integer division keeps it deterministic)."""
+    configure_runtime(spark)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df

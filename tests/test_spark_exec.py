@@ -1,0 +1,143 @@
+"""End-to-end Spark execution tests: every planner's DataFrame result
+hash-equals spark.sql(original) and the DuckDB oracle (FIXTURES.md golden
+verification; reference analog Query.verifyResults, Query.java:71-80)."""
+
+import hashlib
+
+import pytest
+
+from query_optimizer_spark.costmodels import get_cost_model
+from query_optimizer_spark.env import JoinOrderEnv
+from query_optimizer_spark.executor import (
+    Renderer,
+    execute_plan,
+    physical_plan,
+    query_to_sql,
+)
+from query_optimizer_spark.harness import (
+    compare_oracles,
+    result_hash,
+    run_query,
+)
+from query_optimizer_spark.joingraph import JoinGraph
+from query_optimizer_spark.oracle import TrueCountOracle
+from query_optimizer_spark.planners import PLANNERS
+from query_optimizer_spark.sqlparse import parse
+
+from .conftest import SF_DIR
+from .fixtures import ALL
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return TrueCountOracle(SF_DIR)
+
+
+def duck_hash(duck, sql):
+    pdf = duck.execute(sql).fetchdf()
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    acc = 0
+    for row in pdf.itertuples(index=False, name=None):
+        canon = []
+        for v in row:
+            if v is None or v != v:
+                canon.append("NULL")
+            elif isinstance(v, float):
+                canon.append(f"{v:.6g}")
+            else:
+                canon.append(str(v))
+        s = "|".join(canon)
+        acc ^= int.from_bytes(hashlib.md5(s.encode()).digest()[:16], "big")
+    return len(pdf), f"{acc:032x}"
+
+
+@pytest.mark.parametrize("name", sorted(ALL))
+def test_all_planners_match_duckdb(name, spark, duck, oracle):
+    sql = ALL[name]
+    q = parse(sql)
+    graph = JoinGraph.from_query(q)
+    cm = get_cost_model("cm1")
+    ansi = query_to_sql(q)
+    expected = duck_hash(duck, ansi)
+    for pname, fn in PLANNERS.items():
+        res = fn(graph, oracle, cm)
+        if res is None:
+            continue
+        df = execute_plan(spark, SF_DIR, graph, res.tree, oracle)
+        got = result_hash(df)
+        assert got == expected, f"{pname} mismatch on {name}"
+    # spark.sql baseline agrees too
+    from query_optimizer_spark.catalog import Catalog
+
+    Catalog(spark, SF_DIR)
+    assert result_hash(spark.sql(ansi)) == expected
+
+
+def test_env_plan_executes(spark, duck, oracle):
+    sql = ALL["q_chain_3"]
+    q = parse(sql)
+    graph = JoinGraph.from_query(q)
+    cm = get_cost_model("cm1")
+    env = JoinOrderEnv(graph, oracle, cm, seed=1)
+    env.reset()
+    env.finish_random()
+    df = execute_plan(spark, SF_DIR, graph, env.final_plan(), oracle)
+    assert result_hash(df) == duck_hash(duck, query_to_sql(q))
+
+
+def test_plan_order_preserved(spark, oracle):
+    """Catalyst must not reorder our explicit join chain: with the
+    default config (CBO off) the physical plan joins in planner order
+    (SURVEY §4.1 central simplification)."""
+    sql = ALL["q_cycle_7"]
+    graph = JoinGraph.from_query(parse(sql))
+    cm = get_cost_model("cm1")
+    res = PLANNERS["dp_ccp"](graph, oracle, cm)
+    df = execute_plan(spark, SF_DIR, graph, res.tree, oracle)
+    plan = physical_plan(df, "formatted")
+    assert "Join" in plan
+    # every scan appears once per alias usage: nation read twice (n1, n2)
+    assert plan.count("nation.parquet") == 2
+
+
+def test_filter_pushdown_reaches_scan(spark, oracle):
+    """Leaf filters must reach the parquet scan (PushedFilters) and the
+    scan must read only needed columns (ReadSchema pruning)."""
+    graph = JoinGraph.from_query(parse(ALL["q_chain_3"]))
+    cm = get_cost_model("cm1")
+    res = PLANNERS["dp_ccp"](graph, oracle, cm)
+    df = execute_plan(spark, SF_DIR, graph, res.tree, oracle)
+    plan = physical_plan(df, "formatted")
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)" in plan.replace("\n", "") or (
+        "GreaterThan(l_quantity,30" in plan
+    )
+    # lineitem scan reads only the 3 needed columns
+    for line in plan.splitlines():
+        if "lineitem" in line and "ReadSchema" in line:
+            assert "l_extendedprice" not in line
+
+
+def test_run_query_harness(spark, oracle):
+    rec = run_query(
+        spark,
+        SF_DIR,
+        "q_chain_3",
+        ALL["q_chain_3"],
+        oracle,
+        reps=1,
+    )
+    assert rec.verify_results()
+    assert rec.costs["dp_ccp"] <= rec.costs["greedy"] + 1e-6
+    assert rec.result_hashes["spark_default"] == rec.result_hashes["dp_ccp"]
+    assert all(len(v) == 1 for v in rec.runtimes_ms.values())
+
+
+def test_compare_oracles_harness(oracle):
+    queries = {k: ALL[k] for k in ("q_chain_3", "q_star_4")}
+    for name, sql in queries.items():
+        graph = JoinGraph.from_query(parse(sql))
+        oracle.precompute_all_connected(graph)
+    est = oracle.snapshot().perturbed(seed=11)
+    out = compare_oracles(queries, est, oracle)
+    for name, (est_cost_true, opt_true) in out.items():
+        assert est_cost_true >= opt_true - 1e-6  # est plan can't beat optimum
