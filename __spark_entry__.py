@@ -1,38 +1,62 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship 7-relation planner query at
+sf0.001.  ``queries()`` exposes every implemented operator from
+SURVEY.md §2 as a (spark, sf_dir) -> DataFrame callable; ``oracle_sql()``
+gives each one's ANSI-SQL twin for the DuckDB correctness gate.  Column
+names are aliased identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from query_optimizer_spark import workload
+from query_optimizer_spark.session import configure_runtime
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the cyclic 7-relation join (alias self-join on nation),
+    planned by DPccp and executed as an explicit Spark join chain."""
+    configure_runtime(spark)
+    return workload.run_fixture(
+        spark, "/root/testdata/sf0.001", "join_cycle_7", planner="dp_ccp"
+    )
+
+
+def _fixture_runner(name: str, planner: str) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        configure_runtime(spark)
+        return workload.run_fixture(spark, sf_dir, name, planner=planner)
+
+    return run
+
+
+# planner assignment exercises every search strategy in the correctness
+# gate (all must produce identical results; SURVEY §2.3 J3-J9)
+_FIXTURE_PLANNERS = {
+    "join_chain_3": "greedy",
+    "join_star_4": "left_deep",
+    "join_cycle_7": "dp_ccp",
+    "join_cross_2": "dp_ccp",
+    "join_selfjoin_4": "branch_and_bound",
+    "join_preds_3": "dp_ccp",
+    "join_group_3": "greedy",
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, planner in _FIXTURE_PLANNERS.items():
+        out[name] = _fixture_runner(name, planner)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: workload.fixture_oracle_sql(name) for name in _FIXTURE_PLANNERS}

@@ -158,21 +158,27 @@ class Renderer:
             df = df.filter(pred_to_column(p))
         aggs = [it for it in q.select if it.agg]
         plain = [it for it in q.select if not it.agg]
+        # output name for each plain column (select-item alias wins)
+        out_name = {(it.col.alias, it.col.column): it.name for it in plain}
         if aggs:
-            exprs = []
-            for it in q.select:
-                col = F.col(_colname(it.col))
-                fn = {
-                    "min": F.min, "max": F.max, "sum": F.sum,
-                    "count": F.count, "avg": F.avg,
-                }[it.agg]
-                exprs.append(fn(col).alias(it.name))
+            agg_fns = {
+                "min": F.min, "max": F.max, "sum": F.sum,
+                "count": F.count, "avg": F.avg,
+            }
+            aexprs = [
+                agg_fns[it.agg](F.col(_colname(it.col))).alias(it.name)
+                for it in aggs
+            ]
             if q.group_by:
-                df = df.groupBy(
-                    *[F.col(_colname(c)).alias(c.column) for c in q.group_by]
-                ).agg(*exprs)
+                gexprs = [
+                    F.col(_colname(c)).alias(
+                        out_name.get((c.alias, c.column), c.column)
+                    )
+                    for c in q.group_by
+                ]
+                df = df.groupBy(*gexprs).agg(*aexprs)
             else:
-                df = df.agg(*exprs)
+                df = df.agg(*aexprs)
         else:
             df = df.select(
                 *[F.col(_colname(it.col)).alias(it.name) for it in plain]
@@ -180,8 +186,9 @@ class Renderer:
         if q.order_by:
             df = df.orderBy(
                 *[
-                    F.col(c.column).asc() if d == "asc" else F.col(c.column).desc()
+                    F.col(nm).asc() if d == "asc" else F.col(nm).desc()
                     for c, d in q.order_by
+                    for nm in [out_name.get((c.alias, c.column), c.column)]
                 ]
             )
         if q.limit is not None:

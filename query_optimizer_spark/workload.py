@@ -1,0 +1,140 @@
+"""Fixture workload (FIXTURES.md): JOB-shaped join queries over the
+TPC-H-ish testdata, plus the helpers the driver contract and bench use to
+run them through the planner pipeline.
+
+The reference's workload is the IMDB Join Order Benchmark
+(runtime_test.sh:3-5); these queries reproduce its shapes -- chain, star,
+cycle, alias self-join, disconnected/cross -- on the driver's tables.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from .costmodels import get_cost_model
+from .executor import Renderer, query_to_sql
+from .joingraph import JoinGraph
+from .oracle import SparkStatsOracle, TrueCountOracle
+from .planners import PLANNERS
+from .sqlparse import parse
+
+FIXTURES: dict[str, str] = {
+    # chain: l-o-c (build plan step 1; entry() flagship at sf0.001)
+    "join_chain_3": """
+        SELECT MIN(o.o_totalprice) AS min_price, MIN(c.c_name) AS min_name
+        FROM lineitem l, orders o, customer c
+        WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+          AND l.l_quantity > 30
+    """,
+    # star around lineitem
+    "join_star_4": """
+        SELECT MIN(l.l_extendedprice) AS min_ep, MIN(p.p_name) AS min_part
+        FROM lineitem l, orders o, part p, supplier s
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_partkey = p.p_partkey
+          AND l.l_suppkey = s.s_suppkey
+          AND p.p_size < 20 AND o.o_orderstatus = 'F'
+    """,
+    # full 7-relation cyclic graph with alias self-join (nation n1/n2)
+    "join_cycle_7": """
+        SELECT MIN(l.l_extendedprice) AS min_ep
+        FROM lineitem l, orders o, customer c, supplier s,
+             nation n1, nation n2, region r
+        WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+          AND l.l_suppkey = s.s_suppkey
+          AND c.c_nationkey = n1.n_nationkey
+          AND s.s_nationkey = n2.n_nationkey
+          AND n1.n_regionkey = r.r_regionkey
+          AND r.r_name = 'ASIA' AND c.c_acctbal > 0
+    """,
+    # disconnected graph -> cross-join fallback (J15)
+    "join_cross_2": """
+        SELECT MIN(r.r_name) AS min_r, MIN(p.p_brand) AS min_b
+        FROM region r, part p
+        WHERE r.r_regionkey < 3 AND p.p_size = 5
+    """,
+    # self-join on nation via two roles + cross-alias equi edge
+    "join_selfjoin_4": """
+        SELECT MIN(c.c_name) AS min_cust, MIN(s.s_name) AS min_supp
+        FROM customer c, supplier s, nation n1, nation n2
+        WHERE c.c_nationkey = n1.n_nationkey AND s.s_nationkey = n2.n_nationkey
+          AND n1.n_regionkey = n2.n_regionkey
+          AND c.c_acctbal > 100
+    """,
+    # wider predicate surface: BETWEEN / IN / LIKE / date compare
+    "join_preds_3": """
+        SELECT MIN(l.l_extendedprice) AS min_ep, MAX(o.o_totalprice) AS max_tp,
+               COUNT(l.l_orderkey) AS n_rows
+        FROM lineitem l, orders o, customer c
+        WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+          AND l.l_quantity BETWEEN 10 AND 40
+          AND o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+          AND c.c_mktsegment LIKE 'BUI%'
+          AND l.l_shipdate > DATE '1995-06-01'
+    """,
+    # GROUP BY + ORDER BY through the planner pipeline
+    "join_group_3": """
+        SELECT n1.n_name AS nation, COUNT(c.c_custkey) AS n_cust,
+               AVG(c.c_acctbal) AS avg_bal
+        FROM customer c, nation n1, region r
+        WHERE c.c_nationkey = n1.n_nationkey AND n1.n_regionkey = r.r_regionkey
+          AND r.r_name <> 'EUROPE'
+        GROUP BY n1.n_name
+        ORDER BY n1.n_name ASC
+    """,
+}
+
+
+@lru_cache(maxsize=8)
+def _base_rows(sf_dir: str) -> dict[str, int]:
+    """Base-table row counts from parquet metadata (cheap, no Spark job)."""
+    import duckdb
+
+    from . import TABLES
+
+    con = duckdb.connect()
+    out = {}
+    for t in TABLES:
+        try:
+            out[t] = con.execute(
+                f"SELECT count(*) FROM read_parquet('{sf_dir}/{t}.parquet')"
+            ).fetchone()[0]
+        except Exception:
+            pass
+    con.close()
+    return out
+
+
+def stats_oracle(sf_dir: str) -> SparkStatsOracle:
+    return SparkStatsOracle(_base_rows(sf_dir))
+
+
+def run_fixture(
+    spark,
+    sf_dir: str,
+    name: str,
+    planner: str = "dp_ccp",
+    cost_model: str = "cm1",
+    oracle=None,
+):
+    """Full pipeline: parse -> join graph -> plan -> explicit Spark join
+    chain -> final projection.  Planning uses the stats oracle by default
+    (cheap estimates); pass a TrueCountOracle for exact-cost planning."""
+    sql = FIXTURES[name]
+    graph = JoinGraph.from_query(parse(sql))
+    oracle = oracle or stats_oracle(sf_dir)
+    cm = get_cost_model(cost_model)
+    res = PLANNERS[planner](graph, oracle, cm)
+    if res is None:
+        res = PLANNERS["dp_ccp"](graph, oracle, cm)
+    renderer = Renderer(spark, sf_dir, graph, oracle)
+    return renderer.run(res.tree)
+
+
+def fixture_oracle_sql(name: str) -> str:
+    """ANSI-SQL twin of a fixture (DuckDB oracle; also the spark_default
+    baseline text)."""
+    return query_to_sql(parse(FIXTURES[name]))
+
+
+def true_oracle(sf_dir: str) -> TrueCountOracle:
+    return TrueCountOracle(sf_dir)
