@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from query_optimizer_spark import workload
+from query_optimizer_spark import sqlsurface, workload
 from query_optimizer_spark.session import configure_runtime
 
 
@@ -51,12 +51,26 @@ _FIXTURE_PLANNERS = {
 }
 
 
+def _surface_runner(name: str) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return sqlsurface.run_surface(spark, sf_dir, name)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, planner in _FIXTURE_PLANNERS.items():
         out[name] = _fixture_runner(name, planner)
+    for name in sqlsurface.SURFACE:
+        out[name] = _surface_runner(name)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: workload.fixture_oracle_sql(name) for name in _FIXTURE_PLANNERS}
+    out = {
+        name: workload.fixture_oracle_sql(name) for name in _FIXTURE_PLANNERS
+    }
+    # the SQL surface is shared ANSI text: the oracle runs the same query
+    out.update(sqlsurface.SURFACE)
+    return out

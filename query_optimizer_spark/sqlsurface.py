@@ -1,0 +1,177 @@
+"""SQL-surface battery: operators the reference passes through untouched.
+
+SURVEY.md §2.5: the reference contains no window functions, sorts/limits,
+set operations, or scalar-function machinery of its own -- JOB predicates
+pass through Calcite to Postgres.  The rebuild's equivalent obligation is
+that this whole surface runs through ``spark.sql`` unharmed.  Each entry
+here is one capability, written in ANSI SQL that runs identically on Spark
+and DuckDB (the oracle), with float aggregates rounded so cross-engine
+summation order can't flip the value hash.
+
+All queries read the temp views registered by ``register_views``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import TABLES
+from .session import configure_runtime, events_df
+
+# name -> SQL that is valid for BOTH Spark and DuckDB.
+SURFACE: dict[str, str] = {
+    # TPC-H Q1 shape: multi-aggregate GROUP BY with arithmetic
+    "sql_agg_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 3) AS sum_qty,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS revenue,
+               ROUND(AVG(l_quantity), 6) AS avg_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1997-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    # window functions: ranking + running aggregate with full tiebreak
+    "sql_window_rank": """
+        SELECT o_custkey, o_orderkey, CAST(rnk AS INT) AS rnk,
+               ROUND(running_total, 3) AS running_total
+        FROM (
+            SELECT o_custkey, o_orderkey,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+                   SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_totalprice DESC, o_orderkey
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS running_total
+            FROM orders
+        ) t
+        WHERE rnk <= 3
+    """,
+    # top-k: ORDER BY + LIMIT with deterministic tiebreak
+    "sql_topk_orders": """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 25
+    """,
+    # set operations
+    "sql_setops_nations": """
+        SELECT n_nationkey AS k FROM nation
+        WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+        INTERSECT
+        SELECT n_nationkey AS k FROM nation
+        WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
+    """,
+    "sql_setops_except_union": """
+        (SELECT c_nationkey AS k FROM customer
+         EXCEPT
+         SELECT s_nationkey AS k FROM supplier)
+        UNION ALL
+        SELECT CAST(-1 AS INT) AS k
+    """,
+    # EXISTS -> left-semi join
+    "sql_exists_semijoin": """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+    """,
+    # NOT EXISTS -> left-anti join
+    "sql_notexists_antijoin": """
+        SELECT c.c_custkey
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+        )
+    """,
+    # ROLLUP with GROUPING() disambiguation
+    "sql_rollup": """
+        SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+               COALESCE(l_linestatus, '<all>') AS linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               ROUND(SUM(l_extendedprice), 3) AS total_price
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    # scalar expressions: CASE, string + date functions
+    "sql_scalar_funcs": """
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 200000 THEN 'big'
+                    WHEN o_totalprice > 50000 THEN 'mid'
+                    ELSE 'small' END AS bucket,
+               UPPER(SUBSTR(o_orderpriority, 1, 1)) AS prio,
+               CAST(LENGTH(o_orderstatus) AS INT) AS status_len,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+               ROUND(o_totalprice * 0.1, 3) AS tithe
+        FROM orders
+        WHERE EXTRACT(MONTH FROM o_orderdate) = 3
+    """,
+    # HAVING
+    "sql_having": """
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 3) AS spend
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 3
+    """,
+    # scalar subquery in a predicate
+    "sql_scalar_subquery": """
+        SELECT o_orderkey, ROUND(o_totalprice, 3) AS o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+    """,
+    # CTE + join + distinct aggregate
+    "sql_cte_distinct": """
+        WITH big_orders AS (
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_totalprice > 100000
+        )
+        SELECT c.c_mktsegment AS segment,
+               COUNT(DISTINCT b.o_custkey) AS n_customers,
+               COUNT(*) AS n_orders
+        FROM big_orders b, customer c
+        WHERE b.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    # correlated IN subquery
+    "sql_in_subquery": """
+        SELECT p_partkey, p_brand
+        FROM part
+        WHERE p_partkey IN (
+            SELECT l_partkey FROM lineitem WHERE l_quantity > 48
+        )
+    """,
+    # multi-join + agg + order: classic TPC-H Q5 shape
+    "sql_q5_local_revenue": """
+        SELECT n.n_name AS nation,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 3) AS revenue
+        FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+        WHERE c.c_custkey = o.o_custkey
+          AND l.l_orderkey = o.o_orderkey
+          AND l.l_suppkey = s.s_suppkey
+          AND c.c_nationkey = s.s_nationkey
+          AND s.s_nationkey = n.n_nationkey
+          AND n.n_regionkey = r.r_regionkey
+          AND r.r_name = 'ASIA'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, nation
+    """,
+}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    configure_runtime(spark)
+    for t in TABLES:
+        if t == "events":
+            events_df(spark, sf_dir).createOrReplaceTempView(t)
+        else:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def run_surface(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SURFACE[name])
