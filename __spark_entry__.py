@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from query_optimizer_spark import sqlsurface, workload
+from query_optimizer_spark.functions.registry import PIPELINE_OPS
 from query_optimizer_spark.session import configure_runtime
 
 
@@ -64,6 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _fixture_runner(name, planner)
     for name in sqlsurface.SURFACE:
         out[name] = _surface_runner(name)
+    for name, (runner, _) in PIPELINE_OPS.items():
+        out[name] = runner
     return out
 
 
@@ -73,4 +76,7 @@ def oracle_sql() -> dict[str, str]:
     }
     # the SQL surface is shared ANSI text: the oracle runs the same query
     out.update(sqlsurface.SURFACE)
+    for name, (_, oracle) in PIPELINE_OPS.items():
+        if oracle is not None:
+            out[name] = oracle
     return out

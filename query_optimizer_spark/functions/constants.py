@@ -1,0 +1,102 @@
+"""Shared constants for the pipeline operators.
+
+Both the Spark implementations and the generated DuckDB oracle SQL are
+built from these values -- single source of truth so results match
+bit-for-bit across engines.
+"""
+
+from __future__ import annotations
+
+import random
+
+# --- base hashing -----------------------------------------------------------
+# 32-bit integer hash of a string: first 8 hex chars of md5.
+#   spark : conv(substring(md5(s), 1, 8), 16, 10) cast to long
+#   duckdb: ('0x' || substr(md5(s), 1, 8))::BIGINT
+# Products a*h with a < 2^31 stay under 2^63 (no int64 overflow).
+HASH_HEX_CHARS = 8
+
+# Mersenne prime modulus for the permutation family h_i = (a*x + b) % P.
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+
+# MinHash: 16 permutations, 4 bands x 4 rows (LSH threshold ~ (1/4)^(1/4)).
+MINHASH_K = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
+_rng = random.Random(20260813)
+MINHASH_A = [_rng.randrange(1, MINHASH_P) for _ in range(MINHASH_K)]
+MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(MINHASH_K)]
+MINHASH_SHINGLE = 3          # 3-word shingles
+MINHASH_THRESHOLD = 0.5      # emit candidate pairs with est jaccard >= t
+
+# n-gram (shingle) exact-jaccard dedup
+JACCARD_THRESHOLD = 0.5
+
+# SimHash: 32-bit, 4 one-byte bands, hamming radius 3 (pigeonhole: 3 bit
+# errors cannot dirty all 4 bands, so band-blocking is lossless).
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+SIMHASH_HAMMING = 3
+
+# embedding similarity: quantize float32 -> round(x * 1000) as int64.
+# (k + 0.5)/1000 is never exactly representable in binary floating point,
+# so round() can never hit a tie -> both engines quantize identically.
+EMB_QUANT = 1000
+COSINE_DUP_THRESHOLD = 0.4   # near-dup pair threshold (data max ~0.51)
+ANN_TOP_K = 5
+ANN_N_QUERIES = 8            # first N vec_ids serve as the query set
+
+# random-hyperplane LSH for ANN: 16 planes; component w[p][d] from an LCG
+# so both engines can materialize the same planes.  Banding: 4 bands x 4
+# bits -- a ~0.37-cosine neighbor agrees with ~62% of planes, giving
+# ~48% per-band-family recall while random vectors collide on ~1/16 of a
+# band (candidate set ~23% of corpus; tune bits-per-band up at scale).
+LSH_PLANES = 16
+LSH_BANDS = 4
+LSH_BAND_BITS = LSH_PLANES // LSH_BANDS
+LSH_LCG_A = 1103515245
+LSH_LCG_C = 12345
+LSH_LCG_M = 2_147_483_648  # 2^31
+
+
+def lsh_plane_component(p: int, d: int) -> int:
+    """Deterministic integer weight of hyperplane p at dimension d,
+    centered on 0: ((A*(p*4096+d) + C) mod M) - M/2."""
+    return (LSH_LCG_A * (p * 4096 + d) + LSH_LCG_C) % LSH_LCG_M - LSH_LCG_M // 2
+
+
+# --- text -------------------------------------------------------------------
+# tokenization: lower -> strip non [a-z0-9] to space -> trim -> split ' +'
+TOKEN_CLEAN_RE = "[^a-z0-9 ]"
+TOKEN_SPLIT_RE = " +"
+
+# BPE-ish token regex: alpha runs, digit runs, single other symbols
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "para"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "ist", "zu", "mit", "von"],
+}
+
+# polynomial fingerprint: fp = sum(hash16(tok_i) * 31^(i mod 8)) mod P
+FP_POWS = [31**i for i in range(8)]  # max 31^7 ~ 2^35; 16-bit hash -> 51 bits
+FP_HEX_CHARS = 4  # 16-bit token hash
+
+
+def sql_hash32(expr: str) -> str:
+    """DuckDB: 32-bit md5-derived hash of a string expression."""
+    return f"('0x' || substr(md5({expr}), 1, {HASH_HEX_CHARS}))::BIGINT"
+
+
+def sql_hash16(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, {FP_HEX_CHARS}))::BIGINT"
+
+
+def sql_tokens(expr: str) -> str:
+    """DuckDB: tokenization identical to the Spark side."""
+    return (
+        f"list_filter(string_split_regex(trim(regexp_replace(lower({expr}), "
+        f"'{TOKEN_CLEAN_RE}', ' ', 'g')), '{TOKEN_SPLIT_RE}'), x -> x <> '')"
+    )

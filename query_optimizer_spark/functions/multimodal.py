@@ -1,0 +1,133 @@
+"""Multimodal-column plumbing: opaque ``binary`` payloads + typed metadata,
+processed with Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the decode step is STUBBED
+(SURVEY-mandated): ``decode_image`` raises NotImplementedError unless
+``fake=True``, in which case it produces deterministic pseudo-features
+from the bytes.  Everything around the stub -- binary column creation,
+schema, Arrow batch iteration, partition-parallel UDF shape -- is real
+and is what would carry a 100 TB image corpus (binary parquet columns,
+``spark.sql.files.maxPartitionBytes`` tuned so a batch of payloads fits
+executor memory).
+
+``binary_stats`` is the oracle-checked entry: its per-byte arithmetic is
+reproducible in SQL (the payloads here are UTF-8 text bytes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+CHECKSUM_MOD = 997
+
+BINARY_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("checksum", T.IntegerType()),
+        T.StructField("first_byte", T.IntegerType()),
+        T.StructField("modality", T.StringType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def with_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with an opaque binary column (UTF-8 bytes of the text) and
+    typed modality metadata -- the storage shape for multimodal corpora."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+    )
+
+
+def binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload byte statistics via mapInPandas (Arrow batches of
+    binary).  The pandas function is the template for any real decoder:
+    it receives ``bytes`` objects batch-wise and emits typed rows."""
+    df = with_binary_payload(spark, sf_dir)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "checksum": payloads.map(
+                        lambda b: sum(b) % CHECKSUM_MOD
+                    ).astype("int32"),
+                    "first_byte": payloads.map(
+                        lambda b: b[0] if len(b) else -1
+                    ).astype("int32"),
+                    "modality": pdf["mime"].str.split("/").str[0],
+                }
+            )
+
+    return df.mapInPandas(stats, BINARY_STATS_SCHEMA)
+
+
+def binary_stats_oracle() -> str:
+    """The payload is UTF-8 text, so byte stats are reproducible from the
+    string column (the testdata text is pure ASCII; the test asserts it)."""
+    return f"""
+        SELECT doc_id,
+               CAST(strlen(text) AS INT) AS n_bytes,
+               CAST(coalesce(list_sum([ord(text[i]) for i in
+                    generate_series(1, length(text))]), 0) % {CHECKSUM_MOD} AS INT)
+                   AS checksum,
+               CAST(CASE WHEN length(text) > 0 THEN ord(text[1]) ELSE -1 END AS INT)
+                   AS first_byte,
+               'text' AS modality
+        FROM documents
+    """
+
+
+def decode_image(
+    df: DataFrame, payload_col: str = "payload", fake: bool = False
+) -> DataFrame:
+    """Decode an image payload column into typed features.
+
+    Real decoding needs an image codec (Pillow/opencv), which is not in
+    this container -- calling with ``fake=False`` raises.  ``fake=True``
+    derives deterministic pseudo-features from the bytes through the SAME
+    mapInPandas plumbing a real decoder would use, so schema, batching,
+    and partitioning are exercised end-to-end.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image codecs are unavailable in this environment; "
+            "pass fake=True for the deterministic stub "
+            "(real impl: PIL.Image.open(io.BytesIO(b)) per payload)"
+        )
+
+    def fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            b = pdf[payload_col]
+            n = b.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": (n % 640 + 1).astype("int32"),
+                    "height": (n % 480 + 1).astype("int32"),
+                    "n_channels": pd.Series([3] * len(pdf), dtype="int32"),
+                    "mean_intensity": b.map(
+                        lambda x: round(sum(x) / len(x), 6) if len(x) else 0.0
+                    ),
+                }
+            )
+
+    return df.mapInPandas(fake_decode, IMAGE_FEATURES_SCHEMA)

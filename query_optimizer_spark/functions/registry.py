@@ -1,0 +1,42 @@
+"""Registry of pipeline operators: name -> (runner, oracle SQL | None).
+
+Runner signature matches the driver contract: (spark, sf_dir) -> DataFrame.
+"""
+
+from __future__ import annotations
+
+from . import dedup, multimodal, similarity, text
+
+PIPELINE_OPS: dict[str, tuple] = {
+    # text analysis
+    "text_token_count": (text.token_count, text.token_count_oracle()),
+    "text_language_id": (text.language_id, text.language_id_oracle()),
+    "text_quality_score": (text.quality_score, text.quality_score_oracle()),
+    "text_fingerprint": (text.fingerprint, text.fingerprint_oracle()),
+    # dedup
+    "dedup_exact": (dedup.exact_dedup, dedup.exact_dedup_oracle()),
+    "dedup_minhash_lsh": (dedup.minhash_lsh_pairs, dedup.minhash_lsh_oracle()),
+    "dedup_ngram_jaccard": (
+        dedup.ngram_jaccard_pairs,
+        dedup.ngram_jaccard_oracle(),
+    ),
+    "dedup_simhash": (dedup.simhash_pairs, dedup.simhash_oracle()),
+    "dedup_embedding_cosine": (
+        dedup.embedding_cosine_pairs,
+        dedup.embedding_cosine_oracle(),
+    ),
+    # similarity search
+    "sim_bruteforce_topk": (
+        similarity.brute_force_topk,
+        similarity.brute_force_topk_oracle(),
+    ),
+    "sim_lsh_ann_topk": (
+        similarity.lsh_ann_topk,
+        similarity.lsh_ann_topk_oracle(),
+    ),
+    # multimodal plumbing (mapInPandas path)
+    "mm_binary_stats": (
+        multimodal.binary_stats,
+        multimodal.binary_stats_oracle(),
+    ),
+}

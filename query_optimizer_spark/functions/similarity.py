@@ -1,0 +1,215 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+- ``brute_force_topk`` : exact cosine top-k for a query set -- the
+  correctness baseline.  Broadcast the (small) query set against the
+  full table: one pass, no shuffle on the big side until the final
+  per-query top-k (a tiny aggregate).
+- ``lsh_ann_topk``     : the scale path -- 16 random-hyperplane signs
+  (deterministic integer planes from an LCG) give a 16-bit signature;
+  candidates share an 8-bit signature band with the query; exact cosine
+  re-rank within candidates only.  At 100 TB the band join replaces the
+  full scan per query.
+
+All arithmetic is integer-quantized before any floating-point division,
+so the DuckDB oracles (generated from the same constants) agree
+bit-for-bit.  sqrt/division on exact integers is IEEE-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .constants import (
+    ANN_N_QUERIES,
+    ANN_TOP_K,
+    EMB_QUANT,
+    LSH_BAND_BITS,
+    LSH_BANDS,
+    LSH_LCG_A,
+    LSH_LCG_C,
+    LSH_LCG_M,
+    LSH_PLANES,
+)
+from .dedup import DOT_SPARK, QUANT_SPARK
+
+
+def _quantized(spark, sf_dir) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.expr(QUANT_SPARK).alias("q"))
+        .withColumn("n2", F.expr(DOT_SPARK.format(a="q", b="q")))
+    )
+
+
+_SQL_QUANT = f"""
+        q AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> round(x::DOUBLE * {EMB_QUANT})::BIGINT) AS q
+            FROM embeddings
+        ),
+        qn AS (
+            SELECT vec_id, q,
+                   list_sum([q[i] * q[i] for i in generate_series(1, len(q))]) AS n2
+            FROM q
+        )
+"""
+
+
+def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k neighbors for the first N vec_ids."""
+    emb = _quantized(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+    )
+    dot = DOT_SPARK.format(a="qq", b="q")
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                f"round({dot} / (sqrt(cast(qn2 as double)) * sqrt(cast(n2 as double))), 6)"
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def brute_force_topk_oracle() -> str:
+    return f"""
+        WITH {_SQL_QUANT},
+        scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   round(list_sum([a.q[i] * b.q[i] for i in generate_series(1, len(a.q))])
+                         / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)), 6) AS cosine
+            FROM qn a, qn b
+            WHERE a.vec_id < {ANN_N_QUERIES} AND b.vec_id <> a.vec_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= {ANN_TOP_K}
+    """
+
+
+# --- LSH ANN -----------------------------------------------------------------
+
+# signature: bit p = 1 iff dot(q, plane_p) > 0, planes from the LCG
+_SIG_SPARK = f"""
+aggregate(
+  transform(sequence(0, {LSH_PLANES - 1}), p ->
+    CASE WHEN aggregate(
+        zip_with(q, sequence(p * 4096, p * 4096 + size(q) - 1),
+                 (x, s) -> x * (({LSH_LCG_A}L * cast(s as bigint) + {LSH_LCG_C}L) % {LSH_LCG_M}L - {LSH_LCG_M // 2}L)),
+        0L, (acc, v) -> acc + v) > 0
+    THEN shiftleft(1L, p) ELSE 0L END),
+  0L, (acc, v) -> acc + v)
+"""
+
+_SIG_DUCK = f"""
+coalesce(list_sum([
+  CASE WHEN list_sum([q[d] * (({LSH_LCG_A} * (p * 4096 + d - 1) + {LSH_LCG_C}) % {LSH_LCG_M} - {LSH_LCG_M // 2})
+                      for d in generate_series(1, len(q))]) > 0
+  THEN (1::BIGINT << p) ELSE 0 END
+  for p in generate_series(0, {LSH_PLANES - 1})]), 0)
+"""
+
+
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: candidates share at least one 8-bit signature band with
+    the query, then exact cosine re-rank.  Approximate by construction --
+    result is a deterministic function of the shared constants, which is
+    what the oracle checks."""
+    emb = _quantized(spark, sf_dir).withColumn("sig", F.expr(_SIG_SPARK))
+    mask = (1 << LSH_BAND_BITS) - 1
+    bands = (
+        emb.select(
+            "vec_id",
+            "q",
+            "n2",
+            "sig",
+            F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
+        )
+        .withColumn(
+            "key", F.expr(f"shiftright(sig, band * {LSH_BAND_BITS}) & {mask}")
+        )
+        .drop("sig")
+    )
+    queries = bands.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+        F.col("key").alias("qkey"),
+        F.col("band").alias("qband"),
+    )
+    cand = (
+        bands.join(
+            F.broadcast(queries),
+            (F.col("band") == F.col("qband"))
+            & (F.col("key") == F.col("qkey"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "qq", "qn2", "vec_id", "q", "n2")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    dot = DOT_SPARK.format(a="qq", b="q")
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(
+            f"round({dot} / (sqrt(cast(qn2 as double)) * sqrt(cast(n2 as double))), 6)"
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def lsh_ann_topk_oracle() -> str:
+    return f"""
+        WITH {_SQL_QUANT},
+        sig AS (SELECT vec_id, q, n2, {_SIG_DUCK} AS sig FROM qn),
+        bands AS (
+            SELECT vec_id, q, n2, band,
+                   (sig >> (band * {LSH_BAND_BITS})) & {(1 << LSH_BAND_BITS) - 1} AS key
+            FROM sig, generate_series(0, {LSH_BANDS - 1}) t(band)
+        ),
+        cand AS (
+            SELECT DISTINCT ON (b.query_id, b.vec_id) * FROM (
+                SELECT q.vec_id AS query_id, q.q AS qq, q.n2 AS qn2,
+                       t.vec_id, t.q, t.n2
+                FROM bands q JOIN bands t
+                  ON q.band = t.band AND q.key = t.key
+                 AND t.vec_id <> q.vec_id
+                WHERE q.vec_id < {ANN_N_QUERIES}
+            ) b
+        ),
+        scored AS (
+            SELECT query_id, vec_id AS neighbor_id,
+                   round(list_sum([qq[i] * q[i] for i in generate_series(1, len(qq))])
+                         / (sqrt(qn2::DOUBLE) * sqrt(n2::DOUBLE)), 6) AS cosine
+            FROM cand
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= {ANN_TOP_K}
+    """

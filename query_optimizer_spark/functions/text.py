@@ -1,0 +1,200 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Language-ID (stopword heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and polynomial document fingerprinting --
+the text half of a training-data pipeline.  All expressions are JVM-side
+built-ins (whole-stage codegen; no Python in the row path) and every op
+has a DuckDB oracle generated from the same constants.
+
+Scale: each op is a single narrow projection over the scan -- no shuffle
+at all except the optional ORDER BY; at 100 TB these run at parquet-scan
+speed with column pruning (only ``doc_id`` and ``text`` are read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .constants import (
+    BPE_RE,
+    FP_HEX_CHARS,
+    FP_POWS,
+    MINHASH_P,
+    STOPWORDS,
+    TOKEN_CLEAN_RE,
+    TOKEN_SPLIT_RE,
+    sql_hash16,
+    sql_tokens,
+)
+
+TOKS = (
+    f"filter(split(trim(regexp_replace(lower(text), '{TOKEN_CLEAN_RE}', ' ')), "
+    f"'{TOKEN_SPLIT_RE}'), x -> x != '')"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- token counting ---------------------------------------------------------
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per document."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"cast(size({TOKS}) as int)").alias("n_ws_tokens"),
+        F.expr(
+            f"cast(size(regexp_extract_all(lower(text), '{BPE_RE}', 0)) as int)"
+        ).alias("n_bpe_tokens"),
+    )
+
+
+def token_count_oracle() -> str:
+    return f"""
+        SELECT doc_id,
+               CAST(len({sql_tokens('text')}) AS INT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), '{BPE_RE}')) AS INT)
+                   AS n_bpe_tokens
+        FROM documents
+    """
+
+
+# --- language id -------------------------------------------------------------
+
+_LANGS = sorted(STOPWORDS)  # alphabetical = tie-break priority
+
+
+def _hits_expr_spark(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"cast(size(filter({TOKS}, x -> array_contains(array({words}), x))) as int)"
+
+
+def _hits_expr_duck(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"CAST(len(list_filter({sql_tokens('text')}, "
+        f"x -> list_contains([{words}], x))) AS INT)"
+    )
+
+
+def _pred_case(hit_cols: dict[str, str]) -> str:
+    best = "GREATEST(" + ", ".join(hit_cols.values()) + ")"
+    whens = " ".join(
+        f"WHEN {hit_cols[lang]} = {best} THEN '{lang}'" for lang in _LANGS
+    )
+    return f"CASE {whens} END"
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        *[F.expr(_hits_expr_spark(lang)).alias(f"hits_{lang}") for lang in _LANGS],
+    )
+    cols = {lang: f"hits_{lang}" for lang in _LANGS}
+    return df.select(
+        "doc_id",
+        F.expr(_pred_case(cols)).alias("pred_lang"),
+        F.expr("GREATEST(" + ", ".join(cols.values()) + ")").alias("best_hits"),
+    )
+
+
+def language_id_oracle() -> str:
+    cols = {lang: _hits_expr_duck(lang) for lang in _LANGS}
+    return f"""
+        SELECT doc_id,
+               {_pred_case(cols)} AS pred_lang,
+               GREATEST({", ".join(cols.values())}) AS best_hits
+        FROM documents
+    """
+
+
+# --- quality score -----------------------------------------------------------
+# score = 0.5 * min(n_tokens, 200)/200
+#       + 0.3 * stopword_ratio(en)
+#       + (0.2 if 3 <= mean_token_len <= 8 else 0.1)
+# purely rational arithmetic -> bit-identical across engines.
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    en = _hits_expr_spark("en")
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(f"cast(size({TOKS}) as int)").alias("n_tokens"),
+            F.expr(
+                f"aggregate({TOKS}, 0L, (a, x) -> a + length(x))"
+            ).alias("char_sum"),
+            F.expr(en).alias("en_hits"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("round(en_hits / n_tokens, 6)").alias("stop_ratio"),
+            F.expr(
+                "round(0.5 * least(n_tokens, 200) / 200.0"
+                " + 0.3 * (en_hits / n_tokens)"
+                " + (CASE WHEN char_sum / n_tokens BETWEEN 3.0 AND 8.0"
+                "        THEN 0.2 ELSE 0.1 END), 6)"
+            ).alias("quality"),
+        )
+    )
+
+
+def quality_score_oracle() -> str:
+    toks = sql_tokens("text")
+    en = _hits_expr_duck("en")
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len({toks}) AS INT) AS n_tokens,
+                   coalesce(list_sum(list_transform({toks}, x -> length(x))), 0)
+                       AS char_sum,
+                   {en} AS en_hits
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               round(en_hits / n_tokens, 6) AS stop_ratio,
+               round(0.5 * least(n_tokens, 200) / 200.0
+                     + 0.3 * (en_hits / n_tokens)
+                     + (CASE WHEN char_sum / n_tokens BETWEEN 3.0 AND 8.0
+                             THEN 0.2 ELSE 0.1 END), 6) AS quality
+        FROM base WHERE n_tokens > 0
+    """
+
+
+# --- polynomial fingerprint --------------------------------------------------
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fp = sum_i hash16(tok_i) * 31^(i mod 8)  (mod 2^31-1).
+
+    A degenerate rolling hash whose terms stay under 2^51 so int64
+    summation never overflows in either engine."""
+    pows = ", ".join(str(p) for p in FP_POWS)
+    expr = (
+        f"aggregate(transform({TOKS}, (x, i) -> "
+        f"cast(conv(substring(md5(x), 1, {FP_HEX_CHARS}), 16, 10) as bigint)"
+        f" * element_at(array({pows}), (i % 8) + 1)), 0L, (a, v) -> a + v)"
+        f" % {MINHASH_P}"
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.expr(expr).alias("fp")
+    )
+
+
+def fingerprint_oracle() -> str:
+    toks = sql_tokens("text")
+    pows = ", ".join(str(p) for p in FP_POWS)
+    return f"""
+        WITH t AS (SELECT doc_id, {toks} AS w FROM documents)
+        SELECT doc_id,
+               CAST(coalesce(list_sum([{sql_hash16('w[i]')}
+                                       * ([{pows}])[((i - 1) % 8) + 1]
+                                       for i in generate_series(1, len(w))]), 0)
+                    % {MINHASH_P} AS BIGINT) AS fp
+        FROM t
+    """

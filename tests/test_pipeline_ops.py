@@ -1,0 +1,78 @@
+"""Pipeline operators vs DuckDB oracles (bit-exact cross-engine checks),
+plus semantic sanity on the planted near-duplicates."""
+
+import pytest
+
+from query_optimizer_spark.functions import multimodal
+from query_optimizer_spark.functions.registry import PIPELINE_OPS
+from query_optimizer_spark.harness import result_hash
+
+from .conftest import SF_DIR
+from .test_spark_exec import duck_hash
+
+
+@pytest.mark.parametrize("name", sorted(PIPELINE_OPS))
+def test_pipeline_op_matches_duckdb(name, spark, duck):
+    runner, oracle = PIPELINE_OPS[name]
+    df = runner(spark, SF_DIR)
+    got = result_hash(df)
+    expected = duck_hash(duck, oracle)
+    assert got[0] > 0, f"{name} produced no rows -- weak test"
+    assert got == expected, f"{name}: spark={got} duck={expected}"
+
+
+def test_text_is_ascii(duck):
+    """binary_stats oracle equates byte and char stats -- valid only for
+    ASCII text; guard the assumption."""
+    n = duck.execute(
+        "SELECT count(*) FROM documents WHERE strlen(text) <> length(text)"
+    ).fetchone()[0]
+    assert n == 0
+
+
+def test_minhash_finds_planted_dups(spark, duck):
+    """The testdata has planted near-dup pairs (trigram jaccard ~0.99);
+    minhash-LSH must recover pairs that exact ngram-jaccard confirms."""
+    exact = {
+        (a, b)
+        for a, b, _ in duck.execute(
+            PIPELINE_OPS["dedup_ngram_jaccard"][1]
+        ).fetchall()
+    }
+    approx_df = PIPELINE_OPS["dedup_minhash_lsh"][0](spark, SF_DIR)
+    approx = {(r.doc_a, r.doc_b) for r in approx_df.collect()}
+    assert exact, "no planted duplicates found by exact jaccard"
+    # every high-jaccard pair should be an LSH candidate (j~0.99 =>
+    # band-collision probability ~1)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
+
+
+def test_decode_image_stub(spark):
+    df = multimodal.with_binary_payload(spark, SF_DIR)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(df, fake=False)
+    feats = multimodal.decode_image(df, fake=True)
+    rows = feats.limit(5).collect()
+    assert len(rows) == 5
+    assert set(feats.columns) == {
+        "doc_id", "width", "height", "n_channels", "mean_intensity",
+    }
+    assert all(r.n_channels == 3 and r.width >= 1 for r in rows)
+
+
+def test_lsh_ann_quality(spark, duck):
+    """LSH ANN should agree with brute force on a decent fraction of
+    top-k sets (approximation sanity, not bit equality)."""
+    bf = PIPELINE_OPS["sim_bruteforce_topk"][0](spark, SF_DIR).collect()
+    ann = PIPELINE_OPS["sim_lsh_ann_topk"][0](spark, SF_DIR).collect()
+    bf_top = {}
+    for r in bf:
+        bf_top.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ann_top = {}
+    for r in ann:
+        ann_top.setdefault(r.query_id, set()).add(r.neighbor_id)
+    overlaps = [
+        len(bf_top[q] & ann_top.get(q, set())) / len(bf_top[q]) for q in bf_top
+    ]
+    assert sum(overlaps) / len(overlaps) > 0.2  # candidates are ~2/256 bands
