@@ -5,7 +5,8 @@ Runner signature matches the driver contract: (spark, sf_dir) -> DataFrame.
 
 from __future__ import annotations
 
-from . import dedup, multimodal, similarity, text
+from .. import streaming
+from . import dedup, multimodal, similarity, temporal, text
 
 PIPELINE_OPS: dict[str, tuple] = {
     # text analysis
@@ -38,5 +39,18 @@ PIPELINE_OPS: dict[str, tuple] = {
     "mm_binary_stats": (
         multimodal.binary_stats,
         multimodal.binary_stats_oracle(),
+    ),
+    # temporal (batch)
+    "evt_hourly_rollup": (temporal.hourly_rollup, temporal.hourly_rollup_oracle()),
+    "evt_sessionize": (temporal.sessionize, temporal.sessionize_oracle()),
+    "evt_asof_join": (temporal.asof_join, temporal.asof_join_oracle()),
+    # structured streaming (availableNow -> memory sink)
+    "stream_hourly_counts": (
+        streaming.hourly_counts_stream,
+        streaming.hourly_counts_stream_oracle(),
+    ),
+    "stream_sessionize": (
+        streaming.sessionize_stream,
+        streaming.sessionize_stream_oracle(),
     ),
 }

@@ -1,0 +1,166 @@
+"""Temporal operators over the ``events`` table (batch side).
+
+Operators the reference lacks entirely (SURVEY.md §2.3 notes as-of /
+range joins are absent) but a time-series / training-data pipeline needs:
+
+- ``hourly_rollup``  : tumbling-window aggregate (the batch twin of the
+  streaming query in ``streaming/``).
+- ``sessionize``     : gap-based sessionization via window functions --
+  lag -> gap flag -> running sum = session id (one shuffle per step,
+  partitioned by user: scales horizontally with users).
+- ``asof_join``      : for each 'click', the most recent prior-or-equal
+  'purchase' of the same user.  Implemented the scalable way: union both
+  sides with a tag, one window sort per user, ``last(value, ignorenulls)``
+  carries the latest purchase forward -- O(n log n) per user partition,
+  no range cross join.  The DuckDB oracle uses its native ASOF JOIN,
+  which independently validates the semantics.
+
+Timestamps: epoch-millis integer arithmetic for gaps (cross-engine
+exact); event ts is microsecond-resolution in the testdata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..session import events_df
+
+SESSION_GAP_MS = 30 * 60 * 1000  # 30 min
+
+
+def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = events_df(spark, sf_dir)
+    return (
+        df.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+    )
+
+
+def hourly_rollup_oracle() -> str:
+    return """
+        SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,
+               count(*) AS n_events, round(sum(value), 3) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions: a new session starts when the user is idle
+    longer than SESSION_GAP_MS."""
+    df = events_df(spark, sf_dir).select(
+        "user_id", "event_id", "value", F.expr("unix_millis(ts)").alias("ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    flagged = df.withColumn(
+        "new_session",
+        F.when(
+            F.col("ms") - F.lag("ms").over(w) > SESSION_GAP_MS, 1
+        ).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("int"),
+    )
+    return flagged.groupBy("user_id", "session_seq").agg(
+        F.count("*").cast("int").alias("n_events"),
+        F.min("ms").alias("start_ms"),
+        F.max("ms").alias("end_ms"),
+        F.round(F.sum("value"), 3).alias("session_value"),
+    )
+
+
+def sessionize_oracle() -> str:
+    return f"""
+        WITH e AS (
+            SELECT user_id, event_id, value, epoch_ms(ts) AS ms FROM events
+        ),
+        flagged AS (
+            SELECT *, CASE WHEN ms - lag(ms) OVER w > {SESSION_GAP_MS}
+                           THEN 1 ELSE 0 END AS new_session
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+        ),
+        numbered AS (
+            SELECT *, CAST(sum(new_session) OVER
+                (PARTITION BY user_id ORDER BY ms, event_id
+                 ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq, CAST(count(*) AS INT) AS n_events,
+               min(ms) AS start_ms, max(ms) AS end_ms,
+               round(sum(value), 3) AS session_value
+        FROM numbered
+        GROUP BY user_id, session_seq
+    """
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click matched to the user's most recent prior-or-equal
+    purchase (inner as-of)."""
+    df = events_df(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("unix_millis(ts)").alias("ms"),
+    )
+    both = df.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ms",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_click"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "p_value"
+        ),
+        F.when(F.col("event_type") == "purchase", F.col("ms")).alias("p_ms"),
+    )
+    # purchases sort before clicks at equal ts (is_click asc) => inclusive
+    w = Window.partitionBy("user_id").orderBy("ms", "is_click", "event_id")
+    carried = both.select(
+        "event_id",
+        "user_id",
+        "ms",
+        "is_click",
+        F.last("p_value", ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("purchase_value"),
+        F.last("p_ms", ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("purchase_ms"),
+    )
+    return carried.filter(
+        (F.col("is_click") == 1) & F.col("purchase_ms").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("purchase_value"),
+        (F.col("ms") - F.col("purchase_ms")).alias("ms_since_purchase"),
+    )
+
+
+def asof_join_oracle() -> str:
+    """Independent implementation via DuckDB's native ASOF JOIN."""
+    return """
+        WITH clicks AS (
+            SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events
+            WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT user_id, value, epoch_ms(ts) AS ms FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT c.event_id, c.user_id,
+               p.value AS purchase_value,
+               c.ms - p.ms AS ms_since_purchase
+        FROM clicks c
+        ASOF JOIN purchases p
+          ON c.user_id = p.user_id AND c.ms >= p.ms
+    """

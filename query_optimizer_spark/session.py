@@ -84,7 +84,7 @@ def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") in ("bigint", "long"):
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer division: double math on epoch-nanos (~1e18) would lose
+        # sub-microsecond precision (double ulp at 1e18 is 128ns)
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     return df

@@ -1,0 +1,27 @@
+"""Structured Streaming operators over the events table.
+
+The reference has no streaming surface (SURVEY.md §2.6); this module adds
+the Spark-native one a production pipeline needs: file-source readStream,
+watermarked tumbling-window aggregation, and custom stateful
+sessionization via ``applyInPandasWithState``.
+
+Everything runs with ``trigger(availableNow=True)`` against the testdata
+parquet so results are finite and deterministic; on a real cluster the
+same code tails a directory/Kafka source continuously.
+"""
+
+from .ops import (
+    hourly_counts_stream,
+    hourly_counts_stream_oracle,
+    sessionize_stream,
+    sessionize_stream_oracle,
+    stream_events,
+)
+
+__all__ = [
+    "stream_events",
+    "hourly_counts_stream",
+    "hourly_counts_stream_oracle",
+    "sessionize_stream",
+    "sessionize_stream_oracle",
+]

@@ -1,0 +1,196 @@
+"""Streaming operators (see package docstring)."""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.temporal import SESSION_GAP_MS
+from ..session import configure_runtime
+
+# events schema as stored (ts is INT64 epoch-nanos under nanosAsLong)
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over the events parquet with a proper
+    timestamp column restored."""
+    configure_runtime(spark)
+    # file source requires a directory; glob-filter to the events file
+    sdf = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .option("recursiveFileLookup", "false")
+        .load(sf_dir)
+    )
+    return sdf.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def _run_to_memory(sdf, output_mode: str) -> DataFrame:
+    spark = sdf.sparkSession
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregate; 'complete' output mode so
+    the final memory table carries every window (matching the batch
+    twin exactly -- with 'append', windows newer than the final
+    watermark would be withheld)."""
+    sdf = stream_events(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def hourly_counts_stream_oracle() -> str:
+    return """
+        SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,
+               count(*) AS n_events, round(sum(value), 3) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """
+
+
+# --- stateful sessionization --------------------------------------------------
+
+_SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.IntegerType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("session_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.IntegerType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("session_value", T.DoubleType()),
+    ]
+)
+
+
+def _session_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: gap-based sessions per user.
+
+    Emits every session CLOSED by a gap within/through this batch; the
+    trailing open session stays in state (a live stream can never know
+    it ended -- the batch oracle mirrors this by dropping each user's
+    last session)."""
+    (user_id,) = key
+    if state.exists:
+        n, start_ms, end_ms, val = state.get
+    else:
+        n, start_ms, end_ms, val = 0, None, None, 0.0
+    out = []
+    for pdf in batches:
+        pdf = pdf.sort_values(["ms", "event_id"])
+        for ms, value in zip(pdf["ms"], pdf["value"]):
+            ms = int(ms)
+            if start_ms is None:
+                n, start_ms, end_ms, val = 1, ms, ms, float(value)
+            elif ms - end_ms > SESSION_GAP_MS:
+                out.append((user_id, n, start_ms, end_ms, round(val, 3)))
+                n, start_ms, end_ms, val = 1, ms, ms, float(value)
+            else:
+                n += 1
+                end_ms = ms
+                val += float(value)
+    state.update((n, start_ms, end_ms, val))
+    if out:  # yielding empty frames trips a pandas concat FutureWarning
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "n_events", "start_ms", "end_ms", "session_value"],
+        )
+
+
+def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator
+    (applyInPandasWithState), the Spark-native replacement for engines'
+    built-in SESSION windows when custom close logic is needed."""
+    sdf = stream_events(spark, sf_dir).select(
+        "user_id", "event_id", "value", F.expr("unix_millis(ts)").alias("ms")
+    )
+    sessions = sdf.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(sessions, "append")
+
+
+def sessionize_stream_oracle() -> str:
+    """Batch sessions minus each user's final (still-open) session."""
+    return f"""
+        WITH e AS (
+            SELECT user_id, event_id, value, epoch_ms(ts) AS ms FROM events
+        ),
+        flagged AS (
+            SELECT *, CASE WHEN ms - lag(ms) OVER w > {SESSION_GAP_MS}
+                           THEN 1 ELSE 0 END AS new_session
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+        ),
+        numbered AS (
+            SELECT *, sum(new_session) OVER
+                (PARTITION BY user_id ORDER BY ms, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM flagged
+        ),
+        sessions AS (
+            SELECT user_id, session_seq, CAST(count(*) AS INT) AS n_events,
+                   min(ms) AS start_ms, max(ms) AS end_ms,
+                   round(sum(value), 3) AS session_value
+            FROM numbered
+            GROUP BY user_id, session_seq
+        )
+        SELECT user_id, n_events, start_ms, end_ms, session_value
+        FROM sessions
+        WHERE session_seq < (SELECT max(s2.session_seq) FROM sessions s2
+                             WHERE s2.user_id = sessions.user_id)
+    """

@@ -1,0 +1,47 @@
+"""Temporal (batch) + Structured Streaming operators vs DuckDB oracles."""
+
+import pytest
+
+from query_optimizer_spark import streaming
+from query_optimizer_spark.functions import temporal
+from query_optimizer_spark.harness import result_hash
+
+from .conftest import SF_DIR
+from .test_spark_exec import duck_hash
+
+BATCH_OPS = {
+    "evt_hourly_rollup": (temporal.hourly_rollup, temporal.hourly_rollup_oracle()),
+    "evt_sessionize": (temporal.sessionize, temporal.sessionize_oracle()),
+    "evt_asof_join": (temporal.asof_join, temporal.asof_join_oracle()),
+}
+
+
+@pytest.mark.parametrize("name", sorted(BATCH_OPS))
+def test_temporal_matches_duckdb(name, spark, duck):
+    runner, oracle = BATCH_OPS[name]
+    df = runner(spark, SF_DIR)
+    got = result_hash(df)
+    expected = duck_hash(duck, oracle)
+    assert got[0] > 0
+    assert got == expected, f"{name}: spark={got} duck={expected}"
+
+
+def test_stream_hourly_matches_batch_oracle(spark, duck):
+    df = streaming.hourly_counts_stream(spark, SF_DIR)
+    got = result_hash(df)
+    expected = duck_hash(duck, streaming.hourly_counts_stream_oracle())
+    assert got[0] > 0
+    assert got == expected
+
+
+def test_stream_sessionize_matches_oracle(spark, duck):
+    df = streaming.sessionize_stream(spark, SF_DIR)
+    got = result_hash(df)
+    expected = duck_hash(duck, streaming.sessionize_stream_oracle())
+    assert got[0] > 0
+    assert got == expected
+
+
+def test_stream_is_streaming(spark):
+    sdf = streaming.stream_events(spark, SF_DIR)
+    assert sdf.isStreaming
