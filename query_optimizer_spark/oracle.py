@@ -74,14 +74,17 @@ class TrueCountOracle(CardinalityOracle):
     def __init__(self, sf_dir: str | Path):
         super().__init__({})
         self.sf_dir = str(sf_dir)
-        self._con = None
+        import threading
+
+        self._local = threading.local()  # duckdb conns aren't thread-safe
 
     def _connection(self):
-        if self._con is None:
+        con = getattr(self._local, "con", None)
+        if con is None:
             import duckdb
 
-            self._con = duckdb.connect()
-        return self._con
+            con = self._local.con = duckdb.connect()
+        return con
 
     def card(self, graph: JoinGraph, s: int) -> float:
         key = graph.key_for(s)

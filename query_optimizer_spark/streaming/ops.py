@@ -120,6 +120,8 @@ def _session_fn(
     trailing open session stays in state (a live stream can never know
     it ended -- the batch oracle mirrors this by dropping each user's
     last session)."""
+    import numpy as np
+
     (user_id,) = key
     if state.exists:
         n, start_ms, end_ms, val = state.get
@@ -128,17 +130,30 @@ def _session_fn(
     out = []
     for pdf in batches:
         pdf = pdf.sort_values(["ms", "event_id"])
-        for ms, value in zip(pdf["ms"], pdf["value"]):
-            ms = int(ms)
-            if start_ms is None:
-                n, start_ms, end_ms, val = 1, ms, ms, float(value)
-            elif ms - end_ms > SESSION_GAP_MS:
-                out.append((user_id, n, start_ms, end_ms, round(val, 3)))
-                n, start_ms, end_ms, val = 1, ms, ms, float(value)
+        ms = pdf["ms"].to_numpy(dtype=np.int64)
+        value = pdf["value"].to_numpy(dtype=np.float64)
+        if len(ms) == 0:
+            continue
+        # vectorized gap detection; position 0 continues the state session
+        # unless the carried end_ms is too old
+        prev = np.empty_like(ms)
+        prev[1:] = ms[:-1]
+        prev[0] = end_ms if end_ms is not None else ms[0]
+        boundary = (ms - prev) > SESSION_GAP_MS
+        seg = np.cumsum(boundary)  # 0 = continuation of the state session
+        for s in np.unique(seg):
+            mask = seg == s
+            seg_n = int(mask.sum())
+            seg_start = int(ms[mask][0])
+            seg_end = int(ms[mask][-1])
+            seg_val = float(value[mask].sum())
+            if s == 0 and start_ms is not None:
+                n, val = n + seg_n, val + seg_val
+                start_ms, end_ms = start_ms, seg_end
             else:
-                n += 1
-                end_ms = ms
-                val += float(value)
+                if start_ms is not None:
+                    out.append((user_id, n, start_ms, end_ms, round(val, 3)))
+                n, start_ms, end_ms, val = seg_n, seg_start, seg_end, seg_val
     state.update((n, start_ms, end_ms, val))
     if out:  # yielding empty frames trips a pandas concat FutureWarning
         yield pd.DataFrame(
