@@ -81,6 +81,42 @@ def _canon(v) -> str:
     return str(v)
 
 
+def timed_execution(
+    df, timeout_s: float | None = None, group: str = "timed-exec"
+) -> tuple[tuple[int, str] | None, float]:
+    """Execute a DataFrame with the reference's timeout semantics (E1):
+    on expiry, cancel the job group and charge the full timeout as the
+    runtime (MyUtils.java:352-357 charges maxExecutionTime*1000 ms).
+
+    Returns ((rows, hash) | None, elapsed_ms)."""
+    if timeout_s is None:
+        t0 = time.monotonic()
+        out = result_hash(df)
+        return out, (time.monotonic() - t0) * 1000.0
+    import threading
+
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    box: dict = {}
+
+    def target():
+        sc.setJobGroup(group, "timed execution", interruptOnCancel=True)
+        try:
+            box["out"] = result_hash(df)
+        except Exception as exc:  # cancellation surfaces as an exception
+            box["err"] = exc
+
+    t0 = time.monotonic()
+    th = threading.Thread(target=target, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive() or "err" in box:
+        sc.cancelJobGroup(group)
+        th.join(5.0)
+        return None, timeout_s * 1000.0  # timeout charged as runtime
+    return box["out"], (time.monotonic() - t0) * 1000.0
+
+
 def run_query(
     spark,
     sf_dir: str,
@@ -93,6 +129,7 @@ def run_query(
     reps: int = 1,
     include_spark_baseline: bool = True,
     broadcast_threshold: float = 1_000_000,
+    timeout_s: float | None = None,
 ) -> QueryRecord:
     cm = (
         get_cost_model(cost_model)
@@ -114,24 +151,22 @@ def run_query(
         if execute:
             df = renderer.run(res.tree)
             for _ in range(reps):
-                t0 = time.monotonic()
-                n, h = result_hash(df)
-                rec.runtimes_ms.setdefault(pname, []).append(
-                    (time.monotonic() - t0) * 1000.0
-                )
-            rec.result_hashes[pname] = f"{n}:{h}"
+                out, ms = timed_execution(df, timeout_s, f"{name}-{pname}")
+                rec.runtimes_ms.setdefault(pname, []).append(ms)
+            if out is not None:
+                n, h = out
+                rec.result_hashes[pname] = f"{n}:{h}"
     if include_spark_baseline and execute:
         from .catalog import Catalog
 
         Catalog(spark, sf_dir)  # ensure views exist
         df = spark.sql(query_to_sql(q))
         for _ in range(reps):
-            t0 = time.monotonic()
-            n, h = result_hash(df)
-            rec.runtimes_ms.setdefault("spark_default", []).append(
-                (time.monotonic() - t0) * 1000.0
-            )
-        rec.result_hashes["spark_default"] = f"{n}:{h}"
+            out, ms = timed_execution(df, timeout_s, f"{name}-spark_default")
+            rec.runtimes_ms.setdefault("spark_default", []).append(ms)
+        if out is not None:
+            n, h = out
+            rec.result_hashes["spark_default"] = f"{n}:{h}"
     return rec
 
 

@@ -32,13 +32,25 @@ class CardinalityMissError(KeyError):
 
 
 class CardinalityOracle:
-    """Injected-dict oracle; keys are ``JoinGraph.key_for`` strings."""
+    """Injected-dict oracle; keys are ``JoinGraph.key_for`` strings.
+    Distinct-count metadata (A2, the reference's
+    ``mq.getDistinctRowCount`` used to rank candidate join factors,
+    MyLoptOptimizeJoinRule.java:594-641) uses keys ``<alias>#<col,...>``."""
 
     def __init__(self, cards: dict[str, float]):
         self.cards = dict(cards)
 
     def card(self, graph: JoinGraph, s: int) -> float:
         key = graph.key_for(s)
+        try:
+            return float(self.cards[key])
+        except KeyError:
+            raise CardinalityMissError(key) from None
+
+    def distinct_count(
+        self, graph: JoinGraph, alias: str, columns: tuple[str, ...]
+    ) -> float:
+        key = f"{alias}#{','.join(sorted(columns))}"
         try:
             return float(self.cards[key])
         except KeyError:
@@ -109,6 +121,23 @@ class TrueCountOracle(CardinalityOracle):
         if conds:
             sql += " WHERE " + " AND ".join(conds)
         return self._connection().execute(sql).fetchone()[0]
+
+    def distinct_count(
+        self, graph: JoinGraph, alias: str, columns: tuple[str, ...]
+    ) -> float:
+        key = f"{alias}#{','.join(sorted(columns))}"
+        if key not in self.cards:
+            t = graph.tables[alias]
+            cols = ", ".join(sorted(columns))
+            self.cards[key] = float(
+                self._connection()
+                .execute(
+                    f"SELECT count(DISTINCT ({cols})) FROM "
+                    f"read_parquet('{self.sf_dir}/{t}.parquet')"
+                )
+                .fetchone()[0]
+            )
+        return self.cards[key]
 
     def precompute_all_connected(self, graph: JoinGraph) -> None:
         """Warm the cache with every connected subset (feasible for the

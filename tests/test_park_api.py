@@ -1,0 +1,112 @@
+"""ParkSession: the reference's full RPC command surface, in-process."""
+
+import json
+
+from query_optimizer_spark.harness import timed_execution
+from query_optimizer_spark.oracle import TrueCountOracle
+from query_optimizer_spark.park_api import ParkSession
+from query_optimizer_spark.joingraph import JoinGraph
+from query_optimizer_spark.sqlparse import parse
+
+from .conftest import SF_DIR
+from .fixtures import ALL
+
+
+def make_session(**kw):
+    return ParkSession(oracle=TrueCountOracle(SF_DIR), **kw)
+
+
+def test_full_episode_protocol():
+    s = make_session()
+    s.setQueries("train", {"q_chain_3": ALL["q_chain_3"], "q_star_4": ALL["q_star_4"]})
+    s.train()
+    state = s.reset()
+    assert s.getCurrentQueryName() == "q_chain_3"
+    assert s.getCurQuerySet() == "train"
+    assert len(state["vertices"]) == 3
+    while not s.isDone():
+        actions = s.getActions()
+        _, reward, done, _ = s.step(actions[0])
+        assert reward <= 0
+    info = json.loads(s.getQueryInfo())
+    assert info["costs"]["RL"] > 0
+    assert s.joinOrderSeq().startswith("JOIN(")
+    # round-robin: next reset -> q_star_4, then wraps
+    s.reset()
+    assert s.getCurrentQueryName() == "q_star_4"
+    s.reset()
+    assert s.getCurrentQueryName() == "q_chain_3"
+
+
+def test_reset_mid_episode_finishes_random():
+    s = make_session(seed=7)
+    s.setQueries("test", {"q_cycle_7": ALL["q_cycle_7"]})
+    s.test()
+    s.reset()
+    s.step(s.getActions()[0])  # abandon mid-episode
+    s.reset()  # reference finishes the old episode with random actions
+    assert s.getCurrentQueryName() == "q_cycle_7"
+
+
+def test_planner_cost_commands():
+    s = make_session()
+    s.setQueries("test", {"q_cycle_7": ALL["q_cycle_7"]})
+    s.test()
+    s.reset()
+    greedy_costs = s.getJoinsCost("greedy")
+    assert greedy_costs and all(v >= 0 for v in greedy_costs.values())
+    assert s.getOptPlan().startswith("JOIN(")
+    info = json.loads(s.getQueryInfo())
+    assert "greedy" in info["costs"]
+
+
+def test_cardinality_harness_commands():
+    s = make_session()
+    qs = {"q_chain_3": ALL["q_chain_3"]}
+    s.setQueries("test", qs)
+    s.test()
+    true_oracle = TrueCountOracle(SF_DIR)
+    graph = JoinGraph.from_query(parse(ALL["q_chain_3"]))
+    true_oracle.precompute_all_connected(graph)
+    est = true_oracle.snapshot().perturbed(seed=3)
+    s.startTestCardinalities(est, true_oracle)
+    est_costs = s.getEstCardinalityCosts()
+    opt_costs = s.getOptCardinalityCosts()
+    assert est_costs["q_chain_3"] >= opt_costs["q_chain_3"] - 1e-6
+
+
+def test_set_cardinalities_injection():
+    s = make_session()
+    s.setQueries("test", {"q_cross_2": ALL["q_cross_2"]})
+    s.test()
+    cards = {
+        "r|r_regionkey<3": 3,
+        "p|p_size=5": 10,
+        "p|p_size=5,r|r_regionkey<3": 30,
+    }
+    s.setCardinalities(json.dumps(cards))
+    s.reset()
+    _, reward, done, _ = s.step(0)
+    assert done and reward == -30.0  # injected cross-join cardinality
+
+
+def test_distinct_count_metadata():
+    oracle = TrueCountOracle(SF_DIR)
+    graph = JoinGraph.from_query(parse(ALL["q_chain_3"]))
+    dc = oracle.distinct_count(graph, "o", ("o_custkey",))
+    assert 0 < dc <= 150  # at most |customer| distinct FK values
+    dc2 = oracle.distinct_count(graph, "c", ("c_custkey",))
+    assert dc2 == 150  # PK
+
+
+def test_timed_execution_charges_timeout(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    # ~6000^2 = 36M-row cross join: cheap enough to not wedge the session,
+    # expensive enough to outlive a 10ms budget
+    heavy = li.crossJoin(li.selectExpr("l_orderkey AS r_key"))
+    out, ms = timed_execution(heavy, timeout_s=0.01, group="t-timeout")
+    assert out is None
+    assert ms == 10.0  # timeout charged as runtime (MyUtils.java:352-357)
+    # and a fast query under the same API completes normally
+    out, ms = timed_execution(li.limit(5), timeout_s=60.0, group="t-fast")
+    assert out is not None and out[0] == 5 and ms < 60_000

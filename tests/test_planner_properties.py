@@ -1,0 +1,87 @@
+"""Property-based planner tests (hypothesis) on random join graphs with
+random cardinalities -- the SURVEY §5 rebuild test plan:
+
+- every planner produces a valid tree covering all factors exactly once;
+- dp_ccp is optimal: <= every other planner, == brute force;
+- left-deep DP >= DPccp (its space is a subset).
+"""
+
+import random
+
+from hypothesis import given, settings, strategies as st
+
+from query_optimizer_spark.costmodels import get_cost_model
+from query_optimizer_spark.joingraph import Edge, JoinGraph, bits
+from query_optimizer_spark.oracle import CardinalityOracle
+from query_optimizer_spark.planners import PLANNERS
+from query_optimizer_spark.joingraph import validate_tree
+
+from .test_core import brute_force_best
+
+
+@st.composite
+def random_graph_and_oracle(draw):
+    n = draw(st.integers(min_value=2, max_value=6))
+    seed = draw(st.integers(min_value=0, max_value=10_000))
+    rng = random.Random(seed)
+    aliases = [f"t{i}" for i in range(n)]
+    # random connected-ish edge set: a spanning tree plus extras
+    edges = set()
+    order = list(range(n))
+    rng.shuffle(order)
+    for i in range(1, n):
+        a = order[i]
+        b = order[rng.randrange(i)]
+        edges.add((min(a, b), max(a, b)))
+    for _ in range(rng.randrange(0, n)):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    from query_optimizer_spark.sqlparse import ColumnRef, Predicate
+
+    graph = JoinGraph(
+        aliases=aliases,
+        tables={a: "tab" for a in aliases},
+        filters={a: () for a in aliases},
+        edges=[
+            Edge(
+                (1 << a) | (1 << b),
+                (
+                    Predicate(
+                        "cmp",
+                        ColumnRef(aliases[a], "k"),
+                        "=",
+                        ColumnRef(aliases[b], "k"),
+                    ),
+                ),
+            )
+            for a, b in sorted(edges)
+        ],
+    )
+    # random cardinalities for every subset (cross products included so
+    # disconnected-component fallbacks can be costed)
+    cards = {}
+    for s in range(1, 1 << n):
+        cards[graph.key_for(s)] = float(rng.randrange(1, 100_000))
+    return graph, CardinalityOracle(cards)
+
+
+@settings(max_examples=60, deadline=None)
+@given(random_graph_and_oracle(), st.sampled_from(["cm1", "mm", "cm2"]))
+def test_planner_invariants(graph_oracle, cm_name):
+    graph, oracle = graph_oracle
+    cm = get_cost_model(cm_name)
+    results = {}
+    for pname, fn in PLANNERS.items():
+        res = fn(graph, oracle, cm)
+        if res is None:
+            continue
+        validate_tree(graph, res.tree)
+        results[pname] = res
+    dp = results["dp_ccp"]
+    for pname, res in results.items():
+        assert dp.cost <= res.cost + 1e-6, f"{pname} beat dp_ccp"
+    if graph.connected(graph.all_factors):
+        bf = brute_force_best(graph, oracle, cm)
+        assert abs(dp.cost - bf) < 1e-6
+    assert results["left_deep"].cost >= dp.cost - 1e-6
