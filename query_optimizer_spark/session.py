@@ -37,6 +37,7 @@ def _base_builder(app: str, cpus: str | int | None = None):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.warehouse.dir", "/root/repo/.warehouse/spark")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
 

@@ -1,0 +1,96 @@
+"""Sources & sinks beyond plain parquet reads.
+
+The reference's only source is a JDBC catalog and its sinks are JSON/ser
+files (SURVEY.md §2.1).  A Spark engine needs the full ingest/egress
+surface; this module adds the pieces with scale-relevant behavior:
+
+- multi-format readers with explicit schemas (no inference jobs at scale),
+- partitioned parquet sinks (hive-style directory pruning),
+- bucketed tables for co-located, shuffle-free joins (the 100 TB answer
+  to repeated large-large joins on the same key).
+
+All writes stay inside the repo tree (``.warehouse/`` by default).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_WAREHOUSE = "/root/repo/.warehouse"
+
+
+def read_any(spark: SparkSession, path: str, fmt: str, schema=None) -> DataFrame:
+    """Schema-explicit multi-format reader (csv/json/parquet/orc).
+    Schema inference is a full extra pass over the data -- never at scale."""
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    return reader.load(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_by: list[str], fmt: str = "parquet"
+) -> None:
+    """Hive-style partitioned sink: readers filtering on the partition
+    columns prune whole directories (visible as PartitionFilters in the
+    read plan)."""
+    df.write.format(fmt).mode("overwrite").partitionBy(*partition_by).save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str | list[str],
+    n_buckets: int = 8,
+    sort_by: str | list[str] | None = None,
+) -> None:
+    """Bucketed managed table: rows are hash-partitioned into fixed
+    buckets at WRITE time, so two tables bucketed the same way join with
+    NO exchange at read time -- the co-location strategy for repeated
+    large-large joins (pre-shuffle once, join many times)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a stale managed-table directory from a previous session blocks
+    # saveAsTable even in overwrite mode (LOCATION_ALREADY_EXISTS)
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    import shutil
+
+    shutil.rmtree(Path(warehouse) / table.lower(), ignore_errors=True)
+    cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *cols)
+    if sort_by:
+        s = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*s)
+    w.saveAsTable(table)
+
+
+def bucketed_join_demo(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+) -> tuple[DataFrame, str]:
+    """Bucket lineitem + orders on the join key, join them, and return
+    (result, physical plan).  The plan must contain no Exchange on
+    either side -- asserted in tests."""
+    Path(DEFAULT_WAREHOUSE).mkdir(exist_ok=True)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(li, "li_bucketed", "l_orderkey", n_buckets, "l_orderkey")
+    write_bucketed(orders, "orders_bucketed", "o_orderkey", n_buckets, "o_orderkey")
+    a = spark.table("li_bucketed")
+    b = spark.table("orders_bucketed")
+    # merge hint: broadcast would win on toy data, but sort-merge is the
+    # strategy bucketing exists for (both sides pre-hashed + pre-sorted
+    # => no Exchange, no Sort at read time)
+    joined = a.hint("merge").join(b.hint("merge"), a.l_orderkey == b.o_orderkey, "inner")
+    from .executor import physical_plan
+
+    return joined, physical_plan(joined)

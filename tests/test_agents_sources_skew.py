@@ -1,0 +1,112 @@
+"""Agents over the env loop; sources/sinks; salted join equivalence."""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from query_optimizer_spark.agents import GreedyRewardAgent, RandomAgent, run_episode
+from query_optimizer_spark.costmodels import get_cost_model
+from query_optimizer_spark.env import JoinOrderEnv
+from query_optimizer_spark.harness import result_hash
+from query_optimizer_spark.joingraph import JoinGraph
+from query_optimizer_spark.oracle import TrueCountOracle
+from query_optimizer_spark.planners import plan_dp_ccp
+from query_optimizer_spark.skew import salted_join
+from query_optimizer_spark.sources import (
+    bucketed_join_demo,
+    read_any,
+    write_partitioned,
+)
+from query_optimizer_spark.sqlparse import parse
+
+from .conftest import SF_DIR
+from .fixtures import ALL
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return TrueCountOracle(SF_DIR)
+
+
+def test_greedy_agent_beats_or_ties_random(oracle):
+    cm = get_cost_model("cm1")
+    graph = JoinGraph.from_query(parse(ALL["q_cycle_7"]))
+    env = JoinOrderEnv(graph, oracle, cm)
+    greedy = run_episode(env, GreedyRewardAgent())
+    rnd_costs = [
+        run_episode(env, RandomAgent(seed=s))["cost"] for s in range(5)
+    ]
+    assert greedy["cost"] <= min(rnd_costs) + 1e-6
+    # and a valid lower bound from the DP optimum (join costs only)
+    dp = plan_dp_ccp(graph, oracle, cm)
+    assert greedy["n_steps"] == 6
+
+
+def test_random_agent_episode_deterministic(oracle):
+    cm = get_cost_model("cm1")
+    graph = JoinGraph.from_query(parse(ALL["q_star_4"]))
+    env = JoinOrderEnv(graph, oracle, cm)
+    a = run_episode(env, RandomAgent(seed=9))
+    b = run_episode(env, RandomAgent(seed=9))
+    assert a["order"] == b["order"]
+
+
+def test_multiformat_roundtrip(spark, tmp_path_factory):
+    base = "/root/repo/.warehouse/roundtrip"
+    df = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    for fmt in ("json", "csv", "parquet"):
+        path = f"{base}/{fmt}"
+        df.write.format(fmt).mode("overwrite").option("header", "true").save(path)
+        schema = T.StructType(
+            [
+                T.StructField("n_nationkey", T.IntegerType()),
+                T.StructField("n_name", T.StringType()),
+                T.StructField("n_regionkey", T.IntegerType()),
+            ]
+        )
+        back = read_any(spark, path, fmt, schema)
+        assert back.count() == 25
+        assert {r.n_name for r in back.collect()} == {
+            r.n_name for r in df.collect()
+        }
+
+
+def test_partitioned_sink_prunes(spark):
+    path = "/root/repo/.warehouse/orders_by_status"
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    write_partitioned(orders, path, ["o_orderstatus"])
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    from query_optimizer_spark.executor import physical_plan
+
+    plan = physical_plan(back)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+    expected = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == expected
+
+
+def test_bucketed_join_no_exchange(spark):
+    joined, plan = bucketed_join_demo(spark, SF_DIR)
+    assert "Exchange" not in plan, "bucketed join must not shuffle"
+    plain = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .join(
+            spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+                "o_orderkey", "o_totalprice"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    assert joined.count() == plain.count()
+
+
+def test_salted_join_equivalence(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        F.col("p_partkey").alias("l_partkey"), "p_name"
+    )
+    plain = li.join(part, "l_partkey")
+    salted = salted_join(li, part, "l_partkey", salt=4)
+    assert result_hash(plain.select("l_orderkey", "l_partkey", "p_name")) == \
+        result_hash(salted.select("l_orderkey", "l_partkey", "p_name"))
