@@ -74,8 +74,10 @@ def oracle_sql() -> dict[str, str]:
     out = {
         name: workload.fixture_oracle_sql(name) for name in _FIXTURE_PLANNERS
     }
-    # the SQL surface is shared ANSI text: the oracle runs the same query
-    out.update(sqlsurface.SURFACE)
+    # the SQL surface is shared ANSI text (or a DuckDB-dialect twin where
+    # the engines' syntax diverges)
+    for name in sqlsurface.SURFACE:
+        out[name] = sqlsurface.oracle_sql_of(name)
     for name, (_, oracle) in PIPELINE_OPS.items():
         if oracle is not None:
             out[name] = oracle

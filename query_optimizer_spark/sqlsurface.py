@@ -18,8 +18,9 @@ from pyspark.sql import DataFrame, SparkSession
 from . import TABLES
 from .session import configure_runtime, events_df
 
-# name -> SQL that is valid for BOTH Spark and DuckDB.
-SURFACE: dict[str, str] = {
+# name -> SQL valid for BOTH Spark and DuckDB, or a (spark_sql, duck_sql)
+# pair where the dialects diverge (results must still hash-match).
+SURFACE: dict[str, str | tuple[str, str]] = {
     # TPC-H Q1 shape: multi-aggregate GROUP BY with arithmetic
     "sql_agg_pricing": """
         SELECT l_returnflag, l_linestatus,
@@ -84,7 +85,8 @@ SURFACE: dict[str, str] = {
         FROM customer c
         WHERE NOT EXISTS (
             SELECT 1 FROM orders o
-            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 150000
         )
     """,
     # ROLLUP with GROUPING() disambiguation
@@ -145,6 +147,118 @@ SURFACE: dict[str, str] = {
             SELECT l_partkey FROM lineitem WHERE l_quantity > 48
         )
     """,
+    # CUBE with grouping indicators
+    "sql_cube": """
+        SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+               COALESCE(l_linestatus, '<all>') AS linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    # explicit GROUPING SETS
+    "sql_grouping_sets": """
+        SELECT COALESCE(o_orderstatus, '<all>') AS status,
+               COALESCE(o_orderpriority, '<all>') AS priority,
+               ROUND(SUM(o_totalprice), 3) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    # PIVOT: Spark-native syntax; oracle via conditional aggregation
+    "sql_pivot": (
+        """
+        SELECT * FROM (
+            SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders
+        )
+        PIVOT (
+            ROUND(SUM(o_totalprice), 3) FOR o_orderstatus IN ('O' AS o, 'F' AS f, 'P' AS p)
+        )
+        """,
+        """
+        SELECT o_orderpriority,
+               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 3) AS o,
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 3) AS f,
+               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 3) AS p
+        FROM orders GROUP BY o_orderpriority
+        """,
+    ),
+    # explode / lateral flattening
+    "sql_explode_tokens": (
+        """
+        SELECT doc_id, tok, CAST(LENGTH(tok) AS INT) AS tok_len
+        FROM documents
+        LATERAL VIEW explode(split(lang, '')) t AS tok
+        WHERE doc_id < 10
+        """,
+        """
+        SELECT doc_id, unnest([lang[i] for i in generate_series(1, length(lang))]) AS tok,
+               CAST(1 AS INT) AS tok_len
+        FROM documents WHERE doc_id < 10
+        """,
+    ),
+    # sorted array aggregation rendered to string (array values don't
+    # canonicalize identically across engines; strings do)
+    "sql_array_agg_sorted": (
+        """
+        SELECT n_regionkey AS region,
+               concat_ws(',', sort_array(collect_list(n_name))) AS nations
+        FROM nation GROUP BY n_regionkey
+        """,
+        """
+        SELECT n_regionkey AS region,
+               array_to_string(list_sort(list(n_name)), ',') AS nations
+        FROM nation GROUP BY n_regionkey
+        """,
+    ),
+    # median / exact continuous percentile
+    "sql_median": (
+        """
+        SELECT o_orderstatus,
+               ROUND(MEDIAN(o_totalprice), 4) AS med,
+               ROUND(PERCENTILE(o_totalprice, 0.9), 4) AS p90
+        FROM orders GROUP BY o_orderstatus
+        """,
+        """
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS med,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        FROM orders GROUP BY o_orderstatus
+        """,
+    ),
+    # spread statistics
+    "sql_stddev": """
+        SELECT l_returnflag,
+               ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd,
+               ROUND(VAR_SAMP(l_discount), 6) AS var_disc,
+               ROUND(MIN(l_extendedprice), 4) AS lo,
+               ROUND(MAX(l_extendedprice), 4) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    # date arithmetic
+    "sql_date_arith": (
+        """
+        SELECT o_orderkey,
+               CAST(datediff(DATE '1997-01-01', o_orderdate) AS INT) AS days_before_97,
+               date_format(o_orderdate, 'yyyy-MM') AS ym
+        FROM orders WHERE o_orderdate < DATE '1995-03-01'
+        """,
+        """
+        SELECT o_orderkey,
+               CAST(date_diff('day', o_orderdate::DATE, DATE '1997-01-01') AS INT)
+                   AS days_before_97,
+               strftime(o_orderdate, '%Y-%m') AS ym
+        FROM orders WHERE o_orderdate < DATE '1995-03-01'
+        """,
+    ),
+    # null-handling scalars
+    "sql_null_funcs": """
+        SELECT c_custkey,
+               COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '<bldg>') AS seg,
+               GREATEST(c_acctbal, 0.0) AS bal_floor,
+               CASE WHEN c_acctbal IS NULL THEN -1.0 ELSE ROUND(c_acctbal, 2) END AS bal
+        FROM customer
+    """,
     # multi-join + agg + order: classic TPC-H Q5 shape
     "sql_q5_local_revenue": """
         SELECT n.n_name AS nation,
@@ -172,6 +286,16 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
             spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
 
+def spark_sql_of(name: str) -> str:
+    v = SURFACE[name]
+    return v[0] if isinstance(v, tuple) else v
+
+
+def oracle_sql_of(name: str) -> str:
+    v = SURFACE[name]
+    return v[1] if isinstance(v, tuple) else v
+
+
 def run_surface(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.sql(SURFACE[name])
+    return spark.sql(spark_sql_of(name))

@@ -225,6 +225,19 @@ def test_planners_valid_and_dpccp_optimal(name, cm_name, true_oracle):
         assert abs(dp.cost - bf) < 1e-6
 
 
+def test_single_table_query(true_oracle):
+    """Degenerate graph: one relation, no joins -- every planner returns
+    the bare leaf."""
+    g = graph_of("SELECT MIN(a.o_totalprice) AS m FROM orders a WHERE a.o_totalprice > 1000")
+    cm = get_cost_model("cm1")
+    for name, fn in PLANNERS.items():
+        res = fn(g, true_oracle, cm)
+        if res is None:
+            continue
+        assert res.tree.factors == 1
+        assert res.order_str() == "a"
+
+
 def test_random_planner_seeded(true_oracle):
     g = graph_of(Q_CYCLE_7)
     cm = get_cost_model("cm1")
