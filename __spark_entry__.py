@@ -59,10 +59,17 @@ def _surface_runner(name: str) -> Callable:
     return run
 
 
+def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return workload.run_fixture_via_env_agent(spark, sf_dir, "join_cycle_7")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, planner in _FIXTURE_PLANNERS.items():
         out[name] = _fixture_runner(name, planner)
+    # the RL-env path (J7): greedy-by-reward agent plans, engine executes
+    out["join_env_agent"] = _env_agent_runner
     for name in sqlsurface.SURFACE:
         out[name] = _surface_runner(name)
     for name, (runner, _) in PIPELINE_OPS.items():
@@ -74,6 +81,7 @@ def oracle_sql() -> dict[str, str]:
     out = {
         name: workload.fixture_oracle_sql(name) for name in _FIXTURE_PLANNERS
     }
+    out["join_env_agent"] = workload.fixture_oracle_sql("join_cycle_7")
     # the SQL surface is shared ANSI text (or a DuckDB-dialect twin where
     # the engines' syntax diverges)
     for name in sqlsurface.SURFACE:

@@ -43,10 +43,12 @@ class ParkSession:
         oracle=None,
         cost_model: CostModel | str = "cm1",
         seed: int = 0,
+        true_oracle=None,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
         self.oracle = oracle
+        self.true_oracle = true_oracle
         self.cm = (
             get_cost_model(cost_model)
             if isinstance(cost_model, str)
@@ -155,9 +157,21 @@ class ParkSession:
         return self._env.last_reward
 
     def getTrueReward(self) -> float:
-        """Reward under true cardinalities: re-cost the episode so far
-        with a TrueCountOracle when available."""
-        return self._env.last_reward
+        """Reward of the last join re-costed under TRUE cardinalities
+        (getTrueReward, ZeroMQServer.java) -- falls back to the training
+        reward when no true oracle is configured."""
+        if self.true_oracle is None or self._env is None:
+            return self._env.last_reward if self._env else 0.0
+        last = self.vertices_last_join()
+        if last is None:
+            return 0.0
+        return -self.cm.node_cost(self._cur_graph, last, self.true_oracle)
+
+    def vertices_last_join(self):
+        for v in reversed(self._env.vertices):
+            if v.left is not None:
+                return v.node
+        return None
 
     def isDone(self) -> bool:
         return self._env.done

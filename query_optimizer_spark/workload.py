@@ -136,5 +136,21 @@ def fixture_oracle_sql(name: str) -> str:
     return query_to_sql(parse(FIXTURES[name]))
 
 
+def run_fixture_via_env_agent(spark, sf_dir: str, name: str = "join_cycle_7"):
+    """Plan a fixture with the greedy-by-reward agent driving
+    JoinOrderEnv (the RL-planner path, J7), then execute its final plan
+    -- proves the env loop inside the correctness gate."""
+    from .agents import GreedyRewardAgent, run_episode
+    from .env import JoinOrderEnv
+
+    sql = FIXTURES[name]
+    graph = JoinGraph.from_query(parse(sql))
+    oracle = stats_oracle(sf_dir)
+    env = JoinOrderEnv(graph, oracle, get_cost_model("cm1"))
+    episode = run_episode(env, GreedyRewardAgent())
+    renderer = Renderer(spark, sf_dir, graph, oracle)
+    return renderer.run(episode["plan"])
+
+
 def true_oracle(sf_dir: str) -> TrueCountOracle:
     return TrueCountOracle(sf_dir)

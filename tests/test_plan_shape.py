@@ -1,0 +1,77 @@
+"""Plan-shape audits: column pruning / pushdown must reach the scans in
+the pipeline operators too, and broadcast decisions must appear where the
+planner estimates small sides (the .explain-until-it's-right discipline)."""
+
+from pyspark.sql import functions as F
+
+from query_optimizer_spark.executor import physical_plan
+from query_optimizer_spark.functions import dedup, text
+from query_optimizer_spark.workload import run_fixture, run_fixture_via_env_agent
+
+from .conftest import SF_DIR
+from .test_spark_exec import duck_hash
+
+
+def scan_line(plan: str, table: str) -> str:
+    """ReadSchema of the scan whose Location mentions ``table`` (formatted
+    explain puts Location and ReadSchema on separate lines)."""
+    lines = plan.splitlines()
+    in_block = False
+    for line in lines:
+        if f"{table}.parquet" in line:
+            in_block = True
+        elif in_block and "ReadSchema" in line:
+            return line
+        elif in_block and line.strip() == "":
+            in_block = False
+    return ""
+
+
+def test_text_ops_prune_documents_scan(spark):
+    df = text.token_count(spark, SF_DIR)
+    plan = physical_plan(df)
+    line = scan_line(plan, "documents")
+    assert "doc_id" in line and "text" in line
+    # lang/source/n_chars must NOT be read
+    assert "lang" not in line and "n_chars" not in line
+
+
+def test_minhash_prunes_documents_scan(spark):
+    df = dedup.minhash_lsh_pairs(spark, SF_DIR)
+    plan = physical_plan(df)
+    line = scan_line(plan, "documents")
+    assert line and "n_chars" not in line and "source" not in line
+
+
+def test_fixture_join_broadcasts_dims(spark):
+    df = run_fixture(spark, SF_DIR, "join_cycle_7", planner="dp_ccp")
+    plan = physical_plan(df)
+    # nation/region/supplier sides are tiny at every sf -> broadcast
+    assert plan.count("BroadcastHashJoin") >= 3
+    # base-table filters reached the scans
+    assert "PushedFilters: [IsNotNull(r_name)" in plan or "EqualTo(r_name,ASIA)" in plan
+
+
+def test_env_agent_fixture_matches_oracle(spark, duck):
+    from query_optimizer_spark.harness import result_hash
+    from query_optimizer_spark.workload import fixture_oracle_sql
+
+    df = run_fixture_via_env_agent(spark, SF_DIR, "join_cycle_7")
+    assert result_hash(df) == duck_hash(duck, fixture_oracle_sql("join_cycle_7"))
+
+
+def test_get_true_reward():
+    from query_optimizer_spark.oracle import TrueCountOracle
+    from query_optimizer_spark.park_api import ParkSession
+
+    from .fixtures import ALL
+
+    true = TrueCountOracle(SF_DIR)
+    est = TrueCountOracle(SF_DIR)  # same; perturb below
+    s = ParkSession(oracle=est, true_oracle=true)
+    s.setQueries("test", {"q_chain_3": ALL["q_chain_3"]})
+    s.test()
+    s.reset()
+    _, reward, _, _ = s.step(s.getActions()[0])
+    # with identical oracles the true reward equals the training reward
+    assert abs(s.getTrueReward() - reward) < 1e-9
