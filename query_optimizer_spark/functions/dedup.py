@@ -166,14 +166,11 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-duplicate pairs via 4x4 banding, scored by the
-    signature-estimated jaccard, thresholded.
-
-    Scale shape: explode-to-bands + shuffle on band key (skew-safe:
-    identical docs collide, unrelated docs don't), then a signature join
-    -- never an all-pairs product."""
-    sig = minhash_signatures(spark, sf_dir).cache()
+def _band_candidates(sig: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) pairs whose minhash signatures collide on at least
+    one LSH band -- explode-to-bands + band-key self-join (skew-safe:
+    identical docs collide, unrelated docs don't), never an all-pairs
+    product.  Shared by the minhash and exact-jaccard dedup families."""
     band_keys = [
         F.concat_ws(
             ",", *[F.col(f"m{b * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)]
@@ -182,12 +179,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     bands = sig.select("doc_id", *band_keys).select(
         "doc_id",
-        F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(MINHASH_BANDS)])).alias(
-            "band", "key"
-        ),
+        F.posexplode(
+            F.array(*[F.col(f"bk{b}") for b in range(MINHASH_BANDS)])
+        ).alias("band", "key"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -199,6 +196,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-duplicate pairs via 4x4 banding, scored by the
+    signature-estimated jaccard, thresholded."""
+    sig = minhash_signatures(spark, sf_dir).cache()
+    cand = _band_candidates(sig)
     sa = sig.alias("sa")
     sb = sig.alias("sb")
     matches = sum(
@@ -272,29 +276,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache: the signature pipeline would otherwise recompute on both
     # sides of the band self-join
     sig = minhash_signatures(spark, sf_dir).cache()
-    band_keys = [
-        F.concat_ws(
-            ",", *[F.col(f"m{b * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)]
-        ).alias(f"bk{b}")
-        for b in range(MINHASH_BANDS)
-    ]
-    bands = sig.select("doc_id", *band_keys).select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[F.col(f"bk{b}") for b in range(MINHASH_BANDS)])
-        ).alias("band", "key"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _band_candidates(sig)
     sets = (
         _docs(spark, sf_dir)
         .select("doc_id", F.expr(TOKS).alias("toks"))

@@ -62,14 +62,18 @@ def result_hash(df) -> tuple[int, str]:
     """(row_count, order-insensitive value hash) of a DataFrame result.
 
     Columns sorted by name; every cell rendered to a canonical string;
-    per-row md5s are XOR-combined so row order is irrelevant.
+    per-row md5s are SUMMED mod 2^128, which is multiset-safe -- XOR
+    would let any even-multiplicity row difference cancel out (e.g.
+    {A,A,C} vs {B,B,C} hash equal under XOR).
     """
     pdf = df.toPandas()
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     acc = 0
     for row in pdf.itertuples(index=False, name=None):
         s = "|".join(_canon(v) for v in row)
-        acc ^= int.from_bytes(hashlib.md5(s.encode()).digest()[:16], "big")
+        acc = (acc + int.from_bytes(hashlib.md5(s.encode()).digest(), "big")) % (
+            1 << 128
+        )
     return len(pdf), f"{acc:032x}"
 
 
@@ -110,10 +114,12 @@ def timed_execution(
     th = threading.Thread(target=target, daemon=True)
     th.start()
     th.join(timeout_s)
-    if th.is_alive() or "err" in box:
+    if th.is_alive():
         sc.cancelJobGroup(group)
         th.join(5.0)
         return None, timeout_s * 1000.0  # timeout charged as runtime
+    if "err" in box:
+        raise box["err"]  # real failures propagate, same as the untimed path
     return box["out"], (time.monotonic() - t0) * 1000.0
 
 

@@ -137,21 +137,35 @@ class JoinGraph:
 
     # --- cardinality-oracle keys -----------------------------------------
     def key_for(self, s: int) -> str:
-        """Canonical oracle key for a factor set: sorted aliases joined by
-        ',', each alias suffixed with '|'-joined normalized filters when
-        filtered.  Replaces the reference's sorted base-table-name keys +
-        filter-literal fallback (MyMetadataQuery.java:107-146,
-        MyUtils.java:120-192) with collision-free, alias-keyed strings."""
+        """Canonical oracle key for a factor set, collision-free even when
+        one oracle is shared across queries: each leaf is
+        ``alias=table[|filters]`` (``=table`` omitted when alias == table)
+        and multi-factor sets append ``||``-separated normalized join
+        predicates internal to the set.  Replaces the reference's fragile
+        sorted-table-name + filter-literal keys (MyMetadataQuery.java:
+        107-146, MyUtils.java:120-192) -- which the reference had to scope
+        per-query precisely because they collide across queries."""
         parts = []
         for i in sorted(bits(s)):
             a = self.aliases[i]
+            t = self.tables[a]
+            base = a if a == t else f"{a}={t}"
             fs = self.filters.get(a, ())
             if fs:
                 norm = "&".join(sorted(p.normalized() for p in fs))
-                parts.append(f"{a}|{norm}")
+                parts.append(f"{base}|{norm}")
             else:
-                parts.append(a)
-        return ",".join(sorted(parts))
+                parts.append(base)
+        key = ",".join(sorted(parts))
+        preds = sorted(
+            p.normalized()
+            for e in self.edges
+            if (e.factors & s) == e.factors
+            for p in e.preds
+        )
+        if preds:
+            key += "||" + "&".join(preds)
+        return key
 
 
 # --- plan trees -----------------------------------------------------------

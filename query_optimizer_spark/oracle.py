@@ -153,12 +153,13 @@ class TrueCountOracle(CardinalityOracle):
 class SparkStatsOracle(CardinalityOracle):
     """Estimation from base-table stats + independence assumptions.
 
-    Base rows come from the catalog/parquet metadata; filters apply a fixed
-    selectivity per predicate kind; joins assume PK-FK containment:
-    |L join R| = |L|*|R| / max(distinct keys) approximated by
-    max(|L|,|R|) * product(other side's selectivities).  This is the
-    SURVEY §7 'SparkStatsOracle' -- a deliberately classic estimator whose
-    errors the est-vs-true harness measures.
+    Base rows come from the catalog/parquet metadata; filters apply a
+    fixed selectivity per predicate kind; every join edge internal to the
+    set divides the running product by the smaller endpoint's base rows
+    -- the textbook |L||R| / max(d(L.k), d(R.k)) with d(key) approximated
+    by the smaller table's size (PK side of a PK-FK edge).  This is the
+    SURVEY §7 'SparkStatsOracle' -- a deliberately classic estimator
+    whose errors the est-vs-true harness measures.
     """
 
     FILTER_SEL = {"cmp=": 0.05, "cmp": 0.3, "between": 0.25, "like": 0.1,
@@ -179,8 +180,6 @@ class SparkStatsOracle(CardinalityOracle):
 
     def card(self, graph: JoinGraph, s: int) -> float:
         rows = 1.0
-        sels = 1.0
-        maxbase = 0.0
         for i in bits(s):
             a = graph.aliases[i]
             base = float(self.base_rows[graph.tables[a]])
@@ -188,8 +187,6 @@ class SparkStatsOracle(CardinalityOracle):
             for p in graph.filters.get(a, ()):
                 fsel *= self._sel(p)
             rows *= base * fsel
-            sels *= fsel
-            maxbase = max(maxbase, base)
         # one PK-FK containment correction per internal edge
         for e in graph.edges:
             if (e.factors & s) == e.factors:

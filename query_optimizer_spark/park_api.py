@@ -114,6 +114,10 @@ class ParkSession:
             self._env.finish_random()  # RLJoinOrderRule.java:167-171
         if not self._order:
             raise RuntimeError("setQueries first")
+        if self._mode == "test" and self._idx + 1 >= len(self._order):
+            # test mode is sequential and finite (QueryOptExperiment.java
+            # :534-549); train mode round-robins forever
+            raise StopIteration("test query set exhausted")
         self._idx = (self._idx + 1) % len(self._order)
         name = self._order[self._idx]
         sql = self._queries[self._mode][name]

@@ -303,6 +303,17 @@ class _Parser:
             q.limit = int(self.next())
         if self.peek() is not None:
             raise ParseError(f"trailing tokens at {self.peek()!r}")
+        # ORDER BY may only reference output columns: plain select items,
+        # or group keys -- anything else would vanish under the final
+        # projection/aggregation and fail at execution time
+        visible = {(it.col.alias, it.col.column) for it in q.select if not it.agg}
+        visible |= {(c.alias, c.column) for c in q.group_by}
+        for c, _ in q.order_by:
+            if (c.alias, c.column) not in visible:
+                raise ParseError(
+                    f"ORDER BY {c} does not reference a selected column "
+                    "or group key"
+                )
         return q
 
     def parse_select_list(self) -> list[SelectItem]:
@@ -311,7 +322,11 @@ class _Parser:
             t = self.peek()
             if t is None:
                 raise ParseError("unexpected end in select list")
-            if t.lower() in _AGG_FUNCS and self.toks[self.i + 1] == "(":
+            if (
+                t.lower() in _AGG_FUNCS
+                and self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1] == "("
+            ):
                 agg = self.next().lower()
                 self.expect_kw("(")
                 col = self.parse_colref()

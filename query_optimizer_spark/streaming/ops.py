@@ -128,12 +128,14 @@ def _session_fn(
     else:
         n, start_ms, end_ms, val = 0, None, None, 0.0
     out = []
-    for pdf in batches:
-        pdf = pdf.sort_values(["ms", "event_id"])
+    # a group larger than one Arrow chunk arrives as several frames with
+    # NO cross-chunk time ordering -- concatenate and sort globally
+    # before the gap scan, or sessions would merge/split incorrectly
+    frames = [f for f in batches if len(f)]
+    if frames:
+        pdf = pd.concat(frames).sort_values(["ms", "event_id"])
         ms = pdf["ms"].to_numpy(dtype=np.int64)
         value = pdf["value"].to_numpy(dtype=np.float64)
-        if len(ms) == 0:
-            continue
         # vectorized gap detection; position 0 continues the state session
         # unless the carried end_ms is too old
         prev = np.empty_like(ms)

@@ -59,6 +59,39 @@ def test_parse_predicates():
     assert len(q.join_preds) == 1
 
 
+def test_parse_rejects_order_by_invisible_column():
+    with pytest.raises(Exception):
+        parse(
+            "SELECT a.x AS x FROM t a, u b WHERE a.k = b.k ORDER BY a.y"
+        )
+
+
+def test_parse_truncated_agg_is_parse_error():
+    from query_optimizer_spark.sqlparse import ParseError
+
+    with pytest.raises(ParseError):
+        parse("SELECT count")
+
+
+def test_lsh_plane_component_matches_sql_formulas():
+    """The helper must agree with both generated SQL formulations
+    (spark: 0-based s = p*4096 + d0; duckdb: 1-based d = d0 + 1)."""
+    from query_optimizer_spark.functions.constants import (
+        LSH_LCG_A,
+        LSH_LCG_C,
+        LSH_LCG_M,
+        lsh_plane_component,
+    )
+
+    for p in range(3):
+        for d0 in range(5):
+            spark_w = (LSH_LCG_A * (p * 4096 + d0) + LSH_LCG_C) % LSH_LCG_M - LSH_LCG_M // 2
+            duck_w = (
+                LSH_LCG_A * (p * 4096 + (d0 + 1) - 1) + LSH_LCG_C
+            ) % LSH_LCG_M - LSH_LCG_M // 2
+            assert lsh_plane_component(p, d0) == spark_w == duck_w
+
+
 def test_parse_rejects_or():
     with pytest.raises(Exception):
         parse("SELECT MIN(a.x) AS m FROM t a WHERE a.x = 1 OR a.x = 2")
@@ -98,9 +131,22 @@ def test_edge_merging():
 
 def test_oracle_keys():
     g = graph_of(Q_CHAIN_3)
-    assert g.key_for(0b001) == "l|l_quantity>30"
-    assert g.key_for(0b010) == "o"
-    assert g.key_for(0b111) == "c,l|l_quantity>30,o"
+    assert g.key_for(0b001) == "l=lineitem|l_quantity>30"
+    assert g.key_for(0b010) == "o=orders"
+    assert g.key_for(0b111) == (
+        "c=customer,l=lineitem|l_quantity>30,o=orders"
+        "||l_orderkey=o.o_orderkey&o_custkey=c.c_custkey"
+    )
+
+
+def test_oracle_keys_distinguish_queries():
+    """Keys must not collide across queries sharing an oracle: same
+    aliases, different tables or join predicates -> different keys."""
+    g1 = graph_of("SELECT MIN(a.x) AS m FROM t1 a, t2 b WHERE a.k = b.k")
+    g2 = graph_of("SELECT MIN(a.x) AS m FROM t3 a, t4 b WHERE a.k = b.k")
+    g3 = graph_of("SELECT MIN(a.x) AS m FROM t1 a, t2 b WHERE a.j = b.j")
+    keys = {g.key_for(0b11) for g in (g1, g2, g3)}
+    assert len(keys) == 3
 
 
 # --- oracles -----------------------------------------------------------------

@@ -40,12 +40,25 @@ def test_full_episode_protocol():
 
 def test_reset_mid_episode_finishes_random():
     s = make_session(seed=7)
-    s.setQueries("test", {"q_cycle_7": ALL["q_cycle_7"]})
-    s.test()
+    s.setQueries("train", {"q_cycle_7": ALL["q_cycle_7"]})
+    s.train()
     s.reset()
     s.step(s.getActions()[0])  # abandon mid-episode
     s.reset()  # reference finishes the old episode with random actions
     assert s.getCurrentQueryName() == "q_cycle_7"
+
+
+def test_test_mode_is_finite():
+    import pytest
+
+    s = make_session()
+    s.setQueries("test", {"q_chain_3": ALL["q_chain_3"]})
+    s.test()
+    s.reset()
+    while not s.isDone():
+        s.step(s.getActions()[0])
+    with pytest.raises(StopIteration):
+        s.reset()  # sequential test set does not wrap
 
 
 def test_planner_cost_commands():
@@ -80,9 +93,9 @@ def test_set_cardinalities_injection():
     s.setQueries("test", {"q_cross_2": ALL["q_cross_2"]})
     s.test()
     cards = {
-        "r|r_regionkey<3": 3,
-        "p|p_size=5": 10,
-        "p|p_size=5,r|r_regionkey<3": 30,
+        "r=region|r_regionkey<3": 3,
+        "p=part|p_size=5": 10,
+        "p=part|p_size=5,r=region|r_regionkey<3": 30,
     }
     s.setCardinalities(json.dumps(cards))
     s.reset()

@@ -47,7 +47,9 @@ def duck_hash(duck, sql):
             else:
                 canon.append(str(v))
         s = "|".join(canon)
-        acc ^= int.from_bytes(hashlib.md5(s.encode()).digest()[:16], "big")
+        acc = (acc + int.from_bytes(hashlib.md5(s.encode()).digest(), "big")) % (
+            1 << 128
+        )
     return len(pdf), f"{acc:032x}"
 
 
