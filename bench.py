@@ -39,6 +39,7 @@ def main() -> None:
         "text_token_count", "text_quality_score", "text_fingerprint",
         "evt_hourly_rollup", "evt_sessionize", "evt_asof_join",
         "stream_hourly_counts",
+        "corpus_vocab_topk", "corpus_tfidf_topk", "corpus_curate",
     ]
     try:
         all_qs = entrymod.queries()

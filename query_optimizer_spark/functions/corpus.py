@@ -1,0 +1,298 @@
+"""Corpus-preparation operators: the end-to-end text curation steps a
+training-data pipeline runs between raw documents and tokenization.
+
+All JVM-side built-ins (regexp/aggregate/window), shuffles only where the
+semantics demand one (vocabulary count, document frequency), DuckDB
+oracles generated from the same constants.  TF-IDF uses a *rational* idf
+(N/df) rather than log(N/df): transcendental functions are the one class
+of arithmetic whose last-ulp behavior is not guaranteed identical across
+engines, and rational idf preserves the ranking on a fixed corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .constants import sql_hash32, sql_tokens
+from .text import TOKS
+
+VOCAB_TOP_K = 50
+TFIDF_TOP_K = 3
+SPLIT_SALT = "split:v1:"
+SPLIT_TRAIN_PCT = 80
+SPLIT_VALID_PCT = 10  # remainder -> test
+
+# printable-ASCII normalization: non-printables -> space, collapse, trim
+_CLEAN_SPARK = "trim(regexp_replace(regexp_replace(text, '[^ -~]', ' '), ' +', ' '))"
+_CLEAN_DUCK = (
+    "trim(regexp_replace(regexp_replace(text, '[^ -~]', ' ', 'g'), ' +', ' ', 'g'))"
+)
+
+# bracket classes only -- no backslash escapes, which Spark SQL string
+# literals and DuckDB string literals would need to escape differently
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]+"
+_PHONE_RE = "[+]?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}"
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- cleaning -----------------------------------------------------------------
+
+
+def clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"substring({_CLEAN_SPARK}, 1, 80)").alias("clean_prefix"),
+        F.expr(f"cast(length(text) - length({_CLEAN_SPARK}) as int)").alias(
+            "n_chars_removed"
+        ),
+    )
+
+
+def clean_text_oracle() -> str:
+    return f"""
+        SELECT doc_id,
+               substring({_CLEAN_DUCK}, 1, 80) AS clean_prefix,
+               CAST(length(text) - length({_CLEAN_DUCK}) AS INT) AS n_chars_removed
+        FROM documents
+    """
+
+
+# --- PII redaction --------------------------------------------------------------
+# The corpus has no planted PII, so the op synthesizes a deterministic
+# contact line per document and redacts it -- the redaction path is what
+# is under test.
+
+_CONTACT_SPARK = (
+    "concat(substring(text, 1, 40), ' contact: user', doc_id, "
+    "'@example.com or +1 555-', lpad(cast(doc_id % 10000 as string), 4, '0'))"
+)
+_CONTACT_DUCK = (
+    "substring(text, 1, 40) || ' contact: user' || doc_id || "
+    "'@example.com or +1 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+)
+
+
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    redacted = (
+        f"regexp_replace(regexp_replace({_CONTACT_SPARK}, "
+        f"'{_EMAIL_RE}', '<EMAIL>'), '{_PHONE_RE}', '<PHONE>')"
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(redacted).alias("redacted"),
+        F.expr(
+            f"cast(length({_CONTACT_SPARK}) - length({redacted}) as int)"
+        ).alias("n_chars_redacted"),
+    )
+
+
+def redact_pii_oracle() -> str:
+    redacted = (
+        f"regexp_replace(regexp_replace({_CONTACT_DUCK}, "
+        f"'{_EMAIL_RE}', '<EMAIL>', 'g'), '{_PHONE_RE}', '<PHONE>', 'g')"
+    )
+    return f"""
+        SELECT doc_id,
+               {redacted} AS redacted,
+               CAST(length({_CONTACT_DUCK}) - length({redacted}) AS INT)
+                   AS n_chars_redacted
+        FROM documents
+    """
+
+
+# --- vocabulary -----------------------------------------------------------------
+
+
+def vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-K tokens.  One partial-aggregated shuffle on the
+    token (map-side combine makes this scan-bound at 100 TB), then a
+    tiny global top-K."""
+    toks = _docs(spark, sf_dir).select(F.explode(F.expr(TOKS)).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= VOCAB_TOP_K)
+        .select("rank", "tok", "cnt")
+    )
+
+
+def vocabulary_topk_oracle() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT unnest({sql_tokens('text')}) AS tok FROM documents
+        ),
+        counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+        SELECT CAST(rank AS INT) AS rank, tok, cnt FROM (
+            SELECT tok, cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank
+            FROM counts
+        ) WHERE rank <= {VOCAB_TOP_K}
+    """
+
+
+# --- tf-idf ---------------------------------------------------------------------
+
+
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K tokens per document by tf*idf with rational idf = N/df.
+    Two shuffles (term counts, document frequency) + one broadcast-sized
+    join -- the standard scalable shape."""
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(F.expr(TOKS)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "doc_len", F.sum("cnt").over(Window.partitionBy("doc_id"))
+        )
+    )
+    df_counts = tf.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tf.join(F.broadcast(df_counts), "tok").select(
+        "doc_id",
+        "tok",
+        F.expr(f"round((cnt / doc_len) * ({n_docs} / df), 6)").alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "tok", "tfidf")
+    )
+
+
+def tfidf_topk_oracle() -> str:
+    return f"""
+        WITH tf AS (
+            SELECT doc_id, tok, count(*) AS cnt
+            FROM (SELECT doc_id, unnest({sql_tokens('text')}) AS tok
+                  FROM documents)
+            GROUP BY doc_id, tok
+        ),
+        with_len AS (
+            SELECT *, sum(cnt) OVER (PARTITION BY doc_id) AS doc_len FROM tf
+        ),
+        dfreq AS (
+            SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT t.doc_id, t.tok,
+                   round((t.cnt / t.doc_len) * ((SELECT n_docs FROM n) / d.df), 6)
+                       AS tfidf
+            FROM with_len t JOIN dfreq d USING (tok)
+        )
+        SELECT doc_id, CAST(rank AS INT) AS rank, tok, tfidf FROM (
+            SELECT doc_id, tok, tfidf,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, tok) AS rank
+            FROM scored
+        ) WHERE rank <= {TFIDF_TOP_K}
+    """
+
+
+# --- deterministic split ----------------------------------------------------------
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based train/valid/test assignment: a pure function of
+    (salt, doc_id) -- stable under re-runs, re-partitioning, and corpus
+    growth, which a random() split is not."""
+    bucket = (
+        f"cast(conv(substring(md5(concat('{SPLIT_SALT}', doc_id)), 1, 8), 16, 10) "
+        "as bigint) % 100"
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN {bucket} < {SPLIT_TRAIN_PCT} THEN 'train' "
+            f"WHEN {bucket} < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT} THEN 'valid' "
+            "ELSE 'test' END"
+        ).alias("split"),
+    )
+
+
+def dataset_split_oracle() -> str:
+    bucket = sql_hash32(f"'{SPLIT_SALT}' || doc_id") + " % 100"
+    return f"""
+        SELECT doc_id,
+               CASE WHEN {bucket} < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN {bucket} < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT} THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents
+    """
+
+
+# --- curation (composition) --------------------------------------------------------
+
+MIN_TOKENS = 20
+MAX_TOKENS = 500
+MIN_QUALITY = 0.35
+
+
+def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation verdict per document: length bounds, quality
+    floor, exact-dup survivorship -- each failure recorded as a reason.
+    The composition every real pipeline runs before tokenization."""
+    from .text import quality_score
+
+    q = quality_score(spark, sf_dir).select("doc_id", "n_tokens", "quality")
+    norm = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(f"concat_ws(' ', {TOKS})").alias("norm")
+    )
+    survivor = norm.groupBy("norm").agg(F.min("doc_id").alias("survivor_id"))
+    flags = (
+        q.join(norm, "doc_id")
+        .join(survivor, "norm")
+        .select(
+            "doc_id",
+            F.expr(
+                f"concat_ws(',', "
+                f"CASE WHEN n_tokens < {MIN_TOKENS} THEN 'too_short' END, "
+                f"CASE WHEN n_tokens > {MAX_TOKENS} THEN 'too_long' END, "
+                f"CASE WHEN quality < {MIN_QUALITY} THEN 'low_quality' END, "
+                "CASE WHEN doc_id <> survivor_id THEN 'duplicate' END)"
+            ).alias("reject_reasons"),
+        )
+        .select(
+            "doc_id",
+            F.expr("reject_reasons = ''").alias("keep"),
+            "reject_reasons",
+        )
+    )
+    return flags
+
+
+def curate_oracle() -> str:
+    from .text import quality_score_oracle
+
+    toks = sql_tokens("text")
+    return f"""
+        WITH q AS ({quality_score_oracle()}),
+        norm AS (
+            SELECT doc_id, array_to_string({toks}, ' ') AS norm FROM documents
+        ),
+        survivor AS (
+            SELECT norm, min(doc_id) AS survivor_id FROM norm GROUP BY norm
+        ),
+        flags AS (
+            SELECT q.doc_id,
+                   concat_ws(',',
+                       CASE WHEN q.n_tokens < {MIN_TOKENS} THEN 'too_short' END,
+                       CASE WHEN q.n_tokens > {MAX_TOKENS} THEN 'too_long' END,
+                       CASE WHEN q.quality < {MIN_QUALITY} THEN 'low_quality' END,
+                       CASE WHEN q.doc_id <> s.survivor_id THEN 'duplicate' END)
+                       AS reject_reasons
+            FROM q JOIN norm n ON n.doc_id = q.doc_id
+            JOIN survivor s ON s.norm = n.norm
+        )
+        SELECT doc_id, reject_reasons = '' AS keep, reject_reasons FROM flags
+    """

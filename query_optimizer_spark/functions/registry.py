@@ -6,7 +6,7 @@ Runner signature matches the driver contract: (spark, sf_dir) -> DataFrame.
 from __future__ import annotations
 
 from .. import streaming
-from . import dedup, multimodal, similarity, temporal, text
+from . import corpus, dedup, multimodal, similarity, temporal, text
 
 PIPELINE_OPS: dict[str, tuple] = {
     # text analysis
@@ -53,4 +53,12 @@ PIPELINE_OPS: dict[str, tuple] = {
         streaming.sessionize_stream,
         streaming.sessionize_stream_oracle(),
     ),
+    "stream_dedup": (streaming.dedup_stream, streaming.dedup_stream_oracle()),
+    # corpus preparation
+    "corpus_clean": (corpus.clean_text, corpus.clean_text_oracle()),
+    "corpus_redact_pii": (corpus.redact_pii, corpus.redact_pii_oracle()),
+    "corpus_vocab_topk": (corpus.vocabulary_topk, corpus.vocabulary_topk_oracle()),
+    "corpus_tfidf_topk": (corpus.tfidf_topk, corpus.tfidf_topk_oracle()),
+    "corpus_dataset_split": (corpus.dataset_split, corpus.dataset_split_oracle()),
+    "corpus_curate": (corpus.curate, corpus.curate_oracle()),
 }

@@ -11,6 +11,8 @@ same code tails a directory/Kafka source continuously.
 """
 
 from .ops import (
+    dedup_stream,
+    dedup_stream_oracle,
     hourly_counts_stream,
     hourly_counts_stream_oracle,
     sessionize_stream,
@@ -24,4 +26,6 @@ __all__ = [
     "hourly_counts_stream_oracle",
     "sessionize_stream",
     "sessionize_stream_oracle",
+    "dedup_stream",
+    "dedup_stream_oracle",
 ]

@@ -87,6 +87,28 @@ def hourly_counts_stream_oracle() -> str:
     """
 
 
+def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the source is unioned with itself (a
+    duplicated firehose), then ``dropDuplicates`` on the business key
+    with a watermark bounds the dedup state -- the standard
+    exactly-once-ish ingest guard."""
+    a = stream_events(spark, sf_dir)
+    b = stream_events(spark, sf_dir)
+    doubled = a.unionByName(b)
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    return _run_to_memory(deduped, "append")
+
+
+def dedup_stream_oracle() -> str:
+    return """
+        SELECT event_id, user_id, event_type, value FROM events
+    """
+
+
 # --- stateful sessionization --------------------------------------------------
 
 _SESSION_OUT_SCHEMA = T.StructType(
