@@ -70,6 +70,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _fixture_runner(name, planner)
     # the RL-env path (J7): greedy-by-reward agent plans, engine executes
     out["join_env_agent"] = _env_agent_runner
+
+    # the semi-join derivation path (J10): left-semi fact prefiltering
+    def _semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+        configure_runtime(spark)
+        return workload.run_fixture_semi_prefilter(spark, sf_dir, "join_cycle_7")
+
+    out["join_semi_prefilter"] = _semi
     for name in sqlsurface.SURFACE:
         out[name] = _surface_runner(name)
     for name, (runner, _) in PIPELINE_OPS.items():
@@ -82,6 +89,7 @@ def oracle_sql() -> dict[str, str]:
         name: workload.fixture_oracle_sql(name) for name in _FIXTURE_PLANNERS
     }
     out["join_env_agent"] = workload.fixture_oracle_sql("join_cycle_7")
+    out["join_semi_prefilter"] = workload.fixture_oracle_sql("join_cycle_7")
     # the SQL surface is shared ANSI text (or a DuckDB-dialect twin where
     # the engines' syntax diverges)
     for name in sqlsurface.SURFACE:

@@ -136,6 +136,19 @@ def fixture_oracle_sql(name: str) -> str:
     return query_to_sql(parse(FIXTURES[name]))
 
 
+def run_fixture_semi_prefilter(spark, sf_dir: str, name: str = "join_cycle_7"):
+    """Fixture executed with J10 semi-join prefiltering: large leaves are
+    pre-reduced with left-semi joins against small filtered dimensions
+    before the planned join chain (result-invariant)."""
+    sql = FIXTURES[name]
+    graph = JoinGraph.from_query(parse(sql))
+    oracle = stats_oracle(sf_dir)
+    cm = get_cost_model("cm1")
+    res = PLANNERS["dp_ccp"](graph, oracle, cm)
+    renderer = Renderer(spark, sf_dir, graph, oracle, semi_prefilter=True)
+    return renderer.run(res.tree)
+
+
 def run_fixture_via_env_agent(spark, sf_dir: str, name: str = "join_cycle_7"):
     """Plan a fixture with the greedy-by-reward agent driving
     JoinOrderEnv (the RL-planner path, J7), then execute its final plan
