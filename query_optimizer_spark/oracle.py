@@ -141,10 +141,25 @@ class TrueCountOracle(CardinalityOracle):
 
     def precompute_all_connected(self, graph: JoinGraph) -> None:
         """Warm the cache with every connected subset (feasible for the
-        <=10-relation fixture graphs)."""
+        <=10-relation fixture graphs), plus every union of whole
+        components -- the cross-product sets disconnected-graph plans
+        cost (J15); their cardinality is the product of the component
+        cardinalities, no counting query needed."""
         for s in range(1, graph.all_factors + 1):
             if graph.connected(s):
                 self.card(graph, s)
+        comps = graph.components()
+        if len(comps) > 1:
+            from itertools import combinations
+
+            for k in range(2, len(comps) + 1):
+                for chosen in combinations(comps, k):
+                    union = 0
+                    prod = 1.0
+                    for c in chosen:
+                        union |= c
+                        prod *= self.card(graph, c)
+                    self.cards[graph.key_for(union)] = prod
 
     def snapshot(self) -> CardinalityOracle:
         return CardinalityOracle(self.cards)
