@@ -92,6 +92,22 @@ def test_lsh_plane_component_matches_sql_formulas():
             assert lsh_plane_component(p, d0) == spark_w == duck_w
 
 
+@pytest.mark.parametrize("name", sorted(ALL))
+def test_parse_sql_roundtrip_stable(name):
+    """parse -> query_to_sql -> parse is a fixed point: the rendered SQL
+    re-parses to an identical structure (oracle text generation cannot
+    drift from the planner's view of the query)."""
+    from query_optimizer_spark.executor import query_to_sql
+
+    q1 = parse(ALL[name])
+    sql1 = query_to_sql(q1)
+    q2 = parse(sql1)
+    assert query_to_sql(q2) == sql1
+    assert q2.aliases == q1.aliases
+    assert len(q2.join_preds) == len(q1.join_preds)
+    assert len(q2.filters) == len(q1.filters)
+
+
 def test_parse_rejects_or():
     with pytest.raises(Exception):
         parse("SELECT MIN(a.x) AS m FROM t a WHERE a.x = 1 OR a.x = 2")
