@@ -87,6 +87,7 @@ class Renderer:
     oracle: object | None = None
     broadcast_threshold: float = DEFAULT_BROADCAST_ROWS
     semi_prefilter: bool = False
+    cost_model: object | None = None  # enables strategy hints when 'mm'
     needed_cols: dict[str, set[str]] = field(default_factory=dict)
 
     def __post_init__(self):
@@ -183,8 +184,7 @@ class Renderer:
             return self.leaf_df(node)
         left = self.render(node.left)
         right = self.render(node.right)
-        # broadcast the smaller side when the planner estimates it small
-        right = self._maybe_broadcast(node.right, right)
+        right = self._apply_strategy(node, right)
         if not node.preds:
             return left.crossJoin(right)  # J15 fallback
         cond = None
@@ -192,6 +192,36 @@ class Renderer:
             c = pred_to_column(p)
             cond = c if cond is None else (cond & c)
         return left.join(right, on=cond, how="inner")
+
+    def _apply_strategy(self, node: Join, right: DataFrame) -> DataFrame:
+        """Map the cost model's physical choice to a Spark join-strategy
+        hint (SURVEY §4.2): under 'mm', an index-NLJ win (right side is a
+        base table and 2|L| < |L|+|R|, MyMetadataQuery.java:181-226) maps
+        to BROADCAST of that base table -- the closest Spark analog of a
+        per-row index probe; a hash-join win maps to SHUFFLE_HASH (build
+        the smaller right side, skip sort-merge's sorts).  Without a cost
+        model, fall back to the estimate-based broadcast rule."""
+        cm = self.cost_model
+        if (
+            cm is not None
+            and getattr(cm, "name", "") == "mm"
+            and self.oracle is not None
+            and node.preds
+        ):
+            try:
+                left_card = self.oracle.card(self.graph, node.left.factors)
+                right_card = self.oracle.card(self.graph, node.right.factors)
+            except Exception:
+                return self._maybe_broadcast(node.right, right)
+            index_nlj_wins = (
+                cm.use_index_nlj
+                and isinstance(node.right, Leaf)
+                and 2.0 * left_card < left_card + right_card
+            )
+            if index_nlj_wins and right_card <= self.broadcast_threshold:
+                return F.broadcast(right)
+            return right.hint("shuffle_hash")
+        return self._maybe_broadcast(node.right, right)
 
     def finish(self, df: DataFrame) -> DataFrame:
         """Apply post-join filters (P4), the output projection/aggregation

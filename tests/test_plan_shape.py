@@ -60,6 +60,31 @@ def test_env_agent_fixture_matches_oracle(spark, duck):
     assert result_hash(df) == duck_hash(duck, fixture_oracle_sql("join_cycle_7"))
 
 
+def test_mm_strategy_hints(spark, duck):
+    """Under the MM cost model, joins whose index-NLJ term loses get a
+    SHUFFLE_HASH hint and winning index-NLJ joins (right = base leaf,
+    2|L| < |L|+|R|) broadcast -- and results stay oracle-correct."""
+    from query_optimizer_spark.costmodels import get_cost_model
+    from query_optimizer_spark.executor import Renderer
+    from query_optimizer_spark.harness import result_hash
+    from query_optimizer_spark.joingraph import JoinGraph
+    from query_optimizer_spark.oracle import TrueCountOracle
+    from query_optimizer_spark.planners import plan_dp_ccp
+    from query_optimizer_spark.sqlparse import parse
+    from query_optimizer_spark.workload import FIXTURES, fixture_oracle_sql
+
+    sql = FIXTURES["join_cycle_7"]
+    graph = JoinGraph.from_query(parse(sql))
+    oracle = TrueCountOracle(SF_DIR)
+    cm = get_cost_model("mm")
+    res = plan_dp_ccp(graph, oracle, cm)
+    r = Renderer(spark, SF_DIR, graph, oracle, cost_model=cm)
+    df = r.run(res.tree)
+    plan = physical_plan(df)
+    assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert result_hash(df) == duck_hash(duck, fixture_oracle_sql("join_cycle_7"))
+
+
 def test_get_true_reward():
     from query_optimizer_spark.oracle import TrueCountOracle
     from query_optimizer_spark.park_api import ParkSession
