@@ -1,0 +1,99 @@
+"""Duplicate-cluster formation: connected components over the near-dup
+pair graph -- the step that turns pairwise dedup output into groups with
+one survivor each (pair lists alone under-remove: A~B, B~C must collapse
+to one cluster even when A~C was never emitted).
+
+Implemented as ITERATIVE min-label propagation on DataFrames -- the
+canonical Spark shape for iterative graph algorithms (loop of join +
+aggregate with persist/unpersist per round; converges in <= graph
+diameter rounds, each round one shuffle).  The DuckDB oracle computes the
+same components independently via a recursive-CTE transitive closure,
+so the iterative path is still value-hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .dedup import minhash_lsh_oracle, minhash_lsh_pairs
+
+MAX_ITERATIONS = 20
+
+
+def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) for every document that has at
+    least one near-duplicate; cluster_id = smallest doc_id reachable
+    through the minhash near-dup graph."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .cache()
+    )
+    labels.count()  # materialize
+    for _ in range(MAX_ITERATIONS):
+        # each node adopts min(own label, neighbors' labels)
+        neighbor_labels = (
+            edges.join(labels, edges.doc_a == labels.id)
+            .select(F.col("doc_b").alias("id"), "label")
+        )
+        new_labels = (
+            labels.select("id", "label")
+            .unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").cast("int").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+    )
+
+
+def duplicate_clusters_oracle() -> str:
+    """Independent implementation: recursive-CTE transitive closure over
+    the same pair graph, cluster id = min reachable doc."""
+    return f"""
+        WITH RECURSIVE pairs AS ({minhash_lsh_oracle()}),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        clusters AS (
+            SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+        )
+        SELECT doc_id, cluster_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS INT) AS cluster_size
+        FROM clusters
+    """

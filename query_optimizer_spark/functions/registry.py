@@ -6,7 +6,7 @@ Runner signature matches the driver contract: (spark, sf_dir) -> DataFrame.
 from __future__ import annotations
 
 from .. import streaming
-from . import corpus, dedup, multimodal, similarity, temporal, text
+from . import clustering, corpus, dedup, multimodal, similarity, temporal, text
 
 PIPELINE_OPS: dict[str, tuple] = {
     # text analysis
@@ -25,6 +25,10 @@ PIPELINE_OPS: dict[str, tuple] = {
     "dedup_embedding_cosine": (
         dedup.embedding_cosine_pairs,
         dedup.embedding_cosine_oracle(),
+    ),
+    "dedup_clusters": (
+        clustering.duplicate_clusters,
+        clustering.duplicate_clusters_oracle(),
     ),
     # similarity search
     "sim_bruteforce_topk": (
