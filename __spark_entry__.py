@@ -48,6 +48,7 @@ _FIXTURE_PLANNERS = {
     "join_cross_2": "dp_ccp",
     "join_selfjoin_4": "branch_and_bound",
     "join_preds_3": "dp_ccp",
+    "join_events_8": "dp_ccp",
     "join_group_3": "greedy",
 }
 

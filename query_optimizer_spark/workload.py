@@ -71,6 +71,17 @@ FIXTURES: dict[str, str] = {
           AND c.c_mktsegment LIKE 'BUI%'
           AND l.l_shipdate > DATE '1995-06-01'
     """,
+    # 8-relation chain+star including the events table (user_id -> custkey)
+    "join_events_8": """
+        SELECT MIN(e.value) AS min_val, MAX(l.l_extendedprice) AS max_ep
+        FROM events e, customer c, orders o, lineitem l, part p,
+             supplier s, nation n1, region r
+        WHERE e.user_id = c.c_custkey AND o.o_custkey = c.c_custkey
+          AND l.l_orderkey = o.o_orderkey AND l.l_partkey = p.p_partkey
+          AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = n1.n_nationkey
+          AND n1.n_regionkey = r.r_regionkey
+          AND e.event_type = 'purchase' AND p.p_size > 10
+    """,
     # GROUP BY + ORDER BY through the planner pipeline
     "join_group_3": """
         SELECT n1.n_name AS nation, COUNT(c.c_custkey) AS n_cust,
