@@ -271,6 +271,21 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags
 
 
+def materialize_curated(
+    spark: SparkSession, sf_dir: str, out_path: str
+) -> DataFrame:
+    """End of the pipeline: keep curated documents, attach their
+    train/valid/test split, and write a hive-partitioned parquet dataset
+    (partition column = split, so downstream training jobs prune to
+    their slice).  Returns the read-back DataFrame."""
+    kept = curate(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    split = dataset_split(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    curated = docs.join(kept, "doc_id").join(split, "doc_id")
+    curated.write.mode("overwrite").partitionBy("split").parquet(out_path)
+    return spark.read.parquet(out_path)
+
+
 def curate_oracle() -> str:
     from .text import quality_score_oracle
 

@@ -61,6 +61,25 @@ def test_decode_image_stub(spark):
     assert all(r.n_channels == 3 and r.width >= 1 for r in rows)
 
 
+def test_materialize_curated_roundtrip(spark, duck):
+    from query_optimizer_spark.functions import corpus
+
+    out = "/root/repo/.warehouse/curated_corpus"
+    back = corpus.materialize_curated(spark, SF_DIR, out)
+    n_kept = duck.execute(
+        f"SELECT count(*) FROM ({corpus.curate_oracle()}) WHERE keep"
+    ).fetchone()[0]
+    assert back.count() == n_kept > 0
+    assert set(back.select("split").distinct().toPandas()["split"]) <= {
+        "train", "valid", "test",
+    }
+    # partition pruning works on the written dataset
+    from query_optimizer_spark.executor import physical_plan
+
+    train = back.filter(back.split == "train")
+    assert "PartitionFilters" in physical_plan(train)
+
+
 def test_lsh_ann_quality(spark, duck):
     """LSH ANN should agree with brute force on a decent fraction of
     top-k sets (approximation sanity, not bit equality)."""
