@@ -21,6 +21,9 @@ class Catalog:
     database-global attribute-offset map."""
 
     def __init__(self, spark, sf_dir: str, tables=TABLES, register: bool = True):
+        from .session import configure_runtime
+
+        configure_runtime(spark)  # events.parquet needs nanosAsLong
         self.spark = spark
         self.sf_dir = str(sf_dir)
         self.tables = [
@@ -45,7 +48,12 @@ class Catalog:
 
     def df(self, table: str):
         if table not in self._dfs:
-            self._dfs[table] = self.spark.read.parquet(self.path(table))
+            if table == "events":
+                from .session import events_df
+
+                self._dfs[table] = events_df(self.spark, self.sf_dir)
+            else:
+                self._dfs[table] = self.spark.read.parquet(self.path(table))
         return self._dfs[table]
 
     def register_views(self) -> None:
