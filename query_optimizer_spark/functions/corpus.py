@@ -109,13 +109,17 @@ def redact_pii_oracle() -> str:
 def vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-K tokens.  One partial-aggregated shuffle on the
     token (map-side combine makes this scan-bound at 100 TB), then a
-    tiny global top-K."""
+    distributed top-K via orderBy().limit(K), which Spark compiles to
+    TakeOrderedAndProject -- each partition keeps only its local top-K
+    and the driver merges K-row heaps, so no single task ever sees the
+    full vocabulary (the global row_number window it replaces did).
+    The rank window afterwards runs over exactly K rows."""
     toks = _docs(spark, sf_dir).select(F.explode(F.expr(TOKS)).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    topk = counts.orderBy(F.col("cnt").desc(), F.col("tok")).limit(VOCAB_TOP_K)
     w = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= VOCAB_TOP_K)
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("rank", "tok", "cnt")
     )
 
@@ -139,10 +143,17 @@ def vocabulary_topk_oracle() -> str:
 
 def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K tokens per document by tf*idf with rational idf = N/df.
-    Two shuffles (term counts, document frequency) + one broadcast-sized
-    join -- the standard scalable shape."""
+
+    Scale shape: the (doc_id, tok) term counts shuffle once; document
+    frequency is a count() window over the tok partition of that same
+    table (tf is unique per (doc_id, tok), so the partition row count IS
+    df) -- no second aggregate, no vocabulary-sized join, and crucially
+    no broadcast of the full vocabulary, which at web scale is multi-GB.
+    N comes from a 1-row aggregate cross-joined in (single-row broadcast
+    NLJ), replacing the separate docs.count() driver action so the whole
+    query is one job."""
     docs = _docs(spark, sf_dir)
-    n_docs = docs.count()
+    n = docs.agg(F.count("*").alias("n_docs"))
     tf = (
         docs.select("doc_id", F.explode(F.expr(TOKS)).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -150,14 +161,12 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "doc_len", F.sum("cnt").over(Window.partitionBy("doc_id"))
         )
+        .withColumn("df", F.count("*").over(Window.partitionBy("tok")))
     )
-    df_counts = tf.groupBy("tok").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-    scored = tf.join(F.broadcast(df_counts), "tok").select(
+    scored = tf.crossJoin(n).select(
         "doc_id",
         "tok",
-        F.expr(f"round((cnt / doc_len) * ({n_docs} / df), 6)").alias("tfidf"),
+        F.expr("round((cnt / doc_len) * (n_docs / df), 6)").alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("tok")

@@ -43,6 +43,27 @@ def test_minhash_prunes_documents_scan(spark):
     assert line and "n_chars" not in line and "source" not in line
 
 
+def test_vocab_topk_is_take_ordered(spark):
+    """VERDICT r1 scale-killer #1: the global top-K must compile to
+    TakeOrderedAndProject (per-partition K-row heaps), never a
+    single-partition row_number window over the full vocabulary."""
+    from query_optimizer_spark.functions import corpus
+
+    plan = physical_plan(corpus.vocabulary_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_no_vocabulary_broadcast(spark):
+    """VERDICT r1 scale-killer #2: document frequency must come from a
+    window over the tf shuffle, not a broadcast of the vocabulary-sized
+    df table (multi-GB at web scale).  The only join left is the 1-row
+    corpus-count NLJ."""
+    from query_optimizer_spark.functions import corpus
+
+    plan = physical_plan(corpus.tfidf_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_fixture_join_broadcasts_dims(spark):
     df = run_fixture(spark, SF_DIR, "join_cycle_7", planner="dp_ccp")
     plan = physical_plan(df)
