@@ -48,6 +48,29 @@ def test_minhash_finds_planted_dups(spark, duck):
     assert recall >= 0.9, f"LSH recall too low: {recall}"
 
 
+def test_embedding_cosine_driver_guard(spark):
+    """VERDICT r1 scale-killer #3: above max_driver_vectors the exact
+    path must auto-route to the distributed block-pair matmul (no
+    driver collect) and produce BIT-IDENTICAL pairs -- both paths run
+    the same exact integer float64 arithmetic."""
+    from query_optimizer_spark.functions import dedup
+    from query_optimizer_spark.executor import physical_plan
+
+    exact_df = dedup.embedding_cosine_pairs(spark, SF_DIR)
+    routed_df = dedup.embedding_cosine_pairs(spark, SF_DIR, max_driver_vectors=1)
+    # the routed plan is the grouped block matmul, not the driver-collect path
+    assert "FlatMapGroupsInPandas" in physical_plan(routed_df)
+    exact = {(r.vec_a, r.vec_b, r.cosine) for r in exact_df.collect()}
+    routed = {(r.vec_a, r.vec_b, r.cosine) for r in routed_df.collect()}
+    assert exact, "no planted cosine near-dups -- weak test"
+    assert routed == exact
+    # multi-block blocking (5 blocks -> 15 block-pair groups) stays exact
+    blocked = dedup.embedding_cosine_pairs_blocked(spark, SF_DIR, block_rows=100)
+    assert {(r.vec_a, r.vec_b, r.cosine) for r in blocked.collect()} == exact
+    # small-N default stays on the exact driver-matmul baseline
+    assert "MapInPandas" in physical_plan(exact_df)
+
+
 def test_decode_image_stub(spark):
     df = multimodal.with_binary_payload(spark, SF_DIR)
     with pytest.raises(NotImplementedError):
