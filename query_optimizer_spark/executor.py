@@ -184,7 +184,7 @@ class Renderer:
             return self.leaf_df(node)
         left = self.render(node.left)
         right = self.render(node.right)
-        right = self._apply_strategy(node, right)
+        left, right = self._apply_strategy(node, left, right)
         if not node.preds:
             return left.crossJoin(right)  # J15 fallback
         cond = None
@@ -193,14 +193,18 @@ class Renderer:
             cond = c if cond is None else (cond & c)
         return left.join(right, on=cond, how="inner")
 
-    def _apply_strategy(self, node: Join, right: DataFrame) -> DataFrame:
+    def _apply_strategy(self, node: Join, left: DataFrame, right: DataFrame):
         """Map the cost model's physical choice to a Spark join-strategy
         hint (SURVEY §4.2): under 'mm', an index-NLJ win (right side is a
-        base table and 2|L| < |L|+|R|, MyMetadataQuery.java:181-226) maps
-        to BROADCAST of that base table -- the closest Spark analog of a
-        per-row index probe; a hash-join win maps to SHUFFLE_HASH (build
-        the smaller right side, skip sort-merge's sorts).  Without a cost
-        model, fall back to the estimate-based broadcast rule."""
+        base table and 2|L| < |L|+|R|, MyMetadataQuery.java:181-226)
+        means the LEFT side is the small probe driver, so broadcast the
+        LEFT side when it fits -- BroadcastHashJoin builds on the small
+        broadcast side and streams the big base table past it, the
+        closest Spark analog of a per-row index probe.  (Broadcasting
+        the RIGHT side here would ship the LARGER input -- the inverted
+        heuristic ADVICE r1 flagged.)  A hash-join win maps to
+        SHUFFLE_HASH on the right (skip sort-merge's sorts).  Without a
+        cost model, fall back to the estimate-based broadcast rule."""
         cm = self.cost_model
         if (
             cm is not None
@@ -212,16 +216,16 @@ class Renderer:
                 left_card = self.oracle.card(self.graph, node.left.factors)
                 right_card = self.oracle.card(self.graph, node.right.factors)
             except Exception:
-                return self._maybe_broadcast(node.right, right)
+                return left, self._maybe_broadcast(node.right, right)
             index_nlj_wins = (
                 cm.use_index_nlj
                 and isinstance(node.right, Leaf)
                 and 2.0 * left_card < left_card + right_card
             )
-            if index_nlj_wins and right_card <= self.broadcast_threshold:
-                return F.broadcast(right)
-            return right.hint("shuffle_hash")
-        return self._maybe_broadcast(node.right, right)
+            if index_nlj_wins and left_card <= self.broadcast_threshold:
+                return F.broadcast(left), right
+            return left, right.hint("shuffle_hash")
+        return left, self._maybe_broadcast(node.right, right)
 
     def finish(self, df: DataFrame) -> DataFrame:
         """Apply post-join filters (P4), the output projection/aggregation

@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .dedup import minhash_lsh_oracle, minhash_lsh_pairs
 
-MAX_ITERATIONS = 20
+# Hard safety cap only: min-label propagation monotonically lowers
+# labels, so it always converges within graph-diameter rounds; the loop
+# runs to convergence and RAISES if this cap is somehow hit rather than
+# returning partially-propagated (wrong) clusters.
+MAX_ITERATIONS = 1000
 
 
 def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,6 +45,7 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     labels.count()  # materialize
+    changed = 1
     for _ in range(MAX_ITERATIONS):
         # each node adopts min(own label, neighbors' labels)
         neighbor_labels = (
@@ -64,6 +69,14 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"label propagation did not converge in {MAX_ITERATIONS} rounds"
+        )
+    # intermediates served their purpose; drop them so deep graphs don't
+    # accumulate executor cache (lineage still recomputes if needed)
+    pairs.unpersist()
+    edges.unpersist()
     sizes = labels.groupBy("label").agg(F.count("*").cast("int").alias("cluster_size"))
     return (
         labels.join(sizes, "label")

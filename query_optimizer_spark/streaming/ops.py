@@ -89,15 +89,18 @@ def hourly_counts_stream_oracle() -> str:
 
 def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: the source is unioned with itself (a
-    duplicated firehose), then ``dropDuplicates`` on the business key
-    with a watermark bounds the dedup state -- the standard
-    exactly-once-ish ingest guard."""
+    duplicated firehose), then ``dropDuplicatesWithinWatermark`` on the
+    business key -- unlike plain ``dropDuplicates`` on a non-event-time
+    subset (whose state is NEVER evicted), this form drops key state
+    once the watermark passes the event's time, so state stays bounded
+    on an unbounded stream.  Duplicates here carry identical event
+    times, so they always land inside the watermark window."""
     a = stream_events(spark, sf_dir)
     b = stream_events(spark, sf_dir)
     doubled = a.unionByName(b)
     deduped = (
         doubled.withWatermark("ts", "1 hour")
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type", "value")
     )
     return _run_to_memory(deduped, "append")
