@@ -65,7 +65,44 @@ def result_hash(df) -> tuple[int, str]:
     per-row md5s are SUMMED mod 2^128, which is multiset-safe -- XOR
     would let any even-multiplicity row difference cancel out (e.g.
     {A,A,C} vs {B,B,C} hash equal under XOR).
+
+    Computed DISTRIBUTED: each Arrow batch reduces to a (count, partial
+    sum) pair executor-side via ``mapInPandas``, and only those partials
+    reach the driver -- a billion-row result collects a handful of rows,
+    removing the driver-memory ceiling the old ``df.toPandas()`` path
+    had.  Sum mod 2^128 is commutative/associative, so partial order
+    doesn't matter.  ``_result_hash_local`` keeps the single-pass pandas
+    path for equivalence testing.
     """
+    import pandas as pd
+
+    cols = sorted(df.columns)
+
+    def _partials(batches):
+        acc = 0
+        n = 0
+        for pdf in batches:
+            pdf = pdf[cols]
+            for row in pdf.itertuples(index=False, name=None):
+                s = "|".join(_canon(v) for v in row)
+                acc = (
+                    acc
+                    + int.from_bytes(hashlib.md5(s.encode()).digest(), "big")
+                ) % (1 << 128)
+                n += 1
+        if n:
+            yield pd.DataFrame({"n": [n], "acc": [f"{acc:032x}"]})
+
+    parts = df.mapInPandas(_partials, "n bigint, acc string").collect()
+    total = sum(r.n for r in parts)
+    acc = sum(int(r.acc, 16) for r in parts) % (1 << 128)
+    return total, f"{acc:032x}"
+
+
+def _result_hash_local(df) -> tuple[int, str]:
+    """Single-pass driver-side reference implementation of
+    :func:`result_hash` (same canonicalization, same sum); used to prove
+    the distributed path hashes identically."""
     pdf = df.toPandas()
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     acc = 0
@@ -156,22 +193,30 @@ def run_query(
         rec.join_orders[pname] = join_order_record(graph, res.tree, oracle, cm)
         if execute:
             df = renderer.run(res.tree)
+            first_out = None
             for _ in range(reps):
                 out, ms = timed_execution(df, timeout_s, f"{name}-{pname}")
                 rec.runtimes_ms.setdefault(pname, []).append(ms)
-            if out is not None:
-                n, h = out
+                if first_out is None:
+                    first_out = out
+            # keep the first successful rep's hash: a timeout on a later
+            # rep must not erase an already-verified result (ADVICE r1)
+            if first_out is not None:
+                n, h = first_out
                 rec.result_hashes[pname] = f"{n}:{h}"
     if include_spark_baseline and execute:
         from .catalog import Catalog
 
         Catalog(spark, sf_dir)  # ensure views exist
         df = spark.sql(query_to_sql(q))
+        first_out = None
         for _ in range(reps):
             out, ms = timed_execution(df, timeout_s, f"{name}-spark_default")
             rec.runtimes_ms.setdefault("spark_default", []).append(ms)
-        if out is not None:
-            n, h = out
+            if first_out is None:
+                first_out = out
+        if first_out is not None:
+            n, h = first_out
             rec.result_hashes["spark_default"] = f"{n}:{h}"
     return rec
 

@@ -55,3 +55,30 @@ def test_clear_caches(spark):
     df.count()
     clear_caches(spark)  # no exception; cache dropped
     assert not df.storageLevel.useMemory or df.count() == 5
+
+
+def test_result_hash_distributed_matches_local(spark):
+    """The executor-side partial-sum hash must agree with the driver-side
+    pandas reference on results covering every value class the engine
+    emits: dates, timestamps, arrays, floats, nulls, strings, bigints
+    (VERDICT r1 item 6 -- removes the driver-memory ceiling)."""
+    import __spark_entry__ as entry
+    from query_optimizer_spark.harness import _result_hash_local
+
+    qs = entry.queries()
+    diverse = [
+        "sql_date_arith",      # DATE
+        "sql_null_funcs",      # NULLs
+        "sql_array_agg_sorted",  # array<string>
+        "evt_hourly_rollup",   # timestamps
+        "sql_median",          # floats
+        "dedup_exact",         # strings/bigints
+    ]
+    for name in diverse:
+        df = qs[name](spark, SF_DIR)
+        assert result_hash(df) == _result_hash_local(df), name
+    # empty result: distributed path must return (0, zero-hash) too
+    empty = spark.range(1).filter("id < 0").selectExpr(
+        "id", "cast(id as string) s", "cast(id as double) d"
+    )
+    assert result_hash(empty) == _result_hash_local(empty) == (0, f"{0:032x}")
