@@ -191,6 +191,10 @@ def run_query(
             continue
         rec.costs[pname] = res.cost
         rec.join_orders[pname] = join_order_record(graph, res.tree, oracle, cm)
+        if getattr(res, "alternatives", None):
+            # greedy J3 fidelity: the reference emits one ordering per
+            # start factor before keeping the cheapest; record them all
+            rec.join_orders[pname]["alternatives"] = res.alternatives
         if execute:
             df = renderer.run(res.tree)
             first_out = None

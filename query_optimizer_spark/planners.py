@@ -49,6 +49,11 @@ class PlanResult:
     tree: PlanNode
     cost: float
     planner: str
+    # greedy fidelity (J3): one retained plan per start factor, as
+    # [{"start": alias, "cost": c, "order": order_str}], mirroring
+    # findBestOrderings (MyLoptOptimizeJoinRule.java:462-504) which emits
+    # every start's ordering before the cheapest is kept
+    alternatives: list[dict] | None = None
 
     def order_str(self) -> str:
         return self.tree.order_str()
@@ -106,31 +111,68 @@ def plan_random(graph: JoinGraph, oracle, cm: CostModel, seed: int = 0) -> PlanR
 # ---------------------------------------------------------------------------
 
 
+def _join_key_distinct(graph: JoinGraph, oracle, tree_factors: int, f: int) -> float:
+    """Distinct cardinality of the join keys on candidate factor ``f``'s
+    side of its edges to the current tree -- the tie-break metadata of
+    getBestNextFactor / computeJoinCardinality
+    (MyLoptOptimizeJoinRule.java:788-863, :594-641).  Lower means the
+    key collapses the join more.  inf when the oracle has no distinct
+    metadata (tie then resolves by factor order, the prior behavior)."""
+    alias = graph.aliases[f]
+    cols = set()
+    for e in graph.edges_between(tree_factors, 1 << f):
+        for p in e.preds:
+            if not p.is_equijoin:
+                continue
+            if p.col.alias == alias:
+                cols.add(p.col.column)
+            elif getattr(p.operand, "alias", None) == alias:
+                cols.add(p.operand.column)
+    if not cols:
+        return float("inf")
+    try:
+        return oracle.distinct_count(graph, alias, tuple(sorted(cols)))
+    except Exception:
+        return float("inf")
+
+
 def plan_greedy(graph: JoinGraph, oracle, cm: CostModel) -> PlanResult:
     """For each candidate first factor, greedily add the next factor that
     minimizes the cumulative cost so far, trying both 'add to top' and a
     one-level 'push down' into the right subtree -- the two moves of
     MyLoptOptimizeJoinRule.addFactorToTree (:899-1012, addToTop :1209-1274,
-    pushDownFactor :1057-1193).  Keeps the cheapest full plan over all
-    starts (findBestOrderings :462-504 emits one plan per start factor)."""
+    pushDownFactor :1057-1193).  Cost ties between candidate factors
+    break on join-key distinct cardinality (A2 metadata,
+    getBestNextFactor :788-863 / computeJoinCardinality :594-641): the
+    factor whose join key has FEWER distinct values wins, since it
+    collapses the join more.  One plan is retained per start factor
+    (findBestOrderings :462-504) and surfaced as ``alternatives``; the
+    cheapest is the result."""
 
-    def component(comp: int) -> PlanNode:
-        best_tree: PlanNode | None = None
-        best_cost = float("inf")
+    comps = graph.components()
+    per_comp_best: list[PlanNode] = []
+    per_comp_alts: list[list[tuple[int, float, PlanNode]]] = []
+
+    for comp in comps:
+        alts: list[tuple[int, float, PlanNode]] = []  # (start, cost, tree)
         for start in bits(comp):
             tree: PlanNode = _leaf(graph, start)
             remaining = comp & ~tree.factors
             while remaining:
                 conn = graph.neighbors(tree.factors) & remaining
                 cands = list(bits(conn)) or [next(bits(remaining))]
-                cand_best: tuple[float, PlanNode] | None = None
+                # (cost, join-key distinct) ranked lexicographically
+                cand_best: tuple[float, float, PlanNode] | None = None
                 for f in cands:
                     leaf = _leaf(graph, f)
+                    tiebreak = _join_key_distinct(
+                        graph, oracle, tree.factors, f
+                    )
                     # move 1: add to top
                     top = make_join(graph, tree, leaf)
                     c_top = _cum(graph, top, oracle, cm)
-                    if cand_best is None or c_top < cand_best[0]:
-                        cand_best = (c_top, top)
+                    if cand_best is None or (c_top, tiebreak) < cand_best[:2]:
+                        cand_best = (c_top, tiebreak, top)
                     # move 2: push down into the right subtree when the
                     # new factor joins it (pushDownFactor analog)
                     if isinstance(tree, Join) and graph.edges_between(
@@ -142,19 +184,40 @@ def plan_greedy(graph: JoinGraph, oracle, cm: CostModel) -> PlanResult:
                             make_join(graph, tree.right, leaf),
                         )
                         c_push = _cum(graph, pushed, oracle, cm)
-                        if c_push < cand_best[0]:
-                            cand_best = (c_push, pushed)
+                        if (c_push, tiebreak) < cand_best[:2]:
+                            cand_best = (c_push, tiebreak, pushed)
                 assert cand_best is not None
-                tree = cand_best[1]
+                tree = cand_best[2]
                 remaining = comp & ~tree.factors
-            c = _cum(graph, tree, oracle, cm)
-            if c < best_cost:
-                best_cost, best_tree = c, tree
-        assert best_tree is not None
-        return best_tree
+            alts.append((start, _cum(graph, tree, oracle, cm), tree))
+        best = min(alts, key=lambda a: a[1])
+        per_comp_best.append(best[2])
+        per_comp_alts.append(alts)
 
-    tree, cost = _plan_components(graph, oracle, cm, component)
-    return PlanResult(tree, cost, "greedy")
+    # cross-join components (J15) around each component's best tree
+    tree = per_comp_best[0]
+    for t in per_comp_best[1:]:
+        tree = make_join(graph, tree, t)
+    validate_tree(graph, tree)
+    cost = _cum(graph, tree, oracle, cm)
+
+    # one full-plan alternative per start factor: that start's tree for
+    # its component, every other component at its best
+    alternatives = []
+    for ci, alts in enumerate(per_comp_alts):
+        for start, _c, t in alts:
+            full = None
+            for cj in range(len(comps)):
+                part = t if cj == ci else per_comp_best[cj]
+                full = part if full is None else make_join(graph, full, part)
+            alternatives.append(
+                {
+                    "start": graph.aliases[start],
+                    "cost": _cum(graph, full, oracle, cm),
+                    "order": full.order_str(),
+                }
+            )
+    return PlanResult(tree, cost, "greedy", alternatives=alternatives)
 
 
 # ---------------------------------------------------------------------------

@@ -85,3 +85,35 @@ def test_planner_invariants(graph_oracle, cm_name):
         bf = brute_force_best(graph, oracle, cm)
         assert abs(dp.cost - bf) < 1e-6
     assert results["left_deep"].cost >= dp.cost - 1e-6
+
+
+def test_greedy_distinct_count_tiebreak_changes_plan():
+    """A2 consumption (VERDICT r1 item 5): when two candidate factors
+    cost exactly the same, the one whose join key has fewer distinct
+    values must be chosen -- flipping the metadata flips the plan."""
+    from query_optimizer_spark.planners import plan_greedy
+    from query_optimizer_spark.sqlparse import parse
+
+    sql = "SELECT MIN(a.x) AS m FROM ta a, tb b, tc c WHERE a.x = b.x AND a.y = c.y"
+    graph = JoinGraph.from_query(parse(sql))
+    cm = get_cost_model("cm1")
+    base = {graph.key_for(1 << i): 100.0 for i in range(3)}
+    ab = graph.key_for(0b011)
+    ac = graph.key_for(0b101)
+    abc = graph.key_for(0b111)
+    base.update({ab: 50.0, ac: 50.0, abc: 25.0})
+
+    lo_c = CardinalityOracle({**base, "b#x": 10.0, "c#y": 2.0})
+    lo_b = CardinalityOracle({**base, "b#x": 2.0, "c#y": 10.0})
+    res_c = plan_greedy(graph, lo_c, cm)
+    res_b = plan_greedy(graph, lo_b, cm)
+    assert res_c.order_str() == "JOIN(JOIN(a,c),b)"
+    assert res_b.order_str() == "JOIN(JOIN(a,b),c)"
+    # costs identical -- only the tie-break differs
+    assert res_c.cost == res_b.cost
+
+    # J3 alternatives: one retained plan per start factor, cheapest wins
+    assert res_c.alternatives is not None and len(res_c.alternatives) == 3
+    assert {a["start"] for a in res_c.alternatives} == {"a", "b", "c"}
+    assert min(a["cost"] for a in res_c.alternatives) == res_c.cost
+    assert res_c.order_str() in {a["order"] for a in res_c.alternatives}
