@@ -34,7 +34,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def _fixture_runner(name: str, planner: str) -> Callable:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         configure_runtime(spark)
-        return workload.run_fixture(spark, sf_dir, name, planner=planner)
+        oracle = (
+            workload.true_oracle(sf_dir) if name in _TRUE_ORACLE_FIXTURES else None
+        )
+        return workload.run_fixture(
+            spark, sf_dir, name, planner=planner, oracle=oracle
+        )
 
     return run
 
@@ -50,6 +55,19 @@ _FIXTURE_PLANNERS = {
     "join_preds_3": "dp_ccp",
     "join_events_8": "dp_ccp",
     "join_group_3": "greedy",
+    "join_outer_3": "dp_ccp",       # J14 left-outer typing
+    "join_outer_removed": "greedy",  # J11 outer-join removal
+    "join_outer_full": "dp_ccp",     # J14 2-factor full outer
+    "join_selfjoin_removed": "dp_ccp",  # J12 self-join removal
+}
+
+# removal rewrites need true distinct/row metadata to prove uniqueness;
+# the stats oracle deliberately lacks it, so these plan with TrueCount
+_TRUE_ORACLE_FIXTURES = {
+    "join_outer_removed",
+    "join_selfjoin_removed",
+    "join_outer_3",
+    "join_outer_full",
 }
 
 

@@ -186,12 +186,14 @@ class Renderer:
         right = self.render(node.right)
         left, right = self._apply_strategy(node, left, right)
         if not node.preds:
-            return left.crossJoin(right)  # J15 fallback
+            if node.how == "inner":
+                return left.crossJoin(right)  # J15 fallback
+            return left.join(right, on=F.lit(True), how=node.how)
         cond = None
         for p in node.preds:
             c = pred_to_column(p)
             cond = c if cond is None else (cond & c)
-        return left.join(right, on=cond, how="inner")
+        return left.join(right, on=cond, how=node.how)
 
     def _apply_strategy(self, node: Join, left: DataFrame, right: DataFrame):
         """Map the cost model's physical choice to a Spark join-strategy
@@ -206,6 +208,10 @@ class Renderer:
         SHUFFLE_HASH on the right (skip sort-merge's sorts).  Without a
         cost model, fall back to the estimate-based broadcast rule."""
         cm = self.cost_model
+        if node.how != "inner":
+            # outer joins: Spark picks the strategy; a broadcast hint on
+            # the preserved side could flip the build side illegally
+            return left, right
         if (
             cm is not None
             and getattr(cm, "name", "") == "mm"
@@ -224,8 +230,31 @@ class Renderer:
             )
             if index_nlj_wins and left_card <= self.broadcast_threshold:
                 return F.broadcast(left), right
-            return left, right.hint("shuffle_hash")
+            # J13 build-side choice (swapInputs :1907-1936): build the
+            # hash table on the smaller side; equal row counts break on
+            # row width (rowWidthCost :1024-1037 -- skinnier builds).
+            # Spark's SHUFFLE_HASH hint marks the build side directly, so
+            # no tree swap is needed.
+            lw = self._row_width(node.left)
+            rw = self._row_width(node.right)
+            if (right_card, rw) <= (left_card, lw):
+                return left, right.hint("shuffle_hash")
+            return left.hint("shuffle_hash"), right
         return left, self._maybe_broadcast(node.right, right)
+
+    def _row_width(self, node: PlanNode) -> int:
+        """rowWidthCost analog (MyLoptOptimizeJoinRule.java:1024-1037):
+        the width of the node itself plus the widths of its children, so
+        a wide subtree low in the plan costs every join above it.  Width
+        of a factor = the columns this query actually reads from it
+        (post-pruning, which is what flows through the join)."""
+        w = sum(
+            len(self.needed_cols[self.graph.aliases[i]])
+            for i in bits(node.factors)
+        )
+        if isinstance(node, Join):
+            w += self._row_width(node.left) + self._row_width(node.right)
+        return w
 
     def finish(self, df: DataFrame) -> DataFrame:
         """Apply post-join filters (P4), the output projection/aggregation
@@ -299,9 +328,46 @@ def query_to_sql(q: ParsedQuery) -> str:
     analog of the reference's plain-Postgres baseline row,
     QueryOptExperiment.java:694-697)."""
     sel = ", ".join(it.sql() for it in q.select)
-    frm = ", ".join(f"{t} AS {a}" for t, a in q.tables)
+    ng = q.null_generating
+    if not ng:
+        frm = ", ".join(f"{t} AS {a}" for t, a in q.tables)
+        # on_filters belong here too: with every outer join simplified to
+        # inner, ON-filter and WHERE-filter semantics coincide
+        conds = [
+            p.sql()
+            for p in q.join_preds + q.filters + q.on_filters
+            + q.post_join_filters
+        ]
+    elif q.full_outer:
+        (t0, a0), (t1, a1) = q.tables
+        on = " AND ".join(p.sql() for p in q.join_preds) or "TRUE"
+        frm = f"{t0} AS {a0} FULL JOIN {t1} AS {a1} ON {on}"
+        conds = [p.sql() for p in q.post_join_filters]
+    else:
+        # inner core chains with CROSS JOIN (comma binds looser than JOIN,
+        # so a later ON could not see earlier comma-tables); each
+        # null-generating factor appends as LEFT JOIN with its equi-preds
+        # and its own single-alias filters in the ON clause
+        frm = " CROSS JOIN ".join(
+            f"{t} AS {a}" for t, a in q.tables if a not in ng
+        )
+        covered = {a for _, a in q.tables if a not in ng}
+        conds = [p.sql() for p in q.join_preds if not (p.aliases & ng)]
+        conds += [p.sql() for p in q.filters if p.col.alias not in ng]
+        conds += [p.sql() for p in q.on_filters if p.col.alias not in ng]
+        conds += [p.sql() for p in q.post_join_filters]
+        for t, a in q.tables:
+            if a not in ng:
+                continue
+            ons = [
+                p.sql()
+                for p in q.join_preds
+                if a in p.aliases and p.aliases <= covered | {a}
+            ]
+            ons += [p.sql() for p in q.on_filters if p.col.alias == a]
+            frm += f" LEFT JOIN {t} AS {a} ON {' AND '.join(ons) or 'TRUE'}"
+            covered.add(a)
     sql = f"SELECT {sel} FROM {frm}"
-    conds = [p.sql() for p in q.join_preds + q.filters + q.post_join_filters]
     if conds:
         sql += " WHERE " + " AND ".join(conds)
     if q.group_by:

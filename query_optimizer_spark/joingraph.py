@@ -52,6 +52,12 @@ class JoinGraph:
     edges: list[Edge]
     post_join_filters: tuple[Predicate, ...] = ()
     query: ParsedQuery | None = None
+    # J14: bitmask of null-generating factors (LoptMultiJoin
+    # .isNullGenerating).  Planners order the inner core freely and
+    # attach these on top as LEFT joins; full_outer marks the 2-factor
+    # FULL OUTER case (MyLoptOptimizeJoinRule.addToTop :1231-1239).
+    null_generating: int = 0
+    full_outer: bool = False
 
     # --- construction ----------------------------------------------------
     @classmethod
@@ -65,6 +71,9 @@ class JoinGraph:
             merged.setdefault(key, []).append(p)
         edges = [Edge(f, tuple(ps)) for f, ps in sorted(merged.items())]
         filters = {a: tuple(q.filters_for(a)) for a in aliases}
+        null_gen = 0
+        for a in q.null_generating:
+            null_gen |= 1 << idx[a]
         return cls(
             aliases=aliases,
             tables={a: t for t, a in q.tables},
@@ -72,6 +81,8 @@ class JoinGraph:
             edges=edges,
             post_join_filters=tuple(q.post_join_filters),
             query=q,
+            null_generating=null_gen,
+            full_outer=q.full_outer,
         )
 
     # --- topology ---------------------------------------------------------
@@ -121,7 +132,13 @@ class JoinGraph:
 
     def components(self) -> list[int]:
         """Connected components of the full graph, ascending first-bit."""
-        remaining = self.all_factors
+        return self.components_of(self.all_factors)
+
+    def components_of(self, mask: int) -> list[int]:
+        """Connected components restricted to ``mask``, ascending
+        first-bit (used to plan the inner core separately from the
+        null-generating factors)."""
+        remaining = mask
         comps: list[int] = []
         while remaining:
             start = remaining & (-remaining)
@@ -150,6 +167,11 @@ class JoinGraph:
             a = self.aliases[i]
             t = self.tables[a]
             base = a if a == t else f"{a}={t}"
+            if (1 << i) & self.null_generating:
+                # outer-typed factor: its set cardinality differs from
+                # the inner-joined one, so the key must too
+                kind = "full" if self.full_outer else "left"
+                base = f"{kind}:{base}"
             fs = self.filters.get(a, ())
             if fs:
                 norm = "&".join(sorted(p.normalized() for p in fs))
@@ -190,6 +212,7 @@ class Join:
     right: "Leaf | Join"
     preds: tuple[Predicate, ...]   # may be empty -> cross join (J15)
     factors: int = field(default=0)
+    how: str = "inner"             # 'inner' | 'left' | 'full' (J14)
 
     def __post_init__(self):
         object.__setattr__(
@@ -198,8 +221,10 @@ class Join:
 
     def order_str(self) -> str:
         """Paren join-order string, same shape as MyUtils.JoinOrder
-        (MyUtils.java:45-55): ``JOIN(JOIN(a,b),c)``."""
-        return f"JOIN({self.left.order_str()},{self.right.order_str()})"
+        (MyUtils.java:45-55): ``JOIN(JOIN(a,b),c)``; outer joins carry
+        their type: ``LEFTJOIN(a,b)``."""
+        tag = "JOIN" if self.how == "inner" else f"{self.how.upper()}JOIN"
+        return f"{tag}({self.left.order_str()},{self.right.order_str()})"
 
 
 PlanNode = Leaf | Join
@@ -209,11 +234,26 @@ def make_join(graph: JoinGraph, left: PlanNode, right: PlanNode) -> Join:
     """Join two subtrees, attaching every edge now covered (the analog of
     addFilters, MyLoptOptimizeJoinRule.java:1295-1366: filters whose factor
     set is covered are ANDed into the join condition).  No covering edge ->
-    cross join with TRUE condition (RLJoinOrderRule.java:152-159)."""
+    cross join with TRUE condition (RLJoinOrderRule.java:152-159).
+
+    Join typing (J14, addToTop :1231-1239): adding a null-generating
+    factor set as the RHS makes the join LEFT; a 2-factor full-outer
+    graph makes it FULL; everything else is inner."""
     preds: list[Predicate] = []
     for e in graph.edges_between(left.factors, right.factors):
         preds.extend(e.preds)
-    return Join(left, right, tuple(preds))
+    how = "inner"
+    if graph.full_outer:
+        how = "full"
+    elif right.factors & graph.null_generating:
+        if right.factors & ~graph.null_generating:
+            raise AssertionError(
+                "null-generating factor mixed into an inner RHS"
+            )
+        how = "left"
+    elif left.factors & graph.null_generating and isinstance(left, Leaf):
+        raise AssertionError("null-generating factor used as join LHS")
+    return Join(left, right, tuple(preds), how=how)
 
 
 def leaves_of(graph: JoinGraph) -> list[Leaf]:
@@ -230,7 +270,9 @@ def iter_joins(node: PlanNode):
 
 def validate_tree(graph: JoinGraph, node: PlanNode) -> None:
     """Invariants from the reference (distinct factors QueryGraph.java:439,
-    :515; all factors covered exactly once)."""
+    :515; all factors covered exactly once; null-generating factors only
+    on the RHS of a left/full join -- outer joins do not commute with
+    inner joins below them)."""
     seen: set[int] = set()
     for leaf in _iter_leaves(node):
         if leaf.factor in seen:
@@ -238,6 +280,11 @@ def validate_tree(graph: JoinGraph, node: PlanNode) -> None:
         seen.add(leaf.factor)
     if node.factors != graph.all_factors:
         raise AssertionError("plan does not cover all factors")
+    for j in iter_joins(node):
+        if j.right.factors & graph.null_generating and j.how == "inner":
+            raise AssertionError(
+                "null-generating factor joined without outer typing"
+            )
 
 
 def _iter_leaves(node: PlanNode):

@@ -23,7 +23,7 @@ import json
 import random
 from pathlib import Path
 
-from .joingraph import JoinGraph, bits
+from .joingraph import JoinGraph, bits, popcount
 
 
 class CardinalityMissError(KeyError):
@@ -51,6 +51,15 @@ class CardinalityOracle:
         self, graph: JoinGraph, alias: str, columns: tuple[str, ...]
     ) -> float:
         key = f"{alias}#{','.join(sorted(columns))}"
+        try:
+            return float(self.cards[key])
+        except KeyError:
+            raise CardinalityMissError(key) from None
+
+    def table_rows(self, graph: JoinGraph, alias: str) -> float:
+        """Unfiltered base-table row count (uniqueness checks: keys are
+        unique iff distinct_count == table_rows)."""
+        key = f"{alias}#rows"
         try:
             return float(self.cards[key])
         except KeyError:
@@ -105,6 +114,12 @@ class TrueCountOracle(CardinalityOracle):
         return self.cards[key]
 
     def _count(self, graph: JoinGraph, s: int) -> int:
+        ng = s & getattr(graph, "null_generating", 0)
+        # outer semantics only apply to MIXED sets (a singleton -- even a
+        # null-generating one -- is just its filtered scan) or the
+        # 2-factor full-outer pair
+        if ng and (s & ~ng or (graph.full_outer and popcount(s) == 2)):
+            return self._count_outer(graph, s, ng)
         froms = []
         conds = []
         for i in bits(s):
@@ -122,6 +137,68 @@ class TrueCountOracle(CardinalityOracle):
             sql += " WHERE " + " AND ".join(conds)
         return self._connection().execute(sql).fetchone()[0]
 
+    def _sub(self, graph: JoinGraph, alias: str) -> str:
+        """Factor rendered as a filtered subselect (outer-join counting:
+        a null-generating side's filters belong to its input, not WHERE)."""
+        t = graph.tables[alias]
+        src = f"read_parquet('{self.sf_dir}/{t}.parquet')"
+        fs = graph.filters.get(alias, ())
+        if fs:
+            conds = " AND ".join(p.sql() for p in fs)
+            return f"(SELECT * FROM {src} AS {alias} WHERE {conds}) AS {alias}"
+        return f"{src} AS {alias}"
+
+    def _count_outer(self, graph: JoinGraph, s: int, ng: int) -> int:
+        """True cardinality of a set containing null-generating factors:
+        the inner part chains with CROSS JOIN + WHERE (comma semantics),
+        each null-generating factor appends as LEFT JOIN ... ON its edge
+        predicates, with its own filters pushed into a subselect (that IS
+        the ON-filter semantics the parser admits).  The 2-factor FULL
+        OUTER case renders directly."""
+        if graph.full_outer:
+            a0, a1 = (graph.aliases[i] for i in bits(s))
+            ons = [
+                p.sql()
+                for e in graph.edges
+                if (e.factors & s) == e.factors
+                for p in e.preds
+            ]
+            on = " AND ".join(ons) or "TRUE"
+            sql = (
+                f"SELECT count(*) FROM {self._sub(graph, a0)} "
+                f"FULL JOIN {self._sub(graph, a1)} ON {on}"
+            )
+            return self._connection().execute(sql).fetchone()[0]
+        inner = s & ~ng
+        froms = []
+        conds = []
+        for i in bits(inner):
+            a = graph.aliases[i]
+            froms.append(
+                f"read_parquet('{self.sf_dir}/{graph.tables[a]}.parquet') AS {a}"
+            )
+            conds.extend(p.sql() for p in graph.filters.get(a, ()))
+        for e in graph.edges:
+            if (e.factors & inner) == e.factors:
+                conds.extend(p.sql() for p in e.preds)
+        frm = " CROSS JOIN ".join(froms)
+        covered = inner
+        for g in bits(ng):
+            a = graph.aliases[g]
+            ons = [
+                p.sql()
+                for e in graph.edges
+                if (e.factors & (covered | (1 << g))) == e.factors
+                and e.factors & (1 << g)
+                for p in e.preds
+            ]
+            frm += f" LEFT JOIN {self._sub(graph, a)} ON {' AND '.join(ons) or 'TRUE'}"
+            covered |= 1 << g
+        sql = f"SELECT count(*) FROM {frm}"
+        if conds:
+            sql += " WHERE " + " AND ".join(conds)
+        return self._connection().execute(sql).fetchone()[0]
+
     def distinct_count(
         self, graph: JoinGraph, alias: str, columns: tuple[str, ...]
     ) -> float:
@@ -134,6 +211,19 @@ class TrueCountOracle(CardinalityOracle):
                 .execute(
                     f"SELECT count(DISTINCT ({cols})) FROM "
                     f"read_parquet('{self.sf_dir}/{t}.parquet')"
+                )
+                .fetchone()[0]
+            )
+        return self.cards[key]
+
+    def table_rows(self, graph: JoinGraph, alias: str) -> float:
+        key = f"{alias}#rows"
+        if key not in self.cards:
+            t = graph.tables[alias]
+            self.cards[key] = float(
+                self._connection()
+                .execute(
+                    f"SELECT count(*) FROM read_parquet('{self.sf_dir}/{t}.parquet')"
                 )
                 .fetchone()[0]
             )

@@ -67,14 +67,35 @@ def _cum(graph, tree, oracle, cm) -> float:
     return cm.cumulative(graph, tree, oracle)
 
 
+def _attach_outer(graph: JoinGraph, tree: PlanNode | None) -> PlanNode:
+    """Attach null-generating factors on top as LEFT joins in factor
+    order (J14 -- the reference types the join LEFT whenever the added
+    factor is null-generating, addToTop :1231-1239; outer joins don't
+    commute with the inner core, so they are not search candidates).
+    For the 2-factor FULL OUTER case the 'core' is the first factor."""
+    ng = graph.null_generating
+    if not ng:
+        assert tree is not None
+        return tree
+    pending = list(bits(ng))
+    if tree is None:  # full outer: no inner core at all
+        tree = _leaf(graph, pending.pop(0))
+    for g in pending:
+        tree = make_join(graph, tree, _leaf(graph, g))
+    return tree
+
+
 def _plan_components(graph, oracle, cm, plan_component) -> tuple[PlanNode, float]:
-    """Plan each connected component, then cross-join components in
-    ascending first-factor order (J15)."""
-    comps = graph.components()
+    """Plan each connected component of the INNER core, cross-join
+    components in ascending first-factor order (J15), then attach
+    null-generating factors as top LEFT joins (J14)."""
+    inner = graph.all_factors & ~graph.null_generating
+    comps = graph.components_of(inner)
     trees = [plan_component(c) for c in comps]
-    tree = trees[0]
+    tree = trees[0] if trees else None
     for t in trees[1:]:
         tree = make_join(graph, tree, t)
+    tree = _attach_outer(graph, tree)
     validate_tree(graph, tree)
     return tree, _cum(graph, tree, oracle, cm)
 
@@ -149,7 +170,8 @@ def plan_greedy(graph: JoinGraph, oracle, cm: CostModel) -> PlanResult:
     (findBestOrderings :462-504) and surfaced as ``alternatives``; the
     cheapest is the result."""
 
-    comps = graph.components()
+    inner = graph.all_factors & ~graph.null_generating
+    comps = graph.components_of(inner)
     per_comp_best: list[PlanNode] = []
     per_comp_alts: list[list[tuple[int, float, PlanNode]]] = []
 
@@ -194,10 +216,12 @@ def plan_greedy(graph: JoinGraph, oracle, cm: CostModel) -> PlanResult:
         per_comp_best.append(best[2])
         per_comp_alts.append(alts)
 
-    # cross-join components (J15) around each component's best tree
-    tree = per_comp_best[0]
+    # cross-join components (J15) around each component's best tree,
+    # then attach null-generating factors on top (J14)
+    tree = per_comp_best[0] if per_comp_best else None
     for t in per_comp_best[1:]:
         tree = make_join(graph, tree, t)
+    tree = _attach_outer(graph, tree)
     validate_tree(graph, tree)
     cost = _cum(graph, tree, oracle, cm)
 
@@ -210,6 +234,7 @@ def plan_greedy(graph: JoinGraph, oracle, cm: CostModel) -> PlanResult:
             for cj in range(len(comps)):
                 part = t if cj == ci else per_comp_best[cj]
                 full = part if full is None else make_join(graph, full, part)
+            full = _attach_outer(graph, full)
             alternatives.append(
                 {
                     "start": graph.aliases[start],
@@ -234,7 +259,7 @@ def _enumerate_csg(graph: JoinGraph, comp: int):
         s = 1 << v
         yield s
         bv = (1 << (v + 1)) - 1  # B_v = nodes with index <= v
-        yield from _enumerate_csg_rec(graph, s, bv & comp)
+        yield from _enumerate_csg_rec(graph, s, bv & comp, comp)
 
 
 def _subsets(mask: int):
@@ -247,14 +272,17 @@ def _subsets(mask: int):
         yield sub
 
 
-def _enumerate_csg_rec(graph: JoinGraph, s: int, x: int):
-    n = graph.neighbors(s) & ~x
+def _enumerate_csg_rec(graph: JoinGraph, s: int, x: int, comp: int):
+    # neighbors masked to comp: the component being planned may be a
+    # strict subset of the graph (the inner core when null-generating
+    # factors exist), and enumeration must not leak outside it
+    n = graph.neighbors(s) & comp & ~x
     if not n:
         return
     for sub in _subsets(n):
         yield s | sub
     for sub in _subsets(n):
-        yield from _enumerate_csg_rec(graph, s | sub, x | n)
+        yield from _enumerate_csg_rec(graph, s | sub, x | n, comp)
 
 
 def _enumerate_cmp(graph: JoinGraph, comp: int, s1: int):
@@ -263,12 +291,12 @@ def _enumerate_cmp(graph: JoinGraph, comp: int, s1: int):
     min_v = next(bits(s1))
     b_min = (1 << (min_v + 1)) - 1
     x = (b_min | s1) & comp
-    n = graph.neighbors(s1) & ~x
+    n = graph.neighbors(s1) & comp & ~x
     for v in sorted(bits(n), reverse=True):
         s2 = 1 << v
         yield s2
         bv = ((1 << (v + 1)) - 1) & n
-        yield from _enumerate_csg_rec(graph, s2, x | bv)
+        yield from _enumerate_csg_rec(graph, s2, x | bv, comp)
 
 
 def plan_dp_ccp(graph: JoinGraph, oracle, cm: CostModel) -> PlanResult:

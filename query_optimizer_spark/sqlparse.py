@@ -41,7 +41,8 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "select", "from", "where", "and", "or", "as", "between", "like", "not",
     "in", "is", "null", "group", "order", "by", "limit", "date", "asc",
-    "desc", "distinct",
+    "desc", "distinct", "left", "right", "full", "outer", "inner", "join",
+    "on",
 }
 
 
@@ -182,13 +183,27 @@ class ParsedQuery:
     group_by: list[ColumnRef] = field(default_factory=list)
     order_by: list[tuple[ColumnRef, str]] = field(default_factory=list)
     limit: int | None = None
+    # J14: aliases joined via LEFT [OUTER] JOIN -- the null-generating
+    # factors of the reference's MultiJoin (isNullGenerating).  A
+    # null-rejecting WHERE predicate on such an alias simplifies the
+    # outer join back to inner during parse (the standard rewrite), so
+    # membership here means the outer semantics actually survive.
+    null_generating: set[str] = field(default_factory=set)
+    full_outer: bool = False  # 2-table FULL OUTER (ref addToTop :1231-1234)
+    # single-alias conjuncts from an ON clause: same leaf placement as
+    # WHERE filters (pre-filtering the null-generating input IS the ON
+    # semantics) but they must NOT trigger outer-to-inner simplification
+    # and render inside ON, not WHERE
+    on_filters: list[Predicate] = field(default_factory=list)
 
     @property
     def aliases(self) -> list[str]:
         return [a for _, a in self.tables]
 
     def filters_for(self, alias: str) -> list[Predicate]:
-        return [p for p in self.filters if p.col.alias == alias]
+        return [
+            p for p in self.filters + self.on_filters if p.col.alias == alias
+        ]
 
 
 def tokenize(sql: str) -> list[str]:
@@ -271,6 +286,7 @@ class _Parser:
         alias_set = set(q.aliases)
         if len(alias_set) != len(q.aliases):
             raise ParseError("duplicate alias in FROM")
+        self.parse_outer_joins(q, alias_set)
         if self.accept_kw("where"):
             for pred in self.parse_conjuncts():
                 for a in pred.aliases:
@@ -282,6 +298,7 @@ class _Parser:
                     q.post_join_filters.append(pred)
                 else:
                     q.filters.append(pred)
+        self.simplify_outer_joins(q)
         if self.accept_kw("group"):
             self.expect_kw("by")
             q.group_by.append(self.parse_colref())
@@ -346,18 +363,98 @@ class _Parser:
     def parse_from(self) -> list[tuple[str, str]]:
         tables: list[tuple[str, str]] = []
         while True:
-            table = self.next().lower()
-            nxt = self.peek()
-            if self.accept_kw("as"):
-                alias = self.next().lower()
-            elif nxt is not None and nxt.lower() not in _KEYWORDS and nxt not in {",", "("}:
-                alias = self.next().lower()
-            else:
-                alias = table
-            tables.append((table, alias))
+            tables.append(self._parse_table_ref())
             if not self.accept_kw(","):
                 break
         return tables
+
+    def _parse_table_ref(self) -> tuple[str, str]:
+        table = self.next().lower()
+        nxt = self.peek()
+        if self.accept_kw("as"):
+            alias = self.next().lower()
+        elif nxt is not None and nxt.lower() not in _KEYWORDS and nxt not in {",", "("}:
+            alias = self.next().lower()
+        else:
+            alias = table
+        return table, alias
+
+    def parse_outer_joins(self, q: ParsedQuery, alias_set: set[str]) -> None:
+        """``LEFT [OUTER] JOIN t [AS] a ON conj [AND conj]*`` clauses after
+        the comma-list (J14 input).  ``FULL [OUTER] JOIN`` is accepted only
+        in the 2-table form, matching the reference's assertion that a
+        full-outer MultiJoin has exactly two factors (addToTop
+        :1231-1234).  ON conjuncts route like WHERE conjuncts except that
+        a single-alias conjunct must sit on the null-generating side
+        (there it is equivalent to pre-filtering that input, which is how
+        the executor runs it); on the preserved side it would change
+        semantics, so it is rejected."""
+        while self.peek_kw() in {"left", "full", "right", "inner"}:
+            kind = self.next().lower()
+            if kind == "right":
+                raise ParseError("RIGHT JOIN unsupported: rewrite as LEFT")
+            if kind == "inner":
+                raise ParseError("INNER JOIN syntax unsupported: use FROM+WHERE")
+            self.accept_kw("outer")
+            self.expect_kw("join")
+            table, alias = self._parse_table_ref()
+            if alias in alias_set:
+                raise ParseError(f"duplicate alias {alias!r} in FROM")
+            q.tables.append((table, alias))
+            alias_set.add(alias)
+            if kind == "full":
+                if len(q.tables) != 2 or q.null_generating:
+                    raise ParseError("FULL OUTER JOIN requires exactly 2 tables")
+                q.full_outer = True
+                q.null_generating.update(a for _, a in q.tables)
+            else:
+                q.null_generating.add(alias)
+            self.expect_kw("on")
+            for pred in self.parse_conjuncts():
+                for a in pred.aliases:
+                    if a not in alias_set:
+                        raise ParseError(f"unknown alias {a!r} in ON")
+                if pred.is_equijoin:
+                    q.join_preds.append(pred)
+                elif len(pred.aliases) == 1:
+                    if kind == "full":
+                        raise ParseError(
+                            "single-alias ON conjunct unsupported in FULL JOIN"
+                        )
+                    if pred.col.alias != alias:
+                        raise ParseError(
+                            "ON filter must reference the null-generating side"
+                        )
+                    q.on_filters.append(pred)
+                else:
+                    raise ParseError("non-equi two-alias ON conjunct unsupported")
+
+    def simplify_outer_joins(self, q: ParsedQuery) -> None:
+        """Outer-to-inner simplification: a null-rejecting WHERE predicate
+        on a null-generating alias filters out every null-extended row, so
+        the outer join degenerates to inner (the rewrite Calcite runs
+        before LoptOptimizeJoinRule ever sees the MultiJoin).  Every
+        predicate kind except IS NULL is null-rejecting.  A 2-table FULL
+        join simplifies side-by-side: one surviving side -> LEFT, none ->
+        inner."""
+        if not q.null_generating:
+            return
+        rejecting: set[str] = set()
+        for p in q.filters:
+            if p.kind != "isnull" and p.col.alias in q.null_generating:
+                rejecting.add(p.col.alias)
+        for p in q.post_join_filters:
+            for a in p.aliases & q.null_generating:
+                rejecting.add(a)
+        for p in q.filters:
+            if p.kind == "isnull" and p.col.alias in q.null_generating:
+                raise ParseError(
+                    "IS NULL on an outer-joined alias (anti-join) unsupported"
+                )
+        if rejecting:
+            q.null_generating -= rejecting
+            if q.full_outer and len(q.null_generating) < 2:
+                q.full_outer = False
 
     def parse_conjuncts(self) -> list[Predicate]:
         preds = [self.parse_predicate()]

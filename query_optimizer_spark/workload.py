@@ -92,6 +92,41 @@ FIXTURES: dict[str, str] = {
         GROUP BY n1.n_name
         ORDER BY n1.n_name ASC
     """,
+    # J14: LEFT OUTER join kept in the plan (orders columns projected;
+    # the ON filter pre-filters the null-generating side)
+    "join_outer_3": """
+        SELECT MIN(c.c_name) AS min_name, MIN(o.o_totalprice) AS min_price,
+               COUNT(c.c_custkey) AS n_rows
+        FROM customer c, nation n1
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+          AND o.o_totalprice > 150000
+        WHERE c.c_nationkey = n1.n_nationkey AND n1.n_name = 'NATION_3'
+    """,
+    # J11: removable outer join -- nothing projects orders and
+    # o_orderkey is unique, so the planner drops the factor entirely;
+    # the DuckDB oracle still runs the full LEFT JOIN (result-invariance
+    # is what the hash check proves)
+    "join_outer_removed": """
+        SELECT MIN(l.l_extendedprice) AS min_ep, COUNT(l.l_orderkey) AS n_rows
+        FROM lineitem l
+        LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_quantity > 45
+    """,
+    # J14: 2-factor FULL OUTER (deliberately mismatched keys so both
+    # null-extension directions occur)
+    "join_outer_full": """
+        SELECT COUNT(n1.n_nationkey) AS n_nations, COUNT(r.r_regionkey) AS n_regions,
+               MIN(n1.n_name) AS min_nation
+        FROM nation n1
+        FULL JOIN region r ON n1.n_nationkey = r.r_regionkey
+    """,
+    # J12: removable self-join -- customer joined to itself on its
+    # unique key collapses to one scan; oracle runs the 2-scan SQL
+    "join_selfjoin_removed": """
+        SELECT MIN(c1.c_name) AS min_name, MAX(c2.c_acctbal) AS max_bal
+        FROM customer c1, customer c2
+        WHERE c1.c_custkey = c2.c_custkey AND c1.c_mktsegment = 'BUILDING'
+    """,
 }
 
 
@@ -127,12 +162,16 @@ def run_fixture(
     cost_model: str = "cm1",
     oracle=None,
 ):
-    """Full pipeline: parse -> join graph -> plan -> explicit Spark join
-    chain -> final projection.  Planning uses the stats oracle by default
-    (cheap estimates); pass a TrueCountOracle for exact-cost planning."""
+    """Full pipeline: parse -> removal rewrites (J11/J12) -> join graph ->
+    plan -> explicit Spark join chain -> final projection.  Planning uses
+    the stats oracle by default (cheap estimates; its missing
+    distinct/rows metadata makes the removal rewrites a no-op); pass a
+    TrueCountOracle for exact-cost planning and active join removal."""
+    from .rewrites import simplify
+
     sql = FIXTURES[name]
-    graph = JoinGraph.from_query(parse(sql))
     oracle = oracle or stats_oracle(sf_dir)
+    graph = simplify(parse(sql), oracle)
     cm = get_cost_model(cost_model)
     res = PLANNERS[planner](graph, oracle, cm)
     if res is None:
