@@ -123,3 +123,37 @@ def test_timed_execution_charges_timeout(spark):
     # and a fast query under the same API completes normally
     out, ms = timed_execution(li.limit(5), timeout_s=60.0, group="t-fast")
     assert out is not None and out[0] == 5 and ms < 60_000
+
+
+def test_wire_protocol_loopback():
+    """Stretch item (VERDICT r1 #10): the socket front-end reproduces the
+    reference's two-phase message flows (ZeroMQServer.java:101-266) --
+    a full episode driven entirely over the wire, including the 3-phase
+    setQueries, 2-phase step/getJoinsCost, and the vertices-ack-edges
+    getQueryGraph exchange."""
+    from query_optimizer_spark.park_server import ParkClient, ParkServer
+
+    server = ParkServer(make_session()).serve_in_background()
+    c = ParkClient(server.host, server.port)
+    c.setQueries("train", {"q_chain_3": ALL["q_chain_3"]})
+    c.train()
+    c.reset()
+    assert c.getCurrentQueryName() == "q_chain_3"
+    assert c.curQuery().strip().lower().startswith("select")
+    vertices, edges = c.getQueryGraph()
+    assert len(vertices) == 3 and len(edges) == 2
+    rewards = []
+    while not c.isDone():
+        actions = c.getActions()
+        c.step(actions[0])
+        rewards.append(c.getReward())
+    assert rewards and all(r <= 0 for r in rewards)
+    assert c.joinOrderSeq().startswith("JOIN(")
+    assert c.getOptPlan().startswith("JOIN(")
+    assert c.getJoinsCost("dp_ccp") > 0
+    # unknown commands echo back, like the reference's DEFAULT branch
+    from query_optimizer_spark.park_server import _recv, _send
+
+    _send(c.sock, "bogusCommand")
+    assert _recv(c.sock) == "bogusCommand"
+    c.end()
