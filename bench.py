@@ -36,7 +36,7 @@ def main() -> None:
         "sql_agg_pricing", "sql_window_rank", "sql_q5_local_revenue",
         "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
         "dedup_simhash", "dedup_embedding_cosine",
-        "sim_bruteforce_topk", "sim_lsh_ann_topk",
+        "sim_bruteforce_topk", "sim_lsh_ann_topk", "sim_ivf_topk",
         "text_token_count", "text_quality_score", "text_fingerprint",
         "evt_hourly_rollup", "evt_sessionize", "evt_asof_join",
         "stream_hourly_counts",

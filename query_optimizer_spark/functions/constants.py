@@ -45,6 +45,8 @@ EMB_QUANT = 1000
 COSINE_DUP_THRESHOLD = 0.4   # near-dup pair threshold (data max ~0.51)
 ANN_TOP_K = 5
 ANN_N_QUERIES = 8            # first N vec_ids serve as the query set
+IVF_N_CENTROIDS = 32         # coarse quantizer size (vec_id < N as centroids)
+IVF_NPROBE = 4               # probed inverted lists per query
 
 # random-hyperplane LSH for ANN: 16 planes; component w[p][d] from an LCG
 # so both engines can materialize the same planes.  Banding: 4 bands x 4

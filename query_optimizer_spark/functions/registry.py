@@ -39,6 +39,10 @@ PIPELINE_OPS: dict[str, tuple] = {
         similarity.lsh_ann_topk,
         similarity.lsh_ann_topk_oracle(),
     ),
+    "sim_ivf_topk": (
+        similarity.ivf_topk,
+        similarity.ivf_topk_oracle(),
+    ),
     # multimodal plumbing (mapInPandas path)
     "mm_binary_stats": (
         multimodal.binary_stats,

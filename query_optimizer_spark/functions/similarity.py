@@ -23,6 +23,8 @@ from .constants import (
     ANN_N_QUERIES,
     ANN_TOP_K,
     EMB_QUANT,
+    IVF_N_CENTROIDS,
+    IVF_NPROBE,
     LSH_BAND_BITS,
     LSH_BANDS,
     LSH_LCG_A,
@@ -211,5 +213,113 @@ def lsh_ann_topk_oracle() -> str:
                    ROW_NUMBER() OVER (PARTITION BY query_id
                                       ORDER BY cosine DESC, neighbor_id) AS rank
             FROM scored
+        ) WHERE rank <= {ANN_TOP_K}
+    """
+
+
+# --- IVF ANN -----------------------------------------------------------------
+
+_COS = "round({dot} / (sqrt(cast({n2a} as double)) * sqrt(cast({n2b} as double))), 6)"
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a small coarse quantizer (the first
+    ``IVF_N_CENTROIDS`` vectors -- a deterministic stand-in for trained
+    k-means centroids, which keeps the DuckDB oracle bit-exact while the
+    Spark plumbing is identical to the trained case) partitions the
+    table into inverted lists; each query probes its ``IVF_NPROBE``
+    nearest lists and exact-cosine re-ranks only those candidates.
+
+    Scale shape: centroids broadcast (fixed small size), list assignment
+    is one pass + a per-vector top-1 window, the probe join is bucketed
+    on ``cent_id`` -- never all-pairs.  At 100 TB the inverted lists
+    would be written bucketed-by-cent_id so the probe join is
+    shuffle-free.
+    """
+    emb = _quantized(spark, sf_dir)
+    cents = (
+        emb.filter(F.col("vec_id") < IVF_N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("q").alias("cq"),
+            F.col("n2").alias("cn2"),
+        )
+    )
+    dot = DOT_SPARK.format(a="q", b="cq")
+    scored = emb.join(F.broadcast(cents)).select(
+        "vec_id",
+        "q",
+        "n2",
+        "cent_id",
+        F.expr(_COS.format(dot=dot, n2a="n2", n2b="cn2")).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
+    ranked = scored.withColumn("crank", F.row_number().over(w))
+    assign = ranked.filter(F.col("crank") == 1).select("vec_id", "q", "n2", "cent_id")
+    probes = ranked.filter(
+        (F.col("vec_id") < ANN_N_QUERIES) & (F.col("crank") <= IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+        "cent_id",
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    dot2 = DOT_SPARK.format(a="qq", b="q")
+    rescored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(_COS.format(dot=dot2, n2a="qn2", n2b="n2")).alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_topk_oracle() -> str:
+    return f"""
+        WITH {_SQL_QUANT},
+        cents AS (
+            SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM qn
+            WHERE vec_id < {IVF_N_CENTROIDS}
+        ),
+        scored AS (
+            SELECT v.vec_id, v.q, v.n2, c.cent_id,
+                   round(list_sum([v.q[i] * c.cq[i] for i in generate_series(1, len(v.q))])
+                         / (sqrt(v.n2::DOUBLE) * sqrt(c.cn2::DOUBLE)), 6) AS csim
+            FROM qn v, cents c
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY csim DESC, cent_id) AS crank
+            FROM scored
+        ),
+        assign AS (
+            SELECT vec_id, q, n2, cent_id FROM ranked WHERE crank = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, q AS qq, n2 AS qn2, cent_id
+            FROM ranked WHERE vec_id < {ANN_N_QUERIES} AND crank <= {IVF_NPROBE}
+        ),
+        rescored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   round(list_sum([p.qq[i] * a.q[i] for i in generate_series(1, len(p.qq))])
+                         / (sqrt(p.qn2::DOUBLE) * sqrt(a.n2::DOUBLE)), 6) AS cosine
+            FROM assign a JOIN probes p USING (cent_id)
+            WHERE a.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM rescored
         ) WHERE rank <= {ANN_TOP_K}
     """

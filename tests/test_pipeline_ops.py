@@ -118,3 +118,20 @@ def test_lsh_ann_quality(spark, duck):
         len(bf_top[q] & ann_top.get(q, set())) / len(bf_top[q]) for q in bf_top
     ]
     assert sum(overlaps) / len(overlaps) > 0.2  # candidates are ~2/256 bands
+
+
+def test_ivf_ann_quality(spark):
+    """IVF with nprobe=4 of 32 lists should recover a solid fraction of
+    the exact top-k (approximation sanity; bit-exactness vs DuckDB is
+    covered by the parametrized oracle test)."""
+    bf = PIPELINE_OPS["sim_bruteforce_topk"][0](spark, SF_DIR).collect()
+    ivf = PIPELINE_OPS["sim_ivf_topk"][0](spark, SF_DIR).collect()
+    bf_top, ivf_top = {}, {}
+    for r in bf:
+        bf_top.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in ivf:
+        ivf_top.setdefault(r.query_id, set()).add(r.neighbor_id)
+    overlaps = [
+        len(bf_top[q] & ivf_top.get(q, set())) / len(bf_top[q]) for q in bf_top
+    ]
+    assert sum(overlaps) / len(overlaps) > 0.3  # nprobe 4/32 lists
