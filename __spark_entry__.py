@@ -52,7 +52,7 @@ _FIXTURE_PLANNERS = {
     "join_cycle_7": "dp_ccp",
     "join_cross_2": "dp_ccp",
     "join_selfjoin_4": "branch_and_bound",
-    "join_preds_3": "dp_ccp",
+    "join_preds_3": "bushy",  # J8 greedy-bushy heuristic
     "join_events_8": "dp_ccp",
     "join_group_3": "greedy",
     "join_outer_3": "dp_ccp",       # J14 left-outer typing

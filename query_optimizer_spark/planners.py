@@ -378,6 +378,47 @@ def plan_left_deep(graph: JoinGraph, oracle, cm: CostModel) -> PlanResult:
 
 
 # ---------------------------------------------------------------------------
+# Greedy-bushy heuristic (J8)
+# ---------------------------------------------------------------------------
+
+
+def plan_bushy(graph: JoinGraph, oracle, cm: CostModel) -> PlanResult:
+    """J8: greedy-bushy heuristic after Calcite's
+    MultiJoinOptimizeBushyRule, which the reference registers as a
+    secondary rule (QueryOptExperiment.java:101-109,114): keep a forest
+    of subtrees and repeatedly join the edge-connected PAIR whose joined
+    node is cheapest, wherever it sits -- unlike left-deep greedy the
+    result can be bushy.  O(E * V) with memoized pair costs; the shape
+    that finds (A⋈B)⋈(C⋈D) plans greedy-linear search misses."""
+
+    def component(comp: int) -> PlanNode:
+        forest: dict[int, PlanNode] = {
+            1 << i: _leaf(graph, i) for i in bits(comp)
+        }
+        while len(forest) > 1:
+            roots = list(forest)
+            best: tuple[float, int, int, PlanNode] | None = None
+            for ai, a in enumerate(roots):
+                for b in roots[ai + 1:]:
+                    if not graph.edges_between(a, b):
+                        continue
+                    tree = make_join(graph, forest[a], forest[b])
+                    c = cm.node_cost(graph, tree, oracle)
+                    if best is None or c < best[0]:
+                        best = (c, a, b, tree)
+            if best is None:  # disconnected remainder: cross-join fallback
+                a, b = roots[0], roots[1]
+                best = (0.0, a, b, make_join(graph, forest[a], forest[b]))
+            _, a, b, tree = best
+            del forest[a], forest[b]
+            forest[tree.factors] = tree
+        return next(iter(forest.values()))
+
+    tree, cost = _plan_components(graph, oracle, cm, component)
+    return PlanResult(tree, cost, "bushy")
+
+
+# ---------------------------------------------------------------------------
 # Branch and bound (J6)
 # ---------------------------------------------------------------------------
 
@@ -439,6 +480,7 @@ PLANNERS = {
     "dp_ccp": plan_dp_ccp,
     "left_deep": plan_left_deep,
     "branch_and_bound": plan_branch_and_bound,
+    "bushy": plan_bushy,
     "random": plan_random,
 }
 

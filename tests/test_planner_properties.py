@@ -117,3 +117,33 @@ def test_greedy_distinct_count_tiebreak_changes_plan():
     assert {a["start"] for a in res_c.alternatives} == {"a", "b", "c"}
     assert min(a["cost"] for a in res_c.alternatives) == res_c.cost
     assert res_c.order_str() in {a["order"] for a in res_c.alternatives}
+
+
+def test_bushy_finds_balanced_plan():
+    """J8: on a 4-chain where the two endpoint pairs are each tiny but
+    any 3-subset is huge, greedy-bushy must produce the balanced
+    (A,B)x(C,D) tree that left-deep construction cannot express."""
+    from query_optimizer_spark.planners import plan_bushy
+    from query_optimizer_spark.sqlparse import parse
+
+    sql = (
+        "SELECT MIN(a.x) AS m FROM ta a, tb b, tc c, td d "
+        "WHERE a.x = b.x AND b.y = c.y AND c.z = d.z"
+    )
+    graph = JoinGraph.from_query(parse(sql))
+    cm = get_cost_model("cm1")
+    cards = {graph.key_for(1 << i): 1000.0 for i in range(4)}
+    for s, v in {
+        0b0011: 10.0,   # ab tiny
+        0b1100: 10.0,   # cd tiny
+        0b0110: 1e6,    # bc huge
+        0b0111: 1e6, 0b1110: 1e6, 0b1111: 20.0,
+    }.items():
+        cards[graph.key_for(s)] = v
+    oracle = CardinalityOracle(cards)
+    res = plan_bushy(graph, oracle, cm)
+    assert res.order_str() == "JOIN(JOIN(a,b),JOIN(c,d))"
+    # and it lands on the DP optimum here
+    from query_optimizer_spark.planners import plan_dp_ccp
+
+    assert res.cost == plan_dp_ccp(graph, oracle, cm).cost
