@@ -62,6 +62,7 @@ PIPELINE_OPS: dict[str, tuple] = {
         streaming.sessionize_stream_oracle(),
     ),
     "stream_dedup": (streaming.dedup_stream, streaming.dedup_stream_oracle()),
+    "stream_enrich": (streaming.enrich_stream, streaming.enrich_stream_oracle()),
     # corpus preparation
     "corpus_clean": (corpus.clean_text, corpus.clean_text_oracle()),
     "corpus_redact_pii": (corpus.redact_pii, corpus.redact_pii_oracle()),

@@ -13,6 +13,8 @@ same code tails a directory/Kafka source continuously.
 from .ops import (
     dedup_stream,
     dedup_stream_oracle,
+    enrich_stream,
+    enrich_stream_oracle,
     hourly_counts_stream,
     hourly_counts_stream_oracle,
     sessionize_stream,
@@ -28,4 +30,6 @@ __all__ = [
     "sessionize_stream_oracle",
     "dedup_stream",
     "dedup_stream_oracle",
+    "enrich_stream",
+    "enrich_stream_oracle",
 ]

@@ -87,6 +87,37 @@ def hourly_counts_stream_oracle() -> str:
     """
 
 
+def enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins the static
+    customer dimension on the user key (Spark re-reads / broadcasts the
+    static side per micro-batch -- the standard enrichment shape; at
+    100 TB the dimension would be a broadcast or bucketed table), then a
+    running per-(segment, event_type) aggregate in complete mode."""
+    sdf = stream_events(spark, sf_dir)
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    agg = (
+        sdf.join(dim, "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def enrich_stream_oracle() -> str:
+    return """
+        SELECT c.c_mktsegment, e.event_type, count(*) AS n_events,
+               round(sum(e.value), 3) AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+    """
+
+
 def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: the source is unioned with itself (a
     duplicated firehose), then ``dropDuplicatesWithinWatermark`` on the
