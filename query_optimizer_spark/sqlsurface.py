@@ -259,6 +259,33 @@ SURFACE: dict[str, str | tuple[str, str]] = {
                CASE WHEN c_acctbal IS NULL THEN -1.0 ELSE ROUND(c_acctbal, 2) END AS bal
         FROM customer
     """,
+    # left-outer aggregate: customers with no orders kept, NULL-safe agg
+    "sql_left_join_agg": """
+        SELECT c.c_mktsegment,
+               COUNT(c.c_custkey) AS n_cust,
+               COUNT(o.o_orderkey) AS n_orders,
+               ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 3) AS total_spend
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                          AND o.o_orderstatus = 'F'
+        GROUP BY c.c_mktsegment
+    """,
+    # anti-join via LEFT JOIN ... IS NULL (the classic orphan finder:
+    # customers with no big-ticket order)
+    "sql_left_antijoin": """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 250000
+        WHERE o.o_orderkey IS NULL
+    """,
+    # full outer with COALESCE key merge over mismatched domains
+    "sql_full_outer_merge": """
+        SELECT COALESCE(n.n_nationkey, r.r_regionkey) AS k,
+               n.n_name, r.r_name
+        FROM nation n
+        FULL JOIN region r ON n.n_nationkey = r.r_regionkey
+    """,
     # multi-join + agg + order: classic TPC-H Q5 shape
     "sql_q5_local_revenue": """
         SELECT n.n_name AS nation,

@@ -169,3 +169,12 @@ def test_row_width_cost():
     # a join's width includes itself plus both children (lower = heavier)
     tree = res.tree
     assert r._row_width(tree) > sum(widths.values())
+
+
+def test_outer_on_filter_reaches_scan(spark):
+    """The ON filter on the null-generating side is leaf-applied, so it
+    must push into the orders parquet scan like any inner filter."""
+    oracle = TrueCountOracle(SF_DIR)
+    df = run_fixture(spark, SF_DIR, "join_outer_3", oracle=oracle)
+    plan = physical_plan(df)
+    assert "GreaterThan(o_totalprice" in plan
