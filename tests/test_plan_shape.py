@@ -121,3 +121,21 @@ def test_get_true_reward():
     _, reward, _, _ = s.step(s.getActions()[0])
     # with identical oracles the true reward equals the training reward
     assert abs(s.getTrueReward() - reward) < 1e-9
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """Scale lint across the whole gate surface: no query may compile to
+    a CartesianProduct (unbounded pair blowup at 100 TB).  The explicit
+    cross-join fixture is exempt -- its cross is the declared semantics
+    and Spark renders it as a broadcast NLJ over the tiny side anyway."""
+    import __spark_entry__ as entry
+
+    exempt = {"join_cross_2"}
+    offenders = []
+    for name, fn in sorted(entry.queries().items()):
+        if name in exempt or name.startswith("stream_"):
+            continue  # streaming results come back as memory-sink scans
+        plan = physical_plan(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
