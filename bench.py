@@ -38,6 +38,7 @@ def main() -> None:
         "dedup_simhash", "dedup_embedding_cosine",
         "sim_bruteforce_topk", "sim_lsh_ann_topk", "sim_ivf_topk",
         "text_token_count", "text_quality_score", "text_fingerprint",
+        "text_bigram_topk", "skew_salted_join",
         "evt_hourly_rollup", "evt_sessionize", "evt_asof_join",
         "stream_hourly_counts",
         "corpus_vocab_topk", "corpus_tfidf_topk", "corpus_curate",

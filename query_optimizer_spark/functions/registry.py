@@ -5,7 +5,7 @@ Runner signature matches the driver contract: (spark, sf_dir) -> DataFrame.
 
 from __future__ import annotations
 
-from .. import streaming
+from .. import skew, streaming
 from . import clustering, corpus, dedup, multimodal, similarity, temporal, text
 
 PIPELINE_OPS: dict[str, tuple] = {
@@ -13,6 +13,7 @@ PIPELINE_OPS: dict[str, tuple] = {
     "text_token_count": (text.token_count, text.token_count_oracle()),
     "text_language_id": (text.language_id, text.language_id_oracle()),
     "text_quality_score": (text.quality_score, text.quality_score_oracle()),
+    "text_bigram_topk": (text.bigram_topk, text.bigram_topk_oracle()),
     "text_fingerprint": (text.fingerprint, text.fingerprint_oracle()),
     # dedup
     "dedup_exact": (dedup.exact_dedup, dedup.exact_dedup_oracle()),
@@ -63,6 +64,12 @@ PIPELINE_OPS: dict[str, tuple] = {
     ),
     "stream_dedup": (streaming.dedup_stream, streaming.dedup_stream_oracle()),
     "stream_enrich": (streaming.enrich_stream, streaming.enrich_stream_oracle()),
+    "stream_sliding_counts": (
+        streaming.sliding_counts_stream,
+        streaming.sliding_counts_stream_oracle(),
+    ),
+    # skew-aware execution (salted join; result-invariant vs plain SQL)
+    "skew_salted_join": (skew.skew_demo, skew.skew_demo_oracle()),
     # corpus preparation
     "corpus_clean": (corpus.clean_text, corpus.clean_text_oracle()),
     "corpus_redact_pii": (corpus.redact_pii, corpus.redact_pii_oracle()),

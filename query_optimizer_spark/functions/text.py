@@ -13,7 +13,7 @@ speed with column pruning (only ``doc_id`` and ``text`` are read).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .constants import (
     BPE_RE,
@@ -197,4 +197,52 @@ def fingerprint_oracle() -> str:
                                        for i in generate_series(1, len(w))]), 0)
                     % {MINHASH_P} AS BIGINT) AS fp
         FROM t
+    """
+
+
+# --- n-gram language-model counts --------------------------------------------
+
+BIGRAM_TOP_K = 40
+
+
+def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-K bigram counts -- the n-gram LM statistic every
+    training pipeline computes.  Bigrams form map-side from the token
+    array (no per-token explode+self-join), one partial-aggregated
+    shuffle on the bigram, then a distributed top-K
+    (TakeOrderedAndProject) exactly like vocabulary_topk."""
+    bigram_expr = (
+        f"CASE WHEN size({TOKS}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size({TOKS}) - 1), "
+        f"i -> concat(element_at({TOKS}, i), ' ', element_at({TOKS}, i + 1))) END"
+    )
+    grams = _docs(spark, sf_dir).select(
+        F.explode(F.expr(bigram_expr)).alias("bigram")
+    )
+    counts = grams.groupBy("bigram").agg(F.count("*").alias("cnt"))
+    topk = counts.orderBy(F.col("cnt").desc(), F.col("bigram")).limit(
+        BIGRAM_TOP_K
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("bigram"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "bigram", "cnt")
+    )
+
+
+def bigram_topk_oracle() -> str:
+    toks = sql_tokens("text")
+    return f"""
+        WITH t AS (SELECT {toks} AS toks FROM documents),
+        grams AS (
+            SELECT unnest([toks[i] || ' ' || toks[i + 1]
+                           for i in generate_series(1, len(toks) - 1)]) AS bigram
+            FROM t
+        ),
+        counts AS (SELECT bigram, count(*) AS cnt FROM grams GROUP BY bigram)
+        SELECT CAST(rank AS INT) AS rank, bigram, cnt FROM (
+            SELECT bigram, cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, bigram) AS rank
+            FROM counts
+        ) WHERE rank <= {BIGRAM_TOP_K}
     """

@@ -46,3 +46,35 @@ def salted_join(
     )
     joined = big_salted.join(small_salted, on=keys + [SALT_COL], how=how)
     return joined.drop(SALT_COL)
+
+
+def skew_demo(big_or_spark, sf_dir: str | None = None) -> DataFrame:
+    """Gate-visible salted-join demo: events (probe side, user_id skew at
+    scale) salted-joined to the customer dimension, then aggregated per
+    segment.  Results are identical to the plain join -- the DuckDB
+    oracle runs the unsalted SQL, so the hash match proves salting is
+    result-invariant while the (key, salt) shuffle splits hot keys
+    across `salt` tasks."""
+    from .session import configure_runtime, events_df
+
+    spark = big_or_spark
+    configure_runtime(spark)
+    big = events_df(spark, sf_dir).select("user_id", "value")
+    small = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    joined = salted_join(big, small, on="user_id")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 3).alias("total_value"),
+    )
+
+
+def skew_demo_oracle() -> str:
+    return """
+        SELECT c.c_mktsegment, count(*) AS n_events,
+               round(sum(e.value), 3) AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
+    """

@@ -15,6 +15,8 @@ from .ops import (
     dedup_stream_oracle,
     enrich_stream,
     enrich_stream_oracle,
+    sliding_counts_stream,
+    sliding_counts_stream_oracle,
     hourly_counts_stream,
     hourly_counts_stream_oracle,
     sessionize_stream,
@@ -32,4 +34,6 @@ __all__ = [
     "dedup_stream_oracle",
     "enrich_stream",
     "enrich_stream_oracle",
+    "sliding_counts_stream",
+    "sliding_counts_stream_oracle",
 ]

@@ -87,6 +87,42 @@ def hourly_counts_stream_oracle() -> str:
     """
 
 
+def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING-window aggregate (1 h windows hopping every
+    15 min): each event lands in exactly 4 overlapping windows.  Same
+    complete-mode memory sink as the tumbling variant."""
+    sdf = stream_events(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def sliding_counts_stream_oracle() -> str:
+    # a 1h/15min sliding window containing ts starts at
+    # floor_15min(ts) - j*15min for j in 0..3 (all four satisfy
+    # start <= ts < start + 1h); Spark aligns hops to the epoch
+    return """
+        SELECT make_timestamp(((floor(epoch(ts) / 900) - j) * 900)::BIGINT
+                              * 1000000) AS window_start,
+               event_type, count(*) AS n_events,
+               round(sum(value), 3) AS total_value
+        FROM events, generate_series(0, 3) t(j)
+        GROUP BY 1, 2
+    """
+
+
 def enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: the event stream joins the static
     customer dimension on the user key (Spark re-reads / broadcasts the
