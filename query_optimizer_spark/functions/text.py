@@ -211,13 +211,20 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     array (no per-token explode+self-join), one partial-aggregated
     shuffle on the bigram, then a distributed top-K
     (TakeOrderedAndProject) exactly like vocabulary_topk."""
+    # tokenize ONCE per row, then pair adjacent tokens with zip_with
+    # over two slices -- an expression inside a transform lambda (e.g.
+    # element_at(TOKS, i)) would re-run the whole tokenization per
+    # ELEMENT, turning the op O(tokens^2) per document (measured 20 s
+    # vs 1 s at sf0.1)
     bigram_expr = (
-        f"CASE WHEN size({TOKS}) < 2 THEN array() "
-        f"ELSE transform(sequence(1, size({TOKS}) - 1), "
-        f"i -> concat(element_at({TOKS}, i), ' ', element_at({TOKS}, i + 1))) END"
+        "CASE WHEN size(toks) < 2 THEN array() "
+        "ELSE zip_with(slice(toks, 1, size(toks) - 1), "
+        "slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, ' ', b)) END"
     )
-    grams = _docs(spark, sf_dir).select(
-        F.explode(F.expr(bigram_expr)).alias("bigram")
+    grams = (
+        _docs(spark, sf_dir)
+        .select(F.expr(TOKS).alias("toks"))
+        .select(F.explode(F.expr(bigram_expr)).alias("bigram"))
     )
     counts = grams.groupBy("bigram").agg(F.count("*").alias("cnt"))
     topk = counts.orderBy(F.col("cnt").desc(), F.col("bigram")).limit(
