@@ -5,7 +5,7 @@ Runner signature matches the driver contract: (spark, sf_dir) -> DataFrame.
 
 from __future__ import annotations
 
-from .. import skew, streaming
+from .. import skew, sources, streaming
 from . import clustering, corpus, dedup, multimodal, similarity, temporal, text
 
 PIPELINE_OPS: dict[str, tuple] = {
@@ -53,6 +53,10 @@ PIPELINE_OPS: dict[str, tuple] = {
     "evt_hourly_rollup": (temporal.hourly_rollup, temporal.hourly_rollup_oracle()),
     "evt_sessionize": (temporal.sessionize, temporal.sessionize_oracle()),
     "evt_asof_join": (temporal.asof_join, temporal.asof_join_oracle()),
+    "evt_asof_tolerance": (
+        temporal.asof_join_tolerance,
+        temporal.asof_join_tolerance_oracle(),
+    ),
     # structured streaming (availableNow -> memory sink)
     "stream_hourly_counts": (
         streaming.hourly_counts_stream,
@@ -67,6 +71,11 @@ PIPELINE_OPS: dict[str, tuple] = {
     "stream_sliding_counts": (
         streaming.sliding_counts_stream,
         streaming.sliding_counts_stream_oracle(),
+    ),
+    # source/sink formats (JSONL interchange round-trip)
+    "io_jsonl_roundtrip": (
+        sources.jsonl_roundtrip,
+        sources.jsonl_roundtrip_oracle(),
     ),
     # skew-aware execution (salted join; result-invariant vs plain SQL)
     "skew_salted_join": (skew.skew_demo, skew.skew_demo_oracle()),

@@ -164,3 +164,24 @@ def asof_join_oracle() -> str:
         ASOF JOIN purchases p
           ON c.user_id = p.user_id AND c.ms >= p.ms
     """
+
+
+ASOF_TOLERANCE_MS = 3_600_000  # 1 hour
+
+
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance: a click only matches its most
+    recent prior purchase if that purchase is within the last hour --
+    the bounded-staleness variant every feature pipeline needs.  Since
+    the base as-of already selects the single most recent match,
+    tolerance is a filter on the match age."""
+    return asof_join(spark, sf_dir).filter(
+        F.col("ms_since_purchase") <= ASOF_TOLERANCE_MS
+    )
+
+
+def asof_join_tolerance_oracle() -> str:
+    return f"""
+        SELECT * FROM ({asof_join_oracle()}) t
+        WHERE ms_since_purchase <= {ASOF_TOLERANCE_MS}
+    """

