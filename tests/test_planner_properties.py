@@ -147,3 +147,63 @@ def test_bushy_finds_balanced_plan():
     from query_optimizer_spark.planners import plan_dp_ccp
 
     assert res.cost == plan_dp_ccp(graph, oracle, cm).cost
+
+
+@st.composite
+def random_outer_graph(draw):
+    """Random inner core + 1-2 null-generating factors hung off it."""
+    graph, oracle = draw(random_graph_and_oracle())
+    n = graph.n
+    n_outer = draw(st.integers(min_value=1, max_value=2))
+    rng = random.Random(draw(st.integers(min_value=0, max_value=9999)))
+    from query_optimizer_spark.sqlparse import ColumnRef, Predicate
+
+    aliases = list(graph.aliases)
+    edges = list(graph.edges)
+    ng_mask = 0
+    for j in range(n_outer):
+        a = f"g{j}"
+        target = rng.randrange(n)
+        idx = len(aliases)
+        aliases.append(a)
+        pred = Predicate(
+            "cmp",
+            ColumnRef(a, "k"),
+            "=",
+            ColumnRef(graph.aliases[target], "k"),
+        )
+        edges.append(Edge((1 << idx) | (1 << target), (pred,)))
+        ng_mask |= 1 << idx
+    g2 = JoinGraph(
+        aliases=aliases,
+        tables={**graph.tables, **{a: a for a in aliases[n:]}},
+        filters={**graph.filters, **{a: () for a in aliases[n:]}},
+        edges=edges,
+        null_generating=ng_mask,
+    )
+    cards = dict(oracle.cards)
+    rng2 = random.Random(1234)
+    for s in range(1, 1 << g2.n):
+        key = g2.key_for(s)
+        if key not in cards:
+            cards[key] = float(rng2.randrange(1, 100_000))
+    return g2, CardinalityOracle(cards)
+
+
+@given(random_outer_graph())
+@settings(max_examples=40, deadline=None)
+def test_planners_respect_outer_typing(graph_oracle):
+    """Every planner on a graph with null-generating factors must (a)
+    produce a valid tree (validate_tree enforces outer placement), and
+    (b) type exactly the null-generating joins as LEFT."""
+    from query_optimizer_spark.joingraph import iter_joins
+
+    graph, oracle = graph_oracle
+    cm = get_cost_model("cm1")
+    for name, planner in PLANNERS.items():
+        res = planner(graph, oracle, cm)
+        if res is None:
+            continue
+        validate_tree(graph, res.tree)
+        n_left = sum(1 for j in iter_joins(res.tree) if j.how == "left")
+        assert n_left == bin(graph.null_generating).count("1"), name
