@@ -53,6 +53,7 @@ PIPELINE_OPS: dict[str, tuple] = {
     "evt_hourly_rollup": (temporal.hourly_rollup, temporal.hourly_rollup_oracle()),
     "evt_sessionize": (temporal.sessionize, temporal.sessionize_oracle()),
     "evt_asof_join": (temporal.asof_join, temporal.asof_join_oracle()),
+    "evt_funnel": (temporal.funnel, temporal.funnel_oracle()),
     "evt_asof_tolerance": (
         temporal.asof_join_tolerance,
         temporal.asof_join_tolerance_oracle(),

@@ -185,3 +185,85 @@ def asof_join_tolerance_oracle() -> str:
         SELECT * FROM ({asof_join_oracle()}) t
         WHERE ms_since_purchase <= {ASOF_TOLERANCE_MS}
     """
+
+
+FUNNEL_STEP_WINDOW_MS = 172_800_000  # 48 h per step
+
+
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view -> click -> purchase) per user with
+    first-match semantics and a 48-hour per-step window: the click
+    must follow the user's FIRST view within the window, the purchase
+    must follow that first qualifying click within the window.  Stage-wise
+    min-aggregates chained on the user key -- each stage is one
+    aggregate over a user_id-partitioned shuffle that Spark reuses
+    across stages, the scalable funnel shape (a per-user sort would work
+    too but orders all events; this touches only the stage rows)."""
+    e = events_df(spark, sf_dir).select(
+        "user_id", "event_type", F.expr("unix_millis(ts)").alias("ms")
+    )
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t1"))
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("ms") > F.col("t1"))
+            & (F.col("ms") <= F.col("t1") + FUNNEL_STEP_WINDOW_MS)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t2"))
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ms") > F.col("t2"))
+            & (F.col("ms") <= F.col("t2") + FUNNEL_STEP_WINDOW_MS)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).cast("int").alias("funnel_step"),
+        )
+    )
+
+
+def funnel_oracle() -> str:
+    return f"""
+        WITH e AS (
+            SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+        ),
+        s1 AS (
+            SELECT user_id, min(ms) AS t1 FROM e
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, min(ms) AS t2 FROM e JOIN s1 USING (user_id)
+            WHERE event_type = 'click' AND ms > t1
+              AND ms <= t1 + {FUNNEL_STEP_WINDOW_MS} GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(ms) AS t3 FROM e JOIN s2 USING (user_id)
+            WHERE event_type = 'purchase' AND ms > t2
+              AND ms <= t2 + {FUNNEL_STEP_WINDOW_MS} GROUP BY e.user_id
+        )
+        SELECT s1.user_id,
+               CAST(1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT AS INT)
+                   AS funnel_step
+        FROM s1
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+    """
