@@ -131,3 +131,80 @@ def decode_image(
             )
 
     return df.mapInPandas(fake_decode, IMAGE_FEATURES_SCHEMA)
+
+
+N_FRAMES = 4
+FRAME_BYTES = 32
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("off", T.IntegerType()),
+        T.StructField("checksum", T.IntegerType()),
+        T.StructField("preview", T.StringType()),
+    ]
+)
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over an opaque payload: N_FRAMES
+    evenly-spaced fixed-size byte windows per payload, emitted as one
+    row per frame -- the fan-out shape (1 input row -> N output rows
+    inside the Arrow batch) a real frame extractor uses.  Payloads
+    shorter than one frame emit nothing.  A real video decoder drops
+    into the same mapInPandas slot; these deterministic byte windows
+    keep the plumbing oracle-checkable."""
+    df = with_binary_payload(spark, sf_dir)
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "off": [],
+                   "checksum": [], "preview": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                if n < FRAME_BYTES:
+                    continue
+                step = (n - FRAME_BYTES) // (N_FRAMES - 1)
+                for k in range(N_FRAMES):
+                    off = k * step
+                    window = payload[off:off + FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(k)
+                    out["off"].append(off)
+                    out["checksum"].append(sum(window) % CHECKSUM_MOD)
+                    out["preview"].append(window[:8].decode("ascii"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "off": pd.Series(out["off"], dtype="int32"),
+                    "checksum": pd.Series(out["checksum"], dtype="int32"),
+                    "preview": pd.Series(out["preview"], dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(frames, FRAME_SCHEMA)
+
+
+def frame_sample_oracle() -> str:
+    """Byte windows over ASCII text are substring windows."""
+    return f"""
+        WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents
+                   WHERE strlen(text) >= {FRAME_BYTES}),
+        f AS (
+            SELECT doc_id, k AS frame_idx,
+                   k * ((n - {FRAME_BYTES}) // ({N_FRAMES} - 1)) AS off,
+                   substring(text,
+                             k * ((n - {FRAME_BYTES}) // ({N_FRAMES} - 1)) + 1,
+                             {FRAME_BYTES}) AS win
+            FROM d, generate_series(0, {N_FRAMES} - 1) t(k)
+        )
+        SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+               CAST(off AS INT) AS off,
+               CAST(list_sum([ord(win[i]) for i in
+                    generate_series(1, length(win))]) % {CHECKSUM_MOD} AS INT)
+                   AS checksum,
+               substring(win, 1, 8) AS preview
+        FROM f
+    """

@@ -49,6 +49,10 @@ PIPELINE_OPS: dict[str, tuple] = {
         multimodal.binary_stats,
         multimodal.binary_stats_oracle(),
     ),
+    "mm_frame_sample": (
+        multimodal.frame_sample,
+        multimodal.frame_sample_oracle(),
+    ),
     # temporal (batch)
     "evt_hourly_rollup": (temporal.hourly_rollup, temporal.hourly_rollup_oracle()),
     "evt_sessionize": (temporal.sessionize, temporal.sessionize_oracle()),
