@@ -134,12 +134,20 @@ class Renderer:
         invariant under this rewrite."""
         if self.oracle is None:
             return df
+        if self.graph.full_outer:
+            return df
         try:
             my_card = self.oracle.card(self.graph, leaf.factors)
         except Exception:
             return df
         for e in self.graph.edges:
             if not (e.factors & leaf.factors):
+                continue
+            if e.factors & self.graph.null_generating:
+                # semi-join reduction is only result-invariant for inner
+                # joins: pre-filtering a preserved side against a
+                # null-generating dim would drop rows the LEFT join must
+                # keep null-extended
                 continue
             other_bit = e.factors & ~leaf.factors
             other = next(bits(other_bit))
@@ -331,28 +339,35 @@ def query_to_sql(q: ParsedQuery) -> str:
     ng = q.null_generating
     if not ng:
         frm = ", ".join(f"{t} AS {a}" for t, a in q.tables)
-        # on_filters belong here too: with every outer join simplified to
-        # inner, ON-filter and WHERE-filter semantics coincide
+        # on_filters/on_join_preds belong here too: with every outer
+        # join simplified to inner, ON and WHERE semantics coincide
         conds = [
             p.sql()
-            for p in q.join_preds + q.filters + q.on_filters
+            for p in q.all_join_preds + q.filters + q.on_filters
             + q.post_join_filters
         ]
     elif q.full_outer:
         (t0, a0), (t1, a1) = q.tables
-        on = " AND ".join(p.sql() for p in q.join_preds) or "TRUE"
+        on = " AND ".join(p.sql() for p in q.all_join_preds) or "TRUE"
         frm = f"{t0} AS {a0} FULL JOIN {t1} AS {a1} ON {on}"
         conds = [p.sql() for p in q.post_join_filters]
     else:
         # inner core chains with CROSS JOIN (comma binds looser than JOIN,
         # so a later ON could not see earlier comma-tables); each
-        # null-generating factor appends as LEFT JOIN with its equi-preds
-        # and its own single-alias filters in the ON clause
+        # null-generating factor appends as LEFT JOIN with ITS OWN
+        # ON-origin equi-preds and single-alias filters.  ON preds of
+        # aliases simplified to inner become WHERE conjuncts.
         frm = " CROSS JOIN ".join(
             f"{t} AS {a}" for t, a in q.tables if a not in ng
         )
         covered = {a for _, a in q.tables if a not in ng}
         conds = [p.sql() for p in q.join_preds if not (p.aliases & ng)]
+        conds += [
+            p.sql()
+            for a2, ps in q.on_join_preds.items()
+            if a2 not in ng
+            for p in ps
+        ]
         conds += [p.sql() for p in q.filters if p.col.alias not in ng]
         conds += [p.sql() for p in q.on_filters if p.col.alias not in ng]
         conds += [p.sql() for p in q.post_join_filters]
@@ -361,8 +376,8 @@ def query_to_sql(q: ParsedQuery) -> str:
                 continue
             ons = [
                 p.sql()
-                for p in q.join_preds
-                if a in p.aliases and p.aliases <= covered | {a}
+                for p in q.on_join_preds.get(a, [])
+                if p.aliases <= covered | {a}
             ]
             ons += [p.sql() for p in q.on_filters if p.col.alias == a]
             frm += f" LEFT JOIN {t} AS {a} ON {' AND '.join(ons) or 'TRUE'}"

@@ -476,6 +476,16 @@ DOT_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc 
 MAX_DRIVER_VECTORS = 100_000
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footer metadata -- no Spark job, no scan
+    (the guard must not cost an extra pass over the table it guards)."""
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{path}')"
+    ).fetchone()[0]
+
+
 def embedding_cosine_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -503,8 +513,9 @@ def embedding_cosine_pairs(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .select("vec_id", F.expr(QUANT_SPARK).alias("q"))
     )
-    if emb.count() > max_driver_vectors:
-        return embedding_cosine_pairs_blocked(spark, sf_dir)
+    n = _parquet_rows(f"{sf_dir}/embeddings.parquet")
+    if n > max_driver_vectors:
+        return embedding_cosine_pairs_blocked(spark, sf_dir, n_rows=n)
     rows = sorted(emb.toLocalIterator(), key=lambda r: r.vec_id)
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     mat = np.array([r.q for r in rows], dtype=np.float64)
@@ -547,7 +558,10 @@ def embedding_cosine_pairs(
 
 
 def embedding_cosine_pairs_blocked(
-    spark: SparkSession, sf_dir: str, block_rows: int = 20_000
+    spark: SparkSession,
+    sf_dir: str,
+    block_rows: int = 20_000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Distributed EXACT all-pairs cosine: vectors hash into blocks of
     ~``block_rows``; each unordered block pair is shuffled to one group
@@ -574,7 +588,9 @@ def embedding_cosine_pairs_blocked(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .select("vec_id", F.expr(QUANT_SPARK).alias("q"))
     )
-    n = emb.count()
+    n = n_rows if n_rows is not None else _parquet_rows(
+        f"{sf_dir}/embeddings.parquet"
+    )
     n_blocks = max(1, -(-n // block_rows))
     tagged = emb.withColumn("g", (F.col("vec_id") % n_blocks).cast("int"))
     pairs = tagged.select(

@@ -65,7 +65,7 @@ class JoinGraph:
         aliases = q.aliases
         idx = {a: i for i, a in enumerate(aliases)}
         merged: dict[int, list[Predicate]] = {}
-        for p in q.join_preds:
+        for p in q.all_join_preds:
             a, b = sorted(p.aliases)
             key = (1 << idx[a]) | (1 << idx[b])
             merged.setdefault(key, []).append(p)

@@ -61,6 +61,14 @@ def _side_columns(graph: JoinGraph, factor: int, edges: list[Edge]) -> set[str]:
 
 
 def _keys_unique(graph: JoinGraph, oracle, factor: int, cols: set[str]) -> bool:
+    """Sound only for SINGLE-column keys: count(DISTINCT k) ignores
+    NULLs, so distinct == table_rows proves both uniqueness AND no
+    NULLs.  For multi-column keys, SQL count(DISTINCT (a, b)) counts
+    NULL-bearing tuples (a struct with a NULL field is not NULL) while
+    join equality drops them -- the equality proof would be unsound, so
+    the rewrite conservatively declines."""
+    if len(cols) != 1:
+        return False
     alias = graph.aliases[factor]
     try:
         distinct = oracle.distinct_count(graph, alias, tuple(sorted(cols)))
@@ -81,24 +89,37 @@ def remove_redundant_outer_joins(graph: JoinGraph, oracle) -> JoinGraph:
     a fixpoint so chains unwind in reverse, reproducing the reference's
     retryCandidates pass (:167-169, :244-258)."""
     out_refs = _output_aliases(graph.query)
+    q = graph.query
+    on_preds = getattr(q, "on_join_preds", {}) if q is not None else {}
     removed = 0
     changed = True
     while changed:
         changed = False
         ng = graph.null_generating & ~removed
         for g in bits(ng):
-            if graph.aliases[g] in out_refs:
+            alias = graph.aliases[g]
+            if alias in out_refs:
+                continue
+            # blocked while ANOTHER live null-generating factor's OWN
+            # ON clause references g (its removal may unblock g -- the
+            # retryCandidates loop); g's own ON referencing other
+            # factors never blocks g
+            blocked = False
+            for h in bits(ng & ~(1 << g)):
+                h_alias = graph.aliases[h]
+                for p in on_preds.get(h_alias, []):
+                    if alias in p.aliases:
+                        blocked = True
+                        break
+                if blocked:
+                    break
+            if blocked:
                 continue
             edges = [
                 e
                 for e in graph.edges
                 if e.factors & (1 << g) and not (e.factors & removed)
             ]
-            partners = 0
-            for e in edges:
-                partners |= e.factors & ~(1 << g)
-            if partners & graph.null_generating & ~removed:
-                continue  # another outer join still references g
             cols = _side_columns(graph, g, edges)
             if not cols:
                 continue
@@ -220,6 +241,10 @@ def remove_redundant_self_joins(q: ParsedQuery, graph: JoinGraph, oracle) -> Par
         null_generating=set(q.null_generating),
         full_outer=q.full_outer,
         on_filters=[_remap_pred(p, merge) for p in q.on_filters],
+        on_join_preds={
+            a: [_remap_pred(p, merge) for p in ps]
+            for a, ps in q.on_join_preds.items()
+        },
     )
 
 

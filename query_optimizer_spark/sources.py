@@ -107,8 +107,12 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bijective here."""
     from pyspark.sql import functions as F
 
-    tag = Path(sf_dir.rstrip("/")).name
-    out = f"/root/repo/.warehouse/documents_jsonl_{tag}"
+    import hashlib
+
+    # tag by a hash of the full path, not just the basename, so two
+    # sf_dirs with the same leaf name can't collide on the output dir
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    out = f"{DEFAULT_WAREHOUSE}/documents_jsonl_{tag}"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )

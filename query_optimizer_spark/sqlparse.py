@@ -195,6 +195,19 @@ class ParsedQuery:
     # semantics) but they must NOT trigger outer-to-inner simplification
     # and render inside ON, not WHERE
     on_filters: list[Predicate] = field(default_factory=list)
+    # equi-join conjuncts from an ON clause, keyed by the alias whose
+    # JOIN clause introduced them.  Provenance matters twice: a WHERE
+    # equijoin referencing a null-generating alias is null-rejecting and
+    # must simplify the outer join to inner (an ON equijoin must not),
+    # and outer-join removal must know WHOSE ON references a factor to
+    # unwind chains in reverse.
+    on_join_preds: dict[str, list[Predicate]] = field(default_factory=dict)
+
+    @property
+    def all_join_preds(self) -> list[Predicate]:
+        return self.join_preds + [
+            p for ps in self.on_join_preds.values() for p in ps
+        ]
 
     @property
     def aliases(self) -> list[str]:
@@ -414,8 +427,16 @@ class _Parser:
                 for a in pred.aliases:
                     if a not in alias_set:
                         raise ParseError(f"unknown alias {a!r} in ON")
+                if alias not in pred.aliases:
+                    # an ON conjunct over only earlier tables has
+                    # different semantics from both WHERE and the join
+                    # condition of THIS join -- rejecting beats
+                    # silently misrouting it
+                    raise ParseError(
+                        f"ON conjunct must reference {alias!r}"
+                    )
                 if pred.is_equijoin:
-                    q.join_preds.append(pred)
+                    q.on_join_preds.setdefault(alias, []).append(pred)
                 elif len(pred.aliases) == 1:
                     if kind == "full":
                         raise ParseError(
@@ -446,15 +467,23 @@ class _Parser:
         for p in q.post_join_filters:
             for a in p.aliases & q.null_generating:
                 rejecting.add(a)
+        # a WHERE equijoin touching an outer alias is null-rejecting too
+        # (q.join_preds holds only WHERE-origin equijoins; ON-origin ones
+        # live in q.on_join_preds and must NOT reject)
+        for p in q.join_preds:
+            for a in p.aliases & q.null_generating:
+                rejecting.add(a)
+        if rejecting:
+            q.null_generating -= rejecting
+            if q.full_outer and len(q.null_generating) < 2:
+                q.full_outer = False
+        # anti-join check AFTER simplification: IS NULL on an alias whose
+        # join already degenerated to inner is an ordinary filter
         for p in q.filters:
             if p.kind == "isnull" and p.col.alias in q.null_generating:
                 raise ParseError(
                     "IS NULL on an outer-joined alias (anti-join) unsupported"
                 )
-        if rejecting:
-            q.null_generating -= rejecting
-            if q.full_outer and len(q.null_generating) < 2:
-                q.full_outer = False
 
     def parse_conjuncts(self) -> list[Predicate]:
         preds = [self.parse_predicate()]

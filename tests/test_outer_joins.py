@@ -178,3 +178,88 @@ def test_outer_on_filter_reaches_scan(spark):
     df = run_fixture(spark, SF_DIR, "join_outer_3", oracle=oracle)
     plan = physical_plan(df)
     assert "GreaterThan(o_totalprice" in plan
+
+
+# --- review-pass regressions (round-2 self-review findings) ----------------
+
+
+def test_where_equijoin_on_outer_alias_simplifies():
+    """A WHERE equijoin referencing the outer alias is null-rejecting:
+    the LEFT JOIN must degenerate to inner, NOT reroute the conjunct
+    into the ON clause (which would keep null-extended rows)."""
+    q = parse(
+        "SELECT MIN(c.c_name) AS m FROM customer c, nation n1 "
+        "LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_nationkey = n1.n_nationkey "
+        "AND o.o_custkey = n1.n_nationkey"
+    )
+    assert q.null_generating == set()
+    # and the rendered SQL keeps the conjunct in WHERE
+    sql = query_to_sql(q)
+    assert "LEFT JOIN" not in sql
+
+
+def test_on_conjunct_must_reference_joined_alias():
+    with pytest.raises(ParseError):
+        parse(
+            "SELECT MIN(c.c_name) AS m FROM customer c, orders b "
+            "LEFT JOIN nation n1 ON c.c_nationkey = b.o_custkey"
+        )
+
+
+def test_isnull_allowed_after_simplification():
+    """IS NULL on an alias whose outer join already degenerated to inner
+    (via another null-rejecting filter) is an ordinary filter."""
+    q = parse(
+        "SELECT MIN(c.c_name) AS m FROM customer c "
+        "LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+        "WHERE o.o_totalprice > 100 AND o.o_comment IS NULL"
+    )
+    assert q.null_generating == set()
+
+
+def test_outer_join_chain_unwinds():
+    """g <- h chains must unwind in reverse (h's ON references g, so h
+    removes first, then g), reproducing the reference's retryCandidates
+    loop."""
+    from query_optimizer_spark.oracle import CardinalityOracle
+
+    q = parse(
+        "SELECT MIN(a.x) AS m FROM ta a "
+        "LEFT JOIN tg g ON g.k = a.k "
+        "LEFT JOIN th h ON h.k = g.k"
+    )
+    graph = JoinGraph.from_query(q)
+    oracle = CardinalityOracle(
+        {"g#k": 50.0, "g#rows": 50.0, "h#k": 70.0, "h#rows": 70.0}
+    )
+    g2 = simplify(q, oracle)
+    assert g2.aliases == ["a"]
+
+
+def test_multicolumn_key_declines_removal():
+    """count(DISTINCT (a,b)) counts NULL-bearing tuples that join
+    equality drops, so multi-column uniqueness proofs are unsound and
+    the rewrite must conservatively decline."""
+    from query_optimizer_spark.oracle import CardinalityOracle
+    from query_optimizer_spark.rewrites import remove_redundant_self_joins
+
+    q = parse(
+        "SELECT MIN(a.x) AS m FROM tt a, tt b "
+        "WHERE a.k1 = b.k1 AND a.k2 = b.k2"
+    )
+    graph = JoinGraph.from_query(q)
+    oracle = CardinalityOracle({"a#k1,k2": 100.0, "a#rows": 100.0})
+    assert remove_redundant_self_joins(q, graph, oracle) is q  # unchanged
+
+
+def test_semi_prefilter_outer_safe(spark, duck):
+    """Semi-join prefiltering must skip edges to null-generating
+    factors: the preserved side may not be pre-reduced against an
+    outer-joined dim."""
+    from query_optimizer_spark.workload import run_fixture_semi_prefilter
+
+    df = run_fixture_semi_prefilter(spark, SF_DIR, "join_outer_3")
+    assert result_hash(df) == duck_hash(
+        duck, query_to_sql(parse(FIXTURES["join_outer_3"]))
+    )
