@@ -263,3 +263,45 @@ def test_semi_prefilter_outer_safe(spark, duck):
     assert result_hash(df) == duck_hash(
         duck, query_to_sql(parse(FIXTURES["join_outer_3"]))
     )
+
+
+def test_random_outer_queries_cross_engine(spark, duck):
+    """Generic semantic guard: randomized outer-join queries (kept /
+    ON-filtered / WHERE-simplified / post-filtered variants) run through
+    the FULL planner pipeline and must hash-match DuckDB executing the
+    rendered SQL twin.  This is the bug class the round-2 review caught
+    (ON/WHERE misrouting) -- kept from regressing by construction."""
+    import random
+
+    from query_optimizer_spark.costmodels import get_cost_model
+
+    rng = random.Random(7)
+    cm = get_cost_model("cm1")
+    oracle = TrueCountOracle(SF_DIR)
+    on_filters = ["", " AND o.o_totalprice > 100000",
+                  " AND o.o_orderstatus = 'F'"]
+    where_extras = ["", " AND n1.n_regionkey < 3",
+                    " AND o.o_totalprice > 50000",  # simplifies to inner
+                    " AND c.c_acctbal > o.o_totalprice"]  # post-join, simplifies
+    selects = [
+        "MIN(c.c_name) AS m, COUNT(c.c_custkey) AS n",
+        "MIN(o.o_totalprice) AS m2, COUNT(c.c_custkey) AS n",
+    ]
+    for trial in range(8):
+        sql = (
+            f"SELECT {rng.choice(selects)} FROM customer c, nation n1 "
+            "LEFT JOIN orders o ON o.o_custkey = c.c_custkey"
+            f"{rng.choice(on_filters)} "
+            "WHERE c.c_nationkey = n1.n_nationkey"
+            f"{rng.choice(where_extras)}"
+        )
+        q = parse(sql)
+        graph = simplify(q, oracle)
+        pname = rng.choice(list(PLANNERS))
+        res = PLANNERS[pname](graph, oracle, cm)
+        if res is None:
+            res = PLANNERS["dp_ccp"](graph, oracle, cm)
+        df = Renderer(spark, SF_DIR, graph, oracle).run(res.tree)
+        assert result_hash(df) == duck_hash(duck, query_to_sql(q)), (
+            trial, pname, sql,
+        )
