@@ -115,9 +115,17 @@ def _result_hash_local(df) -> tuple[int, str]:
 
 
 def _canon(v) -> str:
+    # None and NaN both mean SQL NULL here: a NULL double surfaces as
+    # None or NaN depending on the Arrow/pandas conversion path, and the
+    # engine computes no genuine NaNs -- so they must canonicalize
+    # identically or the same result hashes differently per transport.
+    # (NaN check stays inside the float branch: `v != v` on array values
+    # would return an array.)
     if v is None:
         return "NULL"
     if isinstance(v, float):
+        if v != v:
+            return "NULL"
         return f"{v:.6g}"
     return str(v)
 

@@ -265,17 +265,17 @@ def test_semi_prefilter_outer_safe(spark, duck):
     )
 
 
-def test_random_outer_queries_cross_engine(spark, duck):
-    """Generic semantic guard: randomized outer-join queries (kept /
-    ON-filtered / WHERE-simplified / post-filtered variants) run through
-    the FULL planner pipeline and must hash-match DuckDB executing the
-    rendered SQL twin.  This is the bug class the round-2 review caught
-    (ON/WHERE misrouting) -- kept from regressing by construction."""
-    import random
+def test_outer_query_matrix_cross_engine(spark, duck):
+    """Generic semantic guard: the FULL cross product of outer-join
+    variants -- (no ON filter / ON filter) x (plain WHERE / extra inner
+    filter / null-rejecting single-alias WHERE -> simplifies to inner /
+    null-rejecting post-join filter -> simplifies) -- runs through the
+    whole planner pipeline (planners round-robin, all six covered) and
+    must hash-match DuckDB executing the rendered SQL twin.  This is
+    the bug class the round-2 review caught (ON/WHERE misrouting),
+    kept from regressing by construction."""
+    from itertools import product
 
-    from query_optimizer_spark.costmodels import get_cost_model
-
-    rng = random.Random(7)
     cm = get_cost_model("cm1")
     oracle = TrueCountOracle(SF_DIR)
     on_filters = ["", " AND o.o_totalprice > 100000",
@@ -287,21 +287,22 @@ def test_random_outer_queries_cross_engine(spark, duck):
         "MIN(c.c_name) AS m, COUNT(c.c_custkey) AS n",
         "MIN(o.o_totalprice) AS m2, COUNT(c.c_custkey) AS n",
     ]
-    for trial in range(8):
+    planners = list(PLANNERS)
+    for i, (onf, wex) in enumerate(product(on_filters, where_extras)):
         sql = (
-            f"SELECT {rng.choice(selects)} FROM customer c, nation n1 "
+            f"SELECT {selects[i % 2]} FROM customer c, nation n1 "
             "LEFT JOIN orders o ON o.o_custkey = c.c_custkey"
-            f"{rng.choice(on_filters)} "
+            f"{onf} "
             "WHERE c.c_nationkey = n1.n_nationkey"
-            f"{rng.choice(where_extras)}"
+            f"{wex}"
         )
         q = parse(sql)
         graph = simplify(q, oracle)
-        pname = rng.choice(list(PLANNERS))
+        pname = planners[i % len(planners)]
         res = PLANNERS[pname](graph, oracle, cm)
-        if res is None:
+        if res is None:  # branch_and_bound edge guard
             res = PLANNERS["dp_ccp"](graph, oracle, cm)
         df = Renderer(spark, SF_DIR, graph, oracle).run(res.tree)
         assert result_hash(df) == duck_hash(duck, query_to_sql(q)), (
-            trial, pname, sql,
+            i, pname, sql,
         )
