@@ -286,6 +286,238 @@ SURFACE: dict[str, str | tuple[str, str]] = {
         FROM nation n
         FULL JOIN region r ON n.n_nationkey = r.r_regionkey
     """,
+    # ---- TPC-H battery (adapted to the reduced testdata schema: no
+    # partsupp table, no shippriority/shipmode/commitdate/phone columns;
+    # lateness is modelled as shipped >100 days after the order date).
+    # Shared ANSI text -- the same string runs on Spark and DuckDB.
+    # Q3: shipping priority
+    "sql_q3_shipping_priority": """
+        SELECT l.l_orderkey, o.o_orderpriority,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 3) AS revenue
+        FROM customer c, orders o, lineitem l
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND c.c_custkey = o.o_custkey
+          AND l.l_orderkey = o.o_orderkey
+          AND o.o_orderdate < DATE '1998-03-15'
+          AND l.l_shipdate > DATE '1998-03-15'
+        GROUP BY l.l_orderkey, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
+    # Q4: order priority checking (correlated EXISTS with date arithmetic)
+    "sql_q4_order_priority": """
+        SELECT o.o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= DATE '1996-01-01'
+          AND o.o_orderdate < DATE '1997-01-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL '100' DAY
+          )
+        GROUP BY o.o_orderpriority
+    """,
+    # Q6: forecast revenue change (pure scan-side filter reduction)
+    "sql_q6_forecast_revenue": """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 3) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    # Q7: volume shipping between nation pairs by year (nation self-join)
+    "sql_q7_volume_shipping": """
+        SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 3) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume
+            FROM supplier s, lineitem l, orders o, customer c, nation n1, nation n2
+            WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+              AND c.c_custkey = o.o_custkey AND s.s_nationkey = n1.n_nationkey
+              AND c.c_nationkey = n2.n_nationkey
+              AND n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+              AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+              AND n1.n_name <> n2.n_name
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    # Q8: market share of one nation inside a region's market (8-way join)
+    "sql_q8_market_share": """
+        SELECT o_year,
+               ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                     / SUM(volume), 6) AS mkt_share
+        FROM (
+            SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   n2.n_name AS nation
+            FROM part p, supplier s, lineitem l, orders o, customer c,
+                 nation n1, nation n2, region r
+            WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+              AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+              AND c.c_nationkey = n1.n_nationkey AND n1.n_regionkey = r.r_regionkey
+              AND r.r_name = 'AMERICA' AND s.s_nationkey = n2.n_nationkey
+              AND p.p_type = 'ECONOMY'
+        ) all_nations
+        GROUP BY o_year
+    """,
+    # Q9: product profit by nation/year (adapted: retailprice carrying cost
+    # stands in for the absent partsupp supplycost)
+    "sql_q9_product_profit": """
+        SELECT nation, o_year, ROUND(SUM(amount), 3) AS sum_profit
+        FROM (
+            SELECT n.n_name AS nation,
+                   CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount)
+                     - 0.1 * p.p_retailprice * l.l_quantity AS amount
+            FROM part p, supplier s, lineitem l, orders o, nation n
+            WHERE s.s_suppkey = l.l_suppkey AND p.p_partkey = l.l_partkey
+              AND o.o_orderkey = l.l_orderkey AND s.s_nationkey = n.n_nationkey
+              AND p.p_name LIKE '%a%'
+        ) profit
+        GROUP BY nation, o_year
+    """,
+    # Q10: returned items
+    "sql_q10_returned_items": """
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 3) AS revenue
+        FROM customer c, orders o, lineitem l, nation n
+        WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+          AND o.o_orderdate >= DATE '1996-10-01'
+          AND o.o_orderdate < DATE '1997-01-01'
+          AND l.l_returnflag = 'R' AND c.c_nationkey = n.n_nationkey
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+    # Q12: shipping classes (adapted: linestatus stands in for shipmode;
+    # SUM(CASE..) cast so Spark BIGINT and DuckDB HUGEINT hash identically)
+    "sql_q12_priority_classes": """
+        SELECT l.l_linestatus,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders o, lineitem l
+        WHERE o.o_orderkey = l.l_orderkey
+          AND l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
+        GROUP BY l.l_linestatus
+    """,
+    # Q13: customer order-count distribution (outer join under double agg)
+    "sql_q13_custdist": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                              AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        ) c_orders
+        GROUP BY c_count
+    """,
+    # Q14: promotion effect (conditional aggregate ratio)
+    "sql_q14_promo_effect": """
+        SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                      THEN l.l_extendedprice * (1 - l.l_discount)
+                                      ELSE 0 END)
+                     / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct
+        FROM lineitem l, part p
+        WHERE l.l_partkey = p.p_partkey
+          AND l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01'
+    """,
+    # Q15: top supplier by quarterly revenue (CTE reused twice + scalar max;
+    # the equality predicate compares ROUND()ed sums, same contract as the
+    # value hash itself)
+    "sql_q15_top_supplier": """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s, revenue r
+        WHERE s.s_suppkey = r.supplier_no
+          AND r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    # Q17: small-quantity-order revenue (correlated scalar agg subquery)
+    "sql_q17_small_qty_revenue": """
+        SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 3) AS avg_yearly
+        FROM lineitem l, part p
+        WHERE p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#10'
+          AND l.l_quantity < (
+              SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = p.p_partkey
+          )
+    """,
+    # Q18: large-volume customers (IN over grouped HAVING subquery)
+    "sql_q18_large_volume": """
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               ROUND(SUM(l.l_quantity), 3) AS total_qty
+        FROM customer c, orders o, lineitem l
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+        )
+          AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey
+    """,
+    # Q19: discounted revenue under disjunctive brand/size/qty predicates
+    "sql_q19_discounted_revenue": """
+        SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 3) AS revenue
+        FROM lineitem l, part p
+        WHERE p.p_partkey = l.l_partkey
+          AND ((p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+                AND l.l_quantity BETWEEN 1 AND 21)
+            OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+                AND l.l_quantity BETWEEN 10 AND 30)
+            OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+                AND l.l_quantity BETWEEN 20 AND 40))
+    """,
+    # Q21: suppliers who kept orders waiting (adapted lateness; decorrelated
+    # through a late-flag CTE so both EXISTS stay single-level correlations)
+    "sql_q21_waiting_supplier": """
+        WITH flagged AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL '100' DAY
+                        THEN 1 ELSE 0 END AS is_late
+            FROM lineitem l, orders o
+            WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+        )
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier s, flagged l1
+        WHERE s.s_suppkey = l1.l_suppkey AND l1.is_late = 1
+          AND EXISTS (
+              SELECT 1 FROM flagged l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM flagged l3
+              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.is_late = 1
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 20
+    """,
+    # Q22: sales opportunity (adapted: nationkey buckets stand in for phone
+    # country codes; "no urgent order" stands in for "no order")
+    "sql_q22_sales_opportunity": """
+        SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 3) AS totacctbal
+        FROM (
+            SELECT CAST(c.c_nationkey % 7 AS INT) AS cntrycode, c.c_acctbal
+            FROM customer c
+            WHERE c.c_acctbal > (
+                SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0
+            )
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+              )
+        ) custsale
+        GROUP BY cntrycode
+    """,
     # multi-join + agg + order: classic TPC-H Q5 shape
     "sql_q5_local_revenue": """
         SELECT n.n_name AS nation,
