@@ -67,6 +67,28 @@ def lsh_plane_component(p: int, d: int) -> int:
     return (LSH_LCG_A * (p * 4096 + d) + LSH_LCG_C) % LSH_LCG_M - LSH_LCG_M // 2
 
 
+# --- decontamination --------------------------------------------------------
+# Benchmark decontamination: a document is contaminated when it shares a
+# DECON_NGRAM-token shingle with the held-out eval slice (docs whose
+# salted hash lands in bucket 0 of DECON_EVAL_MOD).  5-grams on random
+# text collide only via genuine near-duplication.
+DECON_SALT = "decon:v1:"
+DECON_NGRAM = 5
+DECON_EVAL_MOD = 20
+
+# --- stratified sampling ----------------------------------------------------
+# Per-language keep-rate (percent); hash-based so the sample is a pure
+# function of (salt, doc_id) -- stable under re-runs and corpus growth.
+SAMPLE_SALT = "sample:v1:"
+SAMPLE_RATES = {"en": 50, "fr": 30, "es": 30, "de": 30, "zh": 20}
+SAMPLE_DEFAULT_RATE = 10
+
+# --- int8 embedding quantization --------------------------------------------
+# Symmetric per-vector scheme: scale = max |x|, q_i = round(x_i/scale*127).
+# All arithmetic forced to float64 on both engines (Spark promotes
+# float/float division to double; DuckDB keeps FLOAT unless cast).
+QUANT_LEVELS = 127
+
 # --- text -------------------------------------------------------------------
 # tokenization: lower -> strip non [a-z0-9] to space -> trim -> split ' +'
 TOKEN_CLEAN_RE = "[^a-z0-9 ]"

@@ -13,7 +13,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .constants import sql_hash32, sql_tokens
+from .constants import (
+    DECON_EVAL_MOD,
+    DECON_NGRAM,
+    DECON_SALT,
+    SAMPLE_DEFAULT_RATE,
+    SAMPLE_RATES,
+    SAMPLE_SALT,
+    sql_hash32,
+    sql_tokens,
+)
 from .text import TOKS
 
 VOCAB_TOP_K = 50
@@ -237,6 +246,109 @@ def dataset_split_oracle() -> str:
                     WHEN {bucket} < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT} THEN 'valid'
                     ELSE 'test' END AS split
         FROM documents
+    """
+
+
+# --- benchmark decontamination ----------------------------------------------------
+
+
+def _spark_hash32(expr: str) -> str:
+    """Spark twin of constants.sql_hash32: md5-derived 32-bit int hash."""
+    return f"cast(conv(substring(md5({expr}), 1, 8), 16, 10) as bigint)"
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs that share a {DECON_NGRAM}-token shingle with the
+    held-out eval slice, with the count of distinct shared shingles.
+
+    Scale shape: shingles are generated map-side (``toks`` hoisted into a
+    projection so ``slice`` inside the transform lambda is O(n), not
+    O(n^2) -- re-tokenizing per element is the classic trap), the eval
+    shingle set is deduplicated, and candidates come from a left-semi
+    equi-join on the shingle -- never an all-pairs comparison.  At 100 TB
+    the eval side is a fixed benchmark suite (tiny), so AQE turns the
+    semi-join into a broadcast; nothing here assumes it fits in memory.
+    """
+    eval_flag = f"({_spark_hash32(f'concat({DECON_SALT!r}, doc_id)')} % {DECON_EVAL_MOD}) = 0"
+    base = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(TOKS).alias("toks"),
+            F.expr(eval_flag).alias("is_eval"),
+        )
+        .filter(F.expr(f"size(toks) >= {DECON_NGRAM}"))
+    )
+    grams = base.select(
+        "doc_id",
+        "is_eval",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {DECON_NGRAM - 1}), "
+                f"i -> concat_ws(' ', slice(toks, i, {DECON_NGRAM})))"
+            )
+        ).alias("g"),
+    )
+    eval_grams = grams.filter("is_eval").select("g").distinct()
+    return (
+        grams.filter(~F.col("is_eval"))
+        .join(eval_grams, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared"))
+    )
+
+
+def decontaminate_oracle() -> str:
+    n = DECON_NGRAM
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {sql_tokens('text')} AS toks,
+                   ({sql_hash32(f"'{DECON_SALT}' || doc_id")}
+                        % {DECON_EVAL_MOD} = 0) AS is_eval
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, is_eval,
+                   unnest([array_to_string(toks[i:i+{n - 1}], ' ')
+                           for i in generate_series(1, len(toks) - {n - 1})]) AS g
+            FROM base WHERE len(toks) >= {n}
+        ),
+        eval_grams AS (SELECT DISTINCT g FROM grams WHERE is_eval)
+        SELECT doc_id, count(DISTINCT g) AS n_shared
+        FROM grams
+        WHERE NOT is_eval AND g IN (SELECT g FROM eval_grams)
+        GROUP BY doc_id
+    """
+
+
+# --- stratified sampling ----------------------------------------------------------
+
+
+def _rate_case(col: str) -> str:
+    arms = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in sorted(SAMPLE_RATES.items())
+    )
+    return f"CASE {col} {arms} ELSE {SAMPLE_DEFAULT_RATE} END"
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsample: keep a doc when its salted
+    hash bucket falls under the language's keep-rate.  A pure map-side
+    filter (no shuffle, no state), so the sample is reproducible across
+    runs, partitionings, and incremental corpus growth -- unlike
+    ``df.sample()``, whose output depends on partition layout."""
+    bucket = f"{_spark_hash32(f'concat({SAMPLE_SALT!r}, doc_id)')} % 100"
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang", "source"
+    ).filter(F.expr(f"{bucket} < {_rate_case('lang')}"))
+
+
+def sample_stratified_oracle() -> str:
+    bucket = sql_hash32(f"'{SAMPLE_SALT}' || doc_id") + " % 100"
+    return f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE {bucket} < {_rate_case('lang')}
     """
 
 

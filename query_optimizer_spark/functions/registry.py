@@ -15,6 +15,7 @@ PIPELINE_OPS: dict[str, tuple] = {
     "text_quality_score": (text.quality_score, text.quality_score_oracle()),
     "text_bigram_topk": (text.bigram_topk, text.bigram_topk_oracle()),
     "text_fingerprint": (text.fingerprint, text.fingerprint_oracle()),
+    "text_lang_confusion": (text.lang_confusion, text.lang_confusion_oracle()),
     # dedup
     "dedup_exact": (dedup.exact_dedup, dedup.exact_dedup_oracle()),
     "dedup_minhash_lsh": (dedup.minhash_lsh_pairs, dedup.minhash_lsh_oracle()),
@@ -43,6 +44,10 @@ PIPELINE_OPS: dict[str, tuple] = {
     "sim_ivf_topk": (
         similarity.ivf_topk,
         similarity.ivf_topk_oracle(),
+    ),
+    "emb_quantize_int8": (
+        similarity.quantize_int8,
+        similarity.quantize_int8_oracle(),
     ),
     # multimodal plumbing (mapInPandas path)
     "mm_binary_stats": (
@@ -90,5 +95,10 @@ PIPELINE_OPS: dict[str, tuple] = {
     "corpus_vocab_topk": (corpus.vocabulary_topk, corpus.vocabulary_topk_oracle()),
     "corpus_tfidf_topk": (corpus.tfidf_topk, corpus.tfidf_topk_oracle()),
     "corpus_dataset_split": (corpus.dataset_split, corpus.dataset_split_oracle()),
+    "corpus_decontaminate": (corpus.decontaminate, corpus.decontaminate_oracle()),
+    "corpus_sample_stratified": (
+        corpus.sample_stratified,
+        corpus.sample_stratified_oracle(),
+    ),
     "corpus_curate": (corpus.curate, corpus.curate_oracle()),
 }

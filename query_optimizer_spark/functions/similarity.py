@@ -323,3 +323,69 @@ def ivf_topk_oracle() -> str:
             FROM rescored
         ) WHERE rank <= {ANN_TOP_K}
     """
+
+
+# --- int8 quantization --------------------------------------------------------
+
+
+def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization summary: scale = max |x|,
+    q_i = round(x_i / scale * QUANT_LEVELS).
+
+    A pure map-side projection (zero shuffles) -- the shape a 100 TB
+    embedding-compression pass must have.  The quantized array itself
+    is reduced to (sum, min, max) checksums so the cross-engine hash
+    compares scalars, not engine-specific array renderings.  Division is
+    forced to float64 on both engines (Spark promotes float/float to
+    double; DuckDB FLOAT/FLOAT stays float32 unless cast).
+    """
+    from .constants import QUANT_LEVELS
+
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.expr(
+                "array_max(transform(embedding, x -> abs(cast(x as double))))"
+            ).alias("scale"),
+            "embedding",
+        )
+        .withColumn(
+            "q",
+            F.expr(
+                f"transform(embedding, x -> cast(round(cast(x as double) "
+                f"/ scale * {QUANT_LEVELS}) as bigint))"
+            ),
+        )
+        .select(
+            "vec_id",
+            F.expr("round(scale, 6)").alias("scale_q"),
+            F.expr("aggregate(q, 0L, (a, b) -> a + b)").alias("q_sum"),
+            F.expr("cast(array_min(q) as int)").alias("q_min"),
+            F.expr("cast(array_max(q) as int)").alias("q_max"),
+        )
+    )
+
+
+def quantize_int8_oracle() -> str:
+    from .constants import QUANT_LEVELS
+
+    return f"""
+        WITH scaled AS (
+            SELECT vec_id,
+                   list_max([abs(x::DOUBLE) for x in embedding]) AS scale,
+                   embedding
+            FROM embeddings
+        ),
+        quant AS (
+            SELECT vec_id, scale,
+                   [round(x::DOUBLE / scale * {QUANT_LEVELS})::BIGINT
+                    for x in embedding] AS q
+            FROM scaled
+        )
+        SELECT vec_id, round(scale, 6) AS scale_q,
+               CAST(list_sum(q) AS BIGINT) AS q_sum,
+               CAST(list_min(q) AS INT) AS q_min,
+               CAST(list_max(q) AS INT) AS q_max
+        FROM quant
+    """

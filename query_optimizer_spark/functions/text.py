@@ -110,6 +110,32 @@ def language_id_oracle() -> str:
     """
 
 
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram language classifier against the
+    labeled ``lang`` column: (true_lang, pred_lang, n).  One pass over
+    the scan (hit counts are per-row projections) into a tiny two-key
+    aggregate -- the standard classifier-eval rollup at any scale."""
+    cols = {lang: _hits_expr_spark(lang) for lang in _LANGS}
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("lang").alias("true_lang"),
+            F.expr(_pred_case(cols)).alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def lang_confusion_oracle() -> str:
+    cols = {lang: _hits_expr_duck(lang) for lang in _LANGS}
+    return f"""
+        SELECT lang AS true_lang, {_pred_case(cols)} AS pred_lang, count(*) AS n
+        FROM documents
+        GROUP BY true_lang, pred_lang
+    """
+
+
 # --- quality score -----------------------------------------------------------
 # score = 0.5 * min(n_tokens, 200)/200
 #       + 0.3 * stopword_ratio(en)
