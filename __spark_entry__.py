@@ -96,6 +96,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return workload.run_fixture_semi_prefilter(spark, sf_dir, "join_cycle_7")
 
     out["join_semi_prefilter"] = _semi
+
+    # IKKBZ (rank-based optimal left-deep) on the acyclic 8-relation
+    # graph -- same oracle SQL as join_events_8, different search
+    def _ikkbz(spark: SparkSession, sf_dir: str) -> DataFrame:
+        configure_runtime(spark)
+        return workload.run_fixture(
+            spark, sf_dir, "join_events_8", planner="ikkbz"
+        )
+
+    out["join_ikkbz_events"] = _ikkbz
     for name in sqlsurface.SURFACE:
         out[name] = _surface_runner(name)
     for name, (runner, _) in PIPELINE_OPS.items():
@@ -109,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
     }
     out["join_env_agent"] = workload.fixture_oracle_sql("join_cycle_7")
     out["join_semi_prefilter"] = workload.fixture_oracle_sql("join_cycle_7")
+    out["join_ikkbz_events"] = workload.fixture_oracle_sql("join_events_8")
     # the SQL surface is shared ANSI text (or a DuckDB-dialect twin where
     # the engines' syntax diverges)
     for name in sqlsurface.SURFACE:

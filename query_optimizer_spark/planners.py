@@ -419,6 +419,155 @@ def plan_bushy(graph: JoinGraph, oracle, cm: CostModel) -> PlanResult:
 
 
 # ---------------------------------------------------------------------------
+# IKKBZ (adjacent-sequence-interchange optimal left-deep)
+# ---------------------------------------------------------------------------
+
+
+class _Mod:
+    """A module (maximal merged run) in the IKKBZ precedence chain."""
+
+    __slots__ = ("seq", "t", "c", "children")
+
+    def __init__(self, seq: list[int], t: float, c: float):
+        self.seq = seq
+        self.t = t
+        self.c = c
+        self.children: list[_Mod] = []
+
+    @property
+    def rank(self) -> float:
+        # (T-1)/C; a zero-cost module (empty intermediate) sorts first --
+        # joining it collapses everything after it
+        return (self.t - 1.0) / self.c if self.c > 0 else float("-inf")
+
+    def fused(self, other: "_Mod") -> "_Mod":
+        """self followed immediately by other, as one compound module:
+        C(S1 S2) = C(S1) + T(S1) C(S2), T(S1 S2) = T(S1) T(S2)."""
+        return _Mod(self.seq + other.seq, self.t * other.t, self.c + self.t * other.c)
+
+
+def _normalize(chain: list[_Mod]) -> list[_Mod]:
+    """Fuse adjacent modules wherever rank decreases, restoring the
+    ascending-rank invariant without reordering (only adjacent fusions
+    are legal: the chain encodes precedence constraints)."""
+    i = 0
+    while i < len(chain) - 1:
+        if chain[i].rank > chain[i + 1].rank:
+            chain[i : i + 2] = [chain[i].fused(chain[i + 1])]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    return chain
+
+
+def _merge_chains(chains: list[list[_Mod]]) -> list[_Mod]:
+    """Merge rank-ascending chains into one by ascending rank; within a
+    chain relative order is preserved (heap-free k-way merge is overkill
+    at fixture sizes -- sorted() is stable over the pre-ordered input)."""
+    indexed = [
+        (m.rank, ci, i, m)
+        for ci, ch in enumerate(chains)
+        for i, m in enumerate(ch)
+    ]
+    # sort by rank; ties keep chain-internal order via the (ci, i) key
+    indexed.sort(key=lambda x: (x[0], x[1], x[2]))
+    return [m for _, _, _, m in indexed]
+
+
+def plan_ikkbz(graph: JoinGraph, oracle, cm: CostModel) -> PlanResult:
+    """IKKBZ (Ibaraki-Kameda 1984, Krishnamurthy-Boral-Zaniolo 1986):
+    rank-based optimal left-deep ordering for tree-shaped query graphs
+    under ASI cost functions, O(n^2) per root instead of left-deep DP's
+    exponential subset sweep.  Per start factor, the query tree becomes a
+    precedence tree; each subtree is flattened to a rank-ascending chain
+    (fusing adjacent modules on rank inversions -- the ASI normalization);
+    chains merge by ascending rank.  The cheapest root's chain wins,
+    scored by the session cost model so results are comparable with every
+    other planner (for non-ASI models mm/cm2 this is a heuristic, exactly
+    as greedy is).
+
+    Cyclic components first drop to a most-selective spanning tree
+    (smallest selectivity edges kept, Kruskal); the dropped cycle edges
+    still execute -- ``make_join`` attaches every edge between the two
+    sides -- they just don't shape the precedence tree.  Selectivities
+    come from the oracle's 1- and 2-factor cardinalities, the same
+    metadata the reference's planners consume.
+
+    Not a reference rule: the reference's LOpt greedy (J3) plays this
+    algorithmic role; IKKBZ extends the planner family with the published
+    optimal-left-deep algorithm the greedy approximates.
+    """
+
+    def component(comp: int) -> PlanNode:
+        factors = list(bits(comp))
+        if len(factors) == 1:
+            return _leaf(graph, factors[0])
+        n = {i: max(oracle.card(graph, 1 << i), 1e-9) for i in factors}
+        # pairwise selectivities over the component's edges
+        sel: dict[tuple[int, int], float] = {}
+        for ai, a in enumerate(factors):
+            for b in factors[ai + 1 :]:
+                if graph.edges_between(1 << a, 1 << b):
+                    c2 = oracle.card(graph, (1 << a) | (1 << b))
+                    f = c2 / (n[a] * n[b])
+                    sel[(a, b)] = sel[(b, a)] = f
+        # most-selective spanning tree (no-op when already a tree)
+        parent_uf = {i: i for i in factors}
+
+        def find(x):
+            while parent_uf[x] != x:
+                parent_uf[x] = parent_uf[parent_uf[x]]
+                x = parent_uf[x]
+            return x
+
+        tree_adj: dict[int, list[int]] = {i: [] for i in factors}
+        for (a, b), _f in sorted(sel.items(), key=lambda kv: (kv[1], kv[0])):
+            if a > b:
+                continue
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent_uf[ra] = rb
+                tree_adj[a].append(b)
+                tree_adj[b].append(a)
+
+        def chain_for_root(root: int) -> list[int]:
+            # precedence tree via DFS from root
+            def build(v: int, parent: int | None) -> _Mod:
+                t = n[v] if parent is None else sel[(v, parent)] * n[v]
+                mod = _Mod([v], t, t)
+                mod.children = [
+                    build(w, v) for w in tree_adj[v] if w != parent
+                ]
+                return mod
+
+            def flatten(v: _Mod) -> list[_Mod]:
+                """Rank-ascending chain of v's whole subtree, v excluded."""
+                chains = []
+                for ch in v.children:
+                    sub = _normalize([ch] + flatten(ch))
+                    chains.append(sub)
+                return _merge_chains(chains)
+
+            root_mod = build(root, None)
+            return [f for m in flatten(root_mod) for f in m.seq]
+
+        best: tuple[float, PlanNode] | None = None
+        for root in factors:
+            order = [root] + chain_for_root(root)
+            tree: PlanNode = _leaf(graph, order[0])
+            for f in order[1:]:
+                tree = make_join(graph, tree, _leaf(graph, f))
+            cost = _cum(graph, tree, oracle, cm)
+            if best is None or cost < best[0]:
+                best = (cost, tree)
+        assert best is not None
+        return best[1]
+
+    tree, cost = _plan_components(graph, oracle, cm, component)
+    return PlanResult(tree, cost, "ikkbz")
+
+
+# ---------------------------------------------------------------------------
 # Branch and bound (J6)
 # ---------------------------------------------------------------------------
 
@@ -481,6 +630,7 @@ PLANNERS = {
     "left_deep": plan_left_deep,
     "branch_and_bound": plan_branch_and_bound,
     "bushy": plan_bushy,
+    "ikkbz": plan_ikkbz,
     "random": plan_random,
 }
 

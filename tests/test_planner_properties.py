@@ -207,3 +207,62 @@ def test_planners_respect_outer_typing(graph_oracle):
         validate_tree(graph, res.tree)
         n_left = sum(1 for j in iter_joins(res.tree) if j.how == "left")
         assert n_left == bin(graph.null_generating).count("1"), name
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000), st.integers(min_value=2, max_value=7))
+def test_ikkbz_optimal_left_deep_on_trees(seed, n):
+    """On a tree-shaped query graph with an ASI-consistent oracle
+    (card(S) = prod n_i * prod f_e) under cm1/C_out, IKKBZ must equal the
+    exponential left-deep DP: both are optimal over cross-product-free
+    left-deep orders, IKKBZ in polynomial time."""
+    from query_optimizer_spark.planners import plan_ikkbz, plan_left_deep
+    from query_optimizer_spark.sqlparse import ColumnRef, Predicate
+
+    rng = random.Random(seed)
+    aliases = [f"t{i}" for i in range(n)]
+    # random spanning tree only -- no extra edges
+    edges = []
+    order = list(range(n))
+    rng.shuffle(order)
+    for i in range(1, n):
+        a, b = order[i], order[rng.randrange(i)]
+        edges.append((min(a, b), max(a, b)))
+    graph = JoinGraph(
+        aliases=aliases,
+        tables={a: "tab" for a in aliases},
+        filters={a: () for a in aliases},
+        edges=[
+            Edge(
+                (1 << a) | (1 << b),
+                (
+                    Predicate(
+                        "cmp",
+                        ColumnRef(aliases[a], "k"),
+                        "=",
+                        ColumnRef(aliases[b], "k"),
+                    ),
+                ),
+            )
+            for a, b in edges
+        ],
+    )
+    base = {i: float(rng.randrange(1, 10_000)) for i in range(n)}
+    f = {e: rng.uniform(1e-4, 1.0) for e in edges}
+    cards = {}
+    for s in range(1, 1 << n):
+        rows = 1.0
+        for i in bits(s):
+            rows *= base[i]
+        for (a, b), fe in f.items():
+            if (s >> a) & 1 and (s >> b) & 1:
+                rows *= fe
+        cards[graph.key_for(s)] = max(rows, 1e-9)
+    oracle = CardinalityOracle(cards)
+    cm = get_cost_model("cm1")
+    ik = plan_ikkbz(graph, oracle, cm)
+    ld = plan_left_deep(graph, oracle, cm)
+    validate_tree(graph, ik.tree)
+    assert ik.cost <= ld.cost * (1 + 1e-9) + 1e-9, (
+        f"IKKBZ {ik.cost} worse than left-deep DP {ld.cost}"
+    )
