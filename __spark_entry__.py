@@ -106,6 +106,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["join_ikkbz_events"] = _ikkbz
+
+    # sampling-based cardinality estimation (C11 middle rung): plan with
+    # hash-sampled counts scaled 1/p -- results must match regardless
+    def _sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+        configure_runtime(spark)
+        return workload.run_fixture(
+            spark,
+            sf_dir,
+            "join_cycle_7",
+            planner="dp_ccp",
+            oracle=workload.sampled_oracle(sf_dir, p=0.2),
+        )
+
+    out["join_sampled_card"] = _sampled
     for name in sqlsurface.SURFACE:
         out[name] = _surface_runner(name)
     for name, (runner, _) in PIPELINE_OPS.items():
@@ -120,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
     out["join_env_agent"] = workload.fixture_oracle_sql("join_cycle_7")
     out["join_semi_prefilter"] = workload.fixture_oracle_sql("join_cycle_7")
     out["join_ikkbz_events"] = workload.fixture_oracle_sql("join_events_8")
+    out["join_sampled_card"] = workload.fixture_oracle_sql("join_cycle_7")
     # the SQL surface is shared ANSI text (or a DuckDB-dialect twin where
     # the engines' syntax diverges)
     for name in sqlsurface.SURFACE:

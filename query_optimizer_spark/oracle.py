@@ -255,6 +255,82 @@ class TrueCountOracle(CardinalityOracle):
         return CardinalityOracle(self.cards)
 
 
+class SampledCountOracle(TrueCountOracle):
+    """Cardinality estimation by counting over a Bernoulli SAMPLE of the
+    subset's largest base table (by unfiltered rows), scaled by 1/p.
+
+    Each join output row survives exactly when its row from the sampled
+    table survives (probability p, independent of everything else), so
+    the scaled count is unbiased for ANY subset shape -- unlike sampling
+    every input, whose join estimate collapses by p^k.  Sampling is
+    hash-based (md5 of the whole row, mod 10_000), not random(): the
+    sample is a pure function of the data, so estimates are reproducible
+    across runs, engines, and partitionings -- at cluster scale a
+    random() sample would make plan choice nondeterministic.
+
+    This is the middle rung of the est-vs-true ladder (SURVEY §3.3, C11;
+    reference startTestCardinalities QueryOptExperiment.java:437-505
+    perturbs true counts to *simulate* estimation error -- this estimator
+    produces real, structured error): SparkStatsOracle (independence
+    assumptions) -> SampledCountOracle (sampling) -> TrueCountOracle.
+    """
+
+    def __init__(self, sf_dir: str | Path, p: float = 0.1):
+        super().__init__(sf_dir)
+        if not (0.0 < p <= 1.0):
+            raise ValueError(f"sample rate must be in (0, 1], got {p}")
+        self.p = p
+        self._table_rows_cache: dict[str, float] = {}
+
+    def _base_rows(self, table: str) -> float:
+        if table not in self._table_rows_cache:
+            self._table_rows_cache[table] = float(
+                self._connection()
+                .execute(
+                    f"SELECT count(*) FROM "
+                    f"read_parquet('{self.sf_dir}/{table}.parquet')"
+                )
+                .fetchone()[0]
+            )
+        return self._table_rows_cache[table]
+
+    def _count(self, graph: JoinGraph, s: int) -> float:
+        # sample the largest base table in the subset; singletons and
+        # outer-mixed sets fall back to exact counting (outer-join
+        # cardinalities interact with the null-extension in ways a
+        # one-sided sample doesn't model)
+        ng = s & getattr(graph, "null_generating", 0)
+        if popcount(s) == 1 or ng:
+            return super()._count(graph, s)
+        target = max(
+            bits(s), key=lambda i: self._base_rows(graph.tables[graph.aliases[i]])
+        )
+        cutoff = int(self.p * 10_000)
+        froms = []
+        conds = []
+        for i in bits(s):
+            a = graph.aliases[i]
+            t = graph.tables[a]
+            src = f"read_parquet('{self.sf_dir}/{t}.parquet')"
+            if i == target:
+                froms.append(
+                    f"(SELECT * FROM {src} AS {a} WHERE "
+                    f"('0x' || substr(md5({a}::VARCHAR), 1, 8))::BIGINT "
+                    f"% 10000 < {cutoff}) AS {a}"
+                )
+            else:
+                froms.append(f"{src} AS {a}")
+            conds.extend(p_.sql() for p_ in graph.filters.get(a, ()))
+        for e in graph.edges:
+            if (e.factors & s) == e.factors:
+                conds.extend(p_.sql() for p_ in e.preds)
+        sql = f"SELECT count(*) FROM {', '.join(froms)}"
+        if conds:
+            sql += " WHERE " + " AND ".join(conds)
+        raw = self._connection().execute(sql).fetchone()[0]
+        return max(raw / self.p, 1.0)
+
+
 class SparkStatsOracle(CardinalityOracle):
     """Estimation from base-table stats + independence assumptions.
 

@@ -14,7 +14,7 @@ from functools import lru_cache
 from .costmodels import get_cost_model
 from .executor import Renderer, query_to_sql
 from .joingraph import JoinGraph
-from .oracle import SparkStatsOracle, TrueCountOracle
+from .oracle import SampledCountOracle, SparkStatsOracle, TrueCountOracle
 from .planners import PLANNERS
 from .sqlparse import parse
 
@@ -217,3 +217,7 @@ def run_fixture_via_env_agent(spark, sf_dir: str, name: str = "join_cycle_7"):
 
 def true_oracle(sf_dir: str) -> TrueCountOracle:
     return TrueCountOracle(sf_dir)
+
+
+def sampled_oracle(sf_dir: str, p: float = 0.1) -> SampledCountOracle:
+    return SampledCountOracle(sf_dir, p=p)

@@ -82,3 +82,52 @@ def test_result_hash_distributed_matches_local(spark):
         "id", "cast(id as string) s", "cast(id as double) d"
     )
     assert result_hash(empty) == _result_hash_local(empty) == (0, f"{0:032x}")
+
+
+def test_sampled_oracle_qerror_bounded():
+    """The sampling estimator's q-error (max(est/true, true/est)) must be
+    materially tighter than the stats oracle's on the fixture join
+    graphs -- that's its reason to exist.  Deterministic: the sample is
+    a pure hash of the data."""
+    from query_optimizer_spark.joingraph import JoinGraph, bits, popcount
+    from query_optimizer_spark.sqlparse import parse
+    from query_optimizer_spark.workload import (
+        FIXTURES,
+        sampled_oracle,
+        stats_oracle,
+        true_oracle,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    true_o = true_oracle(sf)
+
+    def qerr(est, true):
+        est, true = max(est, 1.0), max(true, 1.0)
+        return max(est / true, true / est)
+
+    samp_errs, stats_errs = [], []
+    for fx in ["join_chain_3", "join_star_4", "join_events_8"]:
+        graph = JoinGraph.from_query(parse(FIXTURES[fx]))
+        samp_o = sampled_oracle(sf, p=0.2)
+        stat_o = stats_oracle(sf)
+        for s in range(1, graph.all_factors + 1):
+            if popcount(s) < 2 or not graph.connected(s):
+                continue
+            t = true_o.card(graph, s)
+            samp_errs.append(qerr(samp_o.card(graph, s), t))
+            stats_errs.append(qerr(stat_o.card(graph, s), t))
+    med = sorted(samp_errs)[len(samp_errs) // 2]
+    med_stats = sorted(stats_errs)[len(stats_errs) // 2]
+    assert max(samp_errs) < 3.0, f"sampling q-error blew up: {max(samp_errs)}"
+    assert med <= med_stats, (samp_errs, stats_errs)
+
+
+def test_sampled_oracle_rejects_bad_rate():
+    import pytest as _pytest
+
+    from query_optimizer_spark.oracle import SampledCountOracle
+
+    with _pytest.raises(ValueError):
+        SampledCountOracle("/root/testdata/sf0.001", p=0.0)
+    with _pytest.raises(ValueError):
+        SampledCountOracle("/root/testdata/sf0.001", p=1.5)
