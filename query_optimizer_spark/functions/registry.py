@@ -82,10 +82,15 @@ PIPELINE_OPS: dict[str, tuple] = {
         streaming.sliding_counts_stream,
         streaming.sliding_counts_stream_oracle(),
     ),
+    "stream_join": (streaming.join_stream, streaming.join_stream_oracle()),
     # source/sink formats (JSONL interchange round-trip)
     "io_jsonl_roundtrip": (
         sources.jsonl_roundtrip,
         sources.jsonl_roundtrip_oracle(),
+    ),
+    "io_csv_roundtrip": (
+        sources.csv_roundtrip,
+        sources.csv_roundtrip_oracle(),
     ),
     # skew-aware execution (salted join; result-invariant vs plain SQL)
     "skew_salted_join": (skew.skew_demo, skew.skew_demo_oracle()),

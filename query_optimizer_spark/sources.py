@@ -131,3 +131,44 @@ def jsonl_roundtrip_oracle() -> str:
                substring(text, 1, 40) AS prefix
         FROM documents
     """
+
+
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink round-trip on the orders table: write with
+    header, read back with an EXPLICIT schema (inference is an extra
+    full pass at scale -- and silently types everything it can't parse
+    as string), project a fidelity record.  The DuckDB oracle reads the
+    original parquet, so a hash match proves numeric/string round-trip
+    fidelity through the text format."""
+    from pyspark.sql import functions as F
+
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    out = f"{DEFAULT_WAREHOUSE}/orders_csv_{tag}"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.write.mode("overwrite").option("header", "true").csv(out)
+    back = (
+        spark.read.schema(
+            "o_orderkey bigint, o_custkey bigint, "
+            "o_orderstatus string, o_totalprice double"
+        )
+        .option("header", "true")
+        .csv(out)
+    )
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.expr("round(o_totalprice, 3)").alias("price_r"),
+    )
+
+
+def csv_roundtrip_oracle() -> str:
+    return """
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               round(o_totalprice, 3) AS price_r
+        FROM orders
+    """

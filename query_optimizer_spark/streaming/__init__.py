@@ -12,6 +12,8 @@ same code tails a directory/Kafka source continuously.
 
 from .ops import (
     dedup_stream,
+    join_stream,
+    join_stream_oracle,
     dedup_stream_oracle,
     enrich_stream,
     enrich_stream_oracle,
@@ -26,6 +28,8 @@ from .ops import (
 
 __all__ = [
     "stream_events",
+    "join_stream",
+    "join_stream_oracle",
     "hourly_counts_stream",
     "hourly_counts_stream_oracle",
     "sessionize_stream",

@@ -303,3 +303,64 @@ def sessionize_stream_oracle() -> str:
         WHERE session_seq < (SELECT max(s2.session_seq) FROM sessions s2
                              WHERE s2.user_id = sessions.user_id)
     """
+
+
+def join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase matched to
+    the same user's clicks in the preceding hour.
+
+    Both sides carry a 1 h watermark and the join condition bounds the
+    event-time distance, so Spark can evict click state older than the
+    purchase watermark minus the bound -- state stays O(window), not
+    O(stream).  The lag is computed on integer micros (``unix_micros``)
+    so the oracle twin (``epoch_us``) is exact, no boundary-counting
+    semantics involved.  Inner-join matches are emitted as they seal, so
+    append mode yields exactly the batch-join pairs.
+    """
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter("event_type = 'click'")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter("event_type = 'purchase'")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "user_id = click_user AND "
+            "click_ts BETWEEN purchase_ts - INTERVAL 1 HOUR AND purchase_ts"
+        ),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.expr("unix_micros(purchase_ts) - unix_micros(click_ts)").alias(
+            "lag_us"
+        ),
+    )
+    return _run_to_memory(joined, "append")
+
+
+def join_stream_oracle() -> str:
+    return """
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        FROM events p, events c
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+          AND p.user_id = c.user_id
+          AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """
