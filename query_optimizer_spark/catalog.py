@@ -48,12 +48,11 @@ class Catalog:
 
     def df(self, table: str):
         if table not in self._dfs:
-            if table == "events":
-                from .session import events_df
+            from .session import normalize_ts
 
-                self._dfs[table] = events_df(self.spark, self.sf_dir)
-            else:
-                self._dfs[table] = self.spark.read.parquet(self.path(table))
+            self._dfs[table] = normalize_ts(
+                self.spark.read.parquet(self.path(table))
+            )
         return self._dfs[table]
 
     def register_views(self) -> None:

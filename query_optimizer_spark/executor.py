@@ -113,7 +113,9 @@ class Renderer:
     def leaf_df(self, leaf: Leaf) -> DataFrame:
         alias = leaf.alias
         table = self.graph.tables[alias]
-        df = self.spark.read.parquet(f"{self.sf_dir}/{table}.parquet")
+        from .session import read_table
+
+        df = read_table(self.spark, self.sf_dir, table)
         cols = sorted(self.needed_cols[alias]) or [df.columns[0]]
         # prune -> rename alias__col -> filter (Catalyst pushes both into
         # the scan; verified by tests asserting PushedFilters/ReadSchema)

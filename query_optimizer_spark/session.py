@@ -79,13 +79,32 @@ def configure_runtime(spark: SparkSession) -> None:
             pass
 
 
-def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table with ``ts`` restored to TimestampType from the
-    nanos-as-long reading (integer division keeps it deterministic)."""
-    configure_runtime(spark)
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") in ("bigint", "long"):
-        # integer division: double math on epoch-nanos (~1e18) would lose
-        # sub-microsecond precision (double ulp at 1e18 is 128ns)
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+def normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize timestamp storage variants to plain TimestampType.
+
+    The testdata has shipped with two parquet flavors across rounds:
+    TIMESTAMP(NANOS) (read as INT64 under nanosAsLong) and
+    TIMESTAMP_NTZ (isAdjustedToUTC=false).  With the session timezone
+    pinned to UTC, casting NTZ -> TIMESTAMP is epoch-preserving and
+    matches DuckDB's naive-timestamp ``epoch_ms`` exactly, so every
+    operator downstream can assume one type.
+    """
+    for name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
+        elif name == "ts" and dtype in ("bigint", "long"):
+            # integer division: double math on epoch-nanos (~1e18) would
+            # lose precision (double ulp at 1e18 is 128ns)
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one testdata table with engine type normalization applied."""
+    configure_runtime(spark)
+    return normalize_ts(spark.read.parquet(f"{sf_dir}/{table}.parquet"))
+
+
+def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with ``ts`` normalized to TimestampType."""
+    return read_table(spark, sf_dir, "events")

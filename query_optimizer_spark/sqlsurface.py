@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from . import TABLES
-from .session import configure_runtime, events_df
+from .session import configure_runtime, read_table
 
 # name -> SQL valid for BOTH Spark and DuckDB, or a (spark_sql, duck_sql)
 # pair where the dialects diverge (results must still hash-match).
@@ -293,7 +293,11 @@ SURFACE: dict[str, str | tuple[str, str]] = {
     # Q3: shipping priority
     "sql_q3_shipping_priority": """
         SELECT l.l_orderkey, o.o_orderpriority,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 3) AS revenue
+               -- sum in DECIMAL: double summation order differs between
+               -- engines/partitionings; exact decimal addition is
+               -- order-independent, final DOUBLE cast for dtype-stable hashes
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(18, 6))), 3) AS DOUBLE) AS revenue
         FROM customer c, orders o, lineitem l
         WHERE c.c_mktsegment = 'BUILDING'
           AND c.c_custkey = o.o_custkey
@@ -363,7 +367,10 @@ SURFACE: dict[str, str | tuple[str, str]] = {
     # Q9: product profit by nation/year (adapted: retailprice carrying cost
     # stands in for the absent partsupp supplycost)
     "sql_q9_product_profit": """
-        SELECT nation, o_year, ROUND(SUM(amount), 3) AS sum_profit
+        SELECT nation, o_year,
+               -- exact decimal sum (see sql_q3): order-independent across engines
+               CAST(ROUND(SUM(CAST(amount AS DECIMAL(18, 6))), 3)
+                    AS DOUBLE) AS sum_profit
         FROM (
             SELECT n.n_name AS nation,
                    CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
@@ -539,10 +546,7 @@ SURFACE: dict[str, str | tuple[str, str]] = {
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     configure_runtime(spark)
     for t in TABLES:
-        if t == "events":
-            events_df(spark, sf_dir).createOrReplaceTempView(t)
-        else:
-            spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
 def spark_sql_of(name: str) -> str:

@@ -11,34 +11,28 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..functions.temporal import SESSION_GAP_MS
-from ..session import configure_runtime
-
-# events schema as stored (ts is INT64 epoch-nanos under nanosAsLong)
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
+from ..session import configure_runtime, normalize_ts
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source readStream over the events parquet with a proper
-    timestamp column restored."""
+    timestamp column restored.
+
+    The stream schema is taken from a batch read of the same file, so
+    the reader tracks whichever parquet flavor the testdata ships
+    (TIMESTAMP(NANOS)-as-INT64 or TIMESTAMP_NTZ) and ``normalize_ts``
+    restores plain TimestampType either way.
+    """
     configure_runtime(spark)
+    stored_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file source requires a directory; glob-filter to the events file
     sdf = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(stored_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .option("recursiveFileLookup", "false")
         .load(sf_dir)
     )
-    return sdf.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return normalize_ts(sdf)
 
 
 def _run_to_memory(sdf, output_mode: str) -> DataFrame:
