@@ -42,6 +42,8 @@ def main() -> None:
         "evt_hourly_rollup", "evt_sessionize", "evt_asof_join",
         "stream_hourly_counts",
         "corpus_vocab_topk", "corpus_tfidf_topk", "corpus_curate",
+        "text_repetition_stats", "corpus_pack_sequences",
+        "corpus_filter_funnel", "evt_retention_cohorts",
     ]
     try:
         all_qs = entrymod.queries()

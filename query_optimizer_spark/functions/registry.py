@@ -106,4 +106,22 @@ PIPELINE_OPS: dict[str, tuple] = {
         corpus.sample_stratified_oracle(),
     ),
     "corpus_curate": (corpus.curate, corpus.curate_oracle()),
+    # round-4 additions: repetition quality signals, sequence packing,
+    # filter funnel report, cohort retention
+    "text_repetition_stats": (
+        text.repetition_stats,
+        text.repetition_stats_oracle(),
+    ),
+    "corpus_pack_sequences": (
+        corpus.pack_sequences,
+        corpus.pack_sequences_oracle(),
+    ),
+    "corpus_filter_funnel": (
+        corpus.filter_funnel,
+        corpus.filter_funnel_oracle(),
+    ),
+    "evt_retention_cohorts": (
+        temporal.retention_cohorts,
+        temporal.retention_cohorts_oracle(),
+    ),
 }

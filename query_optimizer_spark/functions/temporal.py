@@ -267,3 +267,49 @@ def funnel_oracle() -> str:
         LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)
     """
+
+
+WEEK_MS = 7 * 24 * 3600 * 1000
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active epoch-week,
+    counted in each subsequent week they return -- the standard
+    activation/retention analysis over the events stream.
+
+    Weeks are integer epoch-week buckets (``ms DIV WEEK_MS``), so the
+    cross-engine oracle is exact integer arithmetic with no calendar or
+    timezone semantics.  Shape for 100 TB: distinct (user, week) and the
+    per-user min reuse the same user_id-hashed shuffle; the final
+    aggregate is on the (cohort, offset) pair -- O(weeks^2) output rows.
+    """
+    weeks = events_df(spark, sf_dir).select(
+        "user_id",
+        F.expr(f"unix_millis(ts) DIV {WEEK_MS}").alias("week"),
+    ).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").cast("int").alias("n_users"))
+    )
+
+
+def retention_cohorts_oracle() -> str:
+    return f"""
+        WITH weeks AS (
+            SELECT DISTINCT user_id,
+                   CAST(epoch_ms(ts) // {WEEK_MS} AS BIGINT) AS week
+            FROM events
+        ),
+        cohort AS (
+            SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id
+        )
+        SELECT c.cohort_week, w.week - c.cohort_week AS weeks_since,
+               CAST(count(DISTINCT w.user_id) AS INT) AS n_users
+        FROM weeks w JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
+    """

@@ -279,3 +279,91 @@ def bigram_topk_oracle() -> str:
             FROM counts
         ) WHERE rank <= {BIGRAM_TOP_K}
     """
+
+
+# --- repetition / diversity stats (Gopher-style quality signals) -------------
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: type-token ratio and the
+    fraction of bigrams taken by the single most frequent bigram --
+    the Gopher/MassiveText-style repetition filters (Rae et al. 2021,
+    public) a training pipeline applies before dedup.
+
+    Shape for 100 TB: token and bigram counts explode map-side from the
+    token array, partial-aggregate, and meet in TWO hash aggregations
+    keyed on doc_id (no window, no self-join).  Each shuffle carries
+    one row per distinct (doc, gram), already combiner-reduced -- the
+    same scale profile as a word-count.  The reference has no text
+    operators at all (SURVEY §2.6); this is new surface.
+    """
+    base = _docs(spark, sf_dir).select("doc_id", F.expr(TOKS).alias("toks"))
+    bigram_expr = (
+        "CASE WHEN size(toks) < 2 THEN array() "
+        "ELSE zip_with(slice(toks, 1, size(toks) - 1), "
+        "slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, ' ', b)) END"
+    )
+    tok_stats = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.countDistinct("tok").cast("int").alias("n_types"),
+        )
+    )
+    bg_stats = (
+        base.select("doc_id", F.explode(F.expr(bigram_expr)).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("int").alias("n_bigrams"),
+            F.max("cnt").cast("int").alias("top_bigram_cnt"),
+        )
+    )
+    return (
+        tok_stats.join(bg_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("round(n_types / n_tokens, 6)").alias("type_token_ratio"),
+            F.coalesce("n_bigrams", F.lit(0)).cast("int").alias("n_bigrams"),
+            F.expr(
+                "CASE WHEN n_bigrams > 0"
+                " THEN round(top_bigram_cnt / n_bigrams, 6) END"
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def repetition_stats_oracle() -> str:
+    toks = sql_tokens("text")
+    return f"""
+        WITH base AS (SELECT doc_id, {toks} AS toks FROM documents),
+        tok_stats AS (
+            SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+                   CAST(count(DISTINCT tok) AS INT) AS n_types
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+            GROUP BY doc_id
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest([toks[i] || ' ' || toks[i + 1]
+                           for i in generate_series(1, len(toks) - 1)]) AS bigram
+            FROM base
+        ),
+        bg_stats AS (
+            SELECT doc_id, CAST(sum(cnt) AS INT) AS n_bigrams,
+                   CAST(max(cnt) AS INT) AS top_bigram_cnt
+            FROM (SELECT doc_id, bigram, count(*) AS cnt FROM bg
+                  GROUP BY doc_id, bigram)
+            GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_tokens,
+               round(t.n_types / t.n_tokens, 6) AS type_token_ratio,
+               CAST(coalesce(b.n_bigrams, 0) AS INT) AS n_bigrams,
+               CASE WHEN b.n_bigrams > 0
+                    THEN round(b.top_bigram_cnt / b.n_bigrams, 6)
+               END AS top_bigram_frac
+        FROM tok_stats t LEFT JOIN bg_stats b USING (doc_id)
+    """

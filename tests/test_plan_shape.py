@@ -139,3 +139,23 @@ def test_no_cartesian_products_anywhere(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_pack_sequences_window_is_sharded(spark):
+    """pack_sequences' running sum must be windowed per shard -- an
+    empty PARTITION BY would funnel the whole corpus through one task
+    (the vocab_topk scale-killer shape from VERDICT r1)."""
+    from query_optimizer_spark.functions import corpus
+
+    plan = physical_plan(corpus.pack_sequences(spark, SF_DIR))
+    assert "windowspecdefinition(shard" in plan, plan
+
+
+def test_repetition_stats_is_partial_agged(spark):
+    """repetition_stats must reach its doc_id aggregations through
+    partial (map-side) aggregation -- the plan carries partial_count /
+    partial_sum HashAggregates, not a raw shuffle of exploded grams."""
+    from query_optimizer_spark.functions import text
+
+    plan = physical_plan(text.repetition_stats(spark, SF_DIR))
+    assert "partial_count" in plan or "partial_sum" in plan, plan
