@@ -154,6 +154,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["join_sampled_card"] = _sampled
+
+    # sketch-based estimation (C11 practical rung): real single-table
+    # counts + HLL join-key NDVs, chain-formula joins -- the stats an
+    # ANALYZE pass provides at 100 TB; results must match regardless
+    def _sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        configure_runtime(spark)
+        return workload.run_fixture(
+            spark,
+            sf_dir,
+            "join_cycle_7",
+            planner="dp_ccp",
+            oracle=workload.sketch_oracle(sf_dir),
+        )
+
+    out["join_sketch_card"] = _sketch
     for name in sqlsurface.SURFACE:
         if name not in out:
             out[name] = _surface_runner(name)
@@ -168,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
     out["join_semi_prefilter"] = workload.fixture_oracle_sql("join_cycle_7")
     out["join_ikkbz_events"] = workload.fixture_oracle_sql("join_events_8")
     out["join_sampled_card"] = workload.fixture_oracle_sql("join_cycle_7")
+    out["join_sketch_card"] = workload.fixture_oracle_sql("join_cycle_7")
     # the SQL surface is shared ANSI text (or a DuckDB-dialect twin where
     # the engines' syntax diverges)
     for name in sqlsurface.SURFACE:

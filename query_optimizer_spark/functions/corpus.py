@@ -558,3 +558,77 @@ def filter_funnel_oracle() -> str:
         FROM d
         GROUP BY source, lang
     """
+
+
+# --- fixed-window chunking with overlap ---------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document's token stream into fixed-size windows with
+    overlap (stride = size - overlap) -- the chunking step feeding
+    context-window training and retrieval indexing.
+
+    Pure map-side fan-out: tokenize once, compute the chunk count with
+    integer arithmetic, explode a small index range, slice the token
+    array per chunk.  No shuffle at all; output rows ~= tokens/stride.
+    Chunk counts use DIV so the DuckDB twin is bit-exact.
+    """
+    n_chunks = (
+        f"greatest(1, (size(toks) - {CHUNK_OVERLAP} + {CHUNK_STRIDE} - 1) "
+        f"DIV {CHUNK_STRIDE})"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(TOKS).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(0, {n_chunks} - 1)")).alias("chunk_id"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.expr(
+                f"slice(toks, chunk_id * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS})"
+            ).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.expr("cast(size(chunk) as int)").alias("n_chunk_tokens"),
+            F.expr("array_join(chunk, ' ')").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_overlap_oracle() -> str:
+    toks = sql_tokens("text")
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {toks} AS toks,
+                   greatest(1, (len({toks}) - {CHUNK_OVERLAP}
+                                + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE})
+                       AS n_chunks
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id,
+                   unnest([i for i in generate_series(0, n_chunks - 1)])
+                       AS chunk_id,
+                   toks
+            FROM t
+        )
+        SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+               CAST(len(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                                   chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}))
+                    AS INT) AS n_chunk_tokens,
+               array_to_string(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                                          chunk_id * {CHUNK_STRIDE}
+                                          + {CHUNK_TOKENS}), ' ')
+                   AS chunk_text
+        FROM c
+    """

@@ -124,4 +124,8 @@ PIPELINE_OPS: dict[str, tuple] = {
         temporal.retention_cohorts,
         temporal.retention_cohorts_oracle(),
     ),
+    "corpus_chunk_overlap": (
+        corpus.chunk_overlap,
+        corpus.chunk_overlap_oracle(),
+    ),
 }

@@ -377,3 +377,69 @@ class SparkStatsOracle(CardinalityOracle):
                 )
                 rows /= max(lo, 1.0)
         return max(rows, 1.0)
+
+
+class SketchOracle(TrueCountOracle):
+    """Cardinality estimation from ONE-PASS per-table statistics: real
+    filtered single-table counts plus HLL join-key distinct-count
+    sketches (``approx_count_distinct``), combined with the classic
+    chain formula |S| = prod(filtered rows) / prod(max(ndv_l, ndv_r))
+    per internal equi-join edge.
+
+    This is the practical rung of the est-vs-true ladder (SURVEY §3.3 /
+    C11): at 100 TB, true join counts (TrueCountOracle) are unaffordable
+    and even Bernoulli join sampling (SampledCountOracle) needs a pass
+    per subset -- but single-table filtered counts and HLL sketches are
+    one cheap scan each, exactly what ANALYZE TABLE collects.  Join
+    estimates inherit the independence/containment assumptions of
+    Selinger estimation (SparkStatsOracle) but on REAL filter
+    selectivities and REAL key NDVs instead of fixed heuristics.
+
+    Sketches are deterministic for a fixed dataset (HLL is a pure
+    function of the value set), so plans are reproducible across runs
+    and engines.
+    """
+
+    def __init__(self, sf_dir: str | Path):
+        super().__init__(sf_dir)
+        self._ndv: dict[tuple[str, str], float] = {}
+
+    def _ndv_of(self, table: str, column: str) -> float:
+        key = (table, column)
+        if key not in self._ndv:
+            self._ndv[key] = float(
+                self._connection()
+                .execute(
+                    f"SELECT approx_count_distinct({column}) FROM "
+                    f"read_parquet('{self.sf_dir}/{table}.parquet')"
+                )
+                .fetchone()[0]
+            )
+        return self._ndv[key]
+
+    def card(self, graph: JoinGraph, s: int) -> float:
+        if popcount(s) == 1:
+            return super().card(graph, s)  # real filtered scan count
+        rows = 1.0
+        for i in bits(s):
+            rows *= super().card(graph, 1 << i)
+        for e in graph.edges:
+            if (e.factors & s) == e.factors:
+                for p in e.preds:
+                    if not p.is_equijoin:
+                        continue
+                    left = self._ndv_of(
+                        graph.tables[p.col.alias], p.col.column
+                    )
+                    right = self._ndv_of(
+                        graph.tables[p.operand.alias], p.operand.column
+                    )
+                    rows /= max(left, right, 1.0)
+        return max(rows, 1.0)
+
+    def distinct_count(
+        self, graph: JoinGraph, alias: str, columns: tuple[str, ...]
+    ) -> float:
+        if len(columns) == 1:
+            return self._ndv_of(graph.tables[alias], columns[0])
+        return super().distinct_count(graph, alias, columns)

@@ -14,7 +14,12 @@ from functools import lru_cache
 from .costmodels import get_cost_model
 from .executor import Renderer, query_to_sql
 from .joingraph import JoinGraph
-from .oracle import SampledCountOracle, SparkStatsOracle, TrueCountOracle
+from .oracle import (
+    SampledCountOracle,
+    SketchOracle,
+    SparkStatsOracle,
+    TrueCountOracle,
+)
 from .planners import PLANNERS
 from .sqlparse import parse
 
@@ -221,3 +226,7 @@ def true_oracle(sf_dir: str) -> TrueCountOracle:
 
 def sampled_oracle(sf_dir: str, p: float = 0.1) -> SampledCountOracle:
     return SampledCountOracle(sf_dir, p=p)
+
+
+def sketch_oracle(sf_dir: str) -> SketchOracle:
+    return SketchOracle(sf_dir)

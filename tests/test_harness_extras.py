@@ -131,3 +131,47 @@ def test_sampled_oracle_rejects_bad_rate():
         SampledCountOracle("/root/testdata/sf0.001", p=0.0)
     with _pytest.raises(ValueError):
         SampledCountOracle("/root/testdata/sf0.001", p=1.5)
+
+
+def test_sketch_oracle_estimates():
+    """SketchOracle: single tables are exact (real filtered counts),
+    HLL NDVs are near-exact on these key columns, and join estimates
+    beat the fixed-heuristic stats oracle (its reason to exist)."""
+    from query_optimizer_spark.joingraph import JoinGraph, popcount
+    from query_optimizer_spark.sqlparse import parse
+    from query_optimizer_spark.workload import (
+        FIXTURES,
+        sketch_oracle,
+        stats_oracle,
+        true_oracle,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    true_o = true_oracle(sf)
+    sk_o = sketch_oracle(sf)
+    st_o = stats_oracle(sf)
+
+    def qerr(est, true):
+        est, true = max(est, 1.0), max(true, 1.0)
+        return max(est / true, true / est)
+
+    sk_errs, st_errs = [], []
+    for fx in ["join_chain_3", "join_star_4", "join_events_8"]:
+        graph = JoinGraph.from_query(parse(FIXTURES[fx]))
+        for s in range(1, graph.all_factors + 1):
+            if not graph.connected(s):
+                continue
+            t = true_o.card(graph, s)
+            if popcount(s) == 1:
+                # real filtered scan count: exact by construction
+                assert sk_o.card(graph, s) == t
+            else:
+                sk_errs.append(qerr(sk_o.card(graph, s), t))
+                st_errs.append(qerr(st_o.card(graph, s), t))
+        # determinism: same instance, same answers
+        assert sk_o.card(graph, graph.all_factors) == sk_o.card(
+            graph, graph.all_factors
+        )
+    med_sk = sorted(sk_errs)[len(sk_errs) // 2]
+    med_st = sorted(st_errs)[len(st_errs) // 2]
+    assert med_sk <= med_st, (sk_errs, st_errs)
