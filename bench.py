@@ -44,7 +44,7 @@ def main() -> None:
         "corpus_vocab_topk", "corpus_tfidf_topk", "corpus_curate",
         "text_repetition_stats", "corpus_pack_sequences",
         "corpus_filter_funnel", "evt_retention_cohorts",
-        "corpus_chunk_overlap",
+        "corpus_chunk_overlap", "evt_anomaly_hours", "corpus_score_model",
     ]
     try:
         all_qs = entrymod.queries()

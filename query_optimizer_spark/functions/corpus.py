@@ -632,3 +632,99 @@ def chunk_overlap_oracle() -> str:
                    AS chunk_text
         FROM c
     """
+
+
+# --- model-scoring plumbing (Arrow-batched inference) -------------------------
+
+# deterministic stand-in weights for a learned quality classifier; a real
+# model drops into _score_batch unchanged (same Arrow batch shape)
+SCORE_W_LEN = 1.8
+SCORE_W_STOP = 2.5
+SCORE_W_CHARLEN = -0.6
+SCORE_BIAS = -1.1
+
+
+def score_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-inference plumbing over documents: engineered features
+    (length, stopword ratio, mean token length) scored by a linear model
+    inside a vectorized Arrow-batched pandas UDF -- the exact shape a
+    real learned quality classifier (fastText-style) runs at: features
+    computed JVM-side, only the model forward pass in Python, whole
+    batches crossing via Arrow.
+
+    The squash is rational (z / (1 + |z|)), not a sigmoid: exp() is the
+    one scalar whose last-ulp behavior differs across engines, while
+    +,*,/,abs on identical doubles are IEEE-identical -- so the DuckDB
+    oracle twin matches bit-for-bit.  Scale: one narrow projection, one
+    Arrow exchange, no shuffle.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .text import _hits_expr_spark
+
+    def _score_batch_fn(n_tokens, en_hits, char_sum):
+        import numpy as np
+
+        nt = n_tokens.to_numpy(dtype=np.float64)
+        z = (
+            SCORE_BIAS
+            + SCORE_W_LEN * np.minimum(nt, 200.0) / 200.0
+            + SCORE_W_STOP * en_hits.to_numpy(dtype=np.float64) / nt
+            + SCORE_W_CHARLEN * (char_sum.to_numpy(dtype=np.float64) / nt / 10.0)
+        )
+        return pd.Series(np.round(z / (1.0 + np.abs(z)), 6))
+
+    # real (non-string) annotations: `from __future__ import annotations`
+    # stringifies inline hints, which pandas_udf cannot resolve here
+    _score_batch_fn.__annotations__ = {
+        "n_tokens": pd.Series,
+        "en_hits": pd.Series,
+        "char_sum": pd.Series,
+        "return": pd.Series,
+    }
+    _score_batch = pandas_udf(_score_batch_fn, "double")
+
+    feats = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(f"cast(size({TOKS}) as int)").alias("n_tokens"),
+            F.expr(_hits_expr_spark("en")).alias("en_hits"),
+            F.expr(f"aggregate({TOKS}, 0L, (a, x) -> a + length(x))").alias(
+                "char_sum"
+            ),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        _score_batch("n_tokens", "en_hits", "char_sum").alias("model_score"),
+    )
+
+
+def score_quality_model_oracle() -> str:
+    from .text import _hits_expr_duck
+
+    toks = sql_tokens("text")
+    return f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   CAST(len({toks}) AS INT) AS n_tokens,
+                   {_hits_expr_duck('en')} AS en_hits,
+                   coalesce(list_sum(list_transform({toks},
+                                                    x -> length(x))), 0)
+                       AS char_sum
+            FROM documents
+        ),
+        z AS (
+            SELECT doc_id, n_tokens,
+                   {SCORE_BIAS} + {SCORE_W_LEN} * least(n_tokens, 200.0) / 200.0
+                   + {SCORE_W_STOP} * en_hits / n_tokens
+                   + {SCORE_W_CHARLEN} * (char_sum / n_tokens / 10.0) AS z
+            FROM feats WHERE n_tokens > 0
+        )
+        SELECT doc_id, n_tokens, round(z / (1.0 + abs(z)), 6) AS model_score
+        FROM z
+    """

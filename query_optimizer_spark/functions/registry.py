@@ -128,4 +128,16 @@ PIPELINE_OPS: dict[str, tuple] = {
         corpus.chunk_overlap,
         corpus.chunk_overlap_oracle(),
     ),
+    "evt_anomaly_hours": (
+        temporal.anomaly_hours,
+        temporal.anomaly_hours_oracle(),
+    ),
+    "corpus_score_model": (
+        corpus.score_quality_model,
+        corpus.score_quality_model_oracle(),
+    ),
+    "stream_sink_parquet": (
+        streaming.sink_parquet_stream,
+        streaming.sink_parquet_stream_oracle(),
+    ),
 }

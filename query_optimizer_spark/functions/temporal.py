@@ -313,3 +313,103 @@ def retention_cohorts_oracle() -> str:
         FROM weeks w JOIN cohort c USING (user_id)
         GROUP BY 1, 2
     """
+
+
+ANOMALY_Z2_THRESHOLD = 4.0  # |z| > 2
+
+
+def anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly anomaly detection per event type: flag hours whose total
+    value deviates more than 2 sigma from that type's mean hourly total.
+
+    Cross-engine exactness: hourly totals are DECIMAL sums (order-
+    independent), and the per-type mean/variance are derived from
+    DECIMAL sums of those totals -- every engine then runs the SAME
+    scalar double arithmetic on identical inputs, so z-scores are
+    bit-identical with no aggregation-order noise.  Shape for 100 TB:
+    one (type, hour) aggregation over the scan, then a window over the
+    tiny (types x hours) aggregate -- the heavy shuffle happens once,
+    at the first groupBy.
+    """
+    hourly = (
+        events_df(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.expr(f"unix_millis(ts) DIV {3_600_000}").alias("hour"),
+        )
+        .agg(
+            F.expr(
+                "cast(sum(cast(value as decimal(18, 6))) as double)"
+            ).alias("total")
+        )
+    )
+    w = Window.partitionBy("event_type")
+    stats = hourly.select(
+        "event_type",
+        "hour",
+        "total",
+        F.count("*").over(w).alias("n"),
+        F.expr("cast(total as decimal(18, 6))").alias("t_dec"),
+    ).select(
+        "event_type",
+        "hour",
+        "total",
+        "n",
+        F.expr(
+            "cast(sum(t_dec) over (partition by event_type) as double)"
+        ).alias("s1"),
+        F.expr(
+            "cast(sum(t_dec * t_dec) over (partition by event_type)"
+            " as double)"
+        ).alias("s2"),
+    )
+    return stats.select(
+        "event_type",
+        "hour",
+        F.expr("round(total, 3)").alias("total"),
+        # + 0.0 maps IEEE -0.0 -> +0.0: DuckDB's round yields -0.0 for
+        # tiny negative z, Spark's doesn't, and hashes see the sign
+        F.expr(
+            "CASE WHEN n > 1 AND (s2 - s1 * s1 / n) / n > 0 THEN "
+            "round((total - s1 / n) / sqrt((s2 - s1 * s1 / n) / n), 3) + 0.0 "
+            "ELSE 0.0 END"
+        ).alias("z"),
+        F.expr(
+            "n > 1 AND (s2 - s1 * s1 / n) / n > 0 AND "
+            f"pow(total - s1 / n, 2) > {ANOMALY_Z2_THRESHOLD}"
+            " * (s2 - s1 * s1 / n) / n"
+        ).alias("is_anomaly"),
+    )
+
+
+def anomaly_hours_oracle() -> str:
+    return f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS hour,
+                   CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE)
+                       AS total
+            FROM events
+            GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type, hour, total,
+                   count(*) OVER w AS n,
+                   CAST(sum(CAST(total AS DECIMAL(18, 6))) OVER w AS DOUBLE)
+                       AS s1,
+                   CAST(sum(CAST(total AS DECIMAL(18, 6))
+                            * CAST(total AS DECIMAL(18, 6))) OVER w
+                        AS DOUBLE) AS s2
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type)
+        )
+        SELECT event_type, hour, round(total, 3) AS total,
+               CASE WHEN n > 1 AND (s2 - s1 * s1 / n) / n > 0 THEN
+                    round((total - s1 / n) / sqrt((s2 - s1 * s1 / n) / n), 3)
+                    + 0.0
+               ELSE 0.0 END AS z,
+               n > 1 AND (s2 - s1 * s1 / n) / n > 0 AND
+                   pow(total - s1 / n, 2) > {ANOMALY_Z2_THRESHOLD}
+                   * (s2 - s1 * s1 / n) / n AS is_anomaly
+        FROM stats
+    """

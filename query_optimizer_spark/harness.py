@@ -126,7 +126,9 @@ def _canon(v) -> str:
     if isinstance(v, float):
         if v != v:
             return "NULL"
-        return f"{v:.6g}"
+        # IEEE -0.0 formats as "-0" but equals 0.0: engines disagree on
+        # the sign of a zero result (e.g. round(-1e-9, 3)), so fold it
+        return f"{v + 0.0:.6g}" if v == 0 else f"{v:.6g}"
     return str(v)
 
 

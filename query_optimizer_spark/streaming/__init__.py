@@ -23,6 +23,8 @@ from .ops import (
     hourly_counts_stream_oracle,
     sessionize_stream,
     sessionize_stream_oracle,
+    sink_parquet_stream,
+    sink_parquet_stream_oracle,
     stream_events,
 )
 
@@ -40,4 +42,6 @@ __all__ = [
     "enrich_stream_oracle",
     "sliding_counts_stream",
     "sliding_counts_stream_oracle",
+    "sink_parquet_stream",
+    "sink_parquet_stream_oracle",
 ]

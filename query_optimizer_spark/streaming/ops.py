@@ -358,3 +358,51 @@ def join_stream_oracle() -> str:
           AND p.user_id = c.user_id
           AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
     """
+
+
+def sink_parquet_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable streaming sink: the watermark-deduped stream written to a
+    checkpointed PARQUET sink (exactly-once file commit via the write-
+    ahead commit log), then read back as a batch table -- the sink-side
+    surface the memory-sink ops don't exercise.  At scale this is the
+    landing-zone pattern: checkpoint + _spark_metadata make restarts
+    idempotent, and the committed files are immediately queryable.
+
+    Dedup (not a windowed agg) feeds the sink so the oracle needs no
+    watermark-boundary arithmetic: every event is emitted exactly once.
+    """
+    import hashlib
+    import shutil
+    from pathlib import Path
+
+    from ..sources import DEFAULT_WAREHOUSE
+
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    out = f"{DEFAULT_WAREHOUSE}/stream_sink_{tag}"
+    ckpt = f"{out}_ckpt"
+    for p in (out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    Path(DEFAULT_WAREHOUSE).mkdir(exist_ok=True)
+
+    a = stream_events(spark, sf_dir)
+    b = stream_events(spark, sf_dir)
+    deduped = (
+        a.unionByName(b)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def sink_parquet_stream_oracle() -> str:
+    return dedup_stream_oracle()

@@ -43,7 +43,8 @@ def duck_hash(duck, sql):
             if v is None or v != v:
                 canon.append("NULL")
             elif isinstance(v, float):
-                canon.append(f"{v:.6g}")
+                # fold IEEE -0.0 to +0.0, mirroring harness._canon
+                canon.append(f"{v + 0.0:.6g}" if v == 0 else f"{v:.6g}")
             else:
                 canon.append(str(v))
         s = "|".join(canon)
