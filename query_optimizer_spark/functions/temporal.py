@@ -279,17 +279,19 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Weeks are integer epoch-week buckets (``ms DIV WEEK_MS``), so the
     cross-engine oracle is exact integer arithmetic with no calendar or
-    timezone semantics.  Shape for 100 TB: distinct (user, week) and the
-    per-user min reuse the same user_id-hashed shuffle; the final
-    aggregate is on the (cohort, offset) pair -- O(weeks^2) output rows.
+    timezone semantics.  Shape for 100 TB: the cohort week is a window
+    min over user_id -- NOT a separate aggregate joined back, which
+    would either broadcast an O(users) table or add a join shuffle; the
+    final aggregate is on the (cohort, offset) pair, O(weeks^2) output
+    rows.
     """
     weeks = events_df(spark, sf_dir).select(
         "user_id",
         F.expr(f"unix_millis(ts) DIV {WEEK_MS}").alias("week"),
     ).distinct()
-    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    w = Window.partitionBy("user_id")
     return (
-        weeks.join(cohort, "user_id")
+        weeks.withColumn("cohort_week", F.min("week").over(w))
         .groupBy(
             "cohort_week",
             (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
@@ -305,12 +307,14 @@ def retention_cohorts_oracle() -> str:
                    CAST(epoch_ms(ts) // {WEEK_MS} AS BIGINT) AS week
             FROM events
         ),
-        cohort AS (
-            SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id
+        tagged AS (
+            SELECT user_id, week,
+                   min(week) OVER (PARTITION BY user_id) AS cohort_week
+            FROM weeks
         )
-        SELECT c.cohort_week, w.week - c.cohort_week AS weeks_since,
-               CAST(count(DISTINCT w.user_id) AS INT) AS n_users
-        FROM weeks w JOIN cohort c USING (user_id)
+        SELECT cohort_week, week - cohort_week AS weeks_since,
+               CAST(count(DISTINCT user_id) AS INT) AS n_users
+        FROM tagged
         GROUP BY 1, 2
     """
 
