@@ -54,6 +54,7 @@ _FIXTURE_PLANNERS = {
     "join_selfjoin_4": "branch_and_bound",
     "join_preds_3": "bushy",  # J8 greedy-bushy heuristic
     "join_events_8": "dp_ccp",
+    "join_galaxy_10": "dp_ccp",  # 10-vertex enumeration stress
     "join_group_3": "greedy",
     "join_outer_3": "dp_ccp",       # J14 left-outer typing
     "join_outer_removed": "greedy",  # J11 outer-join removal

@@ -97,6 +97,23 @@ FIXTURES: dict[str, str] = {
         GROUP BY n1.n_name
         ORDER BY n1.n_name ASC
     """,
+    # 10-relation stress graph: every base table except documents/
+    # embeddings, nation and region each under two roles -- the largest
+    # enumeration the workload exercises (DPccp csg-cmp on 10 vertices)
+    "join_galaxy_10": """
+        SELECT MIN(l.l_extendedprice) AS min_ep, MIN(e.value) AS min_val,
+               COUNT(l.l_orderkey) AS n_rows
+        FROM lineitem l, orders o, customer c, supplier s, part p,
+             nation n1, nation n2, region r, region r2, events e
+        WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+          AND l.l_suppkey = s.s_suppkey AND l.l_partkey = p.p_partkey
+          AND c.c_nationkey = n1.n_nationkey
+          AND s.s_nationkey = n2.n_nationkey
+          AND n1.n_regionkey = r.r_regionkey
+          AND n2.n_regionkey = r2.r_regionkey
+          AND e.user_id = c.c_custkey
+          AND e.event_type = 'view' AND p.p_size < 15 AND r.r_name = 'ASIA'
+    """,
     # J14: LEFT OUTER join kept in the plan (orders columns projected;
     # the ON filter pre-filters the null-generating side)
     "join_outer_3": """

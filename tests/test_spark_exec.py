@@ -144,3 +144,30 @@ def test_compare_oracles_harness(oracle):
     out = compare_oracles(queries, est, oracle)
     for name, (est_cost_true, opt_true) in out.items():
         assert est_cost_true >= opt_true - 1e-6  # est plan can't beat optimum
+
+
+def test_galaxy_10_planners_agree(spark):
+    """10-relation enumeration stress: DPccp, greedy, and IKKBZ must
+    hash-agree on the largest fixture graph, and the exhaustive plan
+    can't cost more than the heuristics' plans."""
+    from query_optimizer_spark.costmodels import get_cost_model
+    from query_optimizer_spark.workload import (
+        FIXTURES,
+        run_fixture,
+        stats_oracle,
+    )
+
+    graph = JoinGraph.from_query(parse(FIXTURES["join_galaxy_10"]))
+    assert graph.n == 10
+    oracle = stats_oracle(SF_DIR)
+    cm = get_cost_model("cm1")
+    costs = {
+        p: PLANNERS[p](graph, oracle, cm).cost
+        for p in ("dp_ccp", "greedy", "ikkbz", "left_deep")
+    }
+    assert costs["dp_ccp"] == min(costs.values()), costs
+    hashes = {
+        p: result_hash(run_fixture(spark, SF_DIR, "join_galaxy_10", planner=p))
+        for p in ("dp_ccp", "greedy", "ikkbz")
+    }
+    assert len(set(hashes.values())) == 1, hashes
