@@ -672,3 +672,93 @@ def embedding_cosine_oracle() -> str:
                     / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)), 6)
               >= {COSINE_DUP_THRESHOLD}
     """
+
+
+# --- asymmetric containment (subset-duplication) ------------------------------
+
+CONTAINMENT_THRESHOLD = 0.7
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: shingle CONTAINMENT
+    |A∩B| / |A| catches documents that are near-subsets of another
+    (quotes, wrappers, re-posts with added boilerplate) which symmetric
+    jaccard under-scores -- |A∩B|/|A∪B| stays low when |B| >> |A| even
+    though A is entirely contained.  Same two-stage scale shape as
+    jaccard: MinHash-band candidates, exact set verify on collisions
+    only; emits the pair when EITHER direction's containment passes.
+    """
+    sig = minhash_signatures(spark, sf_dir).cache()
+    cand = _band_candidates(sig)
+    sets = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(TOKS).alias("toks"))
+        .filter(F.expr(f"size(toks) >= {MINHASH_SHINGLE}"))
+        .select("doc_id", F.expr(_SHINGLES_SPARK).alias("shs"))
+    )
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    inter = "size(array_intersect(sa.shs, sb.shs))"
+    return (
+        cand.join(sa, cand.doc_a == F.col("sa.doc_id"))
+        .join(sb, cand.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"round({inter} / size(sa.shs), 6)").alias("cont_a_in_b"),
+            F.expr(f"round({inter} / size(sb.shs), 6)").alias("cont_b_in_a"),
+        )
+        .filter(
+            (F.col("cont_a_in_b") >= CONTAINMENT_THRESHOLD)
+            | (F.col("cont_b_in_a") >= CONTAINMENT_THRESHOLD)
+        )
+    )
+
+
+def containment_oracle() -> str:
+    perms = ", ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_keys = ", ".join(
+        "concat_ws(','," + ", ".join(
+            f"m{bnd * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)
+        ) + f") AS bk{bnd}"
+        for bnd in range(MINHASH_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bnd} AS band, bk{bnd} AS key FROM band_keys"
+        for bnd in range(MINHASH_BANDS)
+    )
+    toks = sql_tokens("text")
+    return f"""
+        WITH {_sql_shingles_cte()},
+        hashed AS (SELECT doc_id, {sql_hash32('sh')} AS h FROM shingles),
+        sig AS (SELECT doc_id, {perms} FROM hashed GROUP BY doc_id),
+        band_keys AS (SELECT doc_id, {band_keys} FROM sig),
+        bands AS ({band_rows}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a, bands b
+            WHERE a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        sets AS (
+            SELECT doc_id, list_distinct(
+                [w[j] || ' ' || w[j+1] || ' ' || w[j+2]
+                 for j in generate_series(1, len(w) - {MINHASH_SHINGLE - 1})]
+            ) AS shs
+            FROM (SELECT doc_id, {toks} AS w FROM documents
+                  WHERE len({toks}) >= {MINHASH_SHINGLE})
+        )
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(sa.shs, sb.shs)) / len(sa.shs), 6)
+                   AS cont_a_in_b,
+               round(len(list_intersect(sa.shs, sb.shs)) / len(sb.shs), 6)
+                   AS cont_b_in_a
+        FROM cand
+        JOIN sets sa ON sa.doc_id = doc_a
+        JOIN sets sb ON sb.doc_id = doc_b
+        WHERE round(len(list_intersect(sa.shs, sb.shs)) / len(sa.shs), 6)
+                  >= {CONTAINMENT_THRESHOLD}
+           OR round(len(list_intersect(sa.shs, sb.shs)) / len(sb.shs), 6)
+                  >= {CONTAINMENT_THRESHOLD}
+    """

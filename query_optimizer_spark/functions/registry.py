@@ -140,4 +140,12 @@ PIPELINE_OPS: dict[str, tuple] = {
         streaming.sink_parquet_stream,
         streaming.sink_parquet_stream_oracle(),
     ),
+    "dedup_containment": (
+        dedup.containment_pairs,
+        dedup.containment_oracle(),
+    ),
+    "evt_hourly_topk": (
+        temporal.hourly_topk_users,
+        temporal.hourly_topk_users_oracle(),
+    ),
 }

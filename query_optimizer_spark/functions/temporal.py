@@ -417,3 +417,52 @@ def anomaly_hours_oracle() -> str:
                    * (s2 - s1 * s1 / n) / n AS is_anomaly
         FROM stats
     """
+
+
+TOPK_PER_HOUR = 3
+
+
+def hourly_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K users by total value within each hour -- the grouped-ranking
+    shape (leaderboards, heavy-hitter reports) done the scalable way: the
+    row_number window is PARTITIONED by hour, so every partition ranks
+    independently; no global sort exists anywhere.  Totals are DECIMAL
+    sums so rank order (total desc, user_id) is deterministic
+    cross-engine."""
+    hourly = (
+        events_df(spark, sf_dir)
+        .groupBy(
+            F.expr("unix_millis(ts) DIV 3600000").alias("hour"),
+            "user_id",
+        )
+        .agg(
+            F.expr(
+                "cast(sum(cast(value as decimal(18, 6))) as double)"
+            ).alias("total")
+        )
+    )
+    w = Window.partitionBy("hour").orderBy(F.desc("total"), "user_id")
+    return (
+        hourly.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOPK_PER_HOUR)
+        .select("hour", "rank", "user_id", F.expr("round(total, 3)").alias("total"))
+    )
+
+
+def hourly_topk_users_oracle() -> str:
+    return f"""
+        WITH hourly AS (
+            SELECT CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS hour, user_id,
+                   CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS total
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT hour, CAST(rank AS INT) AS rank, user_id, round(total, 3) AS total
+        FROM (
+            SELECT hour, user_id, total,
+                   ROW_NUMBER() OVER (PARTITION BY hour
+                                      ORDER BY total DESC, user_id) AS rank
+            FROM hourly
+        )
+        WHERE rank <= {TOPK_PER_HOUR}
+    """
