@@ -148,4 +148,8 @@ PIPELINE_OPS: dict[str, tuple] = {
         temporal.hourly_topk_users,
         temporal.hourly_topk_users_oracle(),
     ),
+    "text_oov_bigram_rate": (
+        text.oov_bigram_rate,
+        text.oov_bigram_rate_oracle(),
+    ),
 }

@@ -367,3 +367,70 @@ def repetition_stats_oracle() -> str:
                END AS top_bigram_frac
         FROM tok_stats t LEFT JOIN bg_stats b USING (doc_id)
     """
+
+
+# --- corpus-LM coverage (OOV-bigram rate) ------------------------------------
+
+
+def oov_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary bigram rate against the corpus's
+    top-K bigram list -- the cheap LM-coverage quality signal (a doc
+    whose bigrams rarely appear in the corpus's head distribution is
+    noise, boilerplate, or another language).
+
+    Shape for 100 TB: the top-K list is genuinely tiny (K rows), so the
+    membership join is an explicit broadcast; doc bigrams form map-side
+    from the token array and meet ONE hash aggregation on doc_id.
+    Unlike tf-idf's unbounded vocabulary table (which must never be
+    broadcast), a fixed-K head list is the textbook broadcast side.
+    """
+    bigram_expr = (
+        "CASE WHEN size(toks) < 2 THEN array() "
+        "ELSE zip_with(slice(toks, 1, size(toks) - 1), "
+        "slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, ' ', b)) END"
+    )
+    grams = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(TOKS).alias("toks"))
+        .select("doc_id", F.explode(F.expr(bigram_expr)).alias("bigram"))
+    )
+    head = bigram_topk(spark, sf_dir).select(
+        "bigram", F.lit(1).alias("in_head")
+    )
+    return (
+        grams.join(F.broadcast(head), "bigram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.sum(F.coalesce("in_head", F.lit(0))).cast("int").alias("n_head"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("round(1.0 - n_head / n_bigrams, 6)").alias("oov_rate"),
+        )
+    )
+
+
+def oov_bigram_rate_oracle() -> str:
+    toks = sql_tokens("text")
+    return f"""
+        WITH grams AS (
+            SELECT doc_id,
+                   unnest([toks[i] || ' ' || toks[i + 1]
+                           for i in generate_series(1, len(toks) - 1)]) AS bigram
+            FROM (SELECT doc_id, {toks} AS toks FROM documents)
+        ),
+        head AS (
+            SELECT bigram FROM (
+                SELECT bigram, count(*) AS cnt FROM grams GROUP BY bigram
+                ORDER BY cnt DESC, bigram LIMIT {BIGRAM_TOP_K}
+            )
+        )
+        SELECT g.doc_id, CAST(count(*) AS INT) AS n_bigrams,
+               round(1.0 - sum(CASE WHEN h.bigram IS NOT NULL
+                                    THEN 1 ELSE 0 END) / count(*), 6)
+                   AS oov_rate
+        FROM grams g LEFT JOIN head h USING (bigram)
+        GROUP BY g.doc_id
+    """
