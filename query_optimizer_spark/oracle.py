@@ -56,6 +56,21 @@ class CardinalityOracle:
         except KeyError:
             raise CardinalityMissError(key) from None
 
+    def nonnull_distinct_count(
+        self, graph: JoinGraph, alias: str, columns: tuple[str, ...]
+    ) -> float:
+        """Distinct count over rows where EVERY key column is non-null
+        (keys ``<alias>#!<col,...>``) -- the null-aware metadata the
+        multi-column uniqueness proof needs: SQL count(DISTINCT (a, b))
+        counts NULL-bearing tuples while join equality drops them, so
+        plain distinct_count is unusable for composite keys
+        (areSelfJoinKeysUnique, MyLoptOptimizeJoinRule.java:2080-2109)."""
+        key = f"{alias}#!{','.join(sorted(columns))}"
+        try:
+            return float(self.cards[key])
+        except KeyError:
+            raise CardinalityMissError(key) from None
+
     def table_rows(self, graph: JoinGraph, alias: str) -> float:
         """Unfiltered base-table row count (uniqueness checks: keys are
         unique iff distinct_count == table_rows)."""
@@ -211,6 +226,25 @@ class TrueCountOracle(CardinalityOracle):
                 .execute(
                     f"SELECT count(DISTINCT ({cols})) FROM "
                     f"read_parquet('{self.sf_dir}/{t}.parquet')"
+                )
+                .fetchone()[0]
+            )
+        return self.cards[key]
+
+    def nonnull_distinct_count(
+        self, graph: JoinGraph, alias: str, columns: tuple[str, ...]
+    ) -> float:
+        key = f"{alias}#!{','.join(sorted(columns))}"
+        if key not in self.cards:
+            t = graph.tables[alias]
+            cols = sorted(columns)
+            notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+            self.cards[key] = float(
+                self._connection()
+                .execute(
+                    f"SELECT count(DISTINCT ({', '.join(cols)})) FROM "
+                    f"read_parquet('{self.sf_dir}/{t}.parquet') "
+                    f"WHERE {notnull}"
                 )
                 .fetchone()[0]
             )

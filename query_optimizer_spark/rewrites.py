@@ -61,17 +61,28 @@ def _side_columns(graph: JoinGraph, factor: int, edges: list[Edge]) -> set[str]:
 
 
 def _keys_unique(graph: JoinGraph, oracle, factor: int, cols: set[str]) -> bool:
-    """Sound only for SINGLE-column keys: count(DISTINCT k) ignores
-    NULLs, so distinct == table_rows proves both uniqueness AND no
-    NULLs.  For multi-column keys, SQL count(DISTINCT (a, b)) counts
-    NULL-bearing tuples (a struct with a NULL field is not NULL) while
-    join equality drops them -- the equality proof would be unsound, so
-    the rewrite conservatively declines."""
-    if len(cols) != 1:
-        return False
+    """Null-aware uniqueness proof: distinct NON-NULL key tuples ==
+    table rows establishes both (a) no row carries a NULL in any key
+    column and (b) no two rows share a key -- together, an equi-join on
+    the key matches every base row exactly once, which is what both
+    removals (J11/J12) require.
+
+    Single-column keys use plain count(DISTINCT k): SQL already ignores
+    NULL there, so it IS the non-null distinct count.  Multi-column keys
+    need the explicit non-null form because count(DISTINCT (a, b))
+    counts NULL-bearing tuples (a struct with a NULL field is not NULL)
+    while join equality drops them (the reference proves composite keys
+    the same way -- areSelfJoinKeysUnique,
+    MyLoptOptimizeJoinRule.java:2080-2109).  Oracles lacking the
+    metadata decline conservatively."""
     alias = graph.aliases[factor]
     try:
-        distinct = oracle.distinct_count(graph, alias, tuple(sorted(cols)))
+        if len(cols) == 1:
+            distinct = oracle.distinct_count(graph, alias, tuple(cols))
+        else:
+            distinct = oracle.nonnull_distinct_count(
+                graph, alias, tuple(sorted(cols))
+            )
         total = oracle.table_rows(graph, alias)
     except Exception:
         return False

@@ -149,6 +149,19 @@ FIXTURES: dict[str, str] = {
         FROM customer c1, customer c2
         WHERE c1.c_custkey = c2.c_custkey AND c1.c_mktsegment = 'BUILDING'
     """,
+    # J12 composite key: events self-joined on (user_id, ts) -- unique
+    # as a PAIR while user_id alone repeats heavily -- collapses to one
+    # scan via the null-aware multi-column uniqueness proof (distinct
+    # non-null tuples == rows; areSelfJoinKeysUnique
+    # MyLoptOptimizeJoinRule.java:2080-2109).  The single-column-only
+    # check of rounds <=4 declined this shape.
+    "join_selfjoin_removed_composite": """
+        SELECT MIN(e1.value) AS min_val, MAX(e2.value) AS max_val,
+               COUNT(e1.event_id) AS n_rows
+        FROM events e1, events e2
+        WHERE e1.user_id = e2.user_id AND e1.ts = e2.ts
+          AND e1.event_type = 'purchase'
+    """,
 }
 
 
@@ -235,6 +248,43 @@ def run_fixture_via_env_agent(spark, sf_dir: str, name: str = "join_cycle_7"):
     episode = run_episode(env, GreedyRewardAgent())
     renderer = Renderer(spark, sf_dir, graph, oracle)
     return renderer.run(episode["plan"])
+
+
+def run_fixture_via_wire(spark, sf_dir: str, name: str = "join_cycle_7"):
+    """Plan a fixture END-TO-END over the park wire protocol (§2.8):
+    a :class:`ParkServer` wraps a ParkSession in this process, a
+    :class:`ParkClient` drives the whole episode over a loopback TCP
+    socket -- setQueries/test/reset/getActions/step/isDone exactly as
+    the reference's Python agent drives the Java optimizer over ZMQ
+    PAIR (ZeroMQServer.java:101-266) -- and the join order the wire
+    session produced is then executed by the engine.  The agent policy
+    is the deterministic lowest-index action each step (any valid order
+    is result-invariant; that invariance is what the gate row proves).
+    """
+    from .park_api import ParkSession
+    from .park_server import ParkClient, ParkServer
+
+    sql = FIXTURES[name]
+    oracle = stats_oracle(sf_dir)
+    session = ParkSession(sf_dir=sf_dir, oracle=oracle, cost_model="cm1")
+    server = ParkServer(session).serve_in_background()
+    client = ParkClient(server.host, server.port)
+    try:
+        client.setQueries("test", {name: sql})
+        client.test()
+        client.reset()
+        while not client.isDone():
+            client.step(client.getActions()[0])
+        order = client.joinOrderSeq()
+        assert order, "wire episode finished without a recorded join order"
+    finally:
+        client.end()
+    # the episode's plan lives in the session the wire just drove;
+    # execute it engine-side
+    plan = session._env.final_plan()
+    graph = session._cur_graph
+    renderer = Renderer(spark, sf_dir, graph, oracle)
+    return renderer.run(plan)
 
 
 def true_oracle(sf_dir: str) -> TrueCountOracle:

@@ -27,6 +27,7 @@ OUTER_FIXTURES = [
     "join_outer_removed",
     "join_outer_full",
     "join_selfjoin_removed",
+    "join_selfjoin_removed_composite",
 ]
 
 
@@ -237,10 +238,12 @@ def test_outer_join_chain_unwinds():
     assert g2.aliases == ["a"]
 
 
-def test_multicolumn_key_declines_removal():
-    """count(DISTINCT (a,b)) counts NULL-bearing tuples that join
-    equality drops, so multi-column uniqueness proofs are unsound and
-    the rewrite must conservatively decline."""
+def test_multicolumn_key_needs_nonnull_metadata():
+    """Multi-column proofs must use the NULL-aware distinct count
+    (``alias#!cols`` keys): plain count(DISTINCT (a,b)) counts
+    NULL-bearing tuples that join equality drops, so an oracle carrying
+    only ``a#k1,k2`` metadata conservatively declines, while one with
+    the non-null tuple count proving uniqueness removes the pair."""
     from query_optimizer_spark.oracle import CardinalityOracle
     from query_optimizer_spark.rewrites import remove_redundant_self_joins
 
@@ -249,8 +252,41 @@ def test_multicolumn_key_declines_removal():
         "WHERE a.k1 = b.k1 AND a.k2 = b.k2"
     )
     graph = JoinGraph.from_query(q)
+    # struct-distinct metadata only: unsound for composites -> decline
     oracle = CardinalityOracle({"a#k1,k2": 100.0, "a#rows": 100.0})
     assert remove_redundant_self_joins(q, graph, oracle) is q  # unchanged
+    # null-aware proof present and exact -> remove
+    proven = CardinalityOracle({"a#!k1,k2": 100.0, "a#rows": 100.0})
+    q2 = remove_redundant_self_joins(q, graph, proven)
+    assert [a for _, a in q2.tables] == ["a"]
+    # null-bearing rows exist (non-null distinct < rows) -> decline:
+    # those rows never self-match, so the collapse would resurrect them
+    nulls = CardinalityOracle({"a#!k1,k2": 99.0, "a#rows": 100.0})
+    assert remove_redundant_self_joins(q, graph, nulls) is q
+
+
+def test_composite_self_join_removed_fixture():
+    """events(user_id, ts) is unique as a pair (user_id alone is not):
+    the null-aware composite proof collapses the self-join to one scan."""
+    oracle = TrueCountOracle(SF_DIR)
+    g = simplify(parse(FIXTURES["join_selfjoin_removed_composite"]), oracle)
+    assert g.aliases == ["e1"]
+
+
+def test_composite_nonunique_key_not_removed():
+    """lineitem (l_orderkey, l_linenumber) has duplicate pairs in this
+    testdata -- the composite proof must measure, not assume: the pair
+    stays joined."""
+    oracle = TrueCountOracle(SF_DIR)
+    g = simplify(
+        parse(
+            "SELECT MIN(a.l_extendedprice) AS m FROM lineitem a, lineitem b "
+            "WHERE a.l_orderkey = b.l_orderkey "
+            "AND a.l_linenumber = b.l_linenumber"
+        ),
+        oracle,
+    )
+    assert set(g.aliases) == {"a", "b"}
 
 
 def test_semi_prefilter_outer_safe(spark, duck):
