@@ -154,28 +154,42 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K tokens per document by tf*idf with rational idf = N/df.
 
     Scale shape: the (doc_id, tok) term counts shuffle once; document
-    frequency is a count() window over the tok partition of that same
-    table (tf is unique per (doc_id, tok), so the partition row count IS
-    df) -- no second aggregate, no vocabulary-sized join, and crucially
-    no broadcast of the full vocabulary, which at web scale is multi-GB.
-    N comes from a 1-row aggregate cross-joined in (single-row broadcast
-    NLJ), replacing the separate docs.count() driver action so the whole
-    query is one job."""
+    frequency is a ``groupBy("tok").count()`` over that table (tf is
+    unique per (doc_id, tok), so the row count per tok IS df) joined
+    back on tok.  The aggregate+join replaces r4's
+    ``count() over (partition by tok)`` window: map-side partial
+    aggregation collapses a stopword token's billions of (doc, tok)
+    rows to one partial per task, and the join runs under AQE skew
+    handling -- whereas a window partitioned on a vocabulary-scale key
+    routes every row for a hot token into ONE task and AQE cannot split
+    window partitions.  No vocabulary broadcast either (multi-GB at web
+    scale; the r1->r2 fix).  doc_len rides the FINAL doc_id window
+    stage (same partitioning as the rank window, so both share one
+    exchange; per-document partitions are bounded by document length).
+    N comes from a 1-row aggregate cross-joined in (single-row
+    broadcast NLJ), replacing a separate docs.count() driver action so
+    the whole query is one job."""
     docs = _docs(spark, sf_dir)
     n = docs.agg(F.count("*").alias("n_docs"))
     tf = (
         docs.select("doc_id", F.explode(F.expr(TOKS)).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("cnt"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(n)
         .withColumn(
             "doc_len", F.sum("cnt").over(Window.partitionBy("doc_id"))
         )
-        .withColumn("df", F.count("*").over(Window.partitionBy("tok")))
-    )
-    scored = tf.crossJoin(n).select(
-        "doc_id",
-        "tok",
-        F.expr("round((cnt / doc_len) * (n_docs / df), 6)").alias("tfidf"),
+        .select(
+            "doc_id",
+            "tok",
+            F.expr("round((cnt / doc_len) * (n_docs / df), 6)").alias(
+                "tfidf"
+            ),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("tok")
