@@ -687,7 +687,10 @@ def score_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             + SCORE_W_STOP * en_hits.to_numpy(dtype=np.float64) / nt
             + SCORE_W_CHARLEN * (char_sum.to_numpy(dtype=np.float64) / nt / 10.0)
         )
-        return pd.Series(np.round(z / (1.0 + np.abs(z)), 6))
+        # no rounding here: np.round is half-to-even while SQL round()
+        # is half-away-from-zero -- the 6-digit rounding happens in
+        # Spark SQL below so both engines use engine round() semantics
+        return pd.Series(z / (1.0 + np.abs(z)))
 
     # real (non-string) annotations: `from __future__ import annotations`
     # stringifies inline hints, which pandas_udf cannot resolve here
@@ -714,7 +717,9 @@ def score_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id",
         "n_tokens",
-        _score_batch("n_tokens", "en_hits", "char_sum").alias("model_score"),
+        F.round(
+            _score_batch("n_tokens", "en_hits", "char_sum"), 6
+        ).alias("model_score"),
     )
 
 

@@ -478,12 +478,12 @@ MAX_DRIVER_VECTORS = 100_000
 
 def _parquet_rows(path: str) -> int:
     """Row count from parquet footer metadata -- no Spark job, no scan
-    (the guard must not cost an extra pass over the table it guards)."""
-    import duckdb
+    (the guard must not cost an extra pass over the table it guards),
+    and no oracle-side engine dependency: pyarrow reads only the
+    footer."""
+    import pyarrow.parquet as pq
 
-    return duckdb.sql(
-        f"SELECT count(*) FROM read_parquet('{path}')"
-    ).fetchone()[0]
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def embedding_cosine_pairs(

@@ -362,9 +362,16 @@ def anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "cast(sum(t_dec) over (partition by event_type) as double)"
         ).alias("s1"),
+        # each product decimal(18,6)^2 is cast to decimal(38,6) BEFORE
+        # summing: the scale-12 exact product rounds to scale 6 (products
+        # are non-negative, so Spark's HALF_UP == DuckDB's half-away ==
+        # identical), and the window sum then has 1e32 of headroom
+        # instead of the 1e26 a decimal(38,12) sum would -- per-hour
+        # totals up to 1e12 over 1e8 hours/type stay exact, where the
+        # unclamped sum silently NULLs in Spark but raises in DuckDB
         F.expr(
-            "cast(sum(t_dec * t_dec) over (partition by event_type)"
-            " as double)"
+            "cast(sum(cast(t_dec * t_dec as decimal(38, 6)))"
+            " over (partition by event_type) as double)"
         ).alias("s2"),
     )
     return stats.select(
@@ -401,8 +408,9 @@ def anomaly_hours_oracle() -> str:
                    count(*) OVER w AS n,
                    CAST(sum(CAST(total AS DECIMAL(18, 6))) OVER w AS DOUBLE)
                        AS s1,
-                   CAST(sum(CAST(total AS DECIMAL(18, 6))
-                            * CAST(total AS DECIMAL(18, 6))) OVER w
+                   CAST(sum(CAST(CAST(total AS DECIMAL(18, 6))
+                                 * CAST(total AS DECIMAL(18, 6))
+                                 AS DECIMAL(38, 6))) OVER w
                         AS DOUBLE) AS s2
             FROM hourly
             WINDOW w AS (PARTITION BY event_type)

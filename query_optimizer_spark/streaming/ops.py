@@ -371,17 +371,20 @@ def sink_parquet_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dedup (not a windowed agg) feeds the sink so the oracle needs no
     watermark-boundary arithmetic: every event is emitted exactly once.
     """
-    import hashlib
+    import os
     import shutil
+    import uuid
     from pathlib import Path
 
     from ..sources import DEFAULT_WAREHOUSE
 
-    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    # run-unique path: concurrent runs (bench + gate, two sessions) must
+    # never delete each other's in-flight checkpoint/output.  Only the
+    # RESULT ROWS need Date-free determinism, not the temp path, so a
+    # uuid is fine here.
+    tag = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
     out = f"{DEFAULT_WAREHOUSE}/stream_sink_{tag}"
     ckpt = f"{out}_ckpt"
-    for p in (out, ckpt):
-        shutil.rmtree(p, ignore_errors=True)
     Path(DEFAULT_WAREHOUSE).mkdir(exist_ok=True)
 
     a = stream_events(spark, sf_dir)
@@ -401,7 +404,14 @@ def sink_parquet_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out)
+    # materialize the read-back into the block cache, then remove the
+    # sink + checkpoint dirs so completed runs leave nothing on disk
+    # (the returned DataFrame must stay collectable after cleanup)
+    df = spark.read.parquet(out).cache()
+    df.count()
+    for p in (out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    return df
 
 
 def sink_parquet_stream_oracle() -> str:

@@ -69,6 +69,19 @@ def test_embedding_cosine_driver_guard(spark):
     assert {(r.vec_a, r.vec_b, r.cosine) for r in blocked.collect()} == exact
     # small-N default stays on the exact driver-matmul baseline
     assert "MapInPandas" in physical_plan(exact_df)
+    # the footer-metadata guard (pyarrow, no scan, no oracle-engine
+    # dependency) reads the exact row count, and the cutover boundary
+    # is strict: n == max stays on the driver baseline, n > max routes
+    n = dedup._parquet_rows(f"{SF_DIR}/embeddings.parquet")
+    import duckdb
+
+    assert n == duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    ).fetchone()[0]
+    at_boundary = dedup.embedding_cosine_pairs(spark, SF_DIR, max_driver_vectors=n)
+    assert "MapInPandas" in physical_plan(at_boundary)
+    over = dedup.embedding_cosine_pairs(spark, SF_DIR, max_driver_vectors=n - 1)
+    assert "FlatMapGroupsInPandas" in physical_plan(over)
 
 
 def test_decode_image_stub(spark):
