@@ -24,6 +24,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
 
     import __spark_entry__ as entrymod
+    from query_optimizer_spark import workload
     from query_optimizer_spark.session import get_session
 
     spark = get_session("spark-joinlab-bench", profile="default", cpus=cpus)
@@ -50,6 +51,7 @@ def main() -> None:
         all_qs = entrymod.queries()
         qs = {name: all_qs[name] for name in headline}
         timings: dict[str, float] = {}
+        plan_secs: dict[str, float] = {}
         # warm the JVM/codegen path once with the cheapest query
         warm = all_qs["join_cross_2"](spark, sf_dir)
         warm.collect()
@@ -64,6 +66,26 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
                 assert n >= 0
             timings[name] = round(best, 4)
+            # planning-vs-execution split for planner-pipeline queries:
+            # time the planning slice alone (same oracle construction
+            # as the runner), so a total-time regression is attributable
+            # to plan time vs Spark execution (VERDICT r4 #3)
+            if name in entrymod._FIXTURE_PLANNERS:
+                planner = entrymod._FIXTURE_PLANNERS[name]
+                best_p = None
+                for _ in range(reps):
+                    t0 = time.monotonic()
+                    oracle = (
+                        workload.true_oracle(sf_dir)
+                        if name in entrymod._TRUE_ORACLE_FIXTURES
+                        else None
+                    )
+                    workload.plan_fixture(
+                        sf_dir, name, planner=planner, oracle=oracle
+                    )
+                    dt = time.monotonic() - t0
+                    best_p = dt if best_p is None else min(best_p, dt)
+                plan_secs[name] = round(best_p, 4)
         total = round(sum(timings.values()), 4)
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
         print(
@@ -73,6 +95,8 @@ def main() -> None:
                     "value": total,
                     "unit": "sec",
                     "queries": timings,
+                    "plan_sec": plan_secs,
+                    "reps": reps,
                     "sf": sf,
                 }
             )

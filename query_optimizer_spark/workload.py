@@ -189,6 +189,29 @@ def stats_oracle(sf_dir: str) -> SparkStatsOracle:
     return SparkStatsOracle(_base_rows(sf_dir))
 
 
+def plan_fixture(
+    sf_dir: str,
+    name: str,
+    planner: str = "dp_ccp",
+    cost_model: str = "cm1",
+    oracle=None,
+):
+    """Planning-only slice of :func:`run_fixture` -- parse -> removal
+    rewrites (J11/J12) -> join graph -> plan.  bench.py times this
+    separately from execution so plan-time regressions are decidable
+    (VERDICT r4 #3); returns ``(graph, oracle, plan_result)``."""
+    from .rewrites import simplify
+
+    sql = FIXTURES[name]
+    oracle = oracle or stats_oracle(sf_dir)
+    graph = simplify(parse(sql), oracle)
+    cm = get_cost_model(cost_model)
+    res = PLANNERS[planner](graph, oracle, cm)
+    if res is None:
+        res = PLANNERS["dp_ccp"](graph, oracle, cm)
+    return graph, oracle, res
+
+
 def run_fixture(
     spark,
     sf_dir: str,
@@ -202,15 +225,9 @@ def run_fixture(
     the stats oracle by default (cheap estimates; its missing
     distinct/rows metadata makes the removal rewrites a no-op); pass a
     TrueCountOracle for exact-cost planning and active join removal."""
-    from .rewrites import simplify
-
-    sql = FIXTURES[name]
-    oracle = oracle or stats_oracle(sf_dir)
-    graph = simplify(parse(sql), oracle)
-    cm = get_cost_model(cost_model)
-    res = PLANNERS[planner](graph, oracle, cm)
-    if res is None:
-        res = PLANNERS["dp_ccp"](graph, oracle, cm)
+    graph, oracle, res = plan_fixture(
+        sf_dir, name, planner=planner, cost_model=cost_model, oracle=oracle
+    )
     renderer = Renderer(spark, sf_dir, graph, oracle)
     return renderer.run(res.tree)
 

@@ -3,66 +3,118 @@
 to run (startTestCardinalities, QueryOptExperiment.java:437-505): how much
 does cardinality-estimation error degrade plan quality?
 
-For every fixture query and several estimate sources (classic stats
-estimator, deterministic x2/x8/x32 perturbations of truth), plan under the
-estimate, re-cost that plan under TRUE cardinalities, and report the
-ratio to the true optimum (1.0 = estimation error did not hurt).
+For every fixture query, every estimation RUNG of the est-vs-true ladder
+(C11: classic stats estimator -> Bernoulli sampling -> HLL sketches ->
+deterministic perturbations of truth -> truth itself), and every
+deterministic planner, plan under the estimate, re-cost that plan under
+TRUE cardinalities, and report the ratio to the true optimum computed by
+the same planner (1.0 = estimation error did not hurt that planner).
+This is the per-round artifact the reference's
+getEstCardinalityCosts/getOptCardinalityCosts pair records
+(QueryOptExperiment.java:437-505).
 
 Pure planning -- no SparkSession needed.
 
-Usage: python scripts/cardinality_sensitivity.py [--sf-dir DIR] [--cost-model cm1]
+Usage: python scripts/cardinality_sensitivity.py [--sf-dir DIR]
+           [--cost-model cm1] [--json CARDSENS_rNN.json]
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from query_optimizer_spark.costmodels import get_cost_model
-from query_optimizer_spark.harness import compare_oracles
 from query_optimizer_spark.joingraph import JoinGraph
-from query_optimizer_spark.oracle import SparkStatsOracle, TrueCountOracle
+from query_optimizer_spark.oracle import (
+    SampledCountOracle,
+    SketchOracle,
+    SparkStatsOracle,
+    TrueCountOracle,
+)
+from query_optimizer_spark.planners import PLANNERS
 from query_optimizer_spark.sqlparse import parse
 from query_optimizer_spark.workload import FIXTURES, _base_rows
+
+# every deterministic search strategy (random excluded: its plan depends
+# on the seed, not the estimates, so est-vs-true is meaningless there)
+PLANNER_NAMES = ["greedy", "left_deep", "bushy", "branch_and_bound", "dp_ccp", "ikkbz"]
+
+
+def _plan(planner: str, graph, oracle, cm):
+    """Plan with fallback to dp_ccp, mirroring run_fixture (IKKBZ
+    declines cyclic graphs, branch_and_bound declines >12 edges)."""
+    res = PLANNERS[planner](graph, oracle, cm)
+    return res if res is not None else PLANNERS["dp_ccp"](graph, oracle, cm)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--cost-model", default="cm1")
-    ap.add_argument("--planner", default="dp_ccp")
+    ap.add_argument("--json", default=None, help="write full results here")
     args = ap.parse_args()
 
     cm = get_cost_model(args.cost_model)
     true_oracle = TrueCountOracle(args.sf_dir)
-    for sql in FIXTURES.values():
-        true_oracle.precompute_all_connected(JoinGraph.from_query(parse(sql)))
+    graphs = {}
+    for name, sql in FIXTURES.items():
+        graphs[name] = JoinGraph.from_query(parse(sql))
+        true_oracle.precompute_all_connected(graphs[name])
 
-    estimators = {
+    rungs = {
         "stats_estimator": SparkStatsOracle(_base_rows(args.sf_dir)),
-        "perturb_x2": true_oracle.snapshot().perturbed(seed=1, max_factor=2),
+        "sampled_p20": SampledCountOracle(args.sf_dir, p=0.2),
+        "sketch_hll": SketchOracle(args.sf_dir),
         "perturb_x8": true_oracle.snapshot().perturbed(seed=1, max_factor=8),
-        "perturb_x32": true_oracle.snapshot().perturbed(seed=1, max_factor=32),
+        "true": true_oracle,
     }
 
-    header = f"{'query':18s}" + "".join(f"{n:>18s}" for n in estimators)
-    print(f"cost-model={args.cost_model} planner={args.planner} "
-          f"(ratio est-plan-true-cost / optimal-true-cost)")
-    print(header)
-    rows = {}
-    for est_name, est in estimators.items():
-        out = compare_oracles(
-            FIXTURES, est, true_oracle, cost_model=cm, planner=args.planner
-        )
-        for q, (est_cost_true, opt_true) in out.items():
-            rows.setdefault(q, {})[est_name] = est_cost_true / opt_true
-    for q, ratios in rows.items():
-        print(f"{q:18s}" + "".join(
-            f"{ratios[n]:18.3f}" for n in estimators
-        ))
+    results: dict[str, dict[str, dict[str, dict[str, float]]]] = {}
+    for rung_name, est in rungs.items():
+        per_planner: dict[str, dict[str, dict[str, float]]] = {}
+        for planner in PLANNER_NAMES:
+            per_q = {}
+            for qname, graph in graphs.items():
+                est_plan = _plan(planner, graph, est, cm)
+                opt_plan = _plan(planner, graph, true_oracle, cm)
+                est_cost_true = cm.cumulative(graph, est_plan.tree, true_oracle)
+                per_q[qname] = {
+                    "est_cost_true": est_cost_true,
+                    "opt_true": opt_plan.cost,
+                    "ratio": est_cost_true / opt_plan.cost if opt_plan.cost else 1.0,
+                }
+            per_planner[planner] = per_q
+        results[rung_name] = per_planner
+
+    # console summary: per rung x planner, geometric-mean ratio
+    print(f"cost-model={args.cost_model} sf={args.sf_dir}")
+    print(f"{'rung':18s}" + "".join(f"{p:>18s}" for p in PLANNER_NAMES))
+    import math
+
+    for rung_name, per_planner in results.items():
+        cells = []
+        for planner in PLANNER_NAMES:
+            ratios = [v["ratio"] for v in per_planner[planner].values()]
+            gm = math.exp(sum(math.log(max(r, 1e-12)) for r in ratios) / len(ratios))
+            cells.append(f"{gm:18.3f}")
+        print(f"{rung_name:18s}" + "".join(cells))
+
+    if args.json:
+        payload = {
+            "sf_dir": args.sf_dir,
+            "cost_model": args.cost_model,
+            "planners": PLANNER_NAMES,
+            "queries": list(FIXTURES),
+            "rungs": results,
+        }
+        with open(args.json, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":
