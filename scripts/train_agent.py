@@ -48,32 +48,61 @@ TRAIN_FIXTURES = [
     "join_galaxy_10",
 ]
 
-N_FEATS = 6
+N_FEATS = 9
 
 
-def action_features(env: JoinOrderEnv, state: dict, action: int) -> list[float]:
-    """Features of one candidate join, computed from the state JSON the
-    protocol exposes (§2.9) -- nothing env-internal."""
+def _rank(vals: list[float]) -> list[float]:
+    """Rank in [0,1] of each value within the candidate set (ties share
+    the lower rank).  Rank-relative features transfer across fixtures
+    whose absolute cardinalities differ by orders of magnitude -- the
+    absolute-feature policy plateaued because 'log-card 4.2' is a big
+    vertex in one fixture and a small one in another."""
+    if len(vals) <= 1:
+        return [0.0] * len(vals)
+    order = sorted(vals)
+    n = len(vals) - 1
+    return [order.index(v) / n for v in vals]
+
+
+def action_features(env: JoinOrderEnv, state: dict) -> list[list[float]]:
+    """Feature vectors for ALL candidate actions, computed from the
+    state JSON the protocol exposes (§2.9) -- nothing env-internal.
+    Mix of absolute (scaled log-card) and rank-relative features."""
     verts = {v["id"]: v for v in state["vertices"]}
-    if state["edges"]:
-        va, vb = state["edges"][action]["factors"]
-        n_attrs = len(state["edges"][action]["joinAttributes"])
-    else:  # cross-join fallback over live vertices
-        live = sorted(verts)
-        va, vb = live[0], live[action + 1]
-        n_attrs = 0
-    ca = math.log10(1.0 + verts[va]["estimated_cardinality"])
-    cb = math.log10(1.0 + verts[vb]["estimated_cardinality"])
-    fa = len(verts[va]["factors"])
-    fb = len(verts[vb]["factors"])
-    return [
-        1.0,
-        min(ca, cb) / 6.0,
-        max(ca, cb) / 6.0,
-        (ca + cb) / 12.0,
-        n_attrs / 4.0,
-        (fa + fb) / 8.0,
-    ]
+    raws = []
+    n_actions = len(env.actions())
+    for action in range(n_actions):
+        if state["edges"]:
+            va, vb = state["edges"][action]["factors"]
+            n_attrs = len(state["edges"][action]["joinAttributes"])
+        else:  # cross-join fallback over live vertices
+            live = sorted(verts)
+            va, vb = live[0], live[action + 1]
+            n_attrs = 0
+        ca = math.log10(1.0 + verts[va]["estimated_cardinality"])
+        cb = math.log10(1.0 + verts[vb]["estimated_cardinality"])
+        fa = len(verts[va]["factors"])
+        fb = len(verts[vb]["factors"])
+        raws.append((min(ca, cb), max(ca, cb), ca + cb, n_attrs, fa + fb))
+    rk_min = _rank([r[0] for r in raws])
+    rk_max = _rank([r[1] for r in raws])
+    rk_sum = _rank([r[2] for r in raws])
+    feats = []
+    for i, (mn, mx, sm, n_attrs, f) in enumerate(raws):
+        feats.append(
+            [
+                1.0,
+                mn / 6.0,
+                mx / 6.0,
+                sm / 12.0,
+                n_attrs / 4.0,
+                f / 8.0,
+                rk_min[i],
+                rk_max[i],
+                rk_sum[i],
+            ]
+        )
+    return feats
 
 
 class ReinforceAgent:
@@ -86,11 +115,33 @@ class ReinforceAgent:
         self.lr = lr
         self.temp = temp
         self.rng = random.Random(seed)
+        # per-fixture running baseline of episode return (mean, var, n):
+        # fixtures differ by orders of magnitude in cost, so a shared
+        # batch normalization makes the advantage encode fixture
+        # identity instead of action quality (the r5 flat-curve bug)
+        self.base: dict[str, tuple[float, float, int]] = {}
+
+    def _advantage(self, name: str, ret: float) -> float:
+        mean, var, n = self.base.get(name, (ret, 1.0, 0))
+        sd = math.sqrt(var) if n > 1 else 1.0
+        # ret = -sum(log10(1+step_cost)): HIGHER is better, so the
+        # standard (return - baseline) advantage rewards cheap plans
+        adv = (ret - mean) / max(sd, 1e-3)
+        # EMA update of the per-fixture baseline
+        alpha = 0.1
+        if n == 0:
+            self.base[name] = (ret, 1.0, 1)
+        else:
+            d = ret - mean
+            self.base[name] = (
+                mean + alpha * d,
+                (1 - alpha) * (var + alpha * d * d),
+                n + 1,
+            )
+        return max(-3.0, min(3.0, adv))
 
     def _scores(self, env, state):
-        feats = [
-            action_features(env, state, a) for a in env.actions()
-        ]
+        feats = action_features(env, state)
         scores = [
             sum(t * f for t, f in zip(self.theta, fv)) / self.temp
             for fv in feats
@@ -128,23 +179,14 @@ class ReinforceAgent:
         return steps, rewards, env.cost_so_far
 
     def update(self, batch):
-        """batch: list of (steps, rewards) episodes."""
-        # returns-to-go, normalized across the whole batch
-        gs = []
-        for steps, rewards in batch:
-            g = 0.0
-            ep = []
-            for r in reversed(rewards):
-                g += r
-                ep.append(g)
-            gs.append(list(reversed(ep)))
-        flat = [g for ep in gs for g in ep]
-        mean = sum(flat) / len(flat)
-        var = sum((g - mean) ** 2 for g in flat) / max(len(flat) - 1, 1)
-        sd = math.sqrt(var) or 1.0
-        for (steps, _), ep_gs in zip(batch, gs):
-            for (feats, probs, a), g in zip(steps, ep_gs):
-                adv = -(g - mean) / sd  # lower summed log-cost is better
+        """batch: list of (fixture_name, steps, rewards) episodes.
+
+        Episode-level REINFORCE: one advantage per episode against the
+        PER-FIXTURE running baseline (see ``_advantage``), applied to
+        every step's log-policy gradient."""
+        for name, steps, rewards in batch:
+            adv = self._advantage(name, sum(rewards))
+            for feats, probs, a in steps:
                 # grad log pi(a) = f(a) - sum_b pi(b) f(b)
                 mean_f = [
                     sum(p * fv[i] for p, fv in zip(probs, feats))
@@ -156,18 +198,33 @@ class ReinforceAgent:
                     )
 
 
-def greedy_cost(agent: ReinforceAgent, env: JoinOrderEnv) -> float:
+def greedy_cost(agent: ReinforceAgent, env: JoinOrderEnv, cm, oracle) -> float:
+    """Cumulative cm1 cost (INCLUDING leaf scans, like PlanResult.cost)
+    of the plan the greedy-argmax policy builds.  The env's
+    ``cost_so_far`` sums only join-node costs; planner costs add the
+    plan-invariant leaf-scan terms, so every number in the artifact is
+    computed with ``cm.cumulative`` over the finished tree to be
+    directly comparable with dp_ccp's optimum."""
     env.reset()
     while not env.done:
         env.step(agent.act_greedy(env))
-    return env.cost_so_far
+    return cm.cumulative(env.graph, env.final_plan(), oracle)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    ap.add_argument("--episodes", type=int, default=480)
+    ap.add_argument("--episodes", type=int, default=1920)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=0.2)
+    ap.add_argument("--temp", type=float, default=1.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--holdout",
+        default="join_events_8,join_galaxy_10",
+        help="comma-separated fixtures NEVER trained on, evaluated "
+        "zero-shot (the generalization claim; '' disables)",
+    )
     ap.add_argument("--out", default="AGENT_TRAINING.md")
     args = ap.parse_args()
 
@@ -179,34 +236,43 @@ def main() -> None:
         )
         for name in TRAIN_FIXTURES
     }
-    agent = ReinforceAgent(lr=0.2, seed=0)
+    holdout = {n for n in args.holdout.split(",") if n}
+    train_names = [n for n in TRAIN_FIXTURES if n not in holdout]
+    agent = ReinforceAgent(lr=args.lr, seed=args.seed, temp=args.temp)
+    best_eval: tuple[float, list[float]] | None = None  # checkpoint argmax-eval
 
-    curve = []  # (episode, mean policy cost over fixtures, log10)
+    curve = []  # (episode, mean policy cost over TRAIN fixtures, log10)
     batch = []
-    order = list(TRAIN_FIXTURES)
+    order = list(train_names)
     rng = random.Random(1)
     for ep in range(args.episodes):
         name = order[ep % len(order)]
         steps, rewards, _cost = agent.play_episode(envs[name])
-        batch.append((steps, rewards))
+        batch.append((name, steps, rewards))
         if len(batch) >= args.batch:
             agent.update(batch)
             batch = []
-        if ep % 48 == 0 or ep == args.episodes - 1:
+        if ep % 96 == 0 or ep == args.episodes - 1:
             mean_log = sum(
-                math.log10(greedy_cost(agent, envs[n]))
-                for n in TRAIN_FIXTURES
-            ) / len(TRAIN_FIXTURES)
+                math.log10(greedy_cost(agent, envs[n], cm, oracle))
+                for n in train_names
+            ) / len(train_names)
             curve.append((ep, round(mean_log, 4)))
+            if best_eval is None or mean_log < best_eval[0]:
+                best_eval = (mean_log, list(agent.theta))
             print(f"episode {ep:4d}: mean log10(policy cost) = {mean_log:.4f}",
                   flush=True)
         rng.shuffle(order) if ep % len(order) == len(order) - 1 else None
 
-    # final comparison per fixture
+    # final comparison per fixture, with the best-eval checkpoint
+    # (standard early stopping: REINFORCE keeps exploring after the
+    # argmax policy has peaked, so the last iterate may be worse)
+    if best_eval is not None:
+        agent.theta = best_eval[1]
     rows = []
     for name in TRAIN_FIXTURES:
         env = envs[name]
-        pol = greedy_cost(agent, env)
+        pol = greedy_cost(agent, env, cm, oracle)
         # random baseline: mean of 20 seeded random episodes
         rnd_costs = []
         r = random.Random(3)
@@ -214,12 +280,13 @@ def main() -> None:
             env.reset()
             while not env.done:
                 env.step(r.choice(env.actions()))
-            rnd_costs.append(env.cost_so_far)
+            rnd_costs.append(cm.cumulative(env.graph, env.final_plan(), oracle))
         rnd = sum(rnd_costs) / len(rnd_costs)
-        grd = run_episode(env, GreedyRewardAgent())["cost"]
+        run_episode(env, GreedyRewardAgent())
+        grd = cm.cumulative(env.graph, env.final_plan(), oracle)
         graph = envs[name].graph
         opt = PLANNERS["dp_ccp"](graph, oracle, cm).cost
-        rows.append((name, pol, rnd, grd, opt))
+        rows.append((name, pol, rnd, grd, opt, name in holdout))
 
     lines = [
         "# AGENT_TRAINING -- learned join-order policy (J7 / §2.9)",
@@ -229,8 +296,14 @@ def main() -> None:
         "cardinality / factor counts, edge join-attribute count), so the",
         "agent runs unchanged against the wire front-end.  Deterministic",
         f"seeds; {args.episodes} episodes round-robin over"
-        f" {len(TRAIN_FIXTURES)} fixtures; batch {args.batch};"
-        " stats-oracle estimates (the realistic deployment input).",
+        f" {len(train_names)} fixtures; batch {args.batch};"
+        " stats-oracle estimates (the realistic deployment input)."
+        + (
+            f"  Held out from training, evaluated ZERO-SHOT: "
+            f"{', '.join(sorted(holdout))} (marked * below)."
+            if holdout
+            else ""
+        ),
         "",
         "## Learning curve (greedy-policy eval)",
         "",
@@ -245,20 +318,34 @@ def main() -> None:
         "| fixture | learned policy | random (mean/20) | greedy-by-reward | dp_ccp optimum |",
         "|---|---|---|---|---|",
     ]
-    for name, pol, rnd, grd, opt in rows:
+    for name, pol, rnd, grd, opt, held in rows:
+        star = " *" if held else ""
         lines.append(
-            f"| {name} | {pol:.3g} | {rnd:.3g} | {grd:.3g} | {opt:.3g} |"
+            f"| {name}{star} | {pol:.3g} | {rnd:.3g} | {grd:.3g} | {opt:.3g} |"
         )
     gm = lambda vals: math.exp(sum(math.log(v) for v in vals) / len(vals))  # noqa: E731
-    pol_over_opt = gm([p / o for _, p, _, _, o in rows])
-    rnd_over_opt = gm([r / o for _, _, r, _, o in rows])
-    lines += [
-        "",
-        f"Geomean policy/optimal = **{pol_over_opt:.2f}**, random/optimal ="
-        f" **{rnd_over_opt:.2f}** -- the learned policy closes"
-        f" {100 * (1 - math.log(pol_over_opt) / math.log(rnd_over_opt)):.0f}%"
-        " of the random-to-optimal gap (in log space).",
-    ]
+
+    def gap_line(label: str, subset) -> str:
+        pol_over_opt = gm([p / o for _, p, _, _, o, _ in subset])
+        rnd_over_opt = gm([r / o for _, _, r, _, o, _ in subset])
+        closed = 100 * (
+            1 - math.log(pol_over_opt) / math.log(rnd_over_opt)
+        )
+        return (
+            f"{label}: geomean policy/optimal = **{pol_over_opt:.2f}**,"
+            f" random/optimal = **{rnd_over_opt:.2f}** -- the policy closes"
+            f" {closed:.0f}% of the random-to-optimal gap (log space)."
+        )
+
+    lines.append("")
+    lines.append(gap_line("All fixtures", rows))
+    if holdout:
+        lines.append("")
+        lines.append(
+            gap_line(
+                "Held-out (zero-shot)", [r for r in rows if r[5]]
+            )
+        )
     Path(args.out).write_text("\n".join(lines) + "\n")
     print(f"wrote {args.out}")
 
