@@ -83,6 +83,19 @@ SAMPLE_SALT = "sample:v1:"
 SAMPLE_RATES = {"en": 50, "fr": 30, "es": 30, "de": 30, "zh": 20}
 SAMPLE_DEFAULT_RATE = 10
 
+# --- weighted source mixing --------------------------------------------------
+# Target mixture proportions (integer weights) for the training blend;
+# sources absent from the dict get MIX_DEFAULT_WEIGHT.  Keep-rates are
+# derived from the ACTUAL per-source counts (never upsampling), so the
+# comparison stays in exact int64 arithmetic on both engines.
+MIX_SALT = "mix:v1:"
+MIX_WEIGHTS = {"src0": 8, "src1": 5, "src2": 5, "src3": 3}
+MIX_DEFAULT_WEIGHT = 1
+
+# --- deterministic global shuffle -> training shards --------------------------
+SHARD_SALT = "shard:v1:"
+N_SHARDS = 16
+
 # --- int8 embedding quantization --------------------------------------------
 # Symmetric per-vector scheme: scale = max |x|, q_i = round(x_i/scale*127).
 # All arithmetic forced to float64 on both engines (Spark promotes

@@ -17,9 +17,14 @@ from .constants import (
     DECON_EVAL_MOD,
     DECON_NGRAM,
     DECON_SALT,
+    MIX_DEFAULT_WEIGHT,
+    MIX_SALT,
+    MIX_WEIGHTS,
+    N_SHARDS,
     SAMPLE_DEFAULT_RATE,
     SAMPLE_RATES,
     SAMPLE_SALT,
+    SHARD_SALT,
     sql_hash32,
     sql_tokens,
 )
@@ -363,6 +368,116 @@ def sample_stratified_oracle() -> str:
         SELECT doc_id, lang, source
         FROM documents
         WHERE {bucket} < {_rate_case('lang')}
+    """
+
+
+# --- weighted source mixing -------------------------------------------------------
+
+
+def _weight_case(col: str) -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"CASE {col} {arms} ELSE {MIX_DEFAULT_WEIGHT} END"
+
+
+def mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blend sources toward target proportions (the LLM data-mixing
+    step): keep-rates are derived from the ACTUAL per-source counts so
+    the output matches ``MIX_WEIGHTS`` as closely as possible without
+    upsampling -- the limiting source (smallest count/weight) is kept
+    whole and every other source is hash-downsampled pro rata.
+
+    Scale shape: per-source counts are one tiny aggregate (one row per
+    source); the limiting source is picked from that aggregate, and the
+    keep decision is a map-side integer comparison
+    ``bucket * w_lim * cnt_s < 1e6 * w_s * cnt_lim`` -- exact int64 on
+    both engines, no float rate whose last ulp could disagree.  The
+    only shuffle is the count aggregate; the filter itself broadcasts
+    two tiny tables and streams the corpus once.
+    """
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("w", F.expr(_weight_case("source")))
+    )
+    lim = (
+        counts.orderBy(
+            (F.col("cnt").cast("double") / F.col("w")).asc(), F.col("source")
+        )
+        .limit(1)
+        .select(F.col("cnt").alias("lim_cnt"), F.col("w").alias("lim_w"))
+    )
+    bucket = f"({_spark_hash32(f'concat({MIX_SALT!r}, doc_id)')} % 1000000)"
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(lim))
+        .filter(F.expr(f"{bucket} * lim_w * cnt < 1000000 * w * lim_cnt"))
+        .select("doc_id", "source")
+    )
+
+
+def mix_weighted_oracle() -> str:
+    hashed = sql_hash32(f"'{MIX_SALT}' || doc_id")
+    bucket = f"({hashed} % 1000000)"
+    return f"""
+        WITH counts AS (
+            SELECT source, count(*) AS cnt, {_weight_case('source')} AS w
+            FROM documents GROUP BY source
+        ),
+        lim AS (
+            SELECT cnt AS lim_cnt, w AS lim_w FROM counts
+            ORDER BY CAST(cnt AS DOUBLE) / w, source LIMIT 1
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN counts c USING (source) CROSS JOIN lim
+        WHERE {bucket} * lim.lim_w * c.cnt < 1000000 * c.w * lim.lim_cnt
+    """
+
+
+# --- deterministic global shuffle -> training shards ------------------------------
+
+
+def shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into ``N_SHARDS`` training shards:
+    shard = hash(salt, doc_id) mod N, position = rank of the hash
+    within the shard.  This is the shuffled-shard writer every training
+    pipeline needs -- example order must be pseudo-random but exactly
+    reproducible (resume, re-run, audit), which ``orderBy(rand())``
+    is not.
+
+    Scale shape: ONE shuffle (hash-partition by shard), then a
+    per-shard sort window -- never a global orderBy.  N_SHARDS is a
+    constant here; at 100 TB you set it to O(cluster cores x k) so
+    each shard sorts a bounded slice, and the rank becomes the
+    within-file record offset of the shard writer.
+    """
+    h = _spark_hash32(f"concat({SHARD_SALT!r}, doc_id)")
+    base = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(h).alias("h")
+    ).withColumn("shard", F.expr(f"cast(h % {N_SHARDS} as int)"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return base.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("int").alias("pos"),
+    )
+
+
+def shuffle_shard_oracle() -> str:
+    h = sql_hash32(f"'{SHARD_SALT}' || doc_id")
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {h} AS h,
+                   CAST({h} % {N_SHARDS} AS INT) AS shard
+            FROM documents
+        )
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                    AS INT) AS pos
+        FROM base
     """
 
 

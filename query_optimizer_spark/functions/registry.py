@@ -152,4 +152,17 @@ PIPELINE_OPS: dict[str, tuple] = {
         text.oov_bigram_rate,
         text.oov_bigram_rate_oracle(),
     ),
+    # new r5: data-mixing, shuffled sharding, frequency-weighted diversity
+    "corpus_mix_weighted": (
+        corpus.mix_weighted,
+        corpus.mix_weighted_oracle(),
+    ),
+    "corpus_shuffle_shard": (
+        corpus.shuffle_shard,
+        corpus.shuffle_shard_oracle(),
+    ),
+    "text_token_diversity": (
+        text.token_diversity,
+        text.token_diversity_oracle(),
+    ),
 }

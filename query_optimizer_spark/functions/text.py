@@ -434,3 +434,55 @@ def oov_bigram_rate_oracle() -> str:
         FROM grams g LEFT JOIN head h USING (bigram)
         GROUP BY g.doc_id
     """
+
+
+def token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Simpson diversity over the unigram distribution:
+    ``1 - sum(c_i^2) / L^2`` -- a frequency-weighted repetition signal
+    (TTR in ``repetition_stats`` only counts types; Simpson catches a
+    doc whose types are diverse but dominated by one token).  Stated as
+    an index, not entropy, deliberately: the repo policy avoids
+    transcendentals (log) whose last-ulp behavior differs across
+    engines, and Simpson is pure integer arithmetic until one final
+    IEEE division.
+
+    Shape for 100 TB: explode map-side, partial-aggregate (doc, tok)
+    counts, then ONE hash aggregation on doc_id summing c and c^2 --
+    word-count scale profile, no window, no join.
+    """
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(TOKS)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("int").alias("n_tokens"),
+            F.sum(F.expr("cnt * cnt")).alias("sum_sq"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                "round(1.0 - sum_sq / (cast(n_tokens as double)"
+                " * n_tokens), 6)"
+            ).alias("simpson"),
+        )
+    )
+
+
+def token_diversity_oracle() -> str:
+    return f"""
+        WITH counts AS (
+            SELECT doc_id, tok, count(*) AS cnt
+            FROM (SELECT doc_id, unnest({sql_tokens('text')}) AS tok
+                  FROM documents)
+            GROUP BY doc_id, tok
+        )
+        SELECT doc_id, CAST(sum(cnt) AS INT) AS n_tokens,
+               round(1.0 - sum(cnt * cnt)
+                         / (CAST(sum(cnt) AS DOUBLE) * sum(cnt)), 6)
+                   AS simpson
+        FROM counts
+        GROUP BY doc_id
+    """

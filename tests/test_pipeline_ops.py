@@ -148,3 +148,57 @@ def test_ivf_ann_quality(spark):
         len(bf_top[q] & ivf_top.get(q, set())) / len(bf_top[q]) for q in bf_top
     ]
     assert sum(overlaps) / len(overlaps) > 0.3  # nprobe 4/32 lists
+
+
+def test_mix_weighted_proportions(spark):
+    """Output mix approximates MIX_WEIGHTS and the limiting (highest
+    count/weight-ratio... i.e. smallest) source is kept whole; no
+    source is upsampled."""
+    from query_optimizer_spark.functions.constants import (
+        MIX_DEFAULT_WEIGHT,
+        MIX_WEIGHTS,
+    )
+
+    out = PIPELINE_OPS["corpus_mix_weighted"][0](spark, SF_DIR)
+    kept = {r.source: r.n for r in out.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    totals = {r.source: r.n for r in docs.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    w = lambda s: MIX_WEIGHTS.get(s, MIX_DEFAULT_WEIGHT)  # noqa: E731
+    # limiting source = min count/weight; uniform counts -> max weight
+    lim = min(totals, key=lambda s: (totals[s] / w(s), s))
+    assert kept[lim] == totals[lim], "limiting source must be kept whole"
+    for s, n in kept.items():
+        assert n <= totals[s], "never upsample"
+        # achieved share within 3-sigma binomial noise of the exact
+        # target rate (25 docs/source at sf0.01 makes this wide)
+        target = w(s) * totals[lim] / (w(lim) * totals[s])
+        sigma = (target * (1 - target) / totals[s]) ** 0.5
+        assert n / totals[s] == pytest.approx(
+            target, abs=max(0.05, 3 * sigma)
+        )
+
+
+def test_shuffle_shard_contiguous_and_deterministic(spark):
+    from query_optimizer_spark.functions.constants import N_SHARDS
+
+    out = PIPELINE_OPS["corpus_shuffle_shard"][0](spark, SF_DIR).collect()
+    by_shard: dict = {}
+    for r in out:
+        assert 0 <= r.shard < N_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    again = PIPELINE_OPS["corpus_shuffle_shard"][0](spark, SF_DIR).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_token_diversity_bounds(spark):
+    rows = PIPELINE_OPS["text_token_diversity"][0](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.simpson < 1.0
+        assert r.n_tokens >= 1
