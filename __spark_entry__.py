@@ -161,6 +161,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["join_env_wire"] = _wire
 
+    # learned-policy planning (J7 closed loop, new r5): REINFORCE agent
+    # trained in-process (seeded, pure planning), its plan executed
+    def _learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+        configure_runtime(spark)
+        return workload.run_fixture_via_learned_agent(
+            spark, sf_dir, "join_cycle_7"
+        )
+
+    out["join_env_learned"] = _learned
+
     # --- block C: join-planner fixtures + planner paths (driver
     # evidence from r03; re-gated now that slots allow) ---
     for name, planner in _FIXTURE_PLANNERS.items():
@@ -217,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
     }
     out["join_env_agent"] = workload.fixture_oracle_sql("join_cycle_7")
     out["join_env_wire"] = workload.fixture_oracle_sql("join_cycle_7")
+    out["join_env_learned"] = workload.fixture_oracle_sql("join_cycle_7")
     out["join_semi_prefilter"] = workload.fixture_oracle_sql("join_cycle_7")
     out["join_ikkbz_events"] = workload.fixture_oracle_sql("join_events_8")
     out["join_sampled_card"] = workload.fixture_oracle_sql("join_cycle_7")

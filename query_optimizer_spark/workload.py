@@ -267,6 +267,28 @@ def run_fixture_via_env_agent(spark, sf_dir: str, name: str = "join_cycle_7"):
     return renderer.run(episode["plan"])
 
 
+def run_fixture_via_learned_agent(
+    spark, sf_dir: str, name: str = "join_cycle_7", episodes: int = 192
+):
+    """Plan a fixture with a REINFORCE policy TRAINED IN-PROCESS
+    (deterministic seed, pure planning -- milliseconds), then execute
+    the learned plan.  Closes the loop the reference's research harness
+    exists for: learn a join order, run it, prove the result matches
+    every other planner's (the correctness gate does the comparison).
+    Training artifact with curves/baselines: AGENT_TRAINING.md."""
+    from .agents import run_episode, train_reinforce
+    from .env import JoinOrderEnv
+
+    sql = FIXTURES[name]
+    graph = JoinGraph.from_query(parse(sql))
+    oracle = stats_oracle(sf_dir)
+    env = JoinOrderEnv(graph, oracle, get_cost_model("cm1"))
+    agent = train_reinforce(env, episodes=episodes)
+    episode = run_episode(env, agent)
+    renderer = Renderer(spark, sf_dir, graph, oracle)
+    return renderer.run(episode["plan"])
+
+
 def run_fixture_via_wire(spark, sf_dir: str, name: str = "join_cycle_7"):
     """Plan a fixture END-TO-END over the park wire protocol (§2.8):
     a :class:`ParkServer` wraps a ParkSession in this process, a

@@ -29,7 +29,12 @@ from pathlib import Path
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from query_optimizer_spark.agents import GreedyRewardAgent, run_episode
+from query_optimizer_spark.agents import (
+    N_FEATS,
+    GreedyRewardAgent,
+    ReinforceAgent,
+    run_episode,
+)
 from query_optimizer_spark.costmodels import get_cost_model
 from query_optimizer_spark.env import JoinOrderEnv
 from query_optimizer_spark.joingraph import JoinGraph
@@ -48,156 +53,6 @@ TRAIN_FIXTURES = [
     "join_galaxy_10",
 ]
 
-N_FEATS = 9
-
-
-def _rank(vals: list[float]) -> list[float]:
-    """Rank in [0,1] of each value within the candidate set (ties share
-    the lower rank).  Rank-relative features transfer across fixtures
-    whose absolute cardinalities differ by orders of magnitude -- the
-    absolute-feature policy plateaued because 'log-card 4.2' is a big
-    vertex in one fixture and a small one in another."""
-    if len(vals) <= 1:
-        return [0.0] * len(vals)
-    order = sorted(vals)
-    n = len(vals) - 1
-    return [order.index(v) / n for v in vals]
-
-
-def action_features(env: JoinOrderEnv, state: dict) -> list[list[float]]:
-    """Feature vectors for ALL candidate actions, computed from the
-    state JSON the protocol exposes (§2.9) -- nothing env-internal.
-    Mix of absolute (scaled log-card) and rank-relative features."""
-    verts = {v["id"]: v for v in state["vertices"]}
-    raws = []
-    n_actions = len(env.actions())
-    for action in range(n_actions):
-        if state["edges"]:
-            va, vb = state["edges"][action]["factors"]
-            n_attrs = len(state["edges"][action]["joinAttributes"])
-        else:  # cross-join fallback over live vertices
-            live = sorted(verts)
-            va, vb = live[0], live[action + 1]
-            n_attrs = 0
-        ca = math.log10(1.0 + verts[va]["estimated_cardinality"])
-        cb = math.log10(1.0 + verts[vb]["estimated_cardinality"])
-        fa = len(verts[va]["factors"])
-        fb = len(verts[vb]["factors"])
-        raws.append((min(ca, cb), max(ca, cb), ca + cb, n_attrs, fa + fb))
-    rk_min = _rank([r[0] for r in raws])
-    rk_max = _rank([r[1] for r in raws])
-    rk_sum = _rank([r[2] for r in raws])
-    feats = []
-    for i, (mn, mx, sm, n_attrs, f) in enumerate(raws):
-        feats.append(
-            [
-                1.0,
-                mn / 6.0,
-                mx / 6.0,
-                sm / 12.0,
-                n_attrs / 4.0,
-                f / 8.0,
-                rk_min[i],
-                rk_max[i],
-                rk_sum[i],
-            ]
-        )
-    return feats
-
-
-class ReinforceAgent:
-    """Linear softmax policy + episodic REINFORCE with batch-normalized
-    returns (costs span orders of magnitude, so raw-return gradients
-    explode; the advantage normalization is standard)."""
-
-    def __init__(self, lr: float = 0.2, seed: int = 0, temp: float = 1.0):
-        self.theta = [0.0] * N_FEATS
-        self.lr = lr
-        self.temp = temp
-        self.rng = random.Random(seed)
-        # per-fixture running baseline of episode return (mean, var, n):
-        # fixtures differ by orders of magnitude in cost, so a shared
-        # batch normalization makes the advantage encode fixture
-        # identity instead of action quality (the r5 flat-curve bug)
-        self.base: dict[str, tuple[float, float, int]] = {}
-
-    def _advantage(self, name: str, ret: float) -> float:
-        mean, var, n = self.base.get(name, (ret, 1.0, 0))
-        sd = math.sqrt(var) if n > 1 else 1.0
-        # ret = -sum(log10(1+step_cost)): HIGHER is better, so the
-        # standard (return - baseline) advantage rewards cheap plans
-        adv = (ret - mean) / max(sd, 1e-3)
-        # EMA update of the per-fixture baseline
-        alpha = 0.1
-        if n == 0:
-            self.base[name] = (ret, 1.0, 1)
-        else:
-            d = ret - mean
-            self.base[name] = (
-                mean + alpha * d,
-                (1 - alpha) * (var + alpha * d * d),
-                n + 1,
-            )
-        return max(-3.0, min(3.0, adv))
-
-    def _scores(self, env, state):
-        feats = action_features(env, state)
-        scores = [
-            sum(t * f for t, f in zip(self.theta, fv)) / self.temp
-            for fv in feats
-        ]
-        m = max(scores)
-        exps = [math.exp(s - m) for s in scores]
-        z = sum(exps)
-        return feats, [e / z for e in exps]
-
-    def act_sample(self, env, state):
-        feats, probs = self._scores(env, state)
-        r = self.rng.random()
-        acc = 0.0
-        for a, p in enumerate(probs):
-            acc += p
-            if r <= acc:
-                return a, feats, probs
-        return len(probs) - 1, feats, probs
-
-    def act_greedy(self, env: JoinOrderEnv) -> int:
-        state = env.state()
-        feats, probs = self._scores(env, state)
-        return max(range(len(probs)), key=lambda a: probs[a])
-
-    def play_episode(self, env: JoinOrderEnv):
-        state = env.reset()
-        steps = []  # (feats, probs, action)
-        rewards = []
-        while not env.done:
-            a, feats, probs = self.act_sample(env, state)
-            state, reward, _, _ = env.step(a)
-            steps.append((feats, probs, a))
-            # log-compress the step cost: returns then add like log-costs
-            rewards.append(-math.log10(1.0 - reward))  # reward = -cost
-        return steps, rewards, env.cost_so_far
-
-    def update(self, batch):
-        """batch: list of (fixture_name, steps, rewards) episodes.
-
-        Episode-level REINFORCE: one advantage per episode against the
-        PER-FIXTURE running baseline (see ``_advantage``), applied to
-        every step's log-policy gradient."""
-        for name, steps, rewards in batch:
-            adv = self._advantage(name, sum(rewards))
-            for feats, probs, a in steps:
-                # grad log pi(a) = f(a) - sum_b pi(b) f(b)
-                mean_f = [
-                    sum(p * fv[i] for p, fv in zip(probs, feats))
-                    for i in range(N_FEATS)
-                ]
-                for i in range(N_FEATS):
-                    self.theta[i] += (
-                        self.lr * adv * (feats[a][i] - mean_f[i])
-                    )
-
-
 def greedy_cost(agent: ReinforceAgent, env: JoinOrderEnv, cm, oracle) -> float:
     """Cumulative cm1 cost (INCLUDING leaf scans, like PlanResult.cost)
     of the plan the greedy-argmax policy builds.  The env's
@@ -207,7 +62,7 @@ def greedy_cost(agent: ReinforceAgent, env: JoinOrderEnv, cm, oracle) -> float:
     directly comparable with dp_ccp's optimum."""
     env.reset()
     while not env.done:
-        env.step(agent.act_greedy(env))
+        env.step(agent.act(env))
     return cm.cumulative(env.graph, env.final_plan(), oracle)
 
 
