@@ -86,17 +86,18 @@ def _rank(vals: list[float]) -> list[float]:
 N_FEATS = 9
 
 
-def action_features(env: JoinOrderEnv, state: dict) -> list[list[float]]:
+def action_features(state: dict, n_actions: int) -> list[list[float]]:
     """Feature vectors for ALL candidate actions, computed from the
     state JSON the protocol exposes (§2.9 -- vertex
-    estimated_cardinality/factors, edge joinAttributes) -- nothing
-    env-internal, so the same policy drives the wire front-end
-    (park_server.ParkClient) unchanged."""
+    estimated_cardinality/factors, edge joinAttributes) plus the
+    action count (``getActions()``) -- nothing env-internal, so the
+    same policy drives the wire front-end (park_server.ParkClient)
+    unchanged; proven by tests/test_park_api.py's wire-portability
+    test."""
     import math
 
     verts = {v["id"]: v for v in state["vertices"]}
     raws = []
-    n_actions = len(env.actions())
     for action in range(n_actions):
         if state["edges"]:
             va, vb = state["edges"][action]["factors"]
@@ -168,7 +169,7 @@ class ReinforceAgent:
     def _scores(self, env, state):
         import math
 
-        feats = action_features(env, state)
+        feats = action_features(state, len(env.actions()))
         scores = [
             sum(t * f for t, f in zip(self.theta, fv)) / self.temp
             for fv in feats

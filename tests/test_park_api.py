@@ -157,3 +157,58 @@ def test_wire_protocol_loopback():
     _send(c.sock, "bogusCommand")
     assert _recv(c.sock) == "bogusCommand"
     c.end()
+
+
+def test_learned_policy_ports_to_wire():
+    """AGENT_TRAINING.md's portability claim, proven: the REINFORCE
+    policy's features come only from the protocol-observable state
+    (getQueryGraph vertices/edges) and the action count (getActions),
+    so the SAME trained theta drives the wire front-end.  Train
+    in-process, then replan entirely over the loopback socket choosing
+    argmax from wire data alone; the wire episode must reproduce the
+    in-process join order."""
+    from query_optimizer_spark.agents import (
+        action_features,
+        train_reinforce,
+    )
+    from query_optimizer_spark.costmodels import get_cost_model
+    from query_optimizer_spark.env import JoinOrderEnv
+    from query_optimizer_spark.park_server import ParkClient, ParkServer
+
+    oracle = TrueCountOracle(SF_DIR)
+    cm = get_cost_model("cm1")
+    graph = JoinGraph.from_query(parse(ALL["q_cycle_7"]))
+    env = JoinOrderEnv(graph, oracle, cm)
+    agent = train_reinforce(env, episodes=96)
+
+    # in-process argmax episode -> reference order
+    inproc = make_session()
+    inproc.setQueries("train", {"q_cycle_7": ALL["q_cycle_7"]})
+    inproc.train()
+    state = inproc.reset()
+    while not inproc.isDone():
+        feats = action_features(state, len(inproc.getActions()))
+        scores = [
+            sum(t * f for t, f in zip(agent.theta, fv)) for fv in feats
+        ]
+        best = max(range(len(scores)), key=lambda a: scores[a])
+        state, _, _, _ = inproc.step(best)
+    expected = inproc.joinOrderSeq()
+
+    # wire episode with the same theta, state from the socket only
+    server = ParkServer(make_session()).serve_in_background()
+    c = ParkClient(server.host, server.port)
+    c.setQueries("train", {"q_cycle_7": ALL["q_cycle_7"]})
+    c.train()
+    c.reset()
+    while not c.isDone():
+        vertices, edges = c.getQueryGraph()
+        wire_state = {"vertices": vertices, "edges": edges}
+        feats = action_features(wire_state, len(c.getActions()))
+        scores = [
+            sum(t * f for t, f in zip(agent.theta, fv)) for fv in feats
+        ]
+        c.step(max(range(len(scores)), key=lambda a: scores[a]))
+    assert c.joinOrderSeq() == expected
+    assert expected.startswith("JOIN(")
+    c.end()
