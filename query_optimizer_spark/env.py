@@ -45,12 +45,20 @@ class JoinOrderEnv:
         cost_model: CostModel,
         catalog=None,
         seed: int = 0,
+        factors: int | None = None,
     ):
         self.graph = graph
         self.oracle = oracle
         self.cm = cost_model
         self.catalog = catalog
         self.rng = random.Random(seed)
+        # optional factor mask: restrict the episode to a subset of the
+        # graph (planners use this to order each INNER component, the
+        # reference's RLJoinOrderRule scope; outer typing stays
+        # rule-side).  None = all factors.
+        self.factors_mask = (
+            factors if factors is not None else graph.all_factors
+        )
         self._visible = (
             catalog.query_visible_attrs(graph.query)
             if catalog is not None and graph.query is not None
@@ -61,11 +69,17 @@ class JoinOrderEnv:
     # --- protocol --------------------------------------------------------
     def reset(self) -> dict:
         self.vertices: list[_Vertex] = [
-            _Vertex(i, Leaf(i, a)) for i, a in enumerate(self.graph.aliases)
+            _Vertex(
+                i,
+                Leaf(i, a) if (self.factors_mask >> i) & 1 else None,
+            )
+            for i, a in enumerate(self.graph.aliases)
         ]
         # live edges as (vid_a, vid_b); preds resolve via factor sets
         self.live_edges: list[tuple[int, int]] = []
         for e in self.graph.edges:
+            if e.factors & ~self.factors_mask:
+                continue  # edge leaves the masked subgraph
             a, b = tuple(bits(e.factors))
             self.live_edges.append((a, b))
         self.cost_so_far = 0.0

@@ -624,6 +624,44 @@ def plan_branch_and_bound(
     return PlanResult(tree, cost, "branch_and_bound")
 
 
+# ---------------------------------------------------------------------------
+# Learned ordering as a first-class planner (J7)
+# ---------------------------------------------------------------------------
+
+
+def plan_reinforce(
+    graph: JoinGraph,
+    oracle,
+    cm: CostModel,
+    episodes: int = 192,
+    seed: int = 0,
+) -> PlanResult:
+    """REINFORCE policy trained at plan time on THIS query's env
+    (seeded, deterministic, pure planning -- milliseconds), then
+    argmax-deployed.  Each INNER component is ordered by its own
+    episode loop, matching the reference's scope where RL orders the
+    inner join core (RLJoinOrderRule.java:120-133) and outer typing /
+    cross-component glue stay rule-side (J14/J15 via
+    ``_plan_components``).  Training curves and baseline comparisons:
+    AGENT_TRAINING.md; scripts/train_agent.py."""
+    from .agents import train_reinforce
+    from .env import JoinOrderEnv
+
+    def component(comp: int) -> PlanNode:
+        members = list(bits(comp))
+        if len(members) == 1:
+            return _leaf(graph, members[0])
+        env = JoinOrderEnv(graph, oracle, cm, seed=seed, factors=comp)
+        agent = train_reinforce(env, episodes=episodes, seed=seed)
+        env.reset()
+        while not env.done:
+            env.step(agent.act(env))
+        return env.final_plan()
+
+    tree, cost = _plan_components(graph, oracle, cm, component)
+    return PlanResult(tree, cost, "reinforce")
+
+
 PLANNERS = {
     "greedy": plan_greedy,
     "dp_ccp": plan_dp_ccp,
@@ -632,6 +670,7 @@ PLANNERS = {
     "bushy": plan_bushy,
     "ikkbz": plan_ikkbz,
     "random": plan_random,
+    "reinforce": plan_reinforce,
 }
 
 

@@ -266,3 +266,54 @@ def test_ikkbz_optimal_left_deep_on_trees(seed, n):
     assert ik.cost <= ld.cost * (1 + 1e-9) + 1e-9, (
         f"IKKBZ {ik.cost} worse than left-deep DP {ld.cost}"
     )
+
+
+def test_reinforce_planner_deterministic_and_competitive():
+    """plan_reinforce trains at plan time (seeded): two calls must give
+    the identical tree, and the learned order should be within 2x of
+    the dp_ccp optimum on the cyclic 7-relation fixture (it reaches
+    1.0x there; the bound leaves slack for feature/seed tweaks)."""
+    from query_optimizer_spark.costmodels import get_cost_model
+    from query_optimizer_spark.oracle import TrueCountOracle
+    from query_optimizer_spark.sqlparse import parse
+    from query_optimizer_spark.joingraph import JoinGraph
+
+    from .conftest import SF_DIR
+    from .fixtures import ALL
+
+    cm = get_cost_model("cm1")
+    oracle = TrueCountOracle(SF_DIR)
+    g = JoinGraph.from_query(parse(ALL["q_cycle_7"]))
+    a = PLANNERS["reinforce"](g, oracle, cm)
+    b = PLANNERS["reinforce"](g, oracle, cm)
+    assert a.tree.order_str() == b.tree.order_str()
+    opt = PLANNERS["dp_ccp"](g, oracle, cm)
+    assert a.cost <= 2.0 * opt.cost
+
+
+def test_env_factor_mask_restricts_episode():
+    """The factors mask (used by plan_reinforce per inner component)
+    must expose only masked vertices/edges and finish with a plan over
+    exactly those factors."""
+    from query_optimizer_spark.agents import RandomAgent, run_episode
+    from query_optimizer_spark.costmodels import get_cost_model
+    from query_optimizer_spark.env import JoinOrderEnv
+    from query_optimizer_spark.oracle import TrueCountOracle
+    from query_optimizer_spark.sqlparse import parse
+    from query_optimizer_spark.joingraph import JoinGraph
+
+    from .conftest import SF_DIR
+    from .fixtures import ALL
+
+    cm = get_cost_model("cm1")
+    oracle = TrueCountOracle(SF_DIR)
+    g = JoinGraph.from_query(parse(ALL["q_chain_3"]))
+    mask = 0b011  # first two factors of the chain
+    env = JoinOrderEnv(g, oracle, cm, factors=mask)
+    state = env.reset()
+    assert {v["id"] for v in state["vertices"]} == {0, 1}
+    assert all(
+        set(e["factors"]) <= {0, 1} for e in state["edges"]
+    )
+    run_episode(env, RandomAgent(0))
+    assert env.final_plan().factors == mask
