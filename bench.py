@@ -46,6 +46,11 @@ def main() -> None:
         "text_repetition_stats", "corpus_pack_sequences",
         "corpus_filter_funnel", "evt_retention_cohorts",
         "corpus_chunk_overlap", "evt_anomaly_hours", "corpus_score_model",
+        # r4/r5 additions: containment dedup, grouped ranking, OOV rate,
+        # learned-policy planning, data mixing, sharding, diversity
+        "dedup_containment", "evt_hourly_topk", "text_oov_bigram_rate",
+        "join_env_learned", "corpus_mix_weighted", "corpus_shuffle_shard",
+        "text_token_diversity",
     ]
     try:
         all_qs = entrymod.queries()

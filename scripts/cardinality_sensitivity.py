@@ -42,7 +42,15 @@ from query_optimizer_spark.workload import FIXTURES, _base_rows
 
 # every deterministic search strategy (random excluded: its plan depends
 # on the seed, not the estimates, so est-vs-true is meaningless there)
-PLANNER_NAMES = ["greedy", "left_deep", "bushy", "branch_and_bound", "dp_ccp", "ikkbz"]
+PLANNER_NAMES = [
+    "greedy",
+    "left_deep",
+    "bushy",
+    "branch_and_bound",
+    "dp_ccp",
+    "ikkbz",
+    "reinforce",
+]
 
 
 def _plan(planner: str, graph, oracle, cm):
