@@ -26,7 +26,14 @@ import random
 from dataclasses import dataclass
 
 from .costmodels import CostModel
-from .joingraph import JoinGraph, Leaf, PlanNode, bits, make_join
+from .joingraph import (
+    JoinGraph,
+    Leaf,
+    PlanNode,
+    bits,
+    make_join,
+    validate_tree,
+)
 
 
 @dataclass
@@ -166,9 +173,20 @@ class JoinOrderEnv:
         return root
 
     def final_plan(self) -> PlanNode:
+        """The finished tree, VALIDATED: an agent ordering a graph with
+        null-generating (outer) factors can produce a sequence that
+        puts one on the join LHS, which is semantically invalid -- the
+        reference scopes RL to the inner core (RLJoinOrderRule) and so
+        do we (plan_reinforce masks outers out); raising here turns a
+        silently-wrong episode into a loud error."""
         if not self.done:
             raise RuntimeError("episode not finished")
-        return self._root_node()
+        root = self._root_node()
+        if root.factors != self.factors_mask:
+            raise AssertionError("episode did not cover the masked factors")
+        if self.factors_mask == self.graph.all_factors:
+            validate_tree(self.graph, root)
+        return root
 
     def _check_done(self) -> bool:
         return len(self._live_ids()) == 1

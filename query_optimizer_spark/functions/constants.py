@@ -83,6 +83,12 @@ SAMPLE_SALT = "sample:v1:"
 SAMPLE_RATES = {"en": 50, "fr": 30, "es": 30, "de": 30, "zh": 20}
 SAMPLE_DEFAULT_RATE = 10
 
+# --- boilerplate shingles -----------------------------------------------------
+# A BOILER_NGRAM-token shingle present in >= BOILER_DF_MIN distinct docs
+# is "boilerplate" (C4/CCNet-style template detection).
+BOILER_NGRAM = 4
+BOILER_DF_MIN = 2
+
 # --- weighted source mixing --------------------------------------------------
 # Target mixture proportions (integer weights) for the training blend;
 # sources absent from the dict get MIX_DEFAULT_WEIGHT.  Keep-rates are

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .constants import (
+    BOILER_DF_MIN,
+    BOILER_NGRAM,
     DECON_EVAL_MOD,
     DECON_NGRAM,
     DECON_SALT,
@@ -376,6 +378,90 @@ def sample_stratified_oracle() -> str:
         SELECT doc_id, lang, source
         FROM documents
         WHERE {bucket} < {_rate_case('lang')}
+    """
+
+
+# --- boilerplate shingle detection ------------------------------------------------
+
+
+def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate fraction: the share of a doc's distinct
+    {BOILER_NGRAM}-token shingles that appear in >= BOILER_DF_MIN
+    DISTINCT documents -- the C4/CCNet-style template/boilerplate
+    signal (navigation chrome, license footers, mirrored pages) that a
+    curation pass applies before training.
+
+    Scale shape: shingles generate map-side (hoisted ``toks``, O(n)
+    slice-transform -- same trap-avoidance as ``decontaminate``),
+    dedupe per doc in the SAME (doc_id, g) aggregation that later
+    counts df, and the boilerplate set meets the doc shingles in an
+    equi-join on the shingle under AQE (skew-safe: a viral shingle is a
+    hot JOIN key, which AQE splits -- unlike a hot window partition).
+    Nothing is broadcast: the boilerplate set is data-dependent and at
+    web scale can be huge."""
+    n = BOILER_NGRAM
+    base = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(TOKS).alias("toks"))
+        .filter(F.expr(f"size(toks) >= {n}"))
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
+                f"i -> concat_ws(' ', slice(toks, i, {n}))))"
+            )
+        ).alias("g"),
+    )
+    boiler = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= BOILER_DF_MIN)
+        .select("g", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        grams.join(boiler, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_shingles"),
+            F.sum(F.coalesce("is_boiler", F.lit(0)))
+            .cast("int")
+            .alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boiler",
+            F.expr("round(n_boiler / n_shingles, 6)").alias("boiler_rate"),
+        )
+    )
+
+
+def boilerplate_shingles_oracle() -> str:
+    n = BOILER_NGRAM
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   unnest([array_to_string(toks[i:i+{n - 1}], ' ')
+                           for i in generate_series(1, len(toks) - {n - 1})])
+                       AS g
+            FROM base WHERE len(toks) >= {n}
+        ),
+        boiler AS (
+            SELECT g FROM grams GROUP BY g
+            HAVING count(*) >= {BOILER_DF_MIN}
+        )
+        SELECT doc_id, CAST(count(*) AS INT) AS n_shingles,
+               CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+                   AS n_boiler,
+               round(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                     / count(*), 6) AS boiler_rate
+        FROM grams LEFT JOIN boiler b ON grams.g = b.g
+        GROUP BY doc_id
     """
 
 

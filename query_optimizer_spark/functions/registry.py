@@ -165,4 +165,16 @@ PIPELINE_OPS: dict[str, tuple] = {
         text.token_diversity,
         text.token_diversity_oracle(),
     ),
+    "corpus_boilerplate": (
+        corpus.boilerplate_shingles,
+        corpus.boilerplate_shingles_oracle(),
+    ),
+    "evt_transition_matrix": (
+        temporal.transition_matrix,
+        temporal.transition_matrix_oracle(),
+    ),
+    "emb_norm_stats": (
+        similarity.norm_stats,
+        similarity.norm_stats_oracle(),
+    ),
 }

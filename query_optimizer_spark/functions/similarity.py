@@ -389,3 +389,51 @@ def quantize_int8_oracle() -> str:
                CAST(list_max(q) AS INT) AS q_max
         FROM quant
     """
+
+
+def norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics of the embedding column -- the
+    hygiene check run before any ANN/dedup pass (collapsed or exploding
+    norms signal a broken encoder shard).
+
+    Determinism: the squared-norm is a LEFT FOLD over the array
+    (Spark ``aggregate`` and DuckDB ``list_reduce`` both reduce
+    sequentially, so float addition order is identical), sqrt is
+    IEEE-754 correctly rounded (safe cross-engine, unlike log/exp),
+    and the per-label mean sums DECIMAL-cast norms so group aggregation
+    order cannot change the result.  Shape: pure projection then one
+    hash aggregation onto (label) -- no window, no join."""
+    per_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "label",
+        F.expr(
+            "cast(round(sqrt(aggregate(embedding, 0.0D,"
+            " (a, x) -> a + cast(x as double) * cast(x as double))), 6)"
+            " as decimal(18, 6))"
+        ).alias("norm"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").cast("int").alias("n"),
+        F.expr(
+            "cast(round(sum(norm) / count(*), 6) as double)"
+        ).alias("mean_norm"),
+        F.expr("cast(min(norm) as double)").alias("min_norm"),
+        F.expr("cast(max(norm) as double)").alias("max_norm"),
+    )
+
+
+def norm_stats_oracle() -> str:
+    return """
+        WITH per_vec AS (
+            SELECT label,
+                   CAST(round(sqrt(list_reduce(
+                       [x::DOUBLE * x::DOUBLE for x in embedding],
+                       (a, b) -> a + b)), 6) AS DECIMAL(18, 6)) AS norm
+            FROM embeddings
+        )
+        SELECT label, CAST(count(*) AS INT) AS n,
+               CAST(round(sum(norm) / count(*), 6) AS DOUBLE) AS mean_norm,
+               CAST(min(norm) AS DOUBLE) AS min_norm,
+               CAST(max(norm) AS DOUBLE) AS max_norm
+        FROM per_vec
+        GROUP BY label
+    """

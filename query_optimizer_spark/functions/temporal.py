@@ -474,3 +474,56 @@ def hourly_topk_users_oracle() -> str:
         )
         WHERE rank <= {TOPK_PER_HOUR}
     """
+
+
+def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts and probabilities: for each user's
+    time-ordered stream, count (event_type -> next event_type) pairs --
+    the behavioral bigram model (funnel discovery, Markov session
+    analysis) every event pipeline wants.
+
+    Scale shape: ONE shuffle on user_id for the lead() window (each
+    partition is one user's bounded stream), then a hash aggregation
+    onto the tiny (type x type) matrix; the probability normalization
+    is a window over that matrix -- dozens of rows, not data-scale.
+    Ties in ts break on event_id so the lead is deterministic
+    cross-engine."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        events_df(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return t.select(
+        "event_type",
+        "next_type",
+        F.col("cnt").cast("int").alias("cnt"),
+        F.expr("round(cnt / sum(cnt) over (partition by event_type), 6)").alias(
+            "p"
+        ),
+    )
+
+
+def transition_matrix_oracle() -> str:
+    return """
+        WITH t AS (
+            SELECT event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events
+        ),
+        m AS (
+            SELECT event_type, next_type, count(*) AS cnt
+            FROM t WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT event_type, next_type, CAST(cnt AS INT) AS cnt,
+               round(cnt / sum(cnt) OVER (PARTITION BY event_type), 6) AS p
+        FROM m
+    """

@@ -202,3 +202,42 @@ def test_token_diversity_bounds(spark):
     for r in rows:
         assert 0.0 <= r.simpson < 1.0
         assert r.n_tokens >= 1
+
+
+def test_transition_probabilities_sum_to_one(spark):
+    rows = PIPELINE_OPS["evt_transition_matrix"][0](spark, SF_DIR).collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, 0.0)
+        by_type[r.event_type] += r.p
+        assert 0.0 < r.p <= 1.0
+    for t, s in by_type.items():
+        assert s == pytest.approx(1.0, abs=1e-4), t
+
+
+def test_norm_stats_consistent(spark):
+    rows = PIPELINE_OPS["emb_norm_stats"][0](spark, SF_DIR).collect()
+    assert rows
+    total = sum(r.n for r in rows)
+    n_vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert total == n_vecs
+    for r in rows:
+        assert 0.0 < r.min_norm <= r.mean_norm <= r.max_norm
+
+
+def test_boilerplate_flags_planted_dups(spark, duck):
+    """Planted near-dup pairs share almost all shingles, so both members
+    must show a high boilerplate rate; and rates are valid fractions."""
+    dups = duck.execute(
+        PIPELINE_OPS["dedup_ngram_jaccard"][1]
+    ).fetchall()
+    dup_ids = {a for a, b, _ in dups} | {b for a, b, _ in dups}
+    rows = PIPELINE_OPS["corpus_boilerplate"][0](spark, SF_DIR).collect()
+    rates = {r.doc_id: r.boiler_rate for r in rows}
+    for r in rows:
+        assert 0.0 <= r.boiler_rate <= 1.0
+        assert 0 <= r.n_boiler <= r.n_shingles
+    assert dup_ids, "no planted dups in testdata?"
+    dup_rates = [rates[d] for d in dup_ids if d in rates]
+    assert dup_rates and min(dup_rates) >= 0.5
