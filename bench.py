@@ -50,7 +50,8 @@ def main() -> None:
         # learned-policy planning, data mixing, sharding, diversity
         "dedup_containment", "evt_hourly_topk", "text_oov_bigram_rate",
         "join_env_learned", "corpus_mix_weighted", "corpus_shuffle_shard",
-        "text_token_diversity",
+        "text_token_diversity", "corpus_boilerplate",
+        "evt_transition_matrix", "emb_norm_stats",
     ]
     try:
         all_qs = entrymod.queries()
