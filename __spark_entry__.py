@@ -104,11 +104,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     wire-protocol planning), and then the join fixtures + SQL surface
     whose driver evidence is otherwise two rounds stale -- after this
     round, every declared query has been driver-verified at least once.
-    Next round (r6) should lead with the pipeline ops again (their rows
-    then being two rounds stale).  ALL declared queries are checked
-    against their DuckDB oracles by scripts/local_gate.py (checked-in:
-    CORRECTNESS_LOCAL_FULL.json) and pytest every round regardless of
-    gate order.
+    Next round (r6) should lead with the pipeline ops again, STARTING
+    with the six never-gated late-r5 additions (corpus_mix_weighted,
+    corpus_shuffle_shard, text_token_diversity, corpus_boilerplate,
+    evt_transition_matrix, emb_norm_stats), whose driver evidence
+    otherwise lags; the r4-gated ops follow.  ALL declared queries are
+    checked against their DuckDB oracles by scripts/local_gate.py
+    (checked-in: CORRECTNESS_LOCAL_FULL.json) and pytest every round
+    regardless of gate order.
     """
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     pipeline = dict(PIPELINE_OPS)
