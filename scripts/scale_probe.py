@@ -159,6 +159,18 @@ def main() -> None:
               lambda sf=sf: dedup.embedding_cosine_pairs_blocked(
                   spark, sf, block_rows=2000),
               n_vecs0 * k)
+        # --- boilerplate shingles: replica mode multiplies every
+        # shingle's df by k (worst case -- the whole corpus crosses the
+        # df threshold, so the shingle join fans out maximally);
+        # disjoint keeps the df distribution constant per replica
+        probe("corpus_boilerplate", "replica", k,
+              lambda sf=f"{WORK}/replica_x{k}":
+                  corpus.boilerplate_shingles(spark, sf),
+              n_docs0 * k)
+        probe("corpus_boilerplate", "disjoint", k,
+              lambda sf=f"{WORK}/disjoint_x{k}":
+                  corpus.boilerplate_shingles(spark, sf),
+              n_docs0 * k)
 
     spark.stop()
 
@@ -203,6 +215,11 @@ def main() -> None:
         "corpus-growth model); cosine_blocked is O(n^2) flops BY SPEC",
         "with executor memory bounded by two blocks per task at every",
         "scale (high-threshold escape hatch: sim_lsh_ann_topk).",
+        "corpus_boilerplate's replica mode is its worst case -- every",
+        "shingle's df multiplies by k, the whole corpus crosses the",
+        "BOILER_DF_MIN threshold, and the shingle equi-join fans out",
+        "maximally -- yet it stays a partial-agg + AQE-skew-join shape",
+        "with no broadcast of the (data-dependent) boilerplate set.",
     ]
     Path(args.out).write_text("\n".join(lines) + "\n")
     print(f"wrote {args.out}")
