@@ -48,6 +48,35 @@ SURFACE: dict[str, str | tuple[str, str]] = {
         ) t
         WHERE rnk <= 3
     """,
+    # window navigation: lag/lead with defaults + first/last over an
+    # explicit unbounded frame (last_value without one reads only up to
+    # CURRENT ROW -- the classic silent-wrong-answer default)
+    "sql_window_navigation": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(LAG(o_totalprice, 1, 0.0) OVER w, 3) AS prev_price,
+               ROUND(LEAD(o_totalprice, 1, 0.0) OVER w, 3) AS next_price,
+               ROUND(FIRST_VALUE(o_totalprice) OVER wf, 3) AS first_price,
+               ROUND(LAST_VALUE(o_totalprice) OVER wf, 3) AS last_price
+        FROM orders
+        WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey),
+               wf AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)
+    """,
+    # window distribution functions: exact rationals of rank/count, so
+    # cross-engine float behavior cannot diverge beyond the rounding
+    "sql_window_distribution": """
+        SELECT o_orderkey,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume,
+               CAST(NTILE(7) OVER w AS INT) AS bucket
+        FROM orders
+        WHERE o_custkey < 100
+        WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
     # top-k: ORDER BY + LIMIT with deterministic tiebreak
     "sql_topk_orders": """
         SELECT o_orderkey, o_totalprice
