@@ -242,3 +242,21 @@ def train_reinforce(
             agent.update(batch)
             batch = []
     return agent
+
+
+def load_policy(path: str) -> ReinforceAgent:
+    """Deployment path: an agent with FROZEN weights trained offline
+    (scripts/train_agent.py --save-policy).  No training at plan time;
+    act() is pure argmax over the protocol-observable features."""
+    import json
+
+    with open(path) as fh:
+        doc = json.load(fh)
+    theta = doc["theta"]
+    if len(theta) != N_FEATS:
+        raise ValueError(
+            f"policy has {len(theta)} weights, expected {N_FEATS}"
+        )
+    agent = ReinforceAgent()
+    agent.theta = list(theta)
+    return agent

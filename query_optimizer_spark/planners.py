@@ -635,6 +635,7 @@ def plan_reinforce(
     cm: CostModel,
     episodes: int = 192,
     seed: int = 0,
+    agent=None,
 ) -> PlanResult:
     """REINFORCE policy trained at plan time on THIS query's env
     (seeded, deterministic, pure planning -- milliseconds), then
@@ -642,8 +643,11 @@ def plan_reinforce(
     episode loop, matching the reference's scope where RL orders the
     inner join core (RLJoinOrderRule.java:120-133) and outer typing /
     cross-component glue stay rule-side (J14/J15 via
-    ``_plan_components``).  Training curves and baseline comparisons:
-    AGENT_TRAINING.md; scripts/train_agent.py."""
+    ``_plan_components``).  Pass ``agent`` (e.g.
+    ``agents.load_policy("POLICY.json")``) to deploy OFFLINE-trained
+    frozen weights zero-shot instead of training per query.  Training
+    curves and baseline comparisons: AGENT_TRAINING.md;
+    scripts/train_agent.py."""
     from .agents import train_reinforce
     from .env import JoinOrderEnv
 
@@ -652,10 +656,10 @@ def plan_reinforce(
         if len(members) == 1:
             return _leaf(graph, members[0])
         env = JoinOrderEnv(graph, oracle, cm, seed=seed, factors=comp)
-        agent = train_reinforce(env, episodes=episodes, seed=seed)
+        policy = agent or train_reinforce(env, episodes=episodes, seed=seed)
         env.reset()
         while not env.done:
-            env.step(agent.act(env))
+            env.step(policy.act(env))
         return env.final_plan()
 
     tree, cost = _plan_components(graph, oracle, cm, component)

