@@ -16,10 +16,18 @@ Protocol fidelity (ZeroMQServer.waitForCommand :101-266):
 - unknown commands echo back (the reference's DEFAULT branch returns
   the message).
 
-Documented difference: libzmq is not in this container, so frames ride
-a length-prefixed TCP stream (4-byte big-endian length + UTF-8 body)
-instead of ZMQ's own framing.  One frame == one ZMQ message; nothing
-else changes.
+Transports (``framing=``):
+
+- ``"zmtp"`` (default): actual ZMTP 3.0 wire framing per the public
+  ZeroMQ RFC 23 spec -- 64-octet greeting, NULL-mechanism READY
+  handshake with PAIR socket-type checking, short/long message frames
+  (``zmtp.py``; libzmq itself is not in this container, but the BYTES
+  match what a libzmq PAIR socket sends, so a pyzmq agent pointed at
+  this port completes the handshake unmodified).
+- ``"lp"``: the r2 legacy framing -- 4-byte big-endian length + UTF-8
+  body per message.
+
+One frame == one ZMQ message; the command flows are identical in both.
 """
 
 from __future__ import annotations
@@ -30,6 +38,7 @@ import struct
 import threading
 
 from .park_api import ParkSession
+from .zmtp import ZMTPStream
 
 
 def _send(sock: socket.socket, payload: str) -> None:
@@ -54,11 +63,39 @@ def _recv(sock: socket.socket) -> str:
     return body.decode()
 
 
+class _LPStream:
+    """Legacy length-prefixed framing as a stream object."""
+
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+
+    def send(self, payload: str) -> None:
+        _send(self.sock, payload)
+
+    def recv(self) -> str:
+        return _recv(self.sock)
+
+
+def _make_stream(sock: socket.socket, framing: str):
+    if framing == "zmtp":
+        return ZMTPStream(sock)
+    if framing == "lp":
+        return _LPStream(sock)
+    raise ValueError(f"unknown framing {framing!r}")
+
+
 class ParkServer:
     """Serves one ParkSession to one client (PAIR = exactly two peers)."""
 
-    def __init__(self, session: ParkSession, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        session: ParkSession,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        framing: str = "zmtp",
+    ):
         self.session = session
+        self.framing = framing
         self._listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._listener.bind((host, port))
@@ -75,95 +112,96 @@ class ParkServer:
         conn, _ = self._listener.accept()
         try:
             with conn:
+                stream = _make_stream(conn, self.framing)
                 while True:
                     try:
-                        cmd = _recv(conn)
+                        cmd = stream.recv()
                     except ConnectionError:
                         return
-                    if not self._dispatch(conn, cmd):
+                    if not self._dispatch(stream, cmd):
                         return
         finally:
             self._listener.close()
 
-    def _dispatch(self, conn: socket.socket, cmd: str) -> bool:
+    def _dispatch(self, conn, cmd: str) -> bool:
         s = self.session
         if cmd == "reset":
             s.reset()
-            _send(conn, "")
+            conn.send("")
         elif cmd == "getActions":
-            _send(conn, json.dumps(s.getActions()))
+            conn.send(json.dumps(s.getActions()))
         elif cmd == "step":
-            _send(conn, "")  # ack, then the action index arrives
-            action = int(_recv(conn))
+            conn.send("")  # ack, then the action index arrives
+            action = int(conn.recv())
             s.step(action)
-            _send(conn, "")
+            conn.send("")
         elif cmd == "getReward":
-            _send(conn, str(s.getReward()))
+            conn.send(str(s.getReward()))
         elif cmd == "getTrueReward":
-            _send(conn, str(s.getTrueReward()))
+            conn.send(str(s.getTrueReward()))
         elif cmd == "isDone":
             # the reference exposes episodeDone as an int
-            _send(conn, str(int(s.isDone())))
+            conn.send(str(int(s.isDone())))
         elif cmd == "getQueryGraph":
             # "First send the vertexes, then the edges" with a client ack
             # between the payloads (ZeroMQServer.java:173-180)
             state = s.getQueryGraph()
-            _send(conn, json.dumps(state["vertices"]))
-            _recv(conn)
-            _send(conn, json.dumps(state["edges"]))
+            conn.send(json.dumps(state["vertices"]))
+            conn.recv()
+            conn.send(json.dumps(state["edges"]))
         elif cmd == "setCardinalities":
-            _send(conn, "")
-            s.setCardinalities(_recv(conn))
-            _send(conn, "")
+            conn.send("")
+            s.setCardinalities(conn.recv())
+            conn.send("")
         elif cmd == "setQueries":
-            _send(conn, "")
-            mode = _recv(conn)
-            _send(conn, "")
-            s.setQueries(mode, _recv(conn))
-            _send(conn, "")
+            conn.send("")
+            mode = conn.recv()
+            conn.send("")
+            s.setQueries(mode, conn.recv())
+            conn.send("")
         elif cmd == "getJoinsCost":
-            _send(conn, "0.0")  # ref acks with a dummy 0.00 (:191-193)
-            planner = _recv(conn)
+            conn.send("0.0")  # ref acks with a dummy 0.00 (:191-193)
+            planner = conn.recv()
             costs = s.getJoinsCost(planner)
-            _send(conn, str(sum(costs.values()) if costs else 0.0))
+            conn.send(str(sum(costs.values()) if costs else 0.0))
         elif cmd == "getOptPlan":
-            _send(conn, "")
-            _recv(conn)  # planner name (the ref reads and ignores it too)
-            _send(conn, s.getOptPlan())
+            conn.send("")
+            conn.recv()  # planner name (the ref reads and ignores it too)
+            conn.send(s.getOptPlan())
         elif cmd == "curQuery":
-            _send(conn, s.curQuery())
+            conn.send(s.curQuery())
         elif cmd == "getCurrentQueryName":
-            _send(conn, s.getCurrentQueryName())
+            conn.send(s.getCurrentQueryName())
         elif cmd == "getCurQuerySet":
-            _send(conn, s.getCurQuerySet())
+            conn.send(s.getCurQuerySet())
         elif cmd == "getAttrCount":
-            _send(conn, str(s.getAttrCount()))
+            conn.send(str(s.getAttrCount()))
         elif cmd == "getQueryInfo":
-            _send(conn, s.getQueryInfo())
+            conn.send(s.getQueryInfo())
         elif cmd == "joinOrderSeq":
-            _send(conn, s.joinOrderSeq())
+            conn.send(s.joinOrderSeq())
         elif cmd == "train":
             s.train()
-            _send(conn, "")
+            conn.send("")
         elif cmd == "test":
             s.test()
-            _send(conn, "")
+            conn.send("")
         elif cmd == "execOnDB":
             s.execOnDB()
-            _send(conn, "")
+            conn.send("")
         elif cmd == "noExecOnDB":
             s.noExecOnDB()
-            _send(conn, "")
+            conn.send("")
         elif cmd == "getEstCardinalityCosts":
-            _send(conn, json.dumps(s.getEstCardinalityCosts()))
+            conn.send(json.dumps(s.getEstCardinalityCosts()))
         elif cmd == "getOptCardinalityCosts":
-            _send(conn, json.dumps(s.getOptCardinalityCosts()))
+            conn.send(json.dumps(s.getOptCardinalityCosts()))
         elif cmd == "END":
             s.END()
-            _send(conn, "")
+            conn.send("")
             return False
         else:
-            _send(conn, cmd)  # DEFAULT branch echoes (ZeroMQServer:251-253)
+            conn.send(cmd)  # DEFAULT branch echoes (ZeroMQServer:251-253)
         return True
 
 
@@ -171,12 +209,13 @@ class ParkClient:
     """Python client speaking the wire protocol -- the shape an agent
     ported from the reference's Python side would use."""
 
-    def __init__(self, host: str, port: int):
+    def __init__(self, host: str, port: int, framing: str = "zmtp"):
         self.sock = socket.create_connection((host, port))
+        self.stream = _make_stream(self.sock, framing)
 
     def _cmd(self, name: str) -> str:
-        _send(self.sock, name)
-        return _recv(self.sock)
+        self.stream.send(name)
+        return self.stream.recv()
 
     def reset(self) -> None:
         self._cmd("reset")
@@ -185,10 +224,10 @@ class ParkClient:
         return json.loads(self._cmd("getActions"))
 
     def step(self, action: int) -> None:
-        _send(self.sock, "step")
-        _recv(self.sock)  # ack
-        _send(self.sock, str(action))
-        _recv(self.sock)
+        self.stream.send("step")
+        self.stream.recv()  # ack
+        self.stream.send(str(action))
+        self.stream.recv()
 
     def getReward(self) -> float:
         return float(self._cmd("getReward"))
@@ -200,31 +239,31 @@ class ParkClient:
         return bool(int(self._cmd("isDone")))
 
     def getQueryGraph(self) -> tuple[object, object]:
-        _send(self.sock, "getQueryGraph")
-        vertices = json.loads(_recv(self.sock))
-        _send(self.sock, "")  # ack between the two payloads
-        edges = json.loads(_recv(self.sock))
+        self.stream.send("getQueryGraph")
+        vertices = json.loads(self.stream.recv())
+        self.stream.send("")  # ack between the two payloads
+        edges = json.loads(self.stream.recv())
         return vertices, edges
 
     def setQueries(self, mode: str, queries: dict[str, str]) -> None:
-        _send(self.sock, "setQueries")
-        _recv(self.sock)
-        _send(self.sock, mode)
-        _recv(self.sock)
-        _send(self.sock, json.dumps(queries))
-        _recv(self.sock)
+        self.stream.send("setQueries")
+        self.stream.recv()
+        self.stream.send(mode)
+        self.stream.recv()
+        self.stream.send(json.dumps(queries))
+        self.stream.recv()
 
     def setCardinalities(self, cards: dict[str, float]) -> None:
-        _send(self.sock, "setCardinalities")
-        _recv(self.sock)
-        _send(self.sock, json.dumps(cards))
-        _recv(self.sock)
+        self.stream.send("setCardinalities")
+        self.stream.recv()
+        self.stream.send(json.dumps(cards))
+        self.stream.recv()
 
     def getJoinsCost(self, planner: str) -> float:
-        _send(self.sock, "getJoinsCost")
-        _recv(self.sock)  # dummy ack
-        _send(self.sock, planner)
-        return float(_recv(self.sock))
+        self.stream.send("getJoinsCost")
+        self.stream.recv()  # dummy ack
+        self.stream.send(planner)
+        return float(self.stream.recv())
 
     def curQuery(self) -> str:
         return self._cmd("curQuery")
@@ -236,10 +275,10 @@ class ParkClient:
         return self._cmd("joinOrderSeq")
 
     def getOptPlan(self, planner: str = "dp_ccp") -> str:
-        _send(self.sock, "getOptPlan")
-        _recv(self.sock)
-        _send(self.sock, planner)
-        return _recv(self.sock)
+        self.stream.send("getOptPlan")
+        self.stream.recv()
+        self.stream.send(planner)
+        return self.stream.recv()
 
     def test(self) -> None:
         self._cmd("test")

@@ -152,10 +152,8 @@ def test_wire_protocol_loopback():
     assert c.getOptPlan().startswith("JOIN(")
     assert c.getJoinsCost("dp_ccp") > 0
     # unknown commands echo back, like the reference's DEFAULT branch
-    from query_optimizer_spark.park_server import _recv, _send
-
-    _send(c.sock, "bogusCommand")
-    assert _recv(c.sock) == "bogusCommand"
+    c.stream.send("bogusCommand")
+    assert c.stream.recv() == "bogusCommand"
     c.end()
 
 
@@ -212,3 +210,90 @@ def test_learned_policy_ports_to_wire():
     assert c.joinOrderSeq() == expected
     assert expected.startswith("JOIN(")
     c.end()
+
+
+def test_zmtp_golden_bytes():
+    """The greeting and framing bytes pin to ZeroMQ RFC 23 exactly --
+    what a libzmq PAIR peer puts on the wire."""
+    from query_optimizer_spark import zmtp
+
+    g = zmtp.GREETING
+    assert len(g) == 64
+    assert g[0:10] == b"\xff" + b"\x00" * 8 + b"\x7f"  # signature
+    assert g[10] == 3 and g[11] == 0                    # version 3.0
+    assert g[12:32] == b"NULL" + b"\x00" * 16           # mechanism
+    assert g[32] == 0                                   # as-server (NULL)
+    assert g[33:] == b"\x00" * 31                       # filler
+    # short message frame: flags 0x00, 1-octet size
+    assert zmtp.encode_frame(b"abc") == b"\x00\x03abc"
+    # long message frame: flags 0x02, 8-octet big-endian size
+    long = zmtp.encode_frame(b"x" * 300)
+    assert long[0] == 0x02
+    assert long[1:9] == (300).to_bytes(8, "big")
+    # READY command: flags 0x04, then name + Socket-Type metadata
+    ready = zmtp.encode_ready("PAIR")
+    assert ready[0] == 0x04
+    body = ready[2 : 2 + ready[1]]
+    assert body[1:6] == b"READY"
+    assert b"Socket-Type" in body and body.endswith(b"PAIR")
+
+
+def test_zmtp_rejects_wrong_socket_type():
+    """PAIR pairs only with PAIR (RFC 23 socket-type compatibility)."""
+    import socket as socketmod
+    import threading
+
+    from query_optimizer_spark.zmtp import ZMTPStream
+
+    listener = socketmod.socket()
+    listener.bind(("127.0.0.1", 0))
+    listener.listen(1)
+    host, port = listener.getsockname()
+    errs = []
+
+    def serve():
+        conn, _ = listener.accept()
+        try:
+            ZMTPStream(conn, socket_type="PAIR")
+        except ConnectionError as e:
+            errs.append(str(e))
+        finally:
+            conn.close()
+            listener.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    c = socketmod.create_connection((host, port))
+    try:
+        # a REQ client handshaking a PAIR server: at least one side must
+        # reject (the server always does; the client may instead see the
+        # connection die under it, depending on who errors first)
+        ZMTPStream(c, socket_type="REQ")
+    except ConnectionError:
+        pass
+    finally:
+        c.close()
+    t.join(timeout=5)
+    assert errs and "cannot pair" in errs[0]
+
+
+def test_wire_episode_over_both_framings():
+    """The full protocol episode runs identically over ZMTP (default)
+    and the legacy length-prefixed framing."""
+    from query_optimizer_spark.park_server import ParkClient, ParkServer
+
+    orders = {}
+    for framing in ("zmtp", "lp"):
+        server = ParkServer(
+            make_session(), framing=framing
+        ).serve_in_background()
+        c = ParkClient(server.host, server.port, framing=framing)
+        c.setQueries("train", {"q_chain_3": ALL["q_chain_3"]})
+        c.train()
+        c.reset()
+        while not c.isDone():
+            c.step(c.getActions()[0])
+        orders[framing] = c.joinOrderSeq()
+        c.end()
+    assert orders["zmtp"] == orders["lp"]
+    assert orders["zmtp"].startswith("JOIN(")
