@@ -105,10 +105,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     whose driver evidence is otherwise two rounds stale -- after this
     round, every declared query has been driver-verified at least once.
     Next round (r6) should lead with the pipeline ops again, STARTING
-    with the six never-gated late-r5 pipeline additions
+    with the seven never-gated late-r5 pipeline additions
     (corpus_mix_weighted, corpus_shuffle_shard, text_token_diversity,
-    corpus_boilerplate, evt_transition_matrix, emb_norm_stats), whose
-    driver evidence otherwise lags; the r4-gated ops follow.
+    corpus_boilerplate, evt_transition_matrix, emb_norm_stats,
+    mm_shard_manifest), whose driver evidence otherwise lags; the
+    r4-gated ops follow.
     (sql_window_navigation/distribution landed inside this round's
     50-row window at positions 33-34, so they are already gated.)  ALL declared queries are
     checked against their DuckDB oracles by scripts/local_gate.py

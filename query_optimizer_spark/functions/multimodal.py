@@ -208,3 +208,58 @@ def frame_sample_oracle() -> str:
                substring(win, 1, 8) AS preview
         FROM f
     """
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed shard manifest: per source shard, payload
+    count, total bytes, distinct content digests, and an
+    ORDER-INDEPENDENT checksum (exact decimal sum of 48-bit digest
+    prefixes, reduced mod 2^31-1) -- the dataset-versioning record a
+    multimodal pipeline writes next to every shard so drift, silent
+    corruption, and cross-shard duplication are detectable WITHOUT
+    re-reading content.
+
+    Shape for 100 TB: digests compute map-side from the binary payload;
+    ONE hash aggregation on the shard key.  The checksum sum is kept in
+    decimal(38,0) until the final mod so partial-aggregation order
+    cannot change it (int64 would overflow at ~2^15 rows x 2^48;
+    decimal and DuckDB's int128 both sum exactly).  The payload is the
+    same opaque binary column the decode stubs consume (documents.text
+    is ASCII, so md5(payload) == DuckDB's md5(text) byte-for-byte --
+    guarded by test_text_is_ascii)."""
+    return (
+        with_binary_payload(spark, sf_dir)
+        .join(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "source"
+            ),
+            "doc_id",
+        )
+        .select(
+            "source",
+            F.expr("length(payload)").alias("nb"),
+            F.md5("payload").alias("digest"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("int").alias("n_payloads"),
+            F.sum("nb").cast("bigint").alias("total_bytes"),
+            F.countDistinct("digest").cast("int").alias("n_distinct"),
+            F.expr(
+                "cast(sum(cast(conv(substring(digest, 1, 12), 16, 10)"
+                " as decimal(38, 0))) % 2147483647 as bigint)"
+            ).alias("checksum"),
+        )
+    )
+
+
+def shard_manifest_oracle() -> str:
+    return """
+        SELECT source, CAST(count(*) AS INT) AS n_payloads,
+               CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+               CAST(count(DISTINCT md5(text)) AS INT) AS n_distinct,
+               CAST(sum(('0x' || substr(md5(text), 1, 12))::BIGINT)
+                    % 2147483647 AS BIGINT) AS checksum
+        FROM documents
+        GROUP BY source
+    """

@@ -177,4 +177,8 @@ PIPELINE_OPS: dict[str, tuple] = {
         similarity.norm_stats,
         similarity.norm_stats_oracle(),
     ),
+    "mm_shard_manifest": (
+        multimodal.shard_manifest,
+        multimodal.shard_manifest_oracle(),
+    ),
 }

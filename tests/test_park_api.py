@@ -297,3 +297,54 @@ def test_wire_episode_over_both_framings():
         c.end()
     assert orders["zmtp"] == orders["lp"]
     assert orders["zmtp"].startswith("JOIN(")
+
+
+def test_zmtp_roundtrip_property():
+    """Hypothesis: any unicode payload (incl. >255-byte long frames)
+    round-trips through ZMTP framing bit-exactly in both directions."""
+    import socket as socketmod
+    import threading
+
+    from hypothesis import given, settings, strategies as st
+
+    from query_optimizer_spark.zmtp import ZMTPStream
+
+    # one persistent echo peer for the whole property run
+    listener = socketmod.socket()
+    listener.bind(("127.0.0.1", 0))
+    listener.listen(1)
+    host, port = listener.getsockname()
+    stop = object()
+
+    def serve():
+        conn, _ = listener.accept()
+        server = ZMTPStream(conn)
+        try:
+            while True:
+                server.send(server.recv())  # echo
+        except ConnectionError:
+            pass
+        finally:
+            conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    client = ZMTPStream(socketmod.create_connection((host, port)))
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(codec="utf-8"),
+            min_size=0,
+            max_size=2000,
+        )
+    )
+    def roundtrip(payload):
+        client.send(payload)
+        assert client.recv() == payload
+
+    try:
+        roundtrip()
+    finally:
+        client.sock.close()
+        listener.close()

@@ -241,3 +241,36 @@ def test_boilerplate_flags_planted_dups(spark, duck):
     assert dup_ids, "no planted dups in testdata?"
     dup_rates = [rates[d] for d in dup_ids if d in rates]
     assert dup_rates and min(dup_rates) >= 0.5
+
+
+def test_shard_manifest_detects_content_change(spark):
+    """The manifest is deterministic, covers every payload, and its
+    order-independent checksum actually changes when any payload
+    changes (the property dataset versioning relies on)."""
+    from pyspark.sql import functions as F
+
+    base = PIPELINE_OPS["mm_shard_manifest"][0](spark, SF_DIR)
+    a = {r.source: (r.n_payloads, r.total_bytes, r.n_distinct, r.checksum)
+         for r in base.collect()}
+    b = {r.source: (r.n_payloads, r.total_bytes, r.n_distinct, r.checksum)
+         for r in PIPELINE_OPS["mm_shard_manifest"][0](spark, SF_DIR).collect()}
+    assert a == b  # deterministic
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(v[0] for v in a.values()) == n_docs
+    # flip one payload byte -> that shard's checksum must move
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 0, F.concat(F.col("text"), F.lit("!")))
+        .otherwise(F.col("text")),
+    )
+    src0 = docs.filter("doc_id = 0").select("source").first().source
+    import tempfile
+
+    with tempfile.TemporaryDirectory(dir="/root/repo/.warehouse") as td:
+        mutated.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        m2 = {r.source: r.checksum
+              for r in PIPELINE_OPS["mm_shard_manifest"][0](spark, td).collect()}
+    assert m2[src0] != a[src0][3]
+    unchanged = [s for s in a if s != src0]
+    assert all(m2[s] == a[s][3] for s in unchanged)
