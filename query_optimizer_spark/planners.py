@@ -666,6 +666,33 @@ def plan_reinforce(
     return PlanResult(tree, cost, "reinforce")
 
 
+_PRETRAINED = None
+
+
+def plan_reinforce_pretrained(
+    graph: JoinGraph, oracle, cm: CostModel
+) -> PlanResult:
+    """The deployment configuration: frozen offline-trained weights
+    (repo-root POLICY.json, written by scripts/train_agent.py
+    --save-policy) deployed zero-shot -- no training at plan time at
+    all.  Registered as a planner so the frozen policy passes every
+    cross-planner property (validity, outer typing, result-hash
+    agreement) and shows up in the A/B runtime harness."""
+    global _PRETRAINED
+    if _PRETRAINED is None:
+        import os
+
+        from .agents import load_policy
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "POLICY.json",
+        )
+        _PRETRAINED = load_policy(path)
+    res = plan_reinforce(graph, oracle, cm, agent=_PRETRAINED)
+    return PlanResult(res.tree, res.cost, "reinforce_pretrained")
+
+
 PLANNERS = {
     "greedy": plan_greedy,
     "dp_ccp": plan_dp_ccp,
@@ -675,6 +702,7 @@ PLANNERS = {
     "ikkbz": plan_ikkbz,
     "random": plan_random,
     "reinforce": plan_reinforce,
+    "reinforce_pretrained": plan_reinforce_pretrained,
 }
 
 
