@@ -50,6 +50,7 @@ PLANNER_NAMES = [
     "dp_ccp",
     "ikkbz",
     "reinforce",
+    "reinforce_pretrained",
 ]
 
 
