@@ -398,7 +398,10 @@ def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the shingle under AQE (skew-safe: a viral shingle is a
     hot JOIN key, which AQE splits -- unlike a hot window partition).
     Nothing is broadcast: the boilerplate set is data-dependent and at
-    web scale can be huge."""
+    web scale can be huge.  Like tf-idf's df branch, the gram subtree
+    is deliberately recomputed on both sides of the join (column
+    pruning defeats ReuseExchange; caching a corpus-scale gram table
+    was measured slower at bench scale -- see ``tfidf_topk``)."""
     n = BOILER_NGRAM
     base = (
         _docs(spark, sf_dir)
