@@ -78,9 +78,11 @@ def _rank(vals: list[float]) -> list[float]:
     big vertex in one query and a small one in another."""
     if len(vals) <= 1:
         return [0.0] * len(vals)
-    order = sorted(vals)
     n = len(vals) - 1
-    return [order.index(v) / n for v in vals]
+    rank_of: dict[float, int] = {}
+    for i, v in enumerate(sorted(vals)):
+        rank_of.setdefault(v, i)  # ties share the lower rank
+    return [rank_of[v] / n for v in vals]
 
 
 N_FEATS = 9
@@ -241,6 +243,8 @@ def train_reinforce(
         if len(batch) >= batch_size:
             agent.update(batch)
             batch = []
+    if batch:  # flush the trailing partial batch
+        agent.update(batch)
     return agent
 
 

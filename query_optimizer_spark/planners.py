@@ -29,6 +29,7 @@ first-factor order (J15 fallback, RLJoinOrderRule.java:152-159).
 from __future__ import annotations
 
 import random
+import threading
 from dataclasses import dataclass
 
 from .costmodels import CostModel
@@ -667,6 +668,21 @@ def plan_reinforce(
 
 
 _PRETRAINED = None
+_PRETRAINED_LOCK = threading.Lock()
+
+
+def _policy_path() -> str:
+    """POLICY.json lives at the repo root next to the package; allow an
+    env override for installs outside the repo checkout."""
+    import os
+
+    override = os.environ.get("SPARK_GRAFT_POLICY")
+    if override:
+        return override
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "POLICY.json",
+    )
 
 
 def plan_reinforce_pretrained(
@@ -680,15 +696,19 @@ def plan_reinforce_pretrained(
     agreement) and shows up in the A/B runtime harness."""
     global _PRETRAINED
     if _PRETRAINED is None:
-        import os
+        with _PRETRAINED_LOCK:
+            if _PRETRAINED is None:
+                from .agents import load_policy
 
-        from .agents import load_policy
-
-        path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "POLICY.json",
-        )
-        _PRETRAINED = load_policy(path)
+                path = _policy_path()
+                try:
+                    _PRETRAINED = load_policy(path)
+                except FileNotFoundError:
+                    raise FileNotFoundError(
+                        f"pretrained policy not found at {path}; run "
+                        "scripts/train_agent.py --save-policy or point "
+                        "SPARK_GRAFT_POLICY at a policy file"
+                    ) from None
     res = plan_reinforce(graph, oracle, cm, agent=_PRETRAINED)
     return PlanResult(res.tree, res.cost, "reinforce_pretrained")
 

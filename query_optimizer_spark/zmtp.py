@@ -43,6 +43,11 @@ FLAG_MORE = 0x01
 FLAG_LONG = 0x02
 FLAG_COMMAND = 0x04
 
+# park payloads are small JSON strings; any frame claiming to be larger
+# than this is a garbled length field or a hostile peer -- reject before
+# allocating rather than trusting an 8-byte length (up to 16 EiB)
+MAX_FRAME_SIZE = 64 * 1024 * 1024
+
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes:
     buf = b""
@@ -102,8 +107,19 @@ class ZMTPStream:
     def __init__(self, sock: socket.socket, socket_type: str = "PAIR"):
         self.sock = sock
         sock.sendall(GREETING)
-        peer = _recv_exact(sock, 64)
-        if peer[:1] != b"\xff" or peer[9:10] != b"\x7f":
+        # read the signature octet alone first: a legacy length-prefixed
+        # park client (framing="lp", the pre-r5 default) sends a 4-byte
+        # length whose high byte is 0x00, so checking before demanding
+        # the full 64-octet greeting turns a silent hang into an error
+        first = _recv_exact(sock, 1)
+        if first != b"\xff":
+            raise ConnectionError(
+                f"peer is not speaking ZMTP (first byte {first!r}); "
+                "legacy length-prefixed park clients must pass "
+                "framing='lp'"
+            )
+        peer = first + _recv_exact(sock, 63)
+        if peer[9:10] != b"\x7f":
             raise ConnectionError("not a ZMTP peer (bad signature)")
         if peer[10] < 3:
             raise ConnectionError(f"ZMTP version {peer[10]} < 3 unsupported")
@@ -133,14 +149,25 @@ class ZMTPStream:
             (size,) = struct.unpack(">Q", _recv_exact(self.sock, 8))
         else:
             size = _recv_exact(self.sock, 1)[0]
+        if size > MAX_FRAME_SIZE:
+            raise ConnectionError(
+                f"frame size {size} exceeds cap {MAX_FRAME_SIZE}"
+            )
         body = _recv_exact(self.sock, size)
         if flags & FLAG_COMMAND:
             nlen = body[0]
             name, rest = body[1 : 1 + nlen], body[1 + nlen :]
             if expect_command:
                 return name, rest
-            # commands may arrive interleaved (e.g. PING); none are used
-            # by the park protocol, so skip and read on
+            if name == b"PING":
+                # ZMTP 3.1 heartbeat (RFC 37): PING body is a 2-octet
+                # TTL followed by a context blob; the peer expects a
+                # PONG echoing the context or it will drop the link
+                context = rest[2:]
+                pong = bytes([len(b"PONG")]) + b"PONG" + context
+                self.sock.sendall(encode_frame(pong, command=True))
+            # other commands (SUBSCRIBE etc.) are not used by the park
+            # protocol; skip and read on
             return self._recv_frame(expect_command=False)
         if expect_command:
             raise ConnectionError("expected a command frame")
