@@ -175,3 +175,67 @@ def test_sketch_oracle_estimates():
     med_sk = sorted(sk_errs)[len(sk_errs) // 2]
     med_st = sorted(st_errs)[len(st_errs) // 2]
     assert med_sk <= med_st, (sk_errs, st_errs)
+
+
+def test_result_hash_jvm_properties(spark):
+    """The JVM-side verification hash (E8 fast path) must be
+    order/partitioning-insensitive, multiset-safe, and null-distinct --
+    and agree with itself across different physical plans of the same
+    result (the cross-planner use case)."""
+    from query_optimizer_spark.harness import result_hash_jvm
+
+    df = spark.range(1000).selectExpr(
+        "id", "cast(id % 7 as string) s",
+        "case when id % 10 = 0 then null else id * 1.5 end d",
+    )
+    base = result_hash_jvm(df)
+    assert base[0] == 1000
+    # repartitioned/reordered physical layout: same hash
+    assert result_hash_jvm(df.repartition(13, "s")) == base
+    assert result_hash_jvm(df.orderBy("d")) == base
+    # column order must not matter (sorted internally)
+    assert result_hash_jvm(df.select("d", "s", "id")) == base
+    # a different multiset must differ
+    other = spark.range(1000).selectExpr(
+        "id", "cast(id % 7 as string) s",
+        "case when id % 10 = 1 then null else id * 1.5 end d",
+    )
+    assert result_hash_jvm(other) != base
+    # NULL must not collide with the literal string 'NULL' (the NUL-byte
+    # tag makes them distinct; only a string that IS the tag collides,
+    # and NUL bytes don't occur in engine output)
+    a = spark.sql("select cast(null as string) s")
+    b = spark.sql("select 'NULL' s")
+    assert result_hash_jvm(a) != result_hash_jvm(b)
+    # empty result
+    empty = df.filter("id < 0")
+    assert result_hash_jvm(empty) == (0, f"{0:016x}")
+
+
+def test_result_hash_jvm_is_faster(spark):
+    """On a wide multi-million-row result the JVM hash must beat the
+    per-row Python md5 path decisively (VERDICT r5 #7: 'local gate wall
+    time drops measurably')."""
+    import time
+
+    from query_optimizer_spark.harness import result_hash, result_hash_jvm
+
+    df = spark.range(3_000_000).selectExpr(
+        "id", "cast(id % 97 as string) s", "id * 1.5 d",
+        "cast(id % 13 as int) i",
+    ).cache()
+    df.count()  # materialize the cache, warm codegen
+    t_jvm = t_py = None
+    for _ in range(2):  # best-of-2: first rep pays job warmup
+        t0 = time.monotonic()
+        n_jvm, _ = result_hash_jvm(df)
+        dt = time.monotonic() - t0
+        t_jvm = dt if t_jvm is None else min(t_jvm, dt)
+        t0 = time.monotonic()
+        n_py, _ = result_hash(df)
+        dt = time.monotonic() - t0
+        t_py = dt if t_py is None else min(t_py, dt)
+    df.unpersist()
+    assert n_jvm == n_py == 3_000_000
+    # steady state is ~3x; require >=1.8x to stay flake-proof
+    assert t_py / t_jvm >= 1.8, (t_py, t_jvm)
