@@ -23,6 +23,17 @@ from .dedup import minhash_lsh_oracle, minhash_lsh_pairs
 # returning partially-propagated (wrong) clusters.
 MAX_ITERATIONS = 1000
 
+# Truncate lineage every k rounds (VERDICT r5 #4): without this the
+# final plan re-embeds EVERY round's join+aggregate, so plan size --
+# and any recompute on cache eviction -- grows linearly in rounds; on a
+# deep graph the plan itself becomes the bottleneck.  localCheckpoint
+# materializes the (id, label) frame to executor storage and cuts the
+# lineage there, keeping the audited plan depth constant (<= k rounds +
+# the final sizes join).  On a real cluster prefer a reliable
+# checkpoint dir (spark.sparkContext.setCheckpointDir + .checkpoint())
+# if executor loss during the propagation must be survivable.
+CHECKPOINT_EVERY = 3
+
 
 def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id, cluster_size) for every document that has at
@@ -46,7 +57,8 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels.count()  # materialize
     changed = 1
-    for _ in range(MAX_ITERATIONS):
+    prev_ckpt = None
+    for it in range(MAX_ITERATIONS):
         # each node adopts min(own label, neighbors' labels)
         neighbor_labels = (
             edges.join(labels, edges.doc_a == labels.id)
@@ -57,24 +69,46 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .cache()
         )
+        is_ckpt = (it + 1) % CHECKPOINT_EVERY == 0
+        if is_ckpt:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
+        if labels is not prev_ckpt:
+            labels.unpersist()
         labels = new_labels
+        if is_ckpt:
+            # the newer checkpoint cuts all lineage to the older one,
+            # so the older one's blocks can be released now (not
+            # before: cached rounds in between recompute through it)
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist()
+            prev_ckpt = new_labels
         if changed == 0:
             break
     if changed != 0:
         raise RuntimeError(
             f"label propagation did not converge in {MAX_ITERATIONS} rounds"
         )
+    # cut the converged labels' lineage before building the result: the
+    # returned plan is then ExistingRDD-scan + sizes join -- constant
+    # depth no matter how many rounds ran (the pre-checkpoint plan
+    # re-embedded the whole pairs/edges derivation once per round)
+    final = labels.localCheckpoint(eager=True)
+    if labels is not prev_ckpt:
+        labels.unpersist()
+    if prev_ckpt is not None:
+        prev_ckpt.unpersist()
+    labels = final
     # intermediates served their purpose; drop them so deep graphs don't
-    # accumulate executor cache (lineage still recomputes if needed)
+    # accumulate executor cache
     pairs.unpersist()
     edges.unpersist()
     sizes = labels.groupBy("label").agg(F.count("*").cast("int").alias("cluster_size"))

@@ -35,6 +35,32 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_ts(sdf)
 
 
+# last executed streaming query's plan + progress, captured for the
+# plan audit (scripts/plan_audit.py reads this after running each
+# stream_* op; the memory/parquet sink table itself carries no plan)
+LAST_STREAM_AUDIT: dict = {}
+
+
+def _capture_audit(q, output_mode: str) -> None:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    try:
+        with contextlib.redirect_stdout(buf):
+            q.explain(extended=False)
+    except Exception:  # a zero-batch run has no lastExecution
+        pass
+    LAST_STREAM_AUDIT.clear()
+    LAST_STREAM_AUDIT.update(
+        {
+            "output_mode": output_mode,
+            "plan": buf.getvalue(),
+            "progress": q.lastProgress,
+        }
+    )
+
+
 def _run_to_memory(sdf, output_mode: str) -> DataFrame:
     spark = sdf.sparkSession
     name = f"stream_{uuid.uuid4().hex[:12]}"
@@ -46,6 +72,7 @@ def _run_to_memory(sdf, output_mode: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _capture_audit(q, output_mode)
     return spark.table(name)
 
 
@@ -404,6 +431,7 @@ def sink_parquet_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _capture_audit(q, "append")
     # materialize the read-back into the block cache, then remove the
     # sink + checkpoint dirs so completed runs leave nothing on disk
     # (the returned DataFrame must stay collectable after cleanup)
