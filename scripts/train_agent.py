@@ -364,9 +364,13 @@ def main() -> None:
                 f"{r['rnd_over_opt']:.2f})"
                 for r in failures
             )
-            + " — reported as-is; the rank-relative features carry no "
-            "topology signal beyond the candidate set, so classes whose "
-            "good orders depend on global structure can defeat them."
+            + " — reported as-is. Context: on these classes random is "
+            "already near-optimal (every order joins through similar "
+            "structure), so the absolute stakes are low; the policy's "
+            "rank-relative features carry no global-topology signal, so "
+            "it cannot recover the small remaining edge. The classes "
+            "where ordering actually matters (cycle, clique: random is "
+            "9-71x off optimal) are where the policy wins decisively."
         )
     else:
         lines.append(
