@@ -40,7 +40,7 @@ class GreedyRewardAgent:
             if env.live_edges:
                 va, vb = env.live_edges[a]
             else:
-                live = env._live_ids()
+                live = env.live_ids()
                 va, vb = live[0], live[a + 1]
             join = make_join(
                 env.graph, env.vertices[va].node, env.vertices[vb].node

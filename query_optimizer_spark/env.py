@@ -164,9 +164,14 @@ class JoinOrderEnv:
             )
         return {"vertices": verts, "edges": edges, "done": self.done}
 
-    # --- internals ---------------------------------------------------------
-    def _live_ids(self) -> list[int]:
+    def live_ids(self) -> list[int]:
+        """Vertex ids still live (un-merged) this episode -- public so
+        agents can map disconnected-graph action indices to vertices
+        without reaching into internals."""
         return [v.vid for v in self.vertices if v.node is not None]
+
+    # --- internals ---------------------------------------------------------
+    _live_ids = live_ids  # backwards-compatible alias
 
     def _root_node(self) -> PlanNode:
         (root,) = [v.node for v in self.vertices if v.node is not None]

@@ -122,6 +122,59 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection -- the step that turns duplicate CLUSTERS into
+    a deduplicated corpus: keep exactly one document per cluster (the
+    longest by n_chars, ties to the smallest doc_id) and report how many
+    the cluster removes.
+
+    Scale shape: survivor choice is a struct-min AGGREGATION
+    (``min(struct(-n_chars, doc_id))``), not a per-cluster window --
+    map-side combinable, so one giant cluster (the worst case: the whole
+    corpus is one near-dup family) never concentrates on a single task
+    the way ``row_number() over (partition by cluster_id)`` would.
+    One broadcast-able join of the cluster table against documents, one
+    hash aggregation onto cluster_id."""
+    clusters = duplicate_clusters(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    joined = clusters.join(docs, "doc_id")
+    return (
+        joined.groupBy("cluster_id", "cluster_size")
+        .agg(
+            F.expr(
+                "min(named_struct('neg_chars', -n_chars, 'doc_id', doc_id))"
+            ).alias("pick")
+        )
+        .select(
+            "cluster_id",
+            F.col("pick.doc_id").alias("survivor_doc_id"),
+            "cluster_size",
+            (F.col("cluster_size") - 1).cast("int").alias("n_removed"),
+        )
+    )
+
+
+def cluster_survivors_oracle() -> str:
+    """Window-based independent implementation (the oracle runs at
+    sf0.01, so the per-cluster window is fine there)."""
+    return f"""
+        WITH j AS (
+            SELECT c.doc_id, c.cluster_id, c.cluster_size, d.n_chars
+            FROM ({duplicate_clusters_oracle()}) c
+            JOIN documents d USING (doc_id)
+        )
+        SELECT cluster_id, doc_id AS survivor_doc_id, cluster_size,
+               CAST(cluster_size - 1 AS INT) AS n_removed
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+            ) AS rn FROM j
+        ) WHERE rn = 1
+    """
+
+
 def duplicate_clusters_oracle() -> str:
     """Independent implementation: recursive-CTE transitive closure over
     the same pair graph, cluster id = min reachable doc."""

@@ -88,6 +88,30 @@ def build_inputs(scales: list[int]) -> None:
                     ) TO '{emb_out}' (FORMAT parquet)
                     """
                 )
+            evt_out = d / "events.parquet"
+            if not evt_out.exists():
+                # replica: same user_ids -- per-user event volume
+                # multiplies by k (hot-user adversarial case for the
+                # user_id-shuffled ops); disjoint: replica users are NEW
+                # user_ids -- constant per-user volume, user count grows
+                # linearly (the realistic growth model)
+                user_expr = (
+                    "e.user_id"
+                    if mode == "replica"
+                    else f"e.user_id + r.i * {ID_STRIDE}"
+                )
+                con.execute(
+                    f"""
+                    COPY (
+                      SELECT e.event_id + r.i * {ID_STRIDE} AS event_id,
+                             e.ts, {user_expr} AS user_id,
+                             e.event_type, e.value, e.props
+                      FROM read_parquet('{BASE}/events.parquet') e,
+                           (SELECT unnest(range({k})) AS i) r
+                      ORDER BY event_id
+                    ) TO '{evt_out}' (FORMAT parquet)
+                    """
+                )
     con.close()
 
 
@@ -110,7 +134,7 @@ def main() -> None:
 
     build_inputs(scales)
 
-    from query_optimizer_spark.functions import corpus, dedup
+    from query_optimizer_spark.functions import corpus, dedup, temporal, text
     from query_optimizer_spark.session import get_session
 
     spark = get_session("scale-probe", profile="default", cpus="32")
@@ -130,6 +154,7 @@ def main() -> None:
 
     n_docs0 = 5000
     n_vecs0 = 2000
+    n_events0 = 100_000
 
     # warm the JVM once
     corpus.vocabulary_topk(spark, f"{WORK}/disjoint_x1").count()
@@ -171,6 +196,24 @@ def main() -> None:
               lambda sf=f"{WORK}/disjoint_x{k}":
                   corpus.boilerplate_shingles(spark, sf),
               n_docs0 * k)
+        # --- the r5 bench-drift suspects (VERDICT r5 #8): prove their
+        # growth shape so a future bench wobble can't be mistaken for a
+        # scale problem.  repetition_stats: per-doc gram aggs -- both
+        # modes linear in docs.  retention_cohorts: replica = hot-user
+        # case (per-user events x k on the user_id shuffle), disjoint =
+        # linear user growth
+        probe("text_repetition_stats", "disjoint", k,
+              lambda sf=f"{WORK}/disjoint_x{k}":
+                  text.repetition_stats(spark, sf),
+              n_docs0 * k)
+        probe("evt_retention_cohorts", "replica", k,
+              lambda sf=f"{WORK}/replica_x{k}":
+                  temporal.retention_cohorts(spark, sf),
+              n_events0 * k)
+        probe("evt_retention_cohorts", "disjoint", k,
+              lambda sf=f"{WORK}/disjoint_x{k}":
+                  temporal.retention_cohorts(spark, sf),
+              n_events0 * k)
 
     spark.stop()
 
