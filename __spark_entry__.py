@@ -122,6 +122,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_transition_matrix",
         "emb_norm_stats",
         "mm_shard_manifest",
+        # new r6 ops declared INSIDE this round's window so they are
+        # driver-proven immediately (no new rotation debt)
+        "dedup_survivors",
+        "emb_gram_matrix",
     ):
         out[name] = pipeline[name][0]
     # --- block B: remaining pipeline/stream/corpus ops (r04 driver

@@ -181,4 +181,14 @@ PIPELINE_OPS: dict[str, tuple] = {
         multimodal.shard_manifest,
         multimodal.shard_manifest_oracle(),
     ),
+    # new r6: survivor selection (clusters -> deduplicated corpus) and
+    # the one-pass embedding Gram matrix (PCA/whitening statistic)
+    "dedup_survivors": (
+        clustering.cluster_survivors,
+        clustering.cluster_survivors_oracle(),
+    ),
+    "emb_gram_matrix": (
+        similarity.gram_matrix,
+        similarity.gram_matrix_oracle(),
+    ),
 }

@@ -437,3 +437,82 @@ def norm_stats_oracle() -> str:
         FROM per_vec
         GROUP BY label
     """
+
+
+def gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding Gram matrix G[i,j] = sum over vectors of q_i * q_j on
+    the EMB_QUANT-quantized integer embeddings -- the one-pass
+    sufficient statistic behind PCA / whitening / covariance drift
+    checks on an embedding corpus.
+
+    Scale shape: each PARTITION reduces to a d x d integer partial via
+    a single numpy matmul inside ``mapInPandas`` (Arrow batches, no
+    per-row Python), emitting d(d+1)/2 upper-triangle rows per
+    partition regardless of row count; the final aggregation sums
+    those tiny partials onto (i, j) -- for d=64 that is 2,080 rows per
+    partition and 2,080 output rows whether the table has 2k vectors
+    or 2 billion.  Int64 partials hold up to ~10^12 rows per partition
+    at this quantization before the decimal(38,0) final sum takes
+    over; arithmetic is exact integers end-to-end, so the result is
+    bit-identical regardless of partitioning or row order (and matches
+    the DuckDB oracle's index cross join).
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.expr(
+            f"transform(embedding, x -> cast(round(cast(x as double)"
+            f" * {EMB_QUANT}, 0) as bigint))"
+        ).alias("q")
+    )
+
+    def partials(batches):
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(pdf["q"].tolist(), dtype=np.int64)
+            g = q.T @ q
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            iu, ju = np.triu_indices(acc.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int32"),
+                    "j": ju.astype("int32"),
+                    "partial": acc[iu, ju],
+                }
+            )
+
+    parts = emb.mapInPandas(partials, "i int, j int, partial long")
+    # g is reported as STRING: the exact integer text of the
+    # decimal(38,0) sum.  (Cross-engine canonicalization: DuckDB's
+    # pandas fetch degrades DECIMAL(38,0) to float64, which loses
+    # exactness above 2^53; integer text never does.)
+    return parts.groupBy("i", "j").agg(
+        F.sum(F.col("partial").cast("decimal(38,0)"))
+        .cast("string")
+        .alias("g")
+    )
+
+
+def gram_matrix_oracle() -> str:
+    return f"""
+        WITH q AS (
+            SELECT [round(x::DOUBLE * {EMB_QUANT})::BIGINT for x in embedding]
+                   AS qv
+            FROM embeddings
+        ),
+        idx AS (
+            SELECT a.v::INT AS i, b.v::INT AS j
+            FROM (SELECT unnest(range(64)) AS v) a,
+                 (SELECT unnest(range(64)) AS v) b
+            WHERE a.v <= b.v
+        )
+        SELECT idx.i, idx.j,
+               CAST(CAST(sum(qv[idx.i + 1] * qv[idx.j + 1])
+                    AS DECIMAL(38, 0)) AS VARCHAR) AS g
+        FROM q, idx
+        GROUP BY idx.i, idx.j
+    """
