@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-proven immediately (no new rotation debt)
         "dedup_survivors",
         "emb_gram_matrix",
+        "emb_kmeans",
     ):
         out[name] = pipeline[name][0]
     # --- block B: remaining pipeline/stream/corpus ops (r04 driver

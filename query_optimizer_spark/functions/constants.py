@@ -102,6 +102,15 @@ MIX_DEFAULT_WEIGHT = 1
 SHARD_SALT = "shard:v1:"
 N_SHARDS = 16
 
+# --- k-means over quantized embeddings ---------------------------------------
+# Integer-exact Lloyd's: vectors quantized via EMB_QUANT, centroids live in
+# the same integer lattice (floor-division update), so assignment argmin and
+# inertia are exact int64 on both engines -- no float accumulation order can
+# change the result.  Init: the KMEANS_K smallest vec_ids seed the centroids
+# (same convention as IVF_N_CENTROIDS).  KMEANS_ITERS assignment rounds.
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
 # --- int8 embedding quantization --------------------------------------------
 # Symmetric per-vector scheme: scale = max |x|, q_i = round(x_i/scale*127).
 # All arithmetic forced to float64 on both engines (Spark promotes

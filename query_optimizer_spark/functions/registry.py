@@ -191,4 +191,10 @@ PIPELINE_OPS: dict[str, tuple] = {
         similarity.gram_matrix,
         similarity.gram_matrix_oracle(),
     ),
+    # r6: distributed integer-exact Lloyd's k-means (coarse quantizer /
+    # semantic-blocking trainer); oracle unrolls the same rounds in SQL
+    "emb_kmeans": (
+        similarity.kmeans,
+        similarity.kmeans_oracle(),
+    ),
 }

@@ -274,3 +274,64 @@ def test_shard_manifest_detects_content_change(spark):
     assert m2[src0] != a[src0][3]
     unchanged = [s for s in a if s != src0]
     assert all(m2[s] == a[s][3] for s in unchanged)
+
+
+def test_kmeans_covers_corpus_and_shrinks_inertia(spark, duck):
+    """Every vector lands in exactly one cluster; KMEANS_ITERS rounds of
+    Lloyd's must not do worse than the inertia of the initial seeding
+    (monotone non-increasing objective is THE k-means invariant)."""
+    from query_optimizer_spark.functions.constants import KMEANS_K
+    from query_optimizer_spark.functions.similarity import (
+        _kmeans_assign_cte,
+        kmeans_oracle,
+    )
+
+    rows = PIPELINE_OPS["emb_kmeans"][0](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= KMEANS_K
+    n_vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert sum(r.n for r in rows) == n_vecs
+    for r in rows:
+        assert 0 <= r.cid < KMEANS_K and r.n > 0
+        assert r.c_min <= r.c_max and int(r.inertia) > 0
+    # inertia after the trained rounds <= inertia of the seed assignment
+    seed_sql = f"""
+        WITH q AS (
+            SELECT vec_id,
+                   [round(x::DOUBLE * 1000)::BIGINT for x in embedding] AS qv
+            FROM embeddings
+        ),
+        c0 AS (SELECT vec_id AS cid, qv AS cv FROM q
+               WHERE vec_id < {KMEANS_K}),
+        {_kmeans_assign_cte(1, "c0")}
+        SELECT sum(dist) FROM a1
+    """
+    seed_inertia = duck.execute(seed_sql).fetchone()[0]
+    trained = sum(int(r.inertia) for r in rows)
+    assert trained <= seed_inertia
+
+
+def test_gram_matrix_is_psd_diagonal(spark):
+    """2,080 upper-triangle entries for d=64; the diagonal of a Gram
+    matrix is a sum of squares, so it must dominate and be positive."""
+    rows = PIPELINE_OPS["emb_gram_matrix"][0](spark, SF_DIR).collect()
+    assert len(rows) == 64 * 65 // 2
+    g = {(r.i, r.j): int(r.g) for r in rows}
+    for i in range(64):
+        assert g[(i, i)] > 0
+    # Cauchy-Schwarz on a few off-diagonal entries
+    for i, j in ((0, 1), (3, 40), (10, 63)):
+        assert g[(i, j)] * g[(i, j)] <= g[(i, i)] * g[(j, j)]
+
+
+def test_survivors_partition_the_corpus(spark, duck):
+    """Survivor selection keeps exactly one doc per duplicate cluster and
+    every non-clustered doc -- the output IS the deduplicated corpus."""
+    surv = PIPELINE_OPS["dedup_survivors"][0](spark, SF_DIR).collect()
+    clusters = PIPELINE_OPS["dedup_clusters"][0](spark, SF_DIR).collect()
+    by_cluster: dict = {}
+    for c in clusters:
+        by_cluster.setdefault(c.cluster_id, set()).add(c.doc_id)
+    kept = {r.survivor_doc_id for r in surv}
+    assert len(kept) == len(surv)  # no doc kept twice
+    for cid, members in by_cluster.items():
+        assert len(members & kept) == 1, f"cluster {cid}"
