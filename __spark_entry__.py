@@ -127,6 +127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors",
         "emb_gram_matrix",
         "emb_kmeans",
+        "text_bpe_pair_topk",
+        "evt_user_features",
+        "corpus_source_stats",
     ):
         out[name] = pipeline[name][0]
     # --- block B: remaining pipeline/stream/corpus ops (r04 driver

@@ -959,3 +959,61 @@ def score_quality_model_oracle() -> str:
         SELECT doc_id, n_tokens, round(z / (1.0 + abs(z)), 6) AS model_score
         FROM z
     """
+
+
+# --- per-source data card ----------------------------------------------------
+
+
+def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card: the composition summary published next to
+    every released training corpus (docs, bytes, tokens, language
+    spread, corpus share per source) and the input the mixing weights
+    in ``mix_weighted`` are chosen from.
+
+    Scale shape: ONE pass over the corpus -- tokenization and n_chars
+    ride the same projection -- into a map-side-combinable hash
+    aggregation onto source (~#sources groups).  The corpus-share
+    denominator is a window over the ALREADY-AGGREGATED per-source
+    table (tens of rows at any corpus size), never a second scan.
+    """
+    agg = (
+        _docs(spark, sf_dir)
+        .select("source", "lang", "n_chars", F.expr(f"size({TOKS})").alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.countDistinct("lang").cast("int").alias("n_langs"),
+        )
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        "n_langs",
+        F.expr("round(total_chars / n_docs, 2)").alias("avg_chars"),
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(w), 6
+        ).alias("share"),
+    )
+
+
+def source_stats_oracle() -> str:
+    return f"""
+        WITH agg AS (
+            SELECT source,
+                   CAST(count(*) AS INT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(len({sql_tokens('text')})) AS BIGINT)
+                       AS total_tokens,
+                   CAST(count(DISTINCT lang) AS INT) AS n_langs
+            FROM documents GROUP BY source
+        )
+        SELECT source, n_docs, total_chars, total_tokens, n_langs,
+               round(total_chars::DOUBLE / n_docs, 2) AS avg_chars,
+               round(n_docs::DOUBLE / sum(n_docs) OVER (), 6) AS share
+        FROM agg
+    """

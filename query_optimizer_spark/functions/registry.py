@@ -197,4 +197,18 @@ PIPELINE_OPS: dict[str, tuple] = {
         similarity.kmeans,
         similarity.kmeans_oracle(),
     ),
+    # r6: BPE-trainer pair statistic, per-user featurization, and the
+    # per-source data card
+    "text_bpe_pair_topk": (
+        text.bpe_pair_topk,
+        text.bpe_pair_topk_oracle(),
+    ),
+    "evt_user_features": (
+        temporal.user_features,
+        temporal.user_features_oracle(),
+    ),
+    "corpus_source_stats": (
+        corpus.source_stats,
+        corpus.source_stats_oracle(),
+    ),
 }

@@ -527,3 +527,97 @@ def transition_matrix_oracle() -> str:
                round(cnt / sum(cnt) OVER (PARTITION BY event_type), 6) AS p
         FROM m
     """
+
+
+# --- per-user behavioral feature vectors -------------------------------------
+
+
+def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral feature vector -- the featurization step a
+    training pipeline runs before sampling users, building reward
+    models, or stratifying event data: activity volume, breadth,
+    recency span, cadence and value, plus the user's dominant event
+    type (tie -> lexicographically smallest).
+
+    Scale shape: one hash aggregation onto user_id for the scalar
+    features (map-side combinable, exact epoch-millis integer
+    arithmetic for the span; mean cadence = span / (n-1), no window
+    needed because events are summarized by min/max/count), and one
+    (user_id, event_type) aggregation + per-user row_number over that
+    ALREADY-AGGREGATED tiny table for the dominant type.  Both sides
+    are user-partitioned, so AQE turns the final join into a local
+    one; no pass touches the raw event stream twice.
+    """
+    base = events_df(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("unix_millis(ts)").alias("ms"),
+    )
+    scalars = base.groupBy("user_id").agg(
+        F.count("*").cast("int").alias("n_events"),
+        F.countDistinct("event_type").cast("int").alias("n_types"),
+        F.min("ms").alias("first_ms"),
+        F.max("ms").alias("last_ms"),
+        F.round(F.sum("value"), 3).alias("total_value"),
+    ).withColumn(
+        "span_s",
+        F.expr("cast((last_ms - first_ms) / 1000 as bigint)"),
+    ).withColumn(
+        "mean_gap_s",
+        F.expr(
+            "CASE WHEN n_events > 1 THEN "
+            "round((last_ms - first_ms) / cast(1000 as double) "
+            "/ (n_events - 1), 3) ELSE NULL END"
+        ),
+    )
+    by_type = base.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("type_cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("type_cnt").desc(), F.col("event_type")
+    )
+    top = (
+        by_type.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", F.col("event_type").alias("top_type"))
+    )
+    return scalars.join(top, "user_id").select(
+        "user_id", "n_events", "n_types", "first_ms", "last_ms",
+        "span_s", "mean_gap_s", "total_value", "top_type",
+    )
+
+
+def user_features_oracle() -> str:
+    return """
+        WITH e AS (
+            SELECT user_id, event_type, value, epoch_ms(ts) AS ms FROM events
+        ),
+        scalars AS (
+            SELECT user_id,
+                   CAST(count(*) AS INT) AS n_events,
+                   CAST(count(DISTINCT event_type) AS INT) AS n_types,
+                   min(ms) AS first_ms,
+                   max(ms) AS last_ms,
+                   round(sum(value), 3) AS total_value
+            FROM e GROUP BY user_id
+        ),
+        top AS (
+            SELECT user_id, event_type AS top_type FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY count(*) DESC, event_type)
+                       AS rn
+                FROM e GROUP BY user_id, event_type
+            ) WHERE rn = 1
+        )
+        SELECT s.user_id, s.n_events, s.n_types, s.first_ms, s.last_ms,
+               CAST(floor((s.last_ms - s.first_ms) / 1000) AS BIGINT)
+                   AS span_s,
+               CASE WHEN s.n_events > 1 THEN
+                   round((s.last_ms - s.first_ms) / 1000.0
+                         / (s.n_events - 1), 3)
+               ELSE NULL END AS mean_gap_s,
+               s.total_value, t.top_type
+        FROM scalars s JOIN top t USING (user_id)
+    """

@@ -486,3 +486,84 @@ def token_diversity_oracle() -> str:
         FROM counts
         GROUP BY doc_id
     """
+
+
+# --- BPE trainer first step: symbol-pair frequencies -------------------------
+
+BPE_PAIR_TOP_K = 20
+# pre-tokenizer for pair counting: letter runs and digit runs (a BPE
+# merge never crosses a letter/digit boundary with this pre-tokenizer)
+BPE_WORD_RE = "[a-z]+|[0-9]+"
+
+
+def bpe_pair_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K adjacent character-pair frequencies -- the statistic that
+    picks the first BPE merge when training a tokenizer on the corpus.
+
+    Uses the standard BPE-trainer compression (Sennrich et al. 2016,
+    public): count each distinct WORD once with its corpus frequency,
+    then enumerate character pairs over the (tiny) word-frequency table
+    weighted by that frequency.  The corpus-sized stage is therefore a
+    single word count -- map-side partial aggregation onto the word --
+    and the per-character explode runs over the vocabulary only: at
+    100 TB the pair enumeration costs O(|vocab| * word_len), not
+    O(corpus tokens).  Final top-K is a TakeOrderedAndProject like
+    bigram_topk (no global sort).
+    """
+    words = (
+        _docs(spark, sf_dir)
+        .select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(text), '{BPE_WORD_RE}', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = (
+        words.select(
+            "freq",
+            F.explode(
+                F.expr("sequence(1, length(w) - 1)")
+            ).alias("i"),
+            F.col("w"),
+        )
+        .select(F.expr("substring(w, i, 2)").alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    topk = pairs.orderBy(F.col("cnt").desc(), F.col("pair")).limit(
+        BPE_PAIR_TOP_K
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "pair", "cnt")
+    )
+
+
+def bpe_pair_topk_oracle() -> str:
+    return f"""
+        WITH words AS (
+            SELECT w, count(*) AS freq FROM (
+                SELECT unnest(regexp_extract_all(lower(text),
+                                                 '{BPE_WORD_RE}')) AS w
+                FROM documents
+            ) GROUP BY w
+        ),
+        pairs AS (
+            SELECT unnest([substr(w, i, 2)
+                           for i in generate_series(1, len(w) - 1)]) AS pair,
+                   freq
+            FROM words
+            WHERE len(w) >= 2
+        ),
+        counts AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+                   FROM pairs GROUP BY pair)
+        SELECT CAST(rank AS INT) AS rank, pair, cnt FROM (
+            SELECT pair, cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rank
+            FROM counts
+        ) WHERE rank <= {BPE_PAIR_TOP_K}
+    """

@@ -335,3 +335,55 @@ def test_survivors_partition_the_corpus(spark, duck):
     assert len(kept) == len(surv)  # no doc kept twice
     for cid, members in by_cluster.items():
         assert len(members & kept) == 1, f"cluster {cid}"
+
+
+def test_bpe_pairs_are_wellformed(spark):
+    """Pairs come from single-class runs (letters or digits, never
+    mixed), are exactly 2 chars, and ranks descend by count."""
+    rows = PIPELINE_OPS["text_bpe_pair_topk"][0](spark, SF_DIR).collect()
+    assert rows and len(rows) <= 20
+    import re
+
+    last = None
+    for r in sorted(rows, key=lambda r: r.rank):
+        assert len(r.pair) == 2
+        assert re.fullmatch(r"[a-z]{2}|[0-9]{2}", r.pair), r.pair
+        assert last is None or r.cnt <= last
+        last = r.cnt
+    assert len({r.rank for r in rows}) == len(rows)
+
+
+def test_user_features_consistency(spark, duck):
+    """Feature vector covers every user exactly once; the dominant type
+    really is a modal event type for that user."""
+    rows = PIPELINE_OPS["evt_user_features"][0](spark, SF_DIR).collect()
+    n_users, n_events = duck.execute(
+        "SELECT count(DISTINCT user_id), count(*) FROM events"
+    ).fetchone()
+    assert len(rows) == n_users
+    assert sum(r.n_events for r in rows) == n_events
+    modal = {
+        (u, t): c
+        for u, t, c in duck.execute(
+            "SELECT user_id, event_type, count(*) FROM events GROUP BY 1, 2"
+        ).fetchall()
+    }
+    for r in rows:
+        assert r.span_s >= 0
+        assert (r.mean_gap_s is None) == (r.n_events == 1)
+        top_cnt = modal[(r.user_id, r.top_type)]
+        assert top_cnt == max(
+            c for (u, _), c in modal.items() if u == r.user_id
+        )
+
+
+def test_source_stats_is_a_partition(spark):
+    """Data card covers the whole corpus: doc counts sum to the corpus,
+    shares sum to 1."""
+    rows = PIPELINE_OPS["corpus_source_stats"][0](spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.share for r in rows) == pytest.approx(1.0, abs=1e-4)
+    for r in rows:
+        assert r.total_chars > 0 and r.total_tokens > 0
+        assert r.n_langs >= 1
