@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_pair_topk",
         "evt_user_features",
         "corpus_source_stats",
+        "text_bigram_lm_score",
     ):
         out[name] = pipeline[name][0]
     # --- block B: remaining pipeline/stream/corpus ops (r04 driver

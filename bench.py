@@ -55,6 +55,11 @@ headline = [
     "join_env_learned", "corpus_mix_weighted", "corpus_shuffle_shard",
     "text_token_diversity", "corpus_boilerplate",
     "evt_transition_matrix", "emb_norm_stats",
+    # r6 additions: survivor selection, Gram matrix, distributed
+    # k-means, BPE pair stats, user featurization, source data card
+    "dedup_survivors", "emb_gram_matrix", "emb_kmeans",
+    "text_bpe_pair_topk", "evt_user_features", "corpus_source_stats",
+    "text_bigram_lm_score",
 ]
 
 

@@ -211,4 +211,9 @@ PIPELINE_OPS: dict[str, tuple] = {
         corpus.source_stats,
         corpus.source_stats_oracle(),
     ),
+    # r6: in-pipeline bigram-LM document scoring (CCNet-style filter)
+    "text_bigram_lm_score": (
+        text.bigram_lm_score,
+        text.bigram_lm_score_oracle(),
+    ),
 }

@@ -567,3 +567,116 @@ def bpe_pair_topk_oracle() -> str:
             FROM counts
         ) WHERE rank <= {BPE_PAIR_TOP_K}
     """
+
+
+# --- bigram-LM document scoring (CCNet-style quality signal) -----------------
+
+LM_QUANT = 1_000_000  # probability -> integer micro-probability
+
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document by the mean corpus-bigram-LM probability of
+    its bigrams -- the in-pipeline version of CCNet's KenLM filter: fit
+    the LM on the corpus itself, then rank documents by how typical
+    their token transitions are (low scores = noise/outliers, high =
+    templated text).
+
+    Probabilities are integer-quantized BEFORE any aggregation:
+    p_q(u,v) = (LM_QUANT * cnt(u,v)) div cnt(u) -- exact int64 (counts
+    are positive, products < 2^63 for corpora under ~9e12 bigram
+    occurrences; the quantized table would move to decimal beyond).
+    The doc score is then sum/count of exact ints, so the result is
+    independent of join order, partitioning, and engine.
+
+    Scale shape: two partial-aggregated shuffles build the unigram and
+    bigram count tables (vocabulary-sized, tiny next to the corpus);
+    they join into ONE probability table keyed by the bigram string;
+    the corpus-sized stage is a single join of exploded doc-bigrams
+    against that table (AQE handles skewed bigrams) and one doc_id
+    aggregation.  The LM tables are data-dependent and unbounded, so
+    they are deliberately NOT broadcast -- same reasoning as the
+    boilerplate set.
+    """
+    bigram_expr = (
+        "CASE WHEN size(toks) < 2 THEN array() "
+        "ELSE zip_with(slice(toks, 1, size(toks) - 1), "
+        "slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, ' ', b)) END"
+    )
+    doc_bigrams = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(TOKS).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(bigram_expr)).alias("bigram"),
+        )
+    )
+    big_counts = doc_bigrams.groupBy("bigram").agg(
+        F.count("*").alias("cnt_uv")
+    )
+    uni_counts = (
+        _docs(spark, sf_dir)
+        # unigram counts over non-final positions = denominator of the
+        # conditional p(v|u); slice drops each doc's last token
+        .select(
+            F.expr(
+                f"CASE WHEN size({TOKS}) < 2 THEN array() "
+                f"ELSE slice({TOKS}, 1, size({TOKS}) - 1) END"
+            ).alias("toks")
+        )
+        .select(F.explode("toks").alias("u"))
+        .groupBy("u")
+        .agg(F.count("*").alias("cnt_u"))
+    )
+    probs = (
+        big_counts.withColumn(
+            "u", F.expr("split(bigram, ' ')[0]")
+        )
+        .join(uni_counts, "u")
+        .select(
+            "bigram",
+            F.expr(f"({LM_QUANT}L * cnt_uv) div cnt_u").alias("p_q"),
+        )
+    )
+    return (
+        doc_bigrams.join(probs, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.sum("p_q").alias("sum_p"),
+            F.expr(
+                "round(sum(p_q) / cast(count(*) as double), 3)"
+            ).alias("mean_p"),
+        )
+    )
+
+
+def bigram_lm_score_oracle() -> str:
+    toks = sql_tokens("text")
+    return f"""
+        WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+        doc_bigrams AS (
+            SELECT doc_id,
+                   unnest([toks[i] || ' ' || toks[i + 1]
+                           for i in generate_series(1, len(toks) - 1)])
+                   AS bigram
+            FROM t
+        ),
+        big_counts AS (
+            SELECT bigram, count(*) AS cnt_uv FROM doc_bigrams GROUP BY bigram
+        ),
+        uni_counts AS (
+            SELECT u, count(*) AS cnt_u FROM (
+                SELECT unnest(toks[1:len(toks) - 1]) AS u FROM t
+            ) GROUP BY u
+        ),
+        probs AS (
+            SELECT bigram, ({LM_QUANT} * cnt_uv) // cnt_u AS p_q
+            FROM big_counts b
+            JOIN uni_counts u ON string_split(b.bigram, ' ')[1] = u.u
+        )
+        SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+               CAST(sum(p_q) AS BIGINT) AS sum_p,
+               round(sum(p_q) / count(*)::DOUBLE, 3) AS mean_p
+        FROM doc_bigrams JOIN probs USING (bigram)
+        GROUP BY doc_id
+    """

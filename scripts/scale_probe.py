@@ -134,7 +134,13 @@ def main() -> None:
 
     build_inputs(scales)
 
-    from query_optimizer_spark.functions import corpus, dedup, temporal, text
+    from query_optimizer_spark.functions import (
+        corpus,
+        dedup,
+        similarity,
+        temporal,
+        text,
+    )
     from query_optimizer_spark.session import get_session
 
     spark = get_session("scale-probe", profile="default", cpus="32")
@@ -183,6 +189,12 @@ def main() -> None:
         probe("cosine_blocked", "replica", k,
               lambda sf=sf: dedup.embedding_cosine_pairs_blocked(
                   spark, sf, block_rows=2000),
+              n_vecs0 * k)
+        # --- distributed k-means: O(n*k*d) per round by spec -- the
+        # probe verifies the measured exponent is ~1 in n and that the
+        # driver's per-round collect stays at the k*d model-state size
+        probe("emb_kmeans", "replica", k,
+              lambda sf=sf: similarity.kmeans(spark, sf),
               n_vecs0 * k)
         # --- boilerplate shingles: replica mode multiplies every
         # shingle's df by k (worst case -- the whole corpus crosses the

@@ -387,3 +387,21 @@ def test_source_stats_is_a_partition(spark):
     for r in rows:
         assert r.total_chars > 0 and r.total_tokens > 0
         assert r.n_langs >= 1
+
+
+def test_bigram_lm_score_bounds(spark, duck):
+    """LM scores are valid micro-probabilities; every multi-token doc is
+    scored and its bigram count is token count minus one."""
+    from query_optimizer_spark.functions.text import LM_QUANT
+
+    rows = PIPELINE_OPS["text_bigram_lm_score"][0](spark, SF_DIR).collect()
+    tok = {
+        r.doc_id: r.n_ws_tokens
+        for r in PIPELINE_OPS["text_token_count"][0](spark, SF_DIR).collect()
+    }
+    scored = {r.doc_id for r in rows}
+    assert scored == {d for d, n in tok.items() if n >= 2}
+    for r in rows:
+        assert r.n_bigrams == tok[r.doc_id] - 1
+        assert 0 < r.mean_p <= LM_QUANT
+        assert 0 < r.sum_p <= r.n_bigrams * LM_QUANT
