@@ -133,6 +133,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm_score",
     ):
         out[name] = pipeline[name][0]
+
+    # mid-query re-optimization (new r6): estimate-plan -> materialize
+    # first join -> observe true rows -> re-plan remainder with the
+    # block pinned -> finish reusing the block.  Declared inside block A
+    # so the r6 driver window proves it immediately.
+    def _adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+        configure_runtime(spark)
+        return workload.run_fixture_adaptive(spark, sf_dir, "join_events_8")
+
+    out["join_adaptive_reopt"] = _adaptive
+
     # --- block B: remaining pipeline/stream/corpus ops (r04 driver
     # evidence, two rounds stale; registry order) ---
     for name, (runner, _) in pipeline.items():
@@ -222,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
         name: workload.fixture_oracle_sql(name) for name in _FIXTURE_PLANNERS
     }
     out["join_env_agent"] = workload.fixture_oracle_sql("join_cycle_7")
+    out["join_adaptive_reopt"] = workload.fixture_oracle_sql("join_events_8")
     out["join_env_wire"] = workload.fixture_oracle_sql("join_cycle_7")
     out["join_env_learned"] = workload.fixture_oracle_sql("join_cycle_7")
     out["join_semi_prefilter"] = workload.fixture_oracle_sql("join_cycle_7")

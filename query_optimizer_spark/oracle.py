@@ -477,3 +477,34 @@ class SketchOracle(TrueCountOracle):
         if len(columns) == 1:
             return self._ndv_of(graph.tables[alias], columns[0])
         return super().distinct_count(graph, alias, columns)
+
+
+class OverlayOracle(CardinalityOracle):
+    """Estimator + runtime-observed cardinality overrides -- the
+    feedback half of mid-query re-optimization (Kabra & DeWitt,
+    SIGMOD'98; LEO, VLDB'01): once an intermediate has actually been
+    materialized, its TRUE row count replaces the estimate for exactly
+    that factor set, and every cost that touches the set re-prices.
+
+    ``observed`` is keyed by the JoinGraph factor MASK (graph-specific;
+    an overlay never outlives its graph).  All other metadata
+    (distinct counts, base rows) delegates to the wrapped estimator.
+    """
+
+    def __init__(self, base: CardinalityOracle, observed: dict[int, float]):
+        super().__init__({})
+        self.base = base
+        self.observed = dict(observed)
+
+    def card(self, graph: JoinGraph, s: int) -> float:
+        hit = self.observed.get(s)
+        return float(hit) if hit is not None else self.base.card(graph, s)
+
+    def distinct_count(self, graph, alias, columns):
+        return self.base.distinct_count(graph, alias, columns)
+
+    def nonnull_distinct_count(self, graph, alias, columns):
+        return self.base.nonnull_distinct_count(graph, alias, columns)
+
+    def table_rows(self, graph, alias):
+        return self.base.table_rows(graph, alias)

@@ -728,3 +728,53 @@ PLANNERS = {
 
 def plan(name: str, graph: JoinGraph, oracle, cm: CostModel, **kw):
     return PLANNERS[name](graph, oracle, cm, **kw)
+
+
+def plan_with_materialized(
+    graph: JoinGraph, oracle, cm: CostModel, pinned: PlanNode
+) -> PlanResult:
+    """Re-optimize AROUND an already-materialized intermediate -- the
+    re-planning half of mid-query re-optimization (Kabra & DeWitt,
+    SIGMOD'98): the pinned subtree is an atomic unit with sunk cost 0
+    (its work is spent whether or not the new plan likes it), the
+    remaining factors are free leaves, and a bushy subset-DP over those
+    UNITS finds the cheapest completion under the feedback-corrected
+    oracle.  Keeping the pinned set atomic is what makes the
+    materialized block physically reusable; a plain re-run of DPccp
+    could split it and throw the work away.
+
+    Exhaustive over unit subsets (<= #relations units), cross-join-free
+    (splits must be edge-connected), both operand orders tried like
+    plan_dp_ccp."""
+    rest = [
+        i for i in range(len(graph.aliases)) if not (pinned.factors >> i) & 1
+    ]
+    units: list[PlanNode] = [pinned] + [_leaf(graph, i) for i in rest]
+    n = len(units)
+    best: dict[int, tuple[float, PlanNode]] = {}
+    for u_idx, u in enumerate(units):
+        cost = 0.0 if u_idx == 0 else _cum(graph, u, oracle, cm)
+        best[1 << u_idx] = (cost, u)
+    for m in range(1, 1 << n):
+        if popcount(m) < 2:
+            continue
+        cur = best.get(m)
+        s = (m - 1) & m
+        while s:
+            o = m ^ s
+            if s < o and s in best and o in best:
+                c1, t1 = best[s]
+                c2, t2 = best[o]
+                if graph.edges_between(t1.factors, t2.factors):
+                    for left, right in ((t1, t2), (t2, t1)):
+                        tree = make_join(graph, left, right)
+                        cost = c1 + c2 + cm.node_cost(graph, tree, oracle)
+                        if cur is None or cost < cur[0]:
+                            cur = (cost, tree)
+                            best[m] = cur
+            s = (s - 1) & m
+    full = (1 << n) - 1
+    if full not in best:
+        raise ValueError("join graph disconnected around the pinned block")
+    cost, tree = best[full]
+    return PlanResult(tree, cost, "adaptive_dp")

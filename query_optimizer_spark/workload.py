@@ -336,3 +336,67 @@ def sampled_oracle(sf_dir: str, p: float = 0.1) -> SampledCountOracle:
 
 def sketch_oracle(sf_dir: str) -> SketchOracle:
     return SketchOracle(sf_dir)
+
+
+def _first_leaf_join(node):
+    """The first join a left-deep pipeline executes: the deepest
+    leaf-leaf join, preferring the left spine."""
+    from .joingraph import Join, Leaf
+
+    if isinstance(node, Leaf):
+        raise ValueError("plan has no join")
+    if isinstance(node.left, Leaf) and isinstance(node.right, Leaf):
+        return node
+    child = node.left if isinstance(node.left, Join) else node.right
+    return _first_leaf_join(child)
+
+
+class _MaterializedRenderer(Renderer):
+    """Renderer that substitutes the already-computed DataFrame for the
+    pinned subtree -- physical reuse of the materialized intermediate
+    (the plan kept it atomic, so the factor-mask lookup is exact)."""
+
+    def render(self, node):
+        mat = getattr(self, "materialized", None)
+        if mat:
+            cached = mat.get(getattr(node, "factors", None))
+            if cached is not None:
+                return cached
+        return super().render(node)
+
+
+def run_fixture_adaptive(
+    spark, sf_dir: str, name: str = "join_events_8", cost_model: str = "cm1"
+):
+    """Mid-query re-optimization (Kabra & DeWitt, SIGMOD'98; LEO,
+    VLDB'01) -- the planner-level analog of Spark AQE, on our own cost
+    models: plan the fixture with the ESTIMATING oracle, execute and
+    persist only the first join, observe its true cardinality, overlay
+    that observation on the estimator, re-plan the remainder with the
+    materialized block pinned atomic (sunk cost 0), and finish the
+    query reusing the persisted block.
+
+    The result must hash-match every static planner (driver gate +
+    cross-planner property) -- feedback may change the ORDER, never the
+    answer.  Scale shape: the feedback observation is one ``count()``
+    on an intermediate the query was going to compute anyway; at 100 TB
+    the persist tier is the executor block store (MEMORY_AND_DISK), the
+    same place AQE's shuffle-stage statistics live.
+    """
+    from .oracle import OverlayOracle
+    from .planners import plan_with_materialized
+
+    graph, est, res = plan_fixture(
+        sf_dir, name, planner="dp_ccp", cost_model=cost_model
+    )
+    first = _first_leaf_join(res.tree)
+    pre = Renderer(spark, sf_dir, graph, est)
+    block = pre.render(first).persist()
+    observed = block.count()  # runtime feedback; also warms the cache
+    overlay = OverlayOracle(est, {first.factors: float(observed)})
+    res2 = plan_with_materialized(
+        graph, overlay, get_cost_model(cost_model), first
+    )
+    renderer = _MaterializedRenderer(spark, sf_dir, graph, overlay)
+    renderer.materialized = {first.factors: block}
+    return renderer.run(res2.tree)

@@ -354,3 +354,41 @@ def test_frozen_policy_zero_shot():
         ratios.append(zero_shot.cost / opt.cost)
     gm = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
     assert gm <= 1.5, ratios
+
+
+@settings(max_examples=40, deadline=None)
+@given(random_graph_and_oracle(), st.integers(min_value=0, max_value=10**9))
+def test_adaptive_replan_pins_materialized_block(graph_oracle, obs_seed):
+    """Mid-query re-optimization invariants: the re-planned tree is a
+    valid covering tree, the materialized block survives AS A UNIT no
+    matter what cardinality feedback says, and with feedback equal to
+    the original estimate the completion is never costlier than
+    re-costing the original dp_ccp plan (the sunk-cost discount can
+    only help)."""
+    from query_optimizer_spark.oracle import OverlayOracle
+    from query_optimizer_spark.planners import plan_with_materialized
+    from query_optimizer_spark.workload import _first_leaf_join
+
+    graph, oracle = graph_oracle
+    cm = get_cost_model("cm1")
+    base = PLANNERS["dp_ccp"](graph, oracle, cm)
+    if len(graph.aliases) < 3:
+        return  # nothing left to re-plan after the first join
+    first = _first_leaf_join(base.tree)
+
+    # adversarial feedback: anywhere from 1 row to a 10^4x blowup
+    rng = random.Random(obs_seed)
+    observed = float(rng.choice([1, 10, 10_000, 10**8]))
+    overlay = OverlayOracle(oracle, {first.factors: observed})
+    res = plan_with_materialized(graph, overlay, cm, first)
+
+    validate_tree(graph, res.tree)
+    assert first.order_str() in res.tree.order_str()
+    assert overlay.card(graph, first.factors) == observed
+
+    # neutral feedback: sunk-cost replan <= recosted original plan
+    neutral = OverlayOracle(oracle, {first.factors: oracle.card(graph, first.factors)})
+    res_n = plan_with_materialized(graph, neutral, cm, first)
+    recost = cm.cumulative(graph, base.tree, neutral)
+    sunk = cm.cumulative(graph, first, neutral)
+    assert res_n.cost <= recost - sunk + 1e-6
