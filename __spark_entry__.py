@@ -102,11 +102,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     "What's missing" #1): the late-r5 pipeline additions.  Round 6
     leads with those 7 (corpus_boilerplate, corpus_mix_weighted,
     corpus_shuffle_shard, text_token_diversity, evt_transition_matrix,
-    emb_norm_stats, mm_shard_manifest), then the rest of the pipeline/
-    stream/corpus ops (driver evidence from r04, now two rounds stale),
-    filling the 50-row window; joins and SQL surface (fresh r5
-    evidence) follow.  After this round every declared query has been
-    driver-verified at least once.  ALL declared queries are checked
+    emb_norm_stats, mm_shard_manifest) PLUS every operator added IN r6
+    (dedup_survivors, emb_gram_matrix, emb_kmeans, text_bpe_pair_topk,
+    evt_user_features, corpus_source_stats, text_bigram_lm_score,
+    join_adaptive_reopt -- all declared inside the window, so r6 adds
+    zero rotation debt), then the rest of the pipeline/stream/corpus
+    ops (driver evidence from r04, now two rounds stale), filling the
+    50-row window; joins and SQL surface (fresh r5 evidence) follow.
+    After this round every declared query has been driver-verified at
+    least once.  r7 rotation: lead with whatever r7 adds, then the
+    joins/SQL surface (their r5 evidence will be two rounds old).  ALL declared queries are checked
     against their DuckDB oracles by scripts/local_gate.py (checked-in:
     CORRECTNESS_LOCAL_FULL.json) and pytest every round regardless of
     gate order.
@@ -131,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_user_features",
         "corpus_source_stats",
         "text_bigram_lm_score",
+        "emb_pca_project",
     ):
         out[name] = pipeline[name][0]
 

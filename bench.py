@@ -59,7 +59,7 @@ headline = [
     # k-means, BPE pair stats, user featurization, source data card
     "dedup_survivors", "emb_gram_matrix", "emb_kmeans",
     "text_bpe_pair_topk", "evt_user_features", "corpus_source_stats",
-    "text_bigram_lm_score", "join_adaptive_reopt",
+    "text_bigram_lm_score", "join_adaptive_reopt", "emb_pca_project",
 ]
 
 

@@ -216,4 +216,9 @@ PIPELINE_OPS: dict[str, tuple] = {
         text.bigram_lm_score,
         text.bigram_lm_score_oracle(),
     ),
+    # r6: power-iteration PCA projection (integer-exact, no MLlib)
+    "emb_pca_project": (
+        similarity.pca_project,
+        similarity.pca_project_oracle(),
+    ),
 }

@@ -459,6 +459,22 @@ def gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical regardless of partitioning or row order (and matches
     the DuckDB oracle's index cross join).
     """
+    parts = _gram_partials_df(spark, sf_dir)
+    # g is reported as STRING: the exact integer text of the
+    # decimal(38,0) sum.  (Cross-engine canonicalization: DuckDB's
+    # pandas fetch degrades DECIMAL(38,0) to float64, which loses
+    # exactness above 2^53; integer text never does.)
+    return parts.groupBy("i", "j").agg(
+        F.sum(F.col("partial").cast("decimal(38,0)"))
+        .cast("string")
+        .alias("g")
+    )
+
+
+def _gram_partials_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Gram partials, one d x d numpy matmul per
+    partition inside ``mapInPandas`` (shared by gram_matrix and the
+    power-iteration PCA)."""
     import numpy as np
     import pandas as pd
 
@@ -487,16 +503,7 @@ def gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    parts = emb.mapInPandas(partials, "i int, j int, partial long")
-    # g is reported as STRING: the exact integer text of the
-    # decimal(38,0) sum.  (Cross-engine canonicalization: DuckDB's
-    # pandas fetch degrades DECIMAL(38,0) to float64, which loses
-    # exactness above 2^53; integer text never does.)
-    return parts.groupBy("i", "j").agg(
-        F.sum(F.col("partial").cast("decimal(38,0)"))
-        .cast("string")
-        .alias("g")
-    )
+    return emb.mapInPandas(partials, "i int, j int, partial long")
 
 
 def gram_matrix_oracle() -> str:
@@ -725,4 +732,138 @@ def kmeans_oracle() -> str:
                CAST(list_max(any_value(c.cv)) AS BIGINT) AS c_max
         FROM a{last} a JOIN c{last} c USING (cid)
         GROUP BY a.cid
+    """
+
+
+# --- top-principal-component projection (power iteration) --------------------
+
+PCA_ITERS = 4
+PCA_VSCALE = 1000  # direction vector renormalized to max |v_i| = 1000
+
+
+def pca_direction(spark: SparkSession, sf_dir: str, d: int = 64) -> list:
+    """The integer power-iteration direction vector (model state): Gram
+    reduced distributedly, then PCA_ITERS exact-int matvec steps with
+    truncation-toward-zero renormalization on the driver."""
+    agg = (
+        _gram_partials_df(spark, sf_dir)
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("partial").cast("decimal(38,0)")).alias("g"))
+        .collect()
+    )  # d(d+1)/2 model-state rows, NOT data
+    G = [[0] * d for _ in range(d)]
+    for r in agg:
+        val = int(r["g"])
+        G[r["i"]][r["j"]] = val
+        G[r["j"]][r["i"]] = val
+    v = [PCA_VSCALE] + [0] * (d - 1)
+    for _ in range(PCA_ITERS):
+        w = [sum(G[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        if m == 0:  # degenerate (all-zero corpus): keep direction
+            break
+        v = [
+            -((-x) * PCA_VSCALE // m) if x < 0 else x * PCA_VSCALE // m
+            for x in w
+        ]
+    return v
+
+
+def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label statistics of every embedding's projection onto the
+    corpus's top principal direction -- the drift/collapse check run on
+    encoder output (a label whose projections bunch far from the others
+    signals a broken shard), computed WITHOUT MLlib.
+
+    The direction comes from integer power iteration on the Gram
+    matrix: G is reduced distributedly (the gram_matrix partials --
+    one numpy matmul per partition, 2,080-row aggregate); the driver
+    then runs PCA_ITERS exact-integer matvec steps on the d x d model
+    state (Python ints -- no overflow at any corpus size), after each
+    step renormalizing to max |v_i| = PCA_VSCALE with truncation toward
+    zero (sign-split floor division -- identical in Spark, DuckDB and
+    Python).  The final direction is pasted into ONE projection
+    expression evaluated engine-side: a 64-literal zip_with dot
+    product, JVM codegen, no Python in the row path.  Projection sums
+    are decimal(38,0) integer text like gram_matrix.
+
+    Deterministic by construction: every quantity is an exact integer,
+    so the unique fixpoint trajectory matches the SQL-unrolled oracle
+    bit-for-bit.  (Sign of the dominant eigenvector is pinned by the
+    deterministic e_0 start.)
+    """
+    v = pca_direction(spark, sf_dir)
+    vec_lit = ", ".join(f"{x}L" for x in v)
+    proj = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "label",
+        F.expr(
+            f"aggregate(zip_with("
+            f"transform(embedding, x -> cast(round(cast(x as double)"
+            f" * {EMB_QUANT}, 0) as bigint)), array({vec_lit}),"
+            f" (a, b) -> a * b), 0L, (acc, y) -> acc + y)"
+        ).alias("p"),
+    )
+    return proj.groupBy("label").agg(
+        F.count("*").cast("int").alias("n"),
+        F.sum(F.col("p").cast("decimal(38,0)")).cast("string")
+        .alias("sum_proj"),
+        F.min("p").alias("min_proj"),
+        F.max("p").alias("max_proj"),
+    )
+
+
+def _pca_matvec_cte(t: int, prev: str) -> str:
+    return f"""
+        w{t} AS (
+            SELECT g.i, CAST(sum(g.val * v.val) AS BIGINT) AS w
+            FROM gram_full g JOIN {prev} v ON g.j = v.i
+            GROUP BY g.i
+        ),
+        v{t} AS (
+            SELECT i, CAST(CASE WHEN w < 0
+                                THEN -((-w) * {PCA_VSCALE} // m)
+                                ELSE (w * {PCA_VSCALE} // m) END
+                           AS BIGINT) AS val
+            FROM w{t}, (SELECT max(abs(w)) AS m FROM w{t})
+        )"""
+
+
+def pca_project_oracle() -> str:
+    iters = ",".join(
+        _pca_matvec_cte(t, f"v{t - 1}") for t in range(1, PCA_ITERS + 1)
+    )
+    return f"""
+        WITH q AS (
+            SELECT vec_id, label,
+                   [round(x::DOUBLE * {EMB_QUANT})::BIGINT for x in embedding]
+                   AS qv
+            FROM embeddings
+        ),
+        gram_u AS (
+            SELECT ia.v::INT AS i, ja.v::INT AS j,
+                   CAST(sum(qv[ia.v + 1] * qv[ja.v + 1]) AS BIGINT) AS g
+            FROM q, (SELECT unnest(range(64)) AS v) ia,
+                 (SELECT unnest(range(64)) AS v) ja
+            WHERE ia.v <= ja.v
+            GROUP BY ia.v, ja.v
+        ),
+        gram_full AS (
+            SELECT i, j, g AS val FROM gram_u
+            UNION ALL
+            SELECT j, i, g FROM gram_u WHERE i <> j
+        ),
+        v0 AS (SELECT r.v::INT AS i,
+                      CASE WHEN r.v = 0 THEN {PCA_VSCALE} ELSE 0 END AS val
+               FROM (SELECT unnest(range(64)) AS v) r),
+        {iters},
+        proj AS (
+            SELECT q.vec_id, q.label,
+                   CAST(sum(q.qv[v.i + 1] * v.val) AS BIGINT) AS p
+            FROM q, v{PCA_ITERS} v
+            GROUP BY q.vec_id, q.label
+        )
+        SELECT label, CAST(count(*) AS INT) AS n,
+               CAST(CAST(sum(p) AS DECIMAL(38,0)) AS VARCHAR) AS sum_proj,
+               min(p) AS min_proj, max(p) AS max_proj
+        FROM proj GROUP BY label
     """

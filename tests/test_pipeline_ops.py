@@ -405,3 +405,39 @@ def test_bigram_lm_score_bounds(spark, duck):
         assert r.n_bigrams == tok[r.doc_id] - 1
         assert 0 < r.mean_p <= LM_QUANT
         assert 0 < r.sum_p <= r.n_bigrams * LM_QUANT
+
+
+def test_pca_direction_dominates_seed_axis(spark, duck):
+    """Power iteration must IMPROVE the Rayleigh quotient over its e_0
+    seed (the spectral property that makes it PCA), and the projection
+    stats must cover the whole corpus."""
+    import numpy as np
+
+    from query_optimizer_spark.functions.similarity import pca_direction
+
+    v = np.array(pca_direction(spark, SF_DIR), dtype=np.float64)
+    Q = np.array(
+        [
+            row[0]
+            for row in duck.execute(
+                "SELECT [round(x::DOUBLE * 1000)::BIGINT for x in embedding]"
+                " FROM embeddings ORDER BY vec_id"
+            ).fetchall()
+        ],
+        dtype=np.float64,
+    )
+    G = Q.T @ Q
+    e0 = np.zeros(len(v))
+    e0[0] = 1.0
+
+    def rq(u):
+        return (u @ G @ u) / (u @ u)
+
+    assert rq(v) >= rq(e0)
+    assert rq(v) >= 0.5 * np.linalg.eigvalsh(G).max()  # near-dominant
+
+    rows = PIPELINE_OPS["emb_pca_project"][0](spark, SF_DIR).collect()
+    assert sum(r.n for r in rows) == len(Q)
+    for r in rows:
+        assert r.min_proj <= r.max_proj
+        assert r.min_proj <= int(r.sum_proj) / r.n <= r.max_proj
