@@ -105,8 +105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     emb_norm_stats, mm_shard_manifest) PLUS every operator added IN r6
     (dedup_survivors, emb_gram_matrix, emb_kmeans, text_bpe_pair_topk,
     evt_user_features, corpus_source_stats, text_bigram_lm_score,
-    join_adaptive_reopt -- all declared inside the window, so r6 adds
-    zero rotation debt), then the rest of the pipeline/stream/corpus
+    emb_pca_project, join_adaptive_reopt, sql_recursive_spine -- all
+    declared inside the window, so r6 adds zero rotation debt), then
+    the rest of the pipeline/stream/corpus
     ops (driver evidence from r04, now two rounds stale), filling the
     50-row window; joins and SQL surface (fresh r5 evidence) follow.
     After this round every declared query has been driver-verified at
@@ -149,6 +150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return workload.run_fixture_adaptive(spark, sf_dir, "join_events_8")
 
     out["join_adaptive_reopt"] = _adaptive
+    # recursive-CTE spine (new r6 SQL capability) -- also in-window
+    out["sql_recursive_spine"] = _surface_runner("sql_recursive_spine")
 
     # --- block B: remaining pipeline/stream/corpus ops (r04 driver
     # evidence, two rounds stale; registry order) ---

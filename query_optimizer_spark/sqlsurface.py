@@ -569,6 +569,29 @@ SURFACE: dict[str, str | tuple[str, str]] = {
         GROUP BY n.n_name
         ORDER BY revenue DESC, nation
     """,
+    # recursive CTE (new in Spark 4.x): calendar-spine gap-fill -- the
+    # time-series normalization every reporting pipeline needs (months
+    # with zero orders must still appear).  The spine is generated by
+    # recursion, depth = #months, independent of fact-table size.
+    "sql_recursive_spine": """
+        WITH RECURSIVE spine(m) AS (
+            SELECT TIMESTAMP '1995-01-01 00:00:00'
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM spine
+            WHERE m < TIMESTAMP '1997-12-01 00:00:00'
+        ),
+        sales AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 3) AS total
+            FROM orders
+            WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY 1
+        )
+        SELECT spine.m, COALESCE(s.n_orders, 0) AS n_orders,
+               ROUND(COALESCE(s.total, 0.0), 3) AS total
+        FROM spine LEFT JOIN sales s ON spine.m = s.m
+    """,
 }
 
 
