@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_source_stats",
         "text_bigram_lm_score",
         "emb_pca_project",
+        "stream_asof_join",
     ):
         out[name] = pipeline[name][0]
 

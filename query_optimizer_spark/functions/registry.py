@@ -221,4 +221,10 @@ PIPELINE_OPS: dict[str, tuple] = {
         similarity.pca_project,
         similarity.pca_project_oracle(),
     ),
+    # r6: streaming as-of join (stateful carry-forward; Spark has no
+    # native streaming as-of) -- same DuckDB ASOF JOIN oracle as batch
+    "stream_asof_join": (
+        streaming.asof_stream,
+        streaming.asof_stream_oracle(),
+    ),
 }

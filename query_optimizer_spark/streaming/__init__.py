@@ -11,6 +11,8 @@ same code tails a directory/Kafka source continuously.
 """
 
 from .ops import (
+    asof_stream,
+    asof_stream_oracle,
     dedup_stream,
     join_stream,
     join_stream_oracle,
@@ -30,6 +32,8 @@ from .ops import (
 
 __all__ = [
     "stream_events",
+    "asof_stream",
+    "asof_stream_oracle",
     "join_stream",
     "join_stream_oracle",
     "hourly_counts_stream",

@@ -444,3 +444,111 @@ def sink_parquet_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sink_parquet_stream_oracle() -> str:
     return dedup_stream_oracle()
+
+
+# --- streaming as-of join (stateful carry-forward) ---------------------------
+
+_ASOF_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("purchase_value", T.DoubleType()),
+        T.StructField("ms_since_purchase", T.LongType()),
+    ]
+)
+
+_ASOF_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("p_ms", T.LongType()),
+        T.StructField("p_value", T.DoubleType()),
+    ]
+)
+
+
+def _asof_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user carry-forward state: the latest purchase (ms, value)
+    survives across micro-batches, so every click joins to the most
+    recent prior-or-equal purchase no matter which batch carried it.
+    State is ONE row per user -- bounded by the user population, the
+    smallest state any as-of implementation can hold.  Within a batch
+    the carry is a vectorized pandas ffill over the (ms, is_click,
+    event_id) order -- the SAME total order as the batch operator, so
+    equal-timestamp ties resolve identically."""
+    import numpy as np
+
+    (user_id,) = key
+    p_ms, p_value = state.get if state.exists else (None, None)
+    frames = [f for f in batches if len(f)]
+    if frames:
+        pdf = pd.concat(frames).sort_values(["ms", "is_click", "event_id"])
+        is_p = pdf["is_click"].to_numpy() == 0
+        pm = pd.Series(
+            np.where(is_p, pdf["ms"], np.nan), index=pdf.index
+        ).ffill()
+        pv = pd.Series(
+            np.where(is_p, pdf["value"], np.nan), index=pdf.index
+        ).ffill()
+        if p_ms is not None:
+            pm = pm.fillna(p_ms)
+            pv = pv.fillna(p_value)
+        mask = (pdf["is_click"].to_numpy() == 1) & pm.notna().to_numpy()
+        if mask.any():
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].to_numpy()[mask],
+                    "user_id": user_id,
+                    "purchase_value": pv.to_numpy()[mask],
+                    "ms_since_purchase": (
+                        pdf["ms"].to_numpy()[mask] - pm.to_numpy()[mask]
+                    ).astype("int64"),
+                }
+            )
+        if is_p.any():
+            last = np.flatnonzero(is_p)[-1]
+            p_ms = int(pdf["ms"].iloc[last])
+            p_value = float(pdf["value"].iloc[last])
+    state.update((p_ms, p_value))
+
+
+def asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming as-of join: each click enriched with the user's most
+    recent prior-or-equal purchase, as a custom stateful operator
+    (``applyInPandasWithState``) -- the streaming twin of the batch
+    ``temporal.asof_join`` and the shape a real-time feature store
+    computes (latest-value-as-of-event).  Spark has no native streaming
+    as-of; the carry-forward state is one row per user, strictly
+    smaller than a stream-stream join's dual watermark buffers.
+
+    Batch equivalence: micro-batches from the file source arrive in
+    time order, state carries the latest purchase across them, and the
+    within-batch order matches the batch operator's window sort -- so
+    the oracle is the SAME DuckDB ASOF JOIN the batch op checks
+    against."""
+    sdf = stream_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "event_id",
+        "user_id",
+        F.expr("unix_millis(ts)").alias("ms"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0)
+        .alias("is_click"),
+        "value",
+    )
+    out = sdf.groupBy("user_id").applyInPandasWithState(
+        _asof_fn,
+        outputStructType=_ASOF_OUT_SCHEMA,
+        stateStructType=_ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "append")
+
+
+def asof_stream_oracle() -> str:
+    from ..functions.temporal import asof_join_oracle
+
+    return asof_join_oracle()

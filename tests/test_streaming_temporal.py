@@ -45,3 +45,24 @@ def test_stream_sessionize_matches_oracle(spark, duck):
 def test_stream_is_streaming(spark):
     sdf = streaming.stream_events(spark, SF_DIR)
     assert sdf.isStreaming
+
+
+def test_stream_asof_matches_batch_asof(spark):
+    """The streaming carry-forward as-of must equal the batch window
+    as-of row-for-row -- two independent implementations, one
+    semantics (the oracle checks both against DuckDB's native ASOF
+    JOIN; this checks them against each other)."""
+    from query_optimizer_spark.functions.temporal import asof_join
+    from query_optimizer_spark.streaming import asof_stream
+
+    from .conftest import SF_DIR
+
+    batch = {
+        (r.event_id, r.user_id, r.purchase_value, r.ms_since_purchase)
+        for r in asof_join(spark, SF_DIR).collect()
+    }
+    stream = {
+        (r.event_id, r.user_id, r.purchase_value, r.ms_since_purchase)
+        for r in asof_stream(spark, SF_DIR).collect()
+    }
+    assert batch and stream == batch
