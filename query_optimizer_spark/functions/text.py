@@ -613,19 +613,14 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     big_counts = doc_bigrams.groupBy("bigram").agg(
         F.count("*").alias("cnt_uv")
     )
+    # denominator of the conditional p(v|u) = count of u at non-final
+    # positions = sum of cnt_uv over bigrams headed by u -- derived from
+    # the bigram table instead of a second corpus tokenization pass
+    # (vocabulary-sized agg replaces a corpus-sized scan)
     uni_counts = (
-        _docs(spark, sf_dir)
-        # unigram counts over non-final positions = denominator of the
-        # conditional p(v|u); slice drops each doc's last token
-        .select(
-            F.expr(
-                f"CASE WHEN size({TOKS}) < 2 THEN array() "
-                f"ELSE slice({TOKS}, 1, size({TOKS}) - 1) END"
-            ).alias("toks")
-        )
-        .select(F.explode("toks").alias("u"))
+        big_counts.withColumn("u", F.expr("split(bigram, ' ')[0]"))
         .groupBy("u")
-        .agg(F.count("*").alias("cnt_u"))
+        .agg(F.sum("cnt_uv").alias("cnt_u"))
     )
     probs = (
         big_counts.withColumn(
@@ -665,9 +660,9 @@ def bigram_lm_score_oracle() -> str:
             SELECT bigram, count(*) AS cnt_uv FROM doc_bigrams GROUP BY bigram
         ),
         uni_counts AS (
-            SELECT u, count(*) AS cnt_u FROM (
-                SELECT unnest(toks[1:len(toks) - 1]) AS u FROM t
-            ) GROUP BY u
+            SELECT string_split(bigram, ' ')[1] AS u,
+                   CAST(sum(cnt_uv) AS BIGINT) AS cnt_u
+            FROM big_counts GROUP BY 1
         ),
         probs AS (
             SELECT bigram, ({LM_QUANT} * cnt_uv) // cnt_u AS p_q
