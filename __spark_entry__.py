@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm_score",
         "emb_pca_project",
         "stream_asof_join",
+        "io_partitioned_roundtrip",
     ):
         out[name] = pipeline[name][0]
 

@@ -92,6 +92,11 @@ PIPELINE_OPS: dict[str, tuple] = {
         sources.csv_roundtrip,
         sources.csv_roundtrip_oracle(),
     ),
+    # r6: hive-partitioned sink + pruned read (PartitionFilters)
+    "io_partitioned_roundtrip": (
+        sources.partitioned_roundtrip,
+        sources.partitioned_roundtrip_oracle(),
+    ),
     # skew-aware execution (salted join; result-invariant vs plain SQL)
     "skew_salted_join": (skew.skew_demo, skew.skew_demo_oracle()),
     # corpus preparation

@@ -172,3 +172,42 @@ def csv_roundtrip_oracle() -> str:
                round(o_totalprice, 3) AS price_r
         FROM orders
     """
+
+
+def partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink/source round-trip: write documents
+    partitioned by (lang), read back ONLY two partitions through a
+    partition filter, and aggregate -- the layout every 100 TB corpus
+    uses so per-language jobs touch 1/Nth of the data.  The read plan
+    must show PartitionFilters (directory pruning, asserted in tests);
+    the DuckDB oracle aggregates the original parquet with the same
+    predicate, so the hash match proves the round-trip is lossless AND
+    the pruned read is complete."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    out = f"{DEFAULT_WAREHOUSE}/documents_bylang_{tag}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    write_partitioned(docs, out, ["lang"])
+    back = spark.read.parquet(out).filter(F.col("lang").isin("en", "fr"))
+    return back.groupBy("lang", "source").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def partitioned_roundtrip_oracle() -> str:
+    return """
+        SELECT lang, source, CAST(count(*) AS INT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM documents
+        WHERE lang IN ('en', 'fr')
+        GROUP BY lang, source
+    """

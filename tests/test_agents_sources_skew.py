@@ -161,3 +161,28 @@ def test_reinforce_agent_learns(oracle):
             env.step(r.choice(env.actions()))
         rnd.append(cm.cumulative(env.graph, env.final_plan(), oracle))
     assert after < sum(rnd) / len(rnd)
+
+
+def test_partitioned_roundtrip_prunes(spark):
+    """The pruned read must show PartitionFilters (directory-level
+    pruning) and carry no lang other than the two requested."""
+    from query_optimizer_spark import sources
+    from query_optimizer_spark.executor import physical_plan
+
+    from .conftest import SF_DIR
+
+    df = sources.partitioned_roundtrip(spark, SF_DIR)
+    rows = df.collect()
+    assert {r.lang for r in rows} == {"en", "fr"}
+    import hashlib
+
+    tag = hashlib.md5(SF_DIR.rstrip("/").encode()).hexdigest()[:12]
+    back = spark.read.parquet(
+        f"{sources.DEFAULT_WAREHOUSE}/documents_bylang_{tag}"
+    ).filter("lang IN ('en', 'fr')")
+    assert "PartitionFilters: [" in physical_plan(back)
+    plan = physical_plan(back)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1)  # filter actually reached pruning
