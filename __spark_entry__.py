@@ -105,9 +105,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     emb_norm_stats, mm_shard_manifest) PLUS every operator added IN r6
     (dedup_survivors, emb_gram_matrix, emb_kmeans, text_bpe_pair_topk,
     evt_user_features, corpus_source_stats, text_bigram_lm_score,
-    emb_pca_project, join_adaptive_reopt, sql_recursive_spine -- all
-    declared inside the window, so r6 adds zero rotation debt), then
-    the rest of the pipeline/stream/corpus
+    emb_pca_project, stream_asof_join, io_partitioned_roundtrip,
+    evt_value_quantiles, join_adaptive_reopt, sql_recursive_spine --
+    all declared inside the window, so r6 adds zero rotation debt),
+    then the rest of the pipeline/stream/corpus
     ops (driver evidence from r04, now two rounds stale), filling the
     50-row window; joins and SQL surface (fresh r5 evidence) follow.
     After this round every declared query has been driver-verified at
@@ -140,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_project",
         "stream_asof_join",
         "io_partitioned_roundtrip",
+        "evt_value_quantiles",
     ):
         out[name] = pipeline[name][0]
 

@@ -232,4 +232,10 @@ PIPELINE_OPS: dict[str, tuple] = {
         streaming.asof_stream,
         streaming.asof_stream_oracle(),
     ),
+    # r6: exact quantiles over the bounded cent domain (histogram walk,
+    # never a per-group sort/collect)
+    "evt_value_quantiles": (
+        temporal.value_quantiles,
+        temporal.value_quantiles_oracle(),
+    ),
 }

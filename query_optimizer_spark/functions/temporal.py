@@ -621,3 +621,65 @@ def user_features_oracle() -> str:
                s.total_value, t.top_type
         FROM scalars s JOIN top t USING (user_id)
     """
+
+
+# --- exact value quantiles over the bounded cent domain ----------------------
+
+
+def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of event value per event type -- the latency/
+    revenue-distribution readout every monitoring pipeline publishes.
+
+    Computed the way exact quantiles stay cheap at 100 TB: the value
+    domain is bounded (exact cents -- asserted by the oracle's own
+    arithmetic), so ONE map-side-combinable aggregation builds the
+    (type, cent) histogram and the quantile walk is a window over that
+    tiny table; nothing ever sorts the raw stream (Spark's exact
+    ``percentile`` would collect each group onto one task).  Type-1
+    (lower) quantile: smallest value whose CDF reaches q -- cum*100 >=
+    q*n in exact int64, no ceil/float anywhere.  Cent-to-currency
+    division by 100.0 is correctly rounded and identical across
+    engines."""
+    cents = events_df(spark, sf_dir).select(
+        "event_type",
+        F.expr("cast(round(value * 100, 0) as bigint)").alias("c"),
+    )
+    hist = cents.groupBy("event_type", "c").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("c")
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("n", F.sum("cnt").over(Window.partitionBy("event_type")))
+    qcol = [
+        F.expr(
+            f"min(CASE WHEN cum * 100 >= {q} * n THEN c END)"
+            " / cast(100 as double)"
+        ).alias(f"p{q}")
+        for q in (50, 90, 99)
+    ]
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("int").alias("n_events"), *qcol
+    )
+
+
+def value_quantiles_oracle() -> str:
+    qs = ", ".join(
+        f"min(CASE WHEN cum * 100 >= {q} * n THEN c END) / 100.0 AS p{q}"
+        for q in (50, 90, 99)
+    )
+    return """
+        WITH hist AS (
+            SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, c, cnt,
+                   sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY event_type) AS n
+            FROM hist
+        )
+        SELECT event_type, CAST(max(n) AS INT) AS n_events, {qs}
+        FROM cum GROUP BY event_type
+    """.replace("{qs}", qs)

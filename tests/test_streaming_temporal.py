@@ -66,3 +66,29 @@ def test_stream_asof_matches_batch_asof(spark):
         for r in asof_stream(spark, SF_DIR).collect()
     }
     assert batch and stream == batch
+
+
+def test_value_quantiles_match_sorted_definition(spark, duck):
+    """The histogram-walk quantile must equal the brute-force type-1
+    quantile computed by sorting each group (independent check of the
+    cum*100 >= q*n arithmetic)."""
+    import math
+
+    from query_optimizer_spark.functions.temporal import value_quantiles
+
+    from .conftest import SF_DIR
+
+    rows = {r.event_type: r for r in value_quantiles(spark, SF_DIR).collect()}
+    for etype, r in rows.items():
+        vals = [
+            v
+            for (v,) in duck.execute(
+                "SELECT value FROM events WHERE event_type = ?"
+                " ORDER BY value",
+                [etype],
+            ).fetchall()
+        ]
+        assert r.n_events == len(vals)
+        for q, got in ((50, r.p50), (90, r.p90), (99, r.p99)):
+            expect = vals[math.ceil(q * len(vals) / 100) - 1]
+            assert got == expect, (etype, q, got, expect)
