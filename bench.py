@@ -61,7 +61,7 @@ headline = [
     "text_bpe_pair_topk", "evt_user_features", "corpus_source_stats",
     "text_bigram_lm_score", "join_adaptive_reopt", "emb_pca_project",
     "stream_asof_join", "sql_recursive_spine", "io_partitioned_roundtrip",
-    "evt_value_quantiles",
+    "evt_value_quantiles", "text_winnow_fingerprints",
 ]
 
 

@@ -238,4 +238,9 @@ PIPELINE_OPS: dict[str, tuple] = {
         temporal.value_quantiles,
         temporal.value_quantiles_oracle(),
     ),
+    # r6: winnowing fingerprint selection (MOSS) -- pure projection
+    "text_winnow_fingerprints": (
+        text.winnow_fingerprints,
+        text.winnow_fingerprints_oracle(),
+    ),
 }

@@ -675,3 +675,99 @@ def bigram_lm_score_oracle() -> str:
         FROM doc_bigrams JOIN probs USING (bigram)
         GROUP BY doc_id
     """
+
+
+# --- winnowing fingerprint selection (Schleimer et al., SIGMOD'03) -----------
+
+WINNOW_K = 3  # shingle size (tokens per k-gram)
+WINNOW_W = 4  # window size (k-grams per window)
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 -- the MOSS algorithm): hash every k-token shingle, slide
+    a w-hash window, keep each window's minimum -- guaranteeing any
+    shared run of k+w-1 tokens between two documents shares a selected
+    fingerprint, at ~2/(w+1) the storage of full shingling.  The
+    selection step the local-similarity half of a dedup stack runs
+    before posting-list matching.
+
+    Scale shape: the whole selection is ONE projection -- k-gram
+    hashing, window minima and distinct-set reduction are array
+    expressions inside whole-stage codegen; zero shuffles, zero
+    Python.  Output is the per-doc fingerprint-set summary (count,
+    density, order-independent checksum), scalars the cross-engine
+    hash can compare exactly.
+    """
+    h16 = (
+        "cast(conv(substring(md5(concat_ws(' ',"
+        f" slice(toks, i, {WINNOW_K}))), 1, {FP_HEX_CHARS}), 16, 10)"
+        " as bigint)"
+    )
+    grams = (
+        f"CASE WHEN size(toks) < {WINNOW_K} THEN array() "
+        f"ELSE transform(sequence(1, size(toks) - {WINNOW_K} + 1),"
+        f" i -> {h16}) END"
+    )
+    wins = (
+        f"CASE WHEN size(grams) < {WINNOW_W} THEN array() "
+        f"ELSE transform(sequence(1, size(grams) - {WINNOW_W} + 1),"
+        f" j -> array_min(slice(grams, j, {WINNOW_W}))) END"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(TOKS).alias("toks"))
+        .select("doc_id", F.expr("size(toks)").alias("n_toks"),
+                F.expr(grams).alias("grams"))
+        .select("doc_id", "n_toks",
+                F.expr("size(grams)").alias("n_grams"),
+                F.expr(wins).alias("wins"))
+        .filter("size(wins) > 0")
+        .select(
+            "doc_id",
+            F.expr("cast(size(array_distinct(wins)) as int)").alias("n_fps"),
+            F.expr(
+                "round(size(array_distinct(wins)) /"
+                " cast(n_grams as double), 6)"
+            ).alias("density"),
+            F.expr(
+                "aggregate(array_distinct(wins), 0L, (a, x) -> a + x)"
+            ).alias("fp_sum"),
+            F.expr("array_min(wins)").alias("fp_min"),
+            F.expr("array_max(wins)").alias("fp_max"),
+        )
+    )
+
+
+def winnow_fingerprints_oracle() -> str:
+    toks = sql_tokens("text")
+    h16 = sql_hash16(
+        f"array_to_string(toks[i:i + {WINNOW_K} - 1], ' ')"
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+        g AS (
+            SELECT doc_id, len(toks) AS n_toks,
+                   CASE WHEN len(toks) < {WINNOW_K} THEN []
+                        ELSE [{h16}
+                              for i in generate_series(1, len(toks) - {WINNOW_K} + 1)]
+                   END AS grams
+            FROM t
+        ),
+        w AS (
+            SELECT doc_id, n_toks, len(grams) AS n_grams,
+                   CASE WHEN len(grams) < {WINNOW_W} THEN []
+                        ELSE [list_min(grams[j:j + {WINNOW_W} - 1])
+                              for j in generate_series(1, len(grams) - {WINNOW_W} + 1)]
+                   END AS wins
+            FROM g
+        )
+        SELECT doc_id,
+               CAST(len(list_distinct(wins)) AS INT) AS n_fps,
+               round(len(list_distinct(wins)) / n_grams::DOUBLE, 6)
+                   AS density,
+               CAST(list_sum(list_distinct(wins)) AS BIGINT) AS fp_sum,
+               CAST(list_min(wins) AS BIGINT) AS fp_min,
+               CAST(list_max(wins) AS BIGINT) AS fp_max
+        FROM w WHERE len(wins) > 0
+    """

@@ -135,6 +135,7 @@ def main() -> None:
     build_inputs(scales)
 
     from query_optimizer_spark.functions import (
+        clustering,
         corpus,
         dedup,
         similarity,
@@ -196,6 +197,21 @@ def main() -> None:
         probe("emb_kmeans", "replica", k,
               lambda sf=sf: similarity.kmeans(spark, sf),
               n_vecs0 * k)
+        # --- survivor selection under the giant-cluster worst case:
+        # replica mode makes every near-dup family k x larger, so the
+        # struct-min aggregation (not a per-cluster window) is what
+        # keeps one huge cluster off a single task
+        probe("dedup_survivors", "replica", k,
+              lambda sf=f"{WORK}/replica_x{k}":
+                  clustering.cluster_survivors(spark, sf),
+              n_docs0 * k)
+        # --- bigram-LM scoring on the realistic growth model: LM
+        # tables are vocabulary-sized; disjoint replicas grow the
+        # vocabulary ~linearly (worst case for the LM-table join)
+        probe("text_bigram_lm_score", "disjoint", k,
+              lambda sf=f"{WORK}/disjoint_x{k}":
+                  text.bigram_lm_score(spark, sf),
+              n_docs0 * k)
         # --- boilerplate shingles: replica mode multiplies every
         # shingle's df by k (worst case -- the whole corpus crosses the
         # df threshold, so the shingle join fans out maximally);

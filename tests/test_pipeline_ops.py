@@ -441,3 +441,43 @@ def test_pca_direction_dominates_seed_axis(spark, duck):
     for r in rows:
         assert r.min_proj <= r.max_proj
         assert r.min_proj <= int(r.sum_proj) / r.n <= r.max_proj
+
+
+def test_winnowing_guarantee_on_planted_dups(spark, duck):
+    """Winnowing's theorem: any shared token run of length >= k+w-1
+    yields a shared selected fingerprint -- so the planted near-dup
+    pairs (jaccard ~0.99, long shared runs) MUST share fingerprints;
+    and density stays within the [1/w, 1] selection band."""
+    from query_optimizer_spark.functions.text import winnow_fingerprints
+
+    rows = winnow_fingerprints(spark, SF_DIR).collect()
+    for r in rows:
+        assert 0 < r.n_fps
+        assert 0.0 < r.density <= 1.0
+        assert r.fp_min <= r.fp_max
+
+    # recompute the actual fingerprint SETS (oracle arithmetic) for the
+    # planted dup pairs and assert non-empty intersection
+    dups = duck.execute(PIPELINE_OPS["dedup_ngram_jaccard"][1]).fetchall()
+    assert dups, "no planted dups -- weak test"
+    from query_optimizer_spark.functions.constants import sql_tokens, sql_hash16
+    from query_optimizer_spark.functions.text import WINNOW_K, WINNOW_W
+
+    h16 = sql_hash16(f"array_to_string(toks[i:i + {WINNOW_K} - 1], ' ')")
+    sets_sql = f"""
+        WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks
+                   FROM documents WHERE doc_id IN ({{ids}})),
+        g AS (SELECT doc_id,
+                     [{h16} for i in
+                      generate_series(1, len(toks) - {WINNOW_K} + 1)] AS grams
+              FROM t)
+        SELECT doc_id,
+               list_distinct([list_min(grams[j:j + {WINNOW_W} - 1])
+                for j in generate_series(1, len(grams) - {WINNOW_W} + 1)])
+        FROM g
+    """
+    for a, b, _ in dups[:5]:
+        got = dict(
+            duck.execute(sets_sql.format(ids=f"{a}, {b}")).fetchall()
+        )
+        assert set(got[a]) & set(got[b]), (a, b)
