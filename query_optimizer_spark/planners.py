@@ -746,6 +746,13 @@ def plan_with_materialized(
     Exhaustive over unit subsets (<= #relations units), cross-join-free
     (splits must be edge-connected), both operand orders tried like
     plan_dp_ccp."""
+    if graph.null_generating or graph.full_outer:
+        # outer joins constrain the attach ORDER (J14); re-planning
+        # around a materialized block would need the same top-attach
+        # frame plan_* planners share.  Inner-only for now -- fail loud.
+        raise ValueError(
+            "plan_with_materialized supports inner join graphs only"
+        )
     rest = [
         i for i in range(len(graph.aliases)) if not (pinned.factors >> i) & 1
     ]
