@@ -106,7 +106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (dedup_survivors, emb_gram_matrix, emb_kmeans, text_bpe_pair_topk,
     evt_user_features, corpus_source_stats, text_bigram_lm_score,
     emb_pca_project, stream_asof_join, io_partitioned_roundtrip,
-    evt_value_quantiles, text_winnow_fingerprints, join_adaptive_reopt,
+    evt_value_quantiles, text_winnow_fingerprints,
+    dedup_family_agreement, text_heaps_law, join_adaptive_reopt,
     sql_recursive_spine --
     all declared inside the window, so r6 adds zero rotation debt),
     then the rest of the pipeline/stream/corpus
@@ -144,6 +145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_partitioned_roundtrip",
         "evt_value_quantiles",
         "text_winnow_fingerprints",
+        "dedup_family_agreement",
+        "text_heaps_law",
     ):
         out[name] = pipeline[name][0]
 

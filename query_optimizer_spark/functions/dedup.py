@@ -762,3 +762,61 @@ def containment_oracle() -> str:
            OR round(len(list_intersect(sa.shs, sb.shs)) / len(sb.shs), 6)
                   >= {CONTAINMENT_THRESHOLD}
     """
+
+
+def family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validation of the dedup family: how do the MinHash-LSH,
+    exact n-gram-jaccard and SimHash candidate sets overlap?  The
+    acceptance report a production dedup stack publishes before turning
+    a new detector on (a detector that finds pairs nobody else finds is
+    either the best or broken -- this table says which conversation to
+    have).
+
+    One row per membership pattern (in_minhash, in_jaccard, in_simhash)
+    with the pair count -- a full outer join of three already-blocked
+    candidate sets (each tiny relative to the corpus), then a 7-row
+    aggregate.  Scale cost is the three detectors themselves; the
+    agreement layer adds one join on the pair key.
+    """
+    mh = minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_mh")
+    )
+    ng = ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_ng")
+    )
+    sh = simhash_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_sh")
+    )
+    all_pairs = (
+        mh.join(ng, ["doc_a", "doc_b"], "full_outer")
+        .join(sh, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            F.coalesce("in_mh", F.lit(0)).alias("in_minhash"),
+            F.coalesce("in_ng", F.lit(0)).alias("in_jaccard"),
+            F.coalesce("in_sh", F.lit(0)).alias("in_simhash"),
+        )
+    )
+    return all_pairs.groupBy("in_minhash", "in_jaccard", "in_simhash").agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+def family_agreement_oracle() -> str:
+    return f"""
+        WITH mh AS (SELECT doc_a, doc_b, 1 AS in_mh
+                    FROM ({minhash_lsh_oracle()})),
+        ng AS (SELECT doc_a, doc_b, 1 AS in_ng
+               FROM ({ngram_jaccard_oracle()})),
+        sh AS (SELECT doc_a, doc_b, 1 AS in_sh
+               FROM ({simhash_oracle()})),
+        allp AS (
+            SELECT coalesce(mh.in_mh, 0) AS in_minhash,
+                   coalesce(ng.in_ng, 0) AS in_jaccard,
+                   coalesce(sh.in_sh, 0) AS in_simhash
+            FROM mh
+            FULL OUTER JOIN ng USING (doc_a, doc_b)
+            FULL OUTER JOIN sh USING (doc_a, doc_b)
+        )
+        SELECT in_minhash, in_jaccard, in_simhash, count(*) AS n_pairs
+        FROM allp GROUP BY 1, 2, 3
+    """

@@ -243,4 +243,14 @@ PIPELINE_OPS: dict[str, tuple] = {
         text.winnow_fingerprints,
         text.winnow_fingerprints_oracle(),
     ),
+    # r6: dedup-detector cross-validation report
+    "dedup_family_agreement": (
+        dedup.family_agreement,
+        dedup.family_agreement_oracle(),
+    ),
+    # r6: per-source vocabulary growth (Heaps'-law readout)
+    "text_heaps_law": (
+        text.heaps_law,
+        text.heaps_law_oracle(),
+    ),
 }

@@ -699,40 +699,54 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     density, order-independent checksum), scalars the cross-engine
     hash can compare exactly.
     """
+    # Each level is bound as a LAMBDA VARIABLE via transform(array(x),
+    # v -> ...)[0] so it is evaluated exactly once.  Writing the levels
+    # as chained .select()s instead looks equivalent but is O(m^2) or
+    # worse: CollapseProject inlines the upstream expression into the
+    # downstream lambda BODY, re-running the whole tokenization/md5
+    # chain per array ELEMENT (measured: sf0.1 hangs >7 min inlined,
+    # ~2 s bound).
     h16 = (
         "cast(conv(substring(md5(concat_ws(' ',"
-        f" slice(toks, i, {WINNOW_K}))), 1, {FP_HEX_CHARS}), 16, 10)"
+        f" slice(tk, i, {WINNOW_K}))), 1, {FP_HEX_CHARS}), 16, 10)"
         " as bigint)"
     )
     grams = (
-        f"CASE WHEN size(toks) < {WINNOW_K} THEN array() "
-        f"ELSE transform(sequence(1, size(toks) - {WINNOW_K} + 1),"
+        f"CASE WHEN size(tk) < {WINNOW_K} THEN array() "
+        f"ELSE transform(sequence(1, size(tk) - {WINNOW_K} + 1),"
         f" i -> {h16}) END"
     )
-    wins = (
-        f"CASE WHEN size(grams) < {WINNOW_W} THEN array() "
-        f"ELSE transform(sequence(1, size(grams) - {WINNOW_W} + 1),"
-        f" j -> array_min(slice(grams, j, {WINNOW_W}))) END"
+    wins_of_g = (
+        f"CASE WHEN size(g) < {WINNOW_W} THEN named_struct("
+        f"'n_grams', size(g), 'wins', array()) "
+        f"ELSE named_struct('n_grams', size(g), 'wins',"
+        f" transform(sequence(1, size(g) - {WINNOW_W} + 1),"
+        f" j -> array_min(slice(g, j, {WINNOW_W})))) END"
+    )
+    bound = (
+        f"transform(array({TOKS}), tk -> "
+        f"transform(array({grams}), g -> {wins_of_g})[0])[0]"
     )
     return (
         _docs(spark, sf_dir)
-        .select("doc_id", F.expr(TOKS).alias("toks"))
-        .select("doc_id", F.expr("size(toks)").alias("n_toks"),
-                F.expr(grams).alias("grams"))
-        .select("doc_id", "n_toks",
-                F.expr("size(grams)").alias("n_grams"),
-                F.expr(wins).alias("wins"))
+        .select("doc_id", F.expr(bound).alias("s"))
+        # explode(array(...)) is a Generate node: a projection-collapse
+        # BARRIER, so the md5 chain is not re-inlined per output column
+        .select("doc_id", F.explode(F.array("s")).alias("t"))
+        .select(
+            "doc_id",
+            F.col("t.n_grams").alias("n_grams"),
+            F.expr("array_distinct(t.wins)").alias("fps"),
+            F.col("t.wins").alias("wins"),
+        )
         .filter("size(wins) > 0")
         .select(
             "doc_id",
-            F.expr("cast(size(array_distinct(wins)) as int)").alias("n_fps"),
+            F.expr("cast(size(fps) as int)").alias("n_fps"),
             F.expr(
-                "round(size(array_distinct(wins)) /"
-                " cast(n_grams as double), 6)"
+                "round(size(fps) / cast(n_grams as double), 6)"
             ).alias("density"),
-            F.expr(
-                "aggregate(array_distinct(wins), 0L, (a, x) -> a + x)"
-            ).alias("fp_sum"),
+            F.expr("aggregate(fps, 0L, (a, x) -> a + x)").alias("fp_sum"),
             F.expr("array_min(wins)").alias("fp_min"),
             F.expr("array_max(wins)").alias("fp_max"),
         )
@@ -770,4 +784,48 @@ def winnow_fingerprints_oracle() -> str:
                CAST(list_min(wins) AS BIGINT) AS fp_min,
                CAST(list_max(wins) AS BIGINT) AS fp_max
         FROM w WHERE len(wins) > 0
+    """
+
+
+# --- vocabulary growth (Heaps' law readout) ----------------------------------
+
+
+def heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary growth: total tokens, distinct tokens and
+    the type-token ratio -- the Heaps'-law readout that distinguishes a
+    naturally growing corpus (vocabulary ~ tokens^beta, beta < 1) from
+    template spam (flat vocabulary) or encoding noise (vocabulary ~
+    tokens).  Pairs with corpus_source_stats on the data card.
+
+    Shape: one token explode into TWO aggregations that share the
+    (source, tok) shuffle -- distinct counting is exact (count over the
+    per-(source, tok) groups), no approx sketch needed because the
+    group domain is the vocabulary, not the corpus."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.expr(TOKS)).alias("tok"))
+    )
+    per_tok = toks.groupBy("source", "tok").agg(F.count("*").alias("n"))
+    return per_tok.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count("*").cast("int").alias("n_types"),
+        F.expr(
+            "round(count(*) / cast(sum(n) as double), 6)"
+        ).alias("type_token_ratio"),
+    )
+
+
+def heaps_law_oracle() -> str:
+    toks = sql_tokens("text")
+    return f"""
+        WITH t AS (
+            SELECT source, unnest({toks}) AS tok FROM documents
+        ),
+        per_tok AS (
+            SELECT source, tok, count(*) AS n FROM t GROUP BY 1, 2
+        )
+        SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS INT) AS n_types,
+               round(count(*) / sum(n)::DOUBLE, 6) AS type_token_ratio
+        FROM per_tok GROUP BY source
     """

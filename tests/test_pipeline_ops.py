@@ -481,3 +481,32 @@ def test_winnowing_guarantee_on_planted_dups(spark, duck):
             duck.execute(sets_sql.format(ids=f"{a}, {b}")).fetchall()
         )
         assert set(got[a]) & set(got[b]), (a, b)
+
+
+def test_family_agreement_consistency(spark, duck):
+    """The agreement table must partition the union of the three
+    candidate sets: marginal counts recomputed from it equal each
+    detector's own pair count."""
+    rows = PIPELINE_OPS["dedup_family_agreement"][0](spark, SF_DIR).collect()
+    assert all(
+        r.in_minhash + r.in_jaccard + r.in_simhash > 0 for r in rows
+    )  # the (0,0,0) pattern cannot appear
+    marg = {"mh": 0, "ng": 0, "sh": 0}
+    for r in rows:
+        marg["mh"] += r.in_minhash * r.n_pairs
+        marg["ng"] += r.in_jaccard * r.n_pairs
+        marg["sh"] += r.in_simhash * r.n_pairs
+    n_mh = len(duck.execute(PIPELINE_OPS["dedup_minhash_lsh"][1]).fetchall())
+    n_ng = len(duck.execute(PIPELINE_OPS["dedup_ngram_jaccard"][1]).fetchall())
+    n_sh = len(duck.execute(PIPELINE_OPS["dedup_simhash"][1]).fetchall())
+    assert (marg["mh"], marg["ng"], marg["sh"]) == (n_mh, n_ng, n_sh)
+
+
+def test_heaps_law_bounds(spark):
+    """Vocabulary size per source is positive, at most the token count,
+    and the TTR is the exact ratio."""
+    rows = PIPELINE_OPS["text_heaps_law"][0](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_types <= r.n_tokens
+        assert r.type_token_ratio == round(r.n_types / r.n_tokens, 6)
