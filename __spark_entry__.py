@@ -107,8 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     evt_user_features, corpus_source_stats, text_bigram_lm_score,
     emb_pca_project, stream_asof_join, io_partitioned_roundtrip,
     evt_value_quantiles, text_winnow_fingerprints,
-    dedup_family_agreement, text_heaps_law, join_adaptive_reopt,
-    sql_recursive_spine --
+    dedup_family_agreement, text_heaps_law, sim_recall_report,
+    join_adaptive_reopt, sql_recursive_spine --
     all declared inside the window, so r6 adds zero rotation debt),
     then the rest of the pipeline/stream/corpus
     ops (driver evidence from r04, now two rounds stale), filling the
@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fingerprints",
         "dedup_family_agreement",
         "text_heaps_law",
+        "sim_recall_report",
     ):
         out[name] = pipeline[name][0]
 

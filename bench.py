@@ -62,7 +62,7 @@ headline = [
     "text_bigram_lm_score", "join_adaptive_reopt", "emb_pca_project",
     "stream_asof_join", "sql_recursive_spine", "io_partitioned_roundtrip",
     "evt_value_quantiles", "text_winnow_fingerprints",
-    "dedup_family_agreement", "text_heaps_law",
+    "dedup_family_agreement", "text_heaps_law", "sim_recall_report",
 ]
 
 

@@ -253,4 +253,9 @@ PIPELINE_OPS: dict[str, tuple] = {
         text.heaps_law,
         text.heaps_law_oracle(),
     ),
+    # r6: ANN acceptance report (recall@k of LSH/IVF vs brute force)
+    "sim_recall_report": (
+        similarity.recall_report,
+        similarity.recall_report_oracle(),
+    ),
 }

@@ -867,3 +867,67 @@ def pca_project_oracle() -> str:
                min(p) AS min_proj, max(p) AS max_proj
         FROM proj GROUP BY label
     """
+
+
+def recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN acceptance report: micro-averaged recall@k of the LSH and
+    IVF indexes against the brute-force exact top-k -- the number a
+    similarity-search deployment publishes before switching the exact
+    scan off.  Companion to dedup_family_agreement on the dedup side.
+
+    recall = total exact-neighbor hits / total exact neighbors, in
+    exact integer arithmetic until one final division.  Scale cost is
+    the three searches themselves (each already blocked/bucketed); the
+    report layer is one join on the (query, neighbor) key plus a
+    2-row aggregate, with the truth count riding a 1-row broadcast
+    (the tfidf N pattern).
+    """
+    truth = brute_force_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    cand = (
+        lsh_ann_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id", F.lit("lsh").alias("method"))
+        .unionByName(
+            ivf_topk(spark, sf_dir).select(
+                "query_id", "neighbor_id", F.lit("ivf").alias("method")
+            )
+        )
+    )
+    hits = (
+        cand.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("method")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    return hits.crossJoin(F.broadcast(n_truth)).select(
+        "method",
+        F.col("n_hits").cast("int"),
+        F.col("n_truth").cast("int"),
+        F.expr(
+            "round(n_hits / cast(n_truth as double), 6)"
+        ).alias("recall"),
+    )
+
+
+def recall_report_oracle() -> str:
+    return f"""
+        WITH truth AS (
+            SELECT query_id, neighbor_id FROM ({brute_force_topk_oracle()})
+        ),
+        cand AS (
+            SELECT query_id, neighbor_id, 'lsh' AS method
+            FROM ({lsh_ann_topk_oracle()})
+            UNION ALL
+            SELECT query_id, neighbor_id, 'ivf' AS method
+            FROM ({ivf_topk_oracle()})
+        ),
+        hits AS (
+            SELECT method, count(*) AS n_hits
+            FROM cand JOIN truth USING (query_id, neighbor_id)
+            GROUP BY method
+        )
+        SELECT method, CAST(n_hits AS INT) AS n_hits,
+               CAST((SELECT count(*) FROM truth) AS INT) AS n_truth,
+               round(n_hits / (SELECT count(*) FROM truth)::DOUBLE, 6)
+                   AS recall
+        FROM hits
+    """

@@ -510,3 +510,17 @@ def test_heaps_law_bounds(spark):
     for r in rows:
         assert 0 < r.n_types <= r.n_tokens
         assert r.type_token_ratio == round(r.n_types / r.n_tokens, 6)
+
+
+def test_recall_report_consistent_with_quality_tests(spark):
+    """The report's micro-averaged recall must reproduce what the ANN
+    quality tests measure; counts are internally consistent."""
+    rows = {r.method: r for r in
+            PIPELINE_OPS["sim_recall_report"][0](spark, SF_DIR).collect()}
+    assert set(rows) == {"lsh", "ivf"}
+    for r in rows.values():
+        assert 0 <= r.n_hits <= r.n_truth
+        assert r.recall == round(r.n_hits / r.n_truth, 6)
+    # thresholds mirror test_lsh_ann_quality / test_ivf_ann_quality
+    assert rows["lsh"].recall > 0.2
+    assert rows["ivf"].recall > 0.3
