@@ -258,4 +258,9 @@ PIPELINE_OPS: dict[str, tuple] = {
         similarity.recall_report,
         similarity.recall_report_oracle(),
     ),
+    # r6: stationary distribution of the behavior transition chain
+    "evt_markov_stationary": (
+        temporal.markov_stationary,
+        temporal.markov_stationary_oracle(),
+    ),
 }

@@ -683,3 +683,108 @@ def value_quantiles_oracle() -> str:
         SELECT event_type, CAST(max(n) AS INT) AS n_events, {qs}
         FROM cum GROUP BY event_type
     """.replace("{qs}", qs)
+
+
+# --- Markov stationary distribution of the behavior graph --------------------
+
+MARKOV_SCALE = 1_000_000
+MARKOV_ITERS = 6
+
+
+def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type transition chain --
+    where user behavior settles in the long run, the summary a
+    session-simulation or traffic model is fitted against (companion
+    to evt_transition_matrix, which reports the one-step dynamics).
+
+    The distributed part is the sufficient statistic: one user_id
+    window (lead) and a count aggregation onto the tiny type x type
+    matrix.  The fixpoint is then exact-integer power iteration on
+    that model state: pi'_u = sum_t (pi_t * C[t,u]) // rowsum_t --
+    floor division on non-negative ints, identical in Python, Spark
+    and DuckDB, so the unrolled-SQL oracle reproduces the trajectory
+    bit-for-bit.  Final normalization runs engine-side (Spark round ==
+    DuckDB round for positive halves; Python banker's round is
+    deliberately NOT used)."""
+    ordered = events_df(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("unix_millis(ts)").alias("ms"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    counts = (
+        ordered.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )  # |types|^2 model-state rows, NOT data
+    C: dict[tuple[str, str], int] = {
+        (r["event_type"], r["next_type"]): int(r["n"]) for r in counts
+    }
+    types = sorted({t for t, _ in C} | {u for _, u in C})
+    rowsum = {t: sum(C.get((t, u), 0) for u in types) for t in types}
+    pi = {t: MARKOV_SCALE for t in types}
+    for _ in range(MARKOV_ITERS):
+        pi = {
+            u: sum(
+                (pi[t] * C.get((t, u), 0)) // rowsum[t]
+                for t in types
+                if rowsum[t] > 0
+            )
+            for u in types
+        }
+    total = sum(pi.values())
+    out = spark.createDataFrame(
+        [(t, pi[t]) for t in types], "event_type string, val long"
+    )
+    return out.select(
+        "event_type",
+        F.expr(f"(val * {MARKOV_SCALE}L) div {total}L").alias("stationary_q"),
+        F.expr(f"round(val / cast({total} as double), 6)").alias("stationary"),
+    )
+
+
+def markov_stationary_oracle() -> str:
+    def step(t: int, prev: str) -> str:
+        return f"""
+        p{t} AS (
+            SELECT c.next_type AS event_type,
+                   CAST(sum((v.val * c.n) // r.rs) AS BIGINT) AS val
+            FROM counts c
+            JOIN rowsum r ON r.event_type = c.event_type
+            JOIN {prev} v ON v.event_type = c.event_type
+            GROUP BY c.next_type
+        )"""
+
+    iters = ",".join(step(t, f"p{t - 1}") for t in range(1, MARKOV_ITERS + 1))
+    last = MARKOV_ITERS
+    return f"""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY epoch_ms(ts), event_id)
+                       AS next_type
+            FROM events
+        ),
+        counts AS (
+            SELECT event_type, next_type, count(*) AS n
+            FROM ordered WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        rowsum AS (
+            SELECT event_type, CAST(sum(n) AS BIGINT) AS rs
+            FROM counts GROUP BY 1
+        ),
+        p0 AS (SELECT DISTINCT event_type, {MARKOV_SCALE}::BIGINT AS val
+               FROM counts),
+        {iters}
+        SELECT event_type,
+               CAST((val * {MARKOV_SCALE})
+                    // (SELECT sum(val) FROM p{last}) AS BIGINT)
+                   AS stationary_q,
+               round(val / (SELECT sum(val) FROM p{last})::DOUBLE, 6)
+                   AS stationary
+        FROM p{last}
+    """

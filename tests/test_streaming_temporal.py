@@ -92,3 +92,39 @@ def test_value_quantiles_match_sorted_definition(spark, duck):
         for q, got in ((50, r.p50), (90, r.p90), (99, r.p99)):
             expect = vals[math.ceil(q * len(vals) / 100) - 1]
             assert got == expect, (etype, q, got, expect)
+
+
+def test_markov_stationary_is_fixpoint(spark, duck):
+    """The reported distribution sums to ~1 and is (near-)invariant
+    under one more exact transition step -- the fixpoint property that
+    defines stationarity."""
+    from query_optimizer_spark.functions.temporal import markov_stationary
+
+    from .conftest import SF_DIR
+
+    rows = {r.event_type: r for r in
+            markov_stationary(spark, SF_DIR).collect()}
+    total = sum(r.stationary for r in rows.values())
+    assert total == __import__("pytest").approx(1.0, abs=1e-4)
+    # exact transition probabilities from the data
+    trans = duck.execute("""
+        WITH o AS (
+            SELECT event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY epoch_ms(ts), event_id)
+                       AS next_type
+            FROM events
+        )
+        SELECT event_type, next_type, count(*)
+        FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2
+    """).fetchall()
+    C = {(t, u): n for t, u, n in trans}
+    types = sorted(rows)
+    rs = {t: sum(C.get((t, u), 0) for u in types) for t in types}
+    pi = {t: rows[t].stationary for t in types}
+    nxt = {
+        u: sum(pi[t] * C.get((t, u), 0) / rs[t] for t in types if rs[t])
+        for u in types
+    }
+    for t in types:
+        assert abs(nxt[t] - pi[t]) < 5e-3, t  # one more step barely moves
