@@ -108,7 +108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     emb_pca_project, stream_asof_join, io_partitioned_roundtrip,
     evt_value_quantiles, text_winnow_fingerprints,
     dedup_family_agreement, text_heaps_law, sim_recall_report,
-    evt_markov_stationary, join_adaptive_reopt, sql_recursive_spine --
+    evt_markov_stationary, corpus_dataset_card, join_adaptive_reopt,
+    sql_recursive_spine --
     all declared inside the window, so r6 adds zero rotation debt),
     then the rest of the pipeline/stream/corpus
     ops (driver evidence from r04, now two rounds stale), filling the
@@ -149,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heaps_law",
         "sim_recall_report",
         "evt_markov_stationary",
+        "corpus_dataset_card",
     ):
         out[name] = pipeline[name][0]
 

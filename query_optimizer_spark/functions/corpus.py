@@ -1017,3 +1017,80 @@ def source_stats_oracle() -> str:
                round(n_docs::DOUBLE / sum(n_docs) OVER (), 6) AS share
         FROM agg
     """
+
+
+# --- dataset card (release capstone) ------------------------------------------
+
+
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row dataset card a corpus release ships: volume (docs,
+    chars, tokens), composition breadth (sources, languages),
+    vocabulary size, and the exact-duplication rate.  Everything a
+    reviewer reads before anything else, produced by the engine that
+    produced the data.
+
+    Scale shape: three independent aggregation passes (scalar volume
+    stats; distinct-token count over the vocabulary domain; exact-dup
+    groups over the text-hash domain) cross-joined as 1-row
+    broadcasts.  No pass is wider than the corpus scan and none holds
+    more than the vocabulary/hash domain in the shuffle.
+    """
+    docs = _docs(spark, sf_dir)
+    volume = docs.agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.countDistinct("source").cast("int").alias("n_sources"),
+        F.countDistinct("lang").cast("int").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.expr(f"size({TOKS})")).alias("total_tokens"),
+    )
+    vocab = (
+        docs.select(F.explode(F.expr(TOKS)).alias("tok"))
+        .agg(F.countDistinct("tok").cast("int").alias("vocab_size"))
+    )
+    dups = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum(F.expr("n - 1")).cast("int").alias("n_exact_dups"),
+            F.count("*").cast("int").alias("n_unique_texts"),
+        )
+    )
+    return (
+        volume.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(dups))
+        .select(
+            "n_docs", "n_sources", "n_langs", "total_chars",
+            "total_tokens", "vocab_size", "n_unique_texts", "n_exact_dups",
+            F.expr(
+                "round(n_exact_dups / cast(n_docs as double), 6)"
+            ).alias("dup_rate"),
+        )
+    )
+
+
+def dataset_card_oracle() -> str:
+    toks = sql_tokens("text")
+    return f"""
+        WITH volume AS (
+            SELECT CAST(count(*) AS INT) AS n_docs,
+                   CAST(count(DISTINCT source) AS INT) AS n_sources,
+                   CAST(count(DISTINCT lang) AS INT) AS n_langs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(len({toks})) AS BIGINT) AS total_tokens
+            FROM documents
+        ),
+        vocab AS (
+            SELECT CAST(count(DISTINCT tok) AS INT) AS vocab_size
+            FROM (SELECT unnest({toks}) AS tok FROM documents)
+        ),
+        dups AS (
+            SELECT CAST(sum(n - 1) AS INT) AS n_exact_dups,
+                   CAST(count(*) AS INT) AS n_unique_texts
+            FROM (SELECT md5(text) AS h, count(*) AS n
+                  FROM documents GROUP BY 1)
+        )
+        SELECT n_docs, n_sources, n_langs, total_chars, total_tokens,
+               vocab_size, n_unique_texts, n_exact_dups,
+               round(n_exact_dups / n_docs::DOUBLE, 6) AS dup_rate
+        FROM volume, vocab, dups
+    """

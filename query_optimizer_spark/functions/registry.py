@@ -263,4 +263,9 @@ PIPELINE_OPS: dict[str, tuple] = {
         temporal.markov_stationary,
         temporal.markov_stationary_oracle(),
     ),
+    # r6: the one-row release dataset card
+    "corpus_dataset_card": (
+        corpus.dataset_card,
+        corpus.dataset_card_oracle(),
+    ),
 }

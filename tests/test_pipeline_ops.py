@@ -524,3 +524,21 @@ def test_recall_report_consistent_with_quality_tests(spark):
     # thresholds mirror test_lsh_ann_quality / test_ivf_ann_quality
     assert rows["lsh"].recall > 0.2
     assert rows["ivf"].recall > 0.3
+
+
+def test_dataset_card_cross_checks(spark, duck):
+    """The card's numbers must agree with independent recomputations
+    from the other operators' domains."""
+    r = PIPELINE_OPS["corpus_dataset_card"][0](spark, SF_DIR).collect()[0]
+    n_docs, = duck.execute("SELECT count(*) FROM documents").fetchone()
+    assert r.n_docs == n_docs
+    tok_total = sum(
+        x.n_ws_tokens
+        for x in PIPELINE_OPS["text_token_count"][0](spark, SF_DIR).collect()
+    )
+    assert r.total_tokens == tok_total
+    heaps = PIPELINE_OPS["text_heaps_law"][0](spark, SF_DIR).collect()
+    assert r.total_tokens == sum(h.n_tokens for h in heaps)
+    assert r.vocab_size <= sum(h.n_types for h in heaps)  # union <= sum
+    assert r.n_unique_texts + r.n_exact_dups == r.n_docs
+    assert r.dup_rate == round(r.n_exact_dups / r.n_docs, 6)
