@@ -57,6 +57,7 @@ _FIXTURE_PLANNERS = {
     "join_galaxy_10": "dp_ccp",  # 10-vertex enumeration stress
     "join_group_3": "greedy",
     "join_outer_3": "dp_ccp",       # J14 left-outer typing
+    "join_outer_mixed_5": "left_deep",  # J14 at width (new r6)
     "join_outer_removed": "greedy",  # J11 outer-join removal
     "join_outer_full": "dp_ccp",     # J14 2-factor full outer
     "join_selfjoin_removed": "dp_ccp",  # J12 self-join removal
@@ -73,6 +74,7 @@ _TRUE_ORACLE_FIXTURES = {
     "join_selfjoin_removed_composite",
     "join_outer_3",
     "join_outer_full",
+    "join_outer_mixed_5",
 }
 
 
@@ -165,6 +167,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["join_adaptive_reopt"] = _adaptive
     # recursive-CTE spine (new r6 SQL capability) -- also in-window
     out["sql_recursive_spine"] = _surface_runner("sql_recursive_spine")
+    # 5-relation mixed outer/inner fixture (new r6) -- also in-window
+    out["join_outer_mixed_5"] = _fixture_runner(
+        "join_outer_mixed_5", _FIXTURE_PLANNERS["join_outer_mixed_5"]
+    )
 
     # --- block B: remaining pipeline/stream/corpus ops (r04 driver
     # evidence, two rounds stale; registry order) ---

@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 headline = [
     "join_chain_3", "join_star_4", "join_cycle_7", "join_cross_2",
     "join_selfjoin_4", "join_preds_3", "join_events_8", "join_group_3",
-    "join_outer_3", "join_outer_removed",
+    "join_outer_3", "join_outer_removed", "join_outer_mixed_5",
     "sql_agg_pricing", "sql_window_rank", "sql_q5_local_revenue",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_embedding_cosine",

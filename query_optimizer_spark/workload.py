@@ -136,6 +136,20 @@ FIXTURES: dict[str, str] = {
     """,
     # J14: 2-factor FULL OUTER (deliberately mismatched keys so both
     # null-extension directions occur)
+    # J14 at width: 4-relation inner core ordered freely, LEFT orders
+    # attached on top -- outer typing must survive a real search space
+    "join_outer_mixed_5": """
+        SELECT MIN(c.c_name) AS min_name, MIN(s.s_name) AS min_supp,
+               MIN(o.o_totalprice) AS min_price,
+               COUNT(c.c_custkey) AS n_rows
+        FROM customer c, nation n1, region r, supplier s
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+          AND o.o_totalprice > 100000
+        WHERE c.c_nationkey = n1.n_nationkey
+          AND n1.n_regionkey = r.r_regionkey
+          AND s.s_nationkey = n1.n_nationkey
+          AND r.r_name = 'ASIA'
+    """,
     "join_outer_full": """
         SELECT COUNT(n1.n_nationkey) AS n_nations, COUNT(r.r_regionkey) AS n_regions,
                MIN(n1.n_name) AS min_nation
