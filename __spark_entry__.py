@@ -111,7 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     evt_value_quantiles, text_winnow_fingerprints,
     dedup_family_agreement, text_heaps_law, sim_recall_report,
     evt_markov_stationary, corpus_dataset_card, join_adaptive_reopt,
-    sql_recursive_spine --
+    join_adaptive_full, join_outer_mixed_5, sql_recursive_spine --
     all declared inside the window, so r6 adds zero rotation debt),
     then the rest of the pipeline/stream/corpus
     ops (driver evidence from r04, now two rounds stale), filling the
@@ -165,6 +165,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return workload.run_fixture_adaptive(spark, sf_dir, "join_events_8")
 
     out["join_adaptive_reopt"] = _adaptive
+
+    # full progressive re-optimization (new r6): observe after EVERY
+    # join -- the complete LEO loop; every join after the first is
+    # placed with exact cardinalities for all materialized inputs
+    def _adaptive_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+        configure_runtime(spark)
+        return workload.run_fixture_adaptive_full(
+            spark, sf_dir, "join_events_8"
+        )
+
+    out["join_adaptive_full"] = _adaptive_full
     # recursive-CTE spine (new r6 SQL capability) -- also in-window
     out["sql_recursive_spine"] = _surface_runner("sql_recursive_spine")
     # 5-relation mixed outer/inner fixture (new r6) -- also in-window
@@ -262,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
     }
     out["join_env_agent"] = workload.fixture_oracle_sql("join_cycle_7")
     out["join_adaptive_reopt"] = workload.fixture_oracle_sql("join_events_8")
+    out["join_adaptive_full"] = workload.fixture_oracle_sql("join_events_8")
     out["join_env_wire"] = workload.fixture_oracle_sql("join_cycle_7")
     out["join_env_learned"] = workload.fixture_oracle_sql("join_cycle_7")
     out["join_semi_prefilter"] = workload.fixture_oracle_sql("join_cycle_7")

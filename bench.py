@@ -63,7 +63,7 @@ headline = [
     "stream_asof_join", "sql_recursive_spine", "io_partitioned_roundtrip",
     "evt_value_quantiles", "text_winnow_fingerprints",
     "dedup_family_agreement", "text_heaps_law", "sim_recall_report",
-    "evt_markov_stationary", "corpus_dataset_card",
+    "evt_markov_stationary", "corpus_dataset_card", "join_adaptive_full",
 ]
 
 

@@ -731,17 +731,22 @@ def plan(name: str, graph: JoinGraph, oracle, cm: CostModel, **kw):
 
 
 def plan_with_materialized(
-    graph: JoinGraph, oracle, cm: CostModel, pinned: PlanNode
+    graph: JoinGraph,
+    oracle,
+    cm: CostModel,
+    pinned: "PlanNode | list[PlanNode] | tuple[PlanNode, ...]",
 ) -> PlanResult:
-    """Re-optimize AROUND an already-materialized intermediate -- the
+    """Re-optimize AROUND already-materialized intermediates -- the
     re-planning half of mid-query re-optimization (Kabra & DeWitt,
-    SIGMOD'98): the pinned subtree is an atomic unit with sunk cost 0
+    SIGMOD'98): each pinned subtree is an atomic unit with sunk cost 0
     (its work is spent whether or not the new plan likes it), the
     remaining factors are free leaves, and a bushy subset-DP over those
     UNITS finds the cheapest completion under the feedback-corrected
-    oracle.  Keeping the pinned set atomic is what makes the
-    materialized block physically reusable; a plain re-run of DPccp
-    could split it and throw the work away.
+    oracle.  Keeping pinned sets atomic is what makes the materialized
+    blocks physically reusable; a plain re-run of DPccp could split
+    them and throw the work away.  Multiple disjoint blocks supported
+    (the progressive/full-LEO loop materializes one join per round, so
+    two loose leaves joined early become a second block).
 
     Exhaustive over unit subsets (<= #relations units), cross-join-free
     (splits must be edge-connected), both operand orders tried like
@@ -753,14 +758,23 @@ def plan_with_materialized(
         raise ValueError(
             "plan_with_materialized supports inner join graphs only"
         )
+    blocks: list[PlanNode] = (
+        [pinned] if not isinstance(pinned, (list, tuple)) else list(pinned)
+    )
+    covered = 0
+    for b in blocks:
+        if b.factors & covered:
+            raise ValueError("pinned blocks overlap")
+        covered |= b.factors
     rest = [
-        i for i in range(len(graph.aliases)) if not (pinned.factors >> i) & 1
+        i for i in range(len(graph.aliases)) if not (covered >> i) & 1
     ]
-    units: list[PlanNode] = [pinned] + [_leaf(graph, i) for i in rest]
+    units: list[PlanNode] = blocks + [_leaf(graph, i) for i in rest]
     n = len(units)
+    n_blocks = len(blocks)
     best: dict[int, tuple[float, PlanNode]] = {}
     for u_idx, u in enumerate(units):
-        cost = 0.0 if u_idx == 0 else _cum(graph, u, oracle, cm)
+        cost = 0.0 if u_idx < n_blocks else _cum(graph, u, oracle, cm)
         best[1 << u_idx] = (cost, u)
     for m in range(1, 1 << n):
         if popcount(m) < 2:

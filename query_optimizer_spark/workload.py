@@ -134,8 +134,6 @@ FIXTURES: dict[str, str] = {
         LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE l.l_quantity > 45
     """,
-    # J14: 2-factor FULL OUTER (deliberately mismatched keys so both
-    # null-extension directions occur)
     # J14 at width: 4-relation inner core ordered freely, LEFT orders
     # attached on top -- outer typing must survive a real search space
     "join_outer_mixed_5": """
@@ -150,6 +148,8 @@ FIXTURES: dict[str, str] = {
           AND s.s_nationkey = n1.n_nationkey
           AND r.r_name = 'ASIA'
     """,
+    # J14: 2-factor FULL OUTER (deliberately mismatched keys so both
+    # null-extension directions occur)
     "join_outer_full": """
         SELECT COUNT(n1.n_nationkey) AS n_nations, COUNT(r.r_regionkey) AS n_regions,
                MIN(n1.n_name) AS min_nation
@@ -414,3 +414,86 @@ def run_fixture_adaptive(
     renderer = _MaterializedRenderer(spark, sf_dir, graph, overlay)
     renderer.materialized = {first.factors: block}
     return renderer.run(res2.tree)
+
+
+def _next_unit_join(node, mat: dict):
+    """The first join a pipeline would execute next: the deepest
+    (left-spine-preferred) join whose BOTH children are units -- a leaf
+    or an already-materialized block."""
+    from .joingraph import Join, Leaf
+
+    def is_unit(n) -> bool:
+        return isinstance(n, Leaf) or n.factors in mat
+
+    if is_unit(node):
+        return None
+    assert isinstance(node, Join)
+    if is_unit(node.left) and is_unit(node.right):
+        return node
+    for child in (node.left, node.right):
+        found = _next_unit_join(child, mat)
+        if found is not None:
+            return found
+    return None
+
+
+def run_fixture_adaptive_full(
+    spark, sf_dir: str, name: str = "join_events_8", cost_model: str = "cm1"
+):
+    """FULL progressive re-optimization (the complete LEO loop, vs
+    run_fixture_adaptive's single observation): start from the
+    estimate-based plan, then repeat -- materialize the next join of
+    two units, observe its TRUE cardinality, overlay it on the
+    estimator, re-plan everything not yet materialized with every
+    observed block pinned atomic -- until one block covers the query.
+    Every join after the first is therefore placed using exact
+    cardinalities for all materialized inputs; estimation error can
+    only ever misplace the single next join, never compound.
+
+    n-1 observation rounds for n relations; each is one count() on an
+    intermediate the query needed anyway (persisted, so the final
+    assembly reuses every block).  Results must hash-match the static
+    planners -- the gate enforces it."""
+    from .oracle import OverlayOracle
+    from .planners import plan_with_materialized
+
+    graph, est, res = plan_fixture(
+        sf_dir, name, planner="dp_ccp", cost_model=cost_model
+    )
+    cm = get_cost_model(cost_model)
+    overlay = OverlayOracle(est, {})
+    mat: dict[int, object] = {}  # factor mask -> persisted DataFrame
+    tree = res.tree
+    full = (1 << len(graph.aliases)) - 1
+    renderer = _MaterializedRenderer(spark, sf_dir, graph, overlay)
+    renderer.materialized = mat
+    while True:
+        nxt = _next_unit_join(tree, mat)
+        if nxt is None:  # tree root is itself a materialized block
+            break
+        block = renderer.render(nxt).persist()
+        overlay.observed[nxt.factors] = float(block.count())
+        mat[nxt.factors] = block
+        if nxt.factors == full:
+            break
+        # live blocks: materialized sets not subsumed by a larger one
+        live_masks = [
+            f for f in mat
+            if not any(o != f and (f & o) == f for o in mat)
+        ]
+        live = [_subtree_of(tree, f) for f in live_masks]
+        tree = plan_with_materialized(graph, overlay, cm, live).tree
+    return renderer.finish(mat[full])
+
+
+def _subtree_of(node, factors: int):
+    """The subtree of ``node`` whose factor set is exactly ``factors``."""
+    if node.factors == factors:
+        return node
+    from .joingraph import Join
+
+    if isinstance(node, Join):
+        for child in (node.left, node.right):
+            if (child.factors & factors) == factors:
+                return _subtree_of(child, factors)
+    raise KeyError(factors)

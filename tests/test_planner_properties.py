@@ -392,3 +392,44 @@ def test_adaptive_replan_pins_materialized_block(graph_oracle, obs_seed):
     recost = cm.cumulative(graph, base.tree, neutral)
     sunk = cm.cumulative(graph, first, neutral)
     assert res_n.cost <= recost - sunk + 1e-6
+
+
+@settings(max_examples=30, deadline=None)
+@given(random_graph_and_oracle())
+def test_multiblock_pinning_keeps_every_block(graph_oracle):
+    """plan_with_materialized with TWO disjoint pinned blocks must keep
+    both atomic in the completion (the progressive/full-LEO loop
+    depends on it)."""
+    from query_optimizer_spark.joingraph import Leaf, make_join
+    from query_optimizer_spark.planners import plan_with_materialized
+
+    graph, oracle = graph_oracle
+    n = len(graph.aliases)
+    if n < 4:
+        return
+    cm = get_cost_model("cm1")
+    # pick two disjoint edge-connected leaf pairs as pinned blocks
+    pairs = []
+    used = 0
+    for e in graph.edges:
+        bs = [i for i in bits(e.factors)]
+        if len(bs) == 2 and not (e.factors & used):
+            pairs.append(e)
+            used |= e.factors
+        if len(pairs) == 2:
+            break
+    if len(pairs) < 2:
+        return  # graph shape doesn't allow two disjoint pairs
+    blocks = [
+        make_join(
+            graph,
+            Leaf(min(bits(e.factors)), graph.aliases[min(bits(e.factors))]),
+            Leaf(max(bits(e.factors)), graph.aliases[max(bits(e.factors))]),
+        )
+        for e in pairs
+    ]
+    res = plan_with_materialized(graph, oracle, cm, blocks)
+    validate_tree(graph, res.tree)
+    s = res.tree.order_str()
+    for b in blocks:
+        assert b.order_str() in s, (b.order_str(), s)
