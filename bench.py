@@ -18,7 +18,12 @@ Methodology (VERDICT r5 "What's wrong" #1: unexplained run-tail drifts):
   best-of-reps hides which rep was slow, raw does not;
 - $SPARK_GRAFT_BENCH_COHORTS > 1 splits the reps across that many FRESH
   SparkSessions (stop + rebuild between cohorts, each warmed the same
-  way), isolating session-aging effects from real regressions.
+  way), isolating session-aging effects from real regressions;
+- the stdout line is COMPACT (metric/value/per-query mins/reps/cohorts/
+  sf only); raw per-rep timings, the planning-vs-execution split and
+  the adaptive phase decomposition are written to
+  $SPARK_GRAFT_BENCH_RAW_PATH (default BENCH_COHORTS_LATEST.json) so
+  the one line never outgrows the driver's capture window (VERDICT r6).
 """
 
 from __future__ import annotations
@@ -96,6 +101,7 @@ def main() -> None:
 
     rep_idx = 0
     spark = None
+    adaptive_split: dict[str, list[dict]] = {}
     try:
         for cohort_reps in per_cohort:
             if spark is not None:
@@ -116,6 +122,21 @@ def main() -> None:
                     dt = time.monotonic() - t0
                     assert n >= 0
                     raw[name].append(round(dt, 4))
+                    # adaptive queries populate workload.ADAPTIVE_SPLIT
+                    # (plan/observe/replan rounds) -- copy it so a
+                    # total-time spike is decomposable; assembly_sec is
+                    # the remainder (final count() outside the split)
+                    if name.startswith("join_adaptive"):
+                        split = dict(workload.ADAPTIVE_SPLIT)
+                        split["assembly_sec"] = round(
+                            dt
+                            - split.get("plan_sec", 0)
+                            - split.get("observe_sec", 0)
+                            - split.get("replan_sec", 0),
+                            4,
+                        )
+                        split["total_sec"] = round(dt, 4)
+                        adaptive_split.setdefault(name, []).append(split)
                     # planning-vs-execution split for planner-pipeline
                     # queries: time the planning slice alone (same
                     # oracle construction as the runner), so a total-
@@ -136,14 +157,40 @@ def main() -> None:
                             round(time.monotonic() - t0, 4)
                         )
                 rep_idx += 1
-        timings = {name: min(ts) for name, ts in raw.items()}
+        timings = {name: round(min(ts), 3) for name, ts in raw.items()}
         plan_secs = {name: min(ts) for name, ts in plan_raw.items()}
-        total = round(sum(timings.values()), 4)
+        total = round(sum(timings.values()), 3)
         sf = (
             float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
             if "sf" in sf_dir
             else -1.0
         )
+        # ONE compact stdout line for the driver (VERDICT r6 #1: the
+        # full raw map outgrew the driver's capture window and
+        # BENCH_r06 recorded "parsed": null); raw per-rep timings,
+        # plan/exec splits and the adaptive phase decomposition go to a
+        # side artifact instead.
+        side_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_RAW_PATH",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_COHORTS_LATEST.json",
+            ),
+        )
+        with open(side_path, "w") as fh:
+            json.dump(
+                {
+                    "raw": raw,
+                    "plan_sec": plan_secs,
+                    "adaptive_split": adaptive_split,
+                    "reps": reps,
+                    "cohorts": cohorts,
+                    "order": "shuffled per rep (seed=rep index)",
+                    "sf": sf,
+                },
+                fh,
+                indent=1,
+            )
         print(
             json.dumps(
                 {
@@ -151,13 +198,11 @@ def main() -> None:
                     "value": total,
                     "unit": "sec",
                     "queries": timings,
-                    "plan_sec": plan_secs,
-                    "raw": raw,
                     "reps": reps,
                     "cohorts": cohorts,
-                    "order": "shuffled per rep (seed=rep index)",
                     "sf": sf,
-                }
+                },
+                separators=(",", ":"),
             )
         )
     finally:

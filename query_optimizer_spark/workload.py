@@ -23,6 +23,12 @@ from .oracle import (
 from .planners import PLANNERS
 from .sqlparse import parse
 
+# Phase split of the most recent adaptive run (plan / observe / replan /
+# assembly seconds), overwritten per call.  bench.py copies it into the
+# side artifact so a total-time spike on join_adaptive_* is decomposable
+# (VERDICT r6 "What's wrong" #2).
+ADAPTIVE_SPLIT: dict[str, float] = {}
+
 FIXTURES: dict[str, str] = {
     # chain: l-o-c (build plan step 1; entry() flagship at sf0.001)
     "join_chain_3": """
@@ -397,19 +403,32 @@ def run_fixture_adaptive(
     the persist tier is the executor block store (MEMORY_AND_DISK), the
     same place AQE's shuffle-stage statistics live.
     """
+    import time as _time
+
     from .oracle import OverlayOracle
     from .planners import plan_with_materialized
 
+    t0 = _time.monotonic()
     graph, est, res = plan_fixture(
         sf_dir, name, planner="dp_ccp", cost_model=cost_model
     )
+    t1 = _time.monotonic()
     first = _first_leaf_join(res.tree)
     pre = Renderer(spark, sf_dir, graph, est)
     block = pre.render(first).persist()
     observed = block.count()  # runtime feedback; also warms the cache
+    t2 = _time.monotonic()
     overlay = OverlayOracle(est, {first.factors: float(observed)})
     res2 = plan_with_materialized(
         graph, overlay, get_cost_model(cost_model), first
+    )
+    t3 = _time.monotonic()
+    ADAPTIVE_SPLIT.clear()
+    ADAPTIVE_SPLIT.update(
+        plan_sec=round(t1 - t0, 4),
+        observe_sec=round(t2 - t1, 4),
+        replan_sec=round(t3 - t2, 4),
+        rounds=1,
     )
     renderer = _MaterializedRenderer(spark, sf_dir, graph, overlay)
     renderer.materialized = {first.factors: block}
@@ -454,12 +473,16 @@ def run_fixture_adaptive_full(
     intermediate the query needed anyway (persisted, so the final
     assembly reuses every block).  Results must hash-match the static
     planners -- the gate enforces it."""
+    import time as _time
+
     from .oracle import OverlayOracle
     from .planners import plan_with_materialized
 
+    t0 = _time.monotonic()
     graph, est, res = plan_fixture(
         sf_dir, name, planner="dp_ccp", cost_model=cost_model
     )
+    plan_sec = _time.monotonic() - t0
     cm = get_cost_model(cost_model)
     overlay = OverlayOracle(est, {})
     mat: dict[int, object] = {}  # factor mask -> persisted DataFrame
@@ -467,12 +490,17 @@ def run_fixture_adaptive_full(
     full = (1 << len(graph.aliases)) - 1
     renderer = _MaterializedRenderer(spark, sf_dir, graph, overlay)
     renderer.materialized = mat
+    observe_sec = replan_sec = 0.0
+    rounds = 0
     while True:
         nxt = _next_unit_join(tree, mat)
         if nxt is None:  # tree root is itself a materialized block
             break
+        t0 = _time.monotonic()
         block = renderer.render(nxt).persist()
         overlay.observed[nxt.factors] = float(block.count())
+        observe_sec += _time.monotonic() - t0
+        rounds += 1
         mat[nxt.factors] = block
         if nxt.factors == full:
             break
@@ -482,7 +510,16 @@ def run_fixture_adaptive_full(
             if not any(o != f and (f & o) == f for o in mat)
         ]
         live = [_subtree_of(tree, f) for f in live_masks]
+        t0 = _time.monotonic()
         tree = plan_with_materialized(graph, overlay, cm, live).tree
+        replan_sec += _time.monotonic() - t0
+    ADAPTIVE_SPLIT.clear()
+    ADAPTIVE_SPLIT.update(
+        plan_sec=round(plan_sec, 4),
+        observe_sec=round(observe_sec, 4),
+        replan_sec=round(replan_sec, 4),
+        rounds=rounds,
+    )
     return renderer.finish(mat[full])
 
 
