@@ -695,8 +695,14 @@ def _kmeans_assign_cte(t: int, prev_c: str) -> str:
 def _kmeans_update_cte(t: int) -> str:
     return f"""
         c{t} AS (
+            -- exact integer floor division (same pmod identity as the
+            -- engine side): s - ((s%n)+n)%n is exactly divisible, so
+            -- truncating // equals floor with NO double rounding past
+            -- 2^53 (r6 ADVICE: floor(s::DOUBLE/n) reintroduced the
+            -- rounding the engine deliberately avoids)
             SELECT cid,
-                   list(CAST(floor(s::DOUBLE / n) AS BIGINT) ORDER BY i) AS cv
+                   list(CAST((s - ((s % n) + n) % n) // n AS BIGINT)
+                        ORDER BY i) AS cv
             FROM (
                 SELECT cid, i, sum(v) AS s, count(*) AS n
                 FROM (SELECT cid, unnest(qv) AS v, unnest(range(64)) AS i

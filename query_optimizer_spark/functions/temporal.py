@@ -747,15 +747,23 @@ def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def markov_stationary_oracle() -> str:
+    # Each step left-joins from the FULL type domain (sources UNION
+    # targets, same set the engine iterates over) so a type that never
+    # appears as a successor keeps an explicit zero-mass row -- without
+    # this the oracle's output domain silently shrinks to reachable
+    # types and diverges from the engine on data where some event_type
+    # is only ever a transition source (r6 ADVICE, medium).
     def step(t: int, prev: str) -> str:
         return f"""
         p{t} AS (
-            SELECT c.next_type AS event_type,
-                   CAST(sum((v.val * c.n) // r.rs) AS BIGINT) AS val
-            FROM counts c
-            JOIN rowsum r ON r.event_type = c.event_type
-            JOIN {prev} v ON v.event_type = c.event_type
-            GROUP BY c.next_type
+            SELECT ty.event_type,
+                   CAST(coalesce(sum((v.val * c.n) // r.rs), 0) AS BIGINT)
+                       AS val
+            FROM types ty
+            LEFT JOIN counts c ON c.next_type = ty.event_type
+            LEFT JOIN rowsum r ON r.event_type = c.event_type
+            LEFT JOIN {prev} v ON v.event_type = c.event_type
+            GROUP BY ty.event_type
         )"""
 
     iters = ",".join(step(t, f"p{t - 1}") for t in range(1, MARKOV_ITERS + 1))
@@ -777,8 +785,10 @@ def markov_stationary_oracle() -> str:
             SELECT event_type, CAST(sum(n) AS BIGINT) AS rs
             FROM counts GROUP BY 1
         ),
-        p0 AS (SELECT DISTINCT event_type, {MARKOV_SCALE}::BIGINT AS val
-               FROM counts),
+        types AS (SELECT DISTINCT event_type FROM counts
+                  UNION SELECT DISTINCT next_type FROM counts),
+        p0 AS (SELECT event_type, {MARKOV_SCALE}::BIGINT AS val
+               FROM types),
         {iters}
         SELECT event_type,
                CAST((val * {MARKOV_SCALE})

@@ -484,7 +484,30 @@ def _asof_fn(
     p_ms, p_value = state.get if state.exists else (None, None)
     frames = [f for f in batches if len(f)]
     if frames:
-        pdf = pd.concat(frames).sort_values(["ms", "is_click", "event_id"])
+        # The carried purchase enters the batch as a VIRTUAL row at its
+        # real ms (event_id -1, so an equal-ms real purchase wins the
+        # tie): the ffill then picks the max-ms prior purchase even
+        # when a late file delivers purchases OLDER than the carried
+        # one, and the post-sort last purchase -- which becomes the new
+        # state -- can never regress below the carried ms (r6 ADVICE:
+        # the previous unconditional overwrite assumed time-ordered
+        # batches without guarding it).
+        if p_ms is not None:
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_id": [-1],
+                        "user_id": [user_id],
+                        "ms": [p_ms],
+                        "is_click": [0],
+                        "value": [p_value],
+                    }
+                )
+            )
+        pdf = (
+            pd.concat(frames, ignore_index=True)
+            .sort_values(["ms", "is_click", "event_id"])
+        )
         is_p = pdf["is_click"].to_numpy() == 0
         pm = pd.Series(
             np.where(is_p, pdf["ms"], np.nan), index=pdf.index
@@ -492,9 +515,6 @@ def _asof_fn(
         pv = pd.Series(
             np.where(is_p, pdf["value"], np.nan), index=pdf.index
         ).ffill()
-        if p_ms is not None:
-            pm = pm.fillna(p_ms)
-            pv = pv.fillna(p_value)
         mask = (pdf["is_click"].to_numpy() == 1) & pm.notna().to_numpy()
         if mask.any():
             yield pd.DataFrame(

@@ -310,6 +310,25 @@ def test_kmeans_covers_corpus_and_shrinks_inertia(spark, duck):
     assert trained <= seed_inertia
 
 
+def test_kmeans_oracle_division_is_integer_exact(duck):
+    """The update CTE's centroid division must be Python floor division
+    at ANY magnitude -- including sums past 2^53, where the pre-fix
+    floor(s::DOUBLE/n) silently rounded (r6 ADVICE), and negative sums,
+    where DuckDB's plain // truncates toward zero instead of flooring."""
+    cases = [
+        (7, 2), (-7, 2), (0, 3), (-1, 5),
+        ((1 << 53) + 1, 1), ((1 << 60) + 7, 3), (-(1 << 60) - 7, 3),
+        ((1 << 62) + 12345, 997), (-(1 << 62) - 12345, 997),
+    ]
+    for s, n in cases:
+        got = duck.execute(
+            "SELECT CAST((s - ((s % n) + n) % n) // n AS BIGINT) "
+            "FROM (SELECT CAST(? AS HUGEINT) AS s, CAST(? AS BIGINT) AS n)",
+            [s, n],
+        ).fetchone()[0]
+        assert got == s // n, (s, n, got, s // n)
+
+
 def test_gram_matrix_is_psd_diagonal(spark):
     """2,080 upper-triangle entries for d=64; the diagonal of a Gram
     matrix is a sum of squares, so it must dominate and be positive."""

@@ -68,6 +68,64 @@ def test_stream_asof_matches_batch_asof(spark):
     assert batch and stream == batch
 
 
+def test_stream_asof_late_batch_cannot_regress_state():
+    """A micro-batch arriving OUT of event-time order (late file) must
+    neither regress the carried purchase state nor join a click to an
+    older purchase than the best one seen so far (r6 ADVICE: the
+    pre-fix carry overwrote state with the batch's last purchase
+    unconditionally)."""
+    import pandas as pd
+
+    from query_optimizer_spark.streaming.ops import _asof_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.get = None
+
+        def update(self, tup):
+            self.exists = True
+            self.get = tup
+
+    def batch(rows):
+        return pd.DataFrame(
+            rows, columns=["event_id", "user_id", "ms", "is_click", "value"]
+        )
+
+    state = FakeState()
+    # batch 1: one purchase at ms=100
+    out1 = list(_asof_fn((7,), iter([batch([[1, 7, 100, 0, 10.0]])]), state))
+    assert out1 == [] and state.get == (100, 10.0)
+    # batch 2 (late): an OLDER purchase at ms=50, clicks at 60 and 120
+    out2 = pd.concat(
+        list(
+            _asof_fn(
+                (7,),
+                iter(
+                    [
+                        batch(
+                            [
+                                [2, 7, 50, 0, 5.0],
+                                [3, 7, 60, 1, 0.0],
+                                [4, 7, 120, 1, 0.0],
+                            ]
+                        )
+                    ]
+                ),
+                state,
+            )
+        )
+    )
+    got = {
+        int(r.event_id): (float(r.purchase_value), int(r.ms_since_purchase))
+        for r in out2.itertuples()
+    }
+    # click@60 -> purchase@50 (most recent <= 60); click@120 -> the
+    # CARRIED purchase@100, not the batch-local older one
+    assert got == {3: (5.0, 10), 4: (10.0, 20)}
+    assert state.get == (100, 10.0)  # state did not regress to ms=50
+
+
 def test_value_quantiles_match_sorted_definition(spark, duck):
     """The histogram-walk quantile must equal the brute-force type-1
     quantile computed by sorting each group (independent check of the
@@ -128,3 +186,63 @@ def test_markov_stationary_is_fixpoint(spark, duck):
     }
     for t in types:
         assert abs(nxt[t] - pi[t]) < 5e-3, t  # one more step barely moves
+
+
+def test_markov_stationary_source_only_type_matches_oracle(spark, tmp_path):
+    """An event_type that only ever appears as a transition SOURCE
+    (here 'first': each user's opening event, never a successor) must
+    get an explicit zero-mass row from BOTH the engine and the oracle.
+    The sf0.01 testdata happens to have every type on both sides of
+    some transition, so this is exactly the divergence the driver gate
+    cannot see (r6 ADVICE, medium): the pre-fix oracle dropped the row."""
+    import datetime
+
+    import duckdb
+    import pandas as pd
+
+    from query_optimizer_spark.functions.temporal import (
+        markov_stationary,
+        markov_stationary_oracle,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid, seq in enumerate(
+        [["first", "loop", "loop", "sink"], ["first", "sink", "loop"]]
+    ):
+        for i, etype in enumerate(seq):
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": base + datetime.timedelta(minutes=eid),
+                    "user_id": uid,
+                    "event_type": etype,
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet")
+
+    got = {
+        r.event_type: (r.stationary_q, r.stationary)
+        for r in markov_stationary(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {"first", "loop", "sink"}
+    assert got["first"] == (0, 0.0)  # present, zero mass
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'events.parquet'}')"
+    )
+    oracle = {
+        t: (int(q), s)
+        for t, q, s in con.execute(
+            "SELECT event_type, stationary_q, stationary FROM ("
+            + markov_stationary_oracle()
+            + ")"
+        ).fetchall()
+    }
+    assert oracle == got
