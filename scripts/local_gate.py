@@ -56,13 +56,32 @@ def main() -> int:
             n_spark, h_spark = result_hash(df)
             if name in oracles:
                 n_duck, h_duck = duck_hash(duck, oracles[name])
+                # schema check mirrors the driver's third column
+                # (VERDICT r6 #4): the compare sorts columns by name, so
+                # the contract is the NAME SET; DESCRIBE plans without
+                # executing the oracle a second time
+                duck_cols = sorted(
+                    r[0]
+                    for r in duck.execute(
+                        f"DESCRIBE {oracles[name]}"
+                    ).fetchall()
+                )
+                spark_cols = sorted(df.columns)
                 rec = {
                     "rows_match": n_spark == n_duck,
+                    "schema_match": spark_cols == duck_cols,
                     "hash_match": h_spark == h_duck,
                     "spark_rows": n_spark,
                     "oracle_rows": n_duck,
                 }
-                ok = rec["rows_match"] and rec["hash_match"]
+                if not rec["schema_match"]:
+                    rec["spark_cols"] = spark_cols
+                    rec["oracle_cols"] = duck_cols
+                ok = (
+                    rec["rows_match"]
+                    and rec["schema_match"]
+                    and rec["hash_match"]
+                )
             else:
                 rec = {"spark_rows": n_spark, "rows_only": True}
                 ok = n_spark >= 0
