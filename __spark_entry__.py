@@ -167,6 +167,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["join_adaptive_full"] = _adaptive_full
 
+    # new r7 pipeline ops: bucketed range join (the interval-join
+    # companion of evt_asof_join) and count-min sketch frequency
+    # estimation -- declared in-window so the r7 driver gate proves
+    # them immediately
+    for name in ("evt_range_join", "text_countmin_freq"):
+        out[name] = pipeline[name][0]
+
     # oracle or state semantics changed per r6 ADVICE -> re-gate these
     # inside the r7 window
     for name in ("evt_markov_stationary", "emb_kmeans", "stream_asof_join"):

@@ -69,8 +69,9 @@ headline = [
     "evt_value_quantiles", "text_winnow_fingerprints",
     "dedup_family_agreement", "text_heaps_law", "sim_recall_report",
     "evt_markov_stationary", "corpus_dataset_card", "join_adaptive_full",
-    # r7 additions: outer-graph progressive re-optimization
-    "join_adaptive_outer",
+    # r7 additions: outer-graph progressive re-optimization, bucketed
+    # range join, count-min sketch
+    "join_adaptive_outer", "evt_range_join", "text_countmin_freq",
 ]
 
 

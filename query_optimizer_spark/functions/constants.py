@@ -152,3 +152,14 @@ def sql_tokens(expr: str) -> str:
         f"list_filter(string_split_regex(trim(regexp_replace(lower({expr}), "
         f"'{TOKEN_CLEAN_RE}', ' ', 'g')), '{TOKEN_SPLIT_RE}'), x -> x <> '')"
     )
+
+
+# --- count-min sketch ---------------------------------------------------------
+# Token-frequency CM sketch (Cormode & Muthukrishnan 2005): CM_DEPTH
+# salted md5-derived hash rows x CM_WIDTH counters.  Estimates
+# overestimate only (min over rows); the report compares them against
+# exact counts for the CM_REPORT_TOPK most frequent tokens.
+CM_SALT = "cm:v1:"
+CM_DEPTH = 4
+CM_WIDTH = 256
+CM_REPORT_TOPK = 20

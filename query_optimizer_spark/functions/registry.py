@@ -63,6 +63,7 @@ PIPELINE_OPS: dict[str, tuple] = {
     "evt_sessionize": (temporal.sessionize, temporal.sessionize_oracle()),
     "evt_asof_join": (temporal.asof_join, temporal.asof_join_oracle()),
     "evt_funnel": (temporal.funnel, temporal.funnel_oracle()),
+    "evt_range_join": (temporal.range_join, temporal.range_join_oracle()),
     "evt_asof_tolerance": (
         temporal.asof_join_tolerance,
         temporal.asof_join_tolerance_oracle(),
@@ -243,6 +244,8 @@ PIPELINE_OPS: dict[str, tuple] = {
         text.winnow_fingerprints,
         text.winnow_fingerprints_oracle(),
     ),
+    # r7: count-min sketch frequency estimation vs exact counts
+    "text_countmin_freq": (text.countmin_freq, text.countmin_freq_oracle()),
     # r6: dedup-detector cross-validation report
     "dedup_family_agreement": (
         dedup.family_agreement,

@@ -798,3 +798,93 @@ def markov_stationary_oracle() -> str:
                    AS stationary
         FROM p{last}
     """
+
+
+# --- range (interval) join ---------------------------------------------------
+
+RANGE_JOIN_WINDOW_MS = 3_600_000  # 1 hour lookback
+
+
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: every purchase annotated with the number of 'view'
+    events by the same user in the hour before it (exclusive-start,
+    inclusive-end interval) and the recency of the latest such view --
+    the interval-join companion of evt_asof_join (SURVEY §2.3 lists
+    both as operators the reference lacks).
+
+    Scale shape: a naive per-user view x purchase join is quadratic on
+    hot users.  Instead the classic BUCKETED range join: views key into
+    hour buckets, each purchase probes its own bucket and the previous
+    one (two equi-join probes cover any 1-hour lookback window), the
+    residual range predicate filters inside the matched bucket pair.
+    The join is a plain equi-join on (user_id, bucket) -- hash
+    partitioned, AQE-skew-splittable, no range cross product; DuckDB's
+    oracle uses its native IEJoin range join, an independent algorithm.
+    """
+    ev = events_df(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("unix_millis(ts)").alias("ms"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ms").alias("v_ms"),
+        F.expr(f"ms div {RANGE_JOIN_WINDOW_MS}").alias("bucket"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ms"
+    )
+    probes = purchases.select(
+        "event_id",
+        "user_id",
+        "ms",
+        F.explode(
+            F.expr(
+                f"array(ms div {RANGE_JOIN_WINDOW_MS}, "
+                f"ms div {RANGE_JOIN_WINDOW_MS} - 1)"
+            )
+        ).alias("bucket"),
+    )
+    matched = (
+        probes.join(views, ["user_id", "bucket"])
+        .filter(
+            (F.col("v_ms") > F.col("ms") - RANGE_JOIN_WINDOW_MS)
+            & (F.col("v_ms") <= F.col("ms"))
+        )
+        .groupBy("event_id")
+        .agg(
+            F.count("*").cast("int").alias("n_views_1h"),
+            F.max("v_ms").alias("last_v_ms"),
+        )
+    )
+    return (
+        purchases.join(matched, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_views_1h", F.lit(0)).cast("int").alias("n_views_1h"),
+            (F.col("ms") - F.col("last_v_ms")).alias("ms_since_last_view"),
+        )
+    )
+
+
+def range_join_oracle() -> str:
+    return f"""
+        WITH ev AS (
+            SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms
+            FROM events
+        ),
+        p AS (SELECT event_id, user_id, ms FROM ev
+              WHERE event_type = 'purchase'),
+        v AS (SELECT user_id, ms AS v_ms FROM ev
+              WHERE event_type = 'view')
+        SELECT p.event_id, p.user_id,
+               CAST(count(v.v_ms) AS INT) AS n_views_1h,
+               p.ms - max(v.v_ms) AS ms_since_last_view
+        FROM p LEFT JOIN v
+          ON p.user_id = v.user_id
+         AND v.v_ms > p.ms - {RANGE_JOIN_WINDOW_MS}
+         AND v.v_ms <= p.ms
+        GROUP BY p.event_id, p.user_id, p.ms
+    """

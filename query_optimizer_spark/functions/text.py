@@ -829,3 +829,123 @@ def heaps_law_oracle() -> str:
                round(count(*) / sum(n)::DOUBLE, 6) AS type_token_ratio
         FROM per_tok GROUP BY source
     """
+
+
+# --- count-min sketch frequency estimation ----------------------------------
+
+
+def countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch token-frequency report: build a CM_DEPTH x
+    CM_WIDTH sketch of corpus token counts, then for the CM_REPORT_TOPK
+    most frequent tokens compare the sketch estimate (min over rows --
+    overestimates only, never under) with the exact count.  The sketch
+    is THE sublinear frequency structure a 100 TB pipeline keeps when
+    the exact token histogram (vocabulary-sized) is too big to hold per
+    partition: its state is CM_DEPTH*CM_WIDTH int64 cells regardless of
+    corpus or vocabulary size, and cell-wise addition makes it
+    trivially mergeable across partitions (a map-side-combinable
+    groupBy here).  Hashes are salted md5 rows shared with the oracle,
+    so both engines build the identical sketch.
+
+    Columns: token, true_cnt, est_cnt, overcount (= est - true >= 0).
+    """
+    from .constants import CM_DEPTH, CM_REPORT_TOPK, CM_SALT, CM_WIDTH
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(F.expr(TOKS)).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("true_cnt"))
+    # the sketch: every (row d, cell h_d(token)) accumulates the count
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            F.expr(
+                                f"cast(conv(substring(md5(concat('{CM_SALT}', "
+                                f"'{d}:', token)), 1, 8), 16, 10) as bigint)"
+                                f" % {CM_WIDTH}"
+                            ).alias("cell"),
+                        )
+                        for d in range(CM_DEPTH)
+                    ]
+                )
+            ).alias("dc")
+        )
+        .select(F.col("dc.d").alias("d"), F.col("dc.cell").alias("cell"))
+        .groupBy("d", "cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = counts.orderBy(
+        F.desc("true_cnt"), F.asc("token")
+    ).limit(CM_REPORT_TOPK)
+    probes = top.select(
+        "token",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.expr(
+                            f"cast(conv(substring(md5(concat('{CM_SALT}', "
+                            f"'{d}:', token)), 1, 8), 16, 10) as bigint)"
+                            f" % {CM_WIDTH}"
+                        ).alias("cell"),
+                    )
+                    for d in range(CM_DEPTH)
+                ]
+            )
+        ).alias("dc"),
+    ).select(
+        "token", "true_cnt", F.col("dc.d").alias("d"),
+        F.col("dc.cell").alias("cell"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["d", "cell"])
+        .groupBy("token", "true_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return est.select(
+        "token",
+        F.col("true_cnt").cast("int").alias("true_cnt"),
+        F.col("est_cnt").cast("int").alias("est_cnt"),
+        (F.col("est_cnt") - F.col("true_cnt")).cast("int").alias("overcount"),
+    )
+
+
+def countmin_freq_oracle() -> str:
+    from .constants import CM_DEPTH, CM_REPORT_TOPK, CM_SALT, CM_WIDTH
+
+    toks = sql_tokens("text")
+    hash_cell = (
+        f"(('0x' || substr(md5('{CM_SALT}' || d || ':' || token), 1, 8))"
+        f"::BIGINT % {CM_WIDTH})"
+    )
+    return f"""
+        WITH toks AS (
+            SELECT unnest({toks}) AS token FROM documents
+        ),
+        counts AS (
+            SELECT token, count(*) AS true_cnt FROM toks GROUP BY 1
+        ),
+        rows_ AS (SELECT unnest(range({CM_DEPTH})) AS d),
+        cells AS (
+            SELECT d, {hash_cell} AS cell, count(*) AS cnt
+            FROM toks, rows_ GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT token, true_cnt FROM counts
+            ORDER BY true_cnt DESC, token ASC LIMIT {CM_REPORT_TOPK}
+        ),
+        probes AS (
+            SELECT token, true_cnt, d, {hash_cell} AS cell
+            FROM top, rows_
+        )
+        SELECT p.token, CAST(p.true_cnt AS INT) AS true_cnt,
+               CAST(min(c.cnt) AS INT) AS est_cnt,
+               CAST(min(c.cnt) - p.true_cnt AS INT) AS overcount
+        FROM probes p JOIN cells c ON p.d = c.d AND p.cell = c.cell
+        GROUP BY p.token, p.true_cnt
+    """

@@ -561,3 +561,35 @@ def test_dataset_card_cross_checks(spark, duck):
     assert r.vocab_size <= sum(h.n_types for h in heaps)  # union <= sum
     assert r.n_unique_texts + r.n_exact_dups == r.n_docs
     assert r.dup_rate == round(r.n_exact_dups / r.n_docs, 6)
+
+
+def test_countmin_overestimates_only(spark):
+    """CM-sketch invariant (r7): estimates can only overcount --
+    est >= true for every reported token, and the report covers exactly
+    the top-k tokens."""
+    from query_optimizer_spark.functions.constants import CM_REPORT_TOPK
+
+    rows = PIPELINE_OPS["text_countmin_freq"][0](spark, SF_DIR).collect()
+    assert len(rows) == CM_REPORT_TOPK
+    for r in rows:
+        assert r.est_cnt >= r.true_cnt > 0, r
+        assert r.overcount == r.est_cnt - r.true_cnt >= 0
+
+
+def test_range_join_covers_every_purchase(spark, duck):
+    """Bucketed range join invariants (r7): exactly one output row per
+    purchase; a row has a view-recency iff it counted at least one
+    view, and that recency lies inside the (0, 1h] window."""
+    from query_optimizer_spark.functions.temporal import RANGE_JOIN_WINDOW_MS
+
+    rows = PIPELINE_OPS["evt_range_join"][0](spark, SF_DIR).collect()
+    n_purchases = duck.execute(
+        "SELECT count(*) FROM events WHERE event_type = 'purchase'"
+    ).fetchone()[0]
+    assert len(rows) == n_purchases
+    assert len({r.event_id for r in rows}) == n_purchases
+    for r in rows:
+        if r.n_views_1h == 0:
+            assert r.ms_since_last_view is None
+        else:
+            assert 0 <= r.ms_since_last_view < RANGE_JOIN_WINDOW_MS
