@@ -187,27 +187,6 @@ def main() -> None:
         # BENCH_r06 recorded "parsed": null); raw per-rep timings,
         # plan/exec splits and the adaptive phase decomposition go to a
         # side artifact instead.
-        side_path = os.environ.get(
-            "SPARK_GRAFT_BENCH_RAW_PATH",
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "BENCH_COHORTS_LATEST.json",
-            ),
-        )
-        with open(side_path, "w") as fh:
-            json.dump(
-                {
-                    "raw": raw,
-                    "plan_sec": plan_secs,
-                    "adaptive_split": adaptive_split,
-                    "reps": reps,
-                    "cohorts": cohorts,
-                    "order": "shuffled per rep (seed=rep index)",
-                    "sf": sf,
-                },
-                fh,
-                indent=1,
-            )
         print(
             json.dumps(
                 {
@@ -220,8 +199,35 @@ def main() -> None:
                     "sf": sf,
                 },
                 separators=(",", ":"),
-            )
+            ),
+            flush=True,
         )
+        # the side artifact is best-effort: an unwritable path must not
+        # discard the run the driver just captured from stdout
+        side_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_RAW_PATH",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_COHORTS_LATEST.json",
+            ),
+        )
+        try:
+            with open(side_path, "w") as fh:
+                json.dump(
+                    {
+                        "raw": raw,
+                        "plan_sec": plan_secs,
+                        "adaptive_split": adaptive_split,
+                        "reps": reps,
+                        "cohorts": cohorts,
+                        "order": "shuffled per rep (seed=rep index)",
+                        "sf": sf,
+                    },
+                    fh,
+                    indent=1,
+                )
+        except OSError as exc:
+            print(f"side artifact not written ({exc})", file=sys.stderr)
     finally:
         if spark is not None:
             spark.stop()

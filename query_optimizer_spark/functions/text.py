@@ -834,6 +834,18 @@ def heaps_law_oracle() -> str:
 # --- count-min sketch frequency estimation ----------------------------------
 
 
+def _cm_cell_expr(d: int) -> str:
+    """Spark SQL expression for CM row d's cell index of ``token`` --
+    the ONE definition both the sketch build and the probe side use
+    (the oracle derives the same cell from the same salted md5)."""
+    from .constants import CM_SALT, CM_WIDTH
+
+    return (
+        f"cast(conv(substring(md5(concat('{CM_SALT}', "
+        f"'{d}:', token)), 1, 8), 16, 10) as bigint) % {CM_WIDTH}"
+    )
+
+
 def countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch token-frequency report: build a CM_DEPTH x
     CM_WIDTH sketch of corpus token counts, then for the CM_REPORT_TOPK
@@ -849,7 +861,7 @@ def countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Columns: token, true_cnt, est_cnt, overcount (= est - true >= 0).
     """
-    from .constants import CM_DEPTH, CM_REPORT_TOPK, CM_SALT, CM_WIDTH
+    from .constants import CM_DEPTH, CM_REPORT_TOPK
 
     docs = _docs(spark, sf_dir)
     toks = docs.select(F.explode(F.expr(TOKS)).alias("token"))
@@ -862,11 +874,7 @@ def countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     *[
                         F.struct(
                             F.lit(d).alias("d"),
-                            F.expr(
-                                f"cast(conv(substring(md5(concat('{CM_SALT}', "
-                                f"'{d}:', token)), 1, 8), 16, 10) as bigint)"
-                                f" % {CM_WIDTH}"
-                            ).alias("cell"),
+                            F.expr(_cm_cell_expr(d)).alias("cell"),
                         )
                         for d in range(CM_DEPTH)
                     ]
@@ -888,11 +896,7 @@ def countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(d).alias("d"),
-                        F.expr(
-                            f"cast(conv(substring(md5(concat('{CM_SALT}', "
-                            f"'{d}:', token)), 1, 8), 16, 10) as bigint)"
-                            f" % {CM_WIDTH}"
-                        ).alias("cell"),
+                        F.expr(_cm_cell_expr(d)).alias("cell"),
                     )
                     for d in range(CM_DEPTH)
                 ]

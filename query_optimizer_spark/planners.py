@@ -748,9 +748,11 @@ def plan_with_materialized(
     (the progressive/full-LEO loop materializes one join per round, so
     two loose leaves joined early become a second block).
 
-    Exhaustive over unit subsets (<= #relations units), cross-join-free
-    (splits must be edge-connected), both operand orders tried like
-    plan_dp_ccp.
+    Exhaustive over unit subsets (<= #relations units); DP merges are
+    cross-join-free (splits must be edge-connected), and disconnected
+    components of the core then cross-join in ascending first-factor
+    order exactly like the static planners' J15 frame.  Both operand
+    orders tried like plan_dp_ccp.
 
     Outer-join graphs (J14) reuse the planners' shared top-attach frame:
     the subset-DP runs over the INNER core only (around any inner pinned
@@ -825,10 +827,41 @@ def plan_with_materialized(
                             cur = (cost, tree)
                             best[m] = cur
             s = (s - 1) & m
-    full = (1 << n) - 1
-    if full not in best:
-        raise ValueError("join graph disconnected around the pinned block")
-    cost, tree = best[full]
+    # assemble per-component optima, cross-joining components in
+    # ascending first-factor order -- the same J15 frame
+    # _plan_components gives the static planners, so a core left
+    # disconnected (cross fixtures; cores only linked through an outer
+    # factor) re-plans instead of raising
+    adj = [0] * n
+    for i in range(n):
+        for j in range(i + 1, n):
+            if graph.edges_between(units[i].factors, units[j].factors):
+                adj[i] |= 1 << j
+                adj[j] |= 1 << i
+    remaining = (1 << n) - 1
+    parts: list[tuple[float, PlanNode]] = []
+    while remaining:
+        comp = remaining & (-remaining)
+        while True:
+            nxt, m = 0, comp
+            while m:
+                nxt |= adj[(m & -m).bit_length() - 1]
+                m &= m - 1
+            nxt &= remaining & ~comp
+            if not nxt:
+                break
+            comp |= nxt
+        if comp not in best:
+            raise ValueError(
+                "join graph disconnected around the pinned block"
+            )
+        parts.append(best[comp])
+        remaining &= ~comp
+    parts.sort(key=lambda ct: ct[1].factors & -ct[1].factors)
+    cost, tree = parts[0]
+    for c2, t2 in parts[1:]:
+        tree = make_join(graph, tree, t2)  # no covering edge -> cross (J15)
+        cost += c2 + cm.node_cost(graph, tree, oracle)
     # re-attach the null-generating factors on top (J14), charging each
     # attach join's node cost on top of the core's DP cost
     for g in bits(ng):

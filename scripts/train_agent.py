@@ -280,6 +280,10 @@ def main() -> None:
         import json as _json
 
         init = _json.load(open(args.init_policy))["theta"]
+        if len(init) > N_FEATS:
+            raise ValueError(
+                f"--init-policy has {len(init)} weights > N_FEATS={N_FEATS}"
+            )
         agent.theta = list(init) + [0.0] * (N_FEATS - len(init))
     best_eval: tuple[float, list[float]] | None = None  # checkpoint argmax-eval
     best_synth: tuple[float, list[float]] | None = None  # ablation arm
@@ -298,7 +302,6 @@ def main() -> None:
     # fixtures appear 4x per pass: they are the deployment target and
     # would otherwise be a small minority against the synthetic pool
     order = list(train_names) * 4 + list(synth_envs)
-    eval_names = list(train_names) + list(synth_envs)
     rng = random.Random(1)
     eval_every = max(96, (args.episodes // 20) // len(order) * len(order))
     for ep in range(args.episodes):
@@ -531,7 +534,9 @@ def main() -> None:
             f" join_star_4: {fix_asc:.2f} |",
             f"| descending-min-card heuristic | {gm(desc_r):.2f} | -- |"
             f" join_star_4: {fix_desc:.2f} |",
-            "| random | 1.10 | 9.22 | 1.47 |",
+            f"| random | {star_dep['rnd_over_opt']:.2f} |"
+            f" {next(r for r in synth if r['kind'] == 'clique')['rnd_over_opt']:.2f} |"
+            f" {gm([r_ / o for _, _, r_, _, o, _ in rows]):.2f} |",
             "",
             "The synthetic star generator's FK-ish selectivities make",
             "per-satellite expansion ~uplift, nearly independent of",

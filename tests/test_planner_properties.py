@@ -517,3 +517,42 @@ def test_adaptive_replan_outer_graph(graph_oracle, seed):
 
 def popcount_local(x: int) -> int:
     return bin(x).count("1")
+
+
+def test_adaptive_replan_disconnected_core_cross_joins():
+    """A core whose components share no edge (cross fixture shape, or a
+    core only linked through an outer factor) must re-plan via the J15
+    cross-join frame instead of raising -- parity with the static
+    planners' _plan_components (r7 review fix)."""
+    import dataclasses
+
+    from query_optimizer_spark.joingraph import Leaf, iter_joins, make_join
+    from query_optimizer_spark.planners import plan_with_materialized
+    from query_optimizer_spark.sqlparse import parse
+
+    sql = """
+        SELECT MIN(a.x) AS m FROM ta a, tb b, tc c, td o
+        WHERE a.k = b.k AND a.j = o.j
+    """
+    graph = JoinGraph.from_query(parse(sql))
+    og = dataclasses.replace(
+        graph, null_generating=1 << graph.aliases.index("o")
+    )
+    rng = random.Random(5)
+    oracle = CardinalityOracle(
+        {
+            og.key_for(s): float(rng.randrange(1, 1000))
+            for s in range(1, 1 << 4)
+        }
+    )
+    cm = get_cost_model("cm1")
+    ia, ib = graph.aliases.index("a"), graph.aliases.index("b")
+    block = make_join(
+        og, Leaf(ia, "a"), Leaf(ib, "b")
+    )  # pinned a-b; c is a disconnected island of the inner core
+    res = plan_with_materialized(og, oracle, cm, block)
+    validate_tree(og, res.tree)
+    assert block.order_str() in res.tree.order_str()
+    # the island arrived via a cross join, and o re-attached LEFT on top
+    assert any(not j.preds and j.how == "inner" for j in iter_joins(res.tree))
+    assert res.tree.how == "left" and res.tree.right.factors == og.null_generating
