@@ -272,6 +272,20 @@ def main() -> None:
               lambda sf=f"{WORK}/disjoint_x{k}":
                   streaming_mod.asof_stream(spark, sf),
               n_events0 * k, post=_state_rows)
+        # --- bucketed range join (r7): replica mode is the hot-user
+        # adversarial case (per-user view AND purchase volume both x k,
+        # so matched pairs inside a bucket grow ~k^2); disjoint grows
+        # users linearly with constant per-user volume.  The bucketed
+        # equi-join must absorb the k^2 pair growth without a per-user
+        # cross product.
+        probe("evt_range_join", "replica", k,
+              lambda sf=f"{WORK}/replica_x{k}":
+                  temporal.range_join(spark, sf),
+              n_events0 * k)
+        probe("evt_range_join", "disjoint", k,
+              lambda sf=f"{WORK}/disjoint_x{k}":
+                  temporal.range_join(spark, sf),
+              n_events0 * k)
 
     spark.stop()
 
