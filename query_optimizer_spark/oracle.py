@@ -375,7 +375,15 @@ class SparkStatsOracle(CardinalityOracle):
     by the smaller table's size (PK side of a PK-FK edge).  This is the
     SURVEY §7 'SparkStatsOracle' -- a deliberately classic estimator
     whose errors the est-vs-true harness measures.
+
+    Its errors are MULTIPLICATIVE (a wrong selectivity factors into
+    every superset's product), so runtime feedback on a subset is
+    evidence about its supersets -- OverlayOracle reads this flag to
+    enable LEO adjustment propagation (see OverlayOracle docstring for
+    the measured contrast with sampling estimators).
     """
+
+    FEEDBACK_PROPAGATES = True
 
     FILTER_SEL = {"cmp=": 0.05, "cmp": 0.3, "between": 0.25, "like": 0.1,
                   "in": 0.2, "isnull": 0.02, "isnotnull": 0.98}
@@ -486,19 +494,81 @@ class OverlayOracle(CardinalityOracle):
     materialized, its TRUE row count replaces the estimate for exactly
     that factor set, and every cost that touches the set re-prices.
 
+    With ``propagate=True`` supersets of observed masks also get LEO's
+    ADJUSTMENT propagation (Stillger et al., VLDB'01 sec 3.2): the
+    estimate for S is scaled by prod(observed[O]/est[O]) over a greedy
+    maximal-coverage disjoint family of observed subsets O of S.
+    Without it the overlay is internally inconsistent -- est(ABC) can
+    sit below observed(AB).
+
+    Propagation is SOUND exactly when the base estimator's errors
+    compound multiplicatively up the plan: an independence-assumption
+    estimator (SparkStatsOracle) carries a wrong base selectivity into
+    every superset by the same factor, which is the error model LEO was
+    built for -- there a subset's observed error IS information about
+    its supersets.  A sampling estimator has no such structure (it
+    counts a hash-sample of the subset's largest table, so a small
+    table's sampling error does NOT taint supersets), and the
+    perturb_x8 harness draws each mask's error independently by
+    construction; correcting those estimators' supersets with subset
+    ratios injects error instead of removing it.  Measured in
+    CARDSENS_r07 (adaptive_leo_prop vs _noprop rows): propagation takes
+    the stats rung to the oracle-completion headroom (1.003 -> 1.000)
+    and degrades sampled_p20 join_galaxy_10 1.001 -> 1.140.  So
+    ``propagate=None`` (default) auto-resolves from the base
+    estimator's declared ``FEEDBACK_PROPAGATES`` -- True only for the
+    selectivity-model estimator.  Adjustments are clamped to [1/64, 64]
+    per factor so one pathological estimate cannot swing a superset by
+    more than the perturbation harness's own max error squared.
+
     ``observed`` is keyed by the JoinGraph factor MASK (graph-specific;
     an overlay never outlives its graph).  All other metadata
     (distinct counts, base rows) delegates to the wrapped estimator.
     """
 
-    def __init__(self, base: CardinalityOracle, observed: dict[int, float]):
+    _ADJ_CLAMP = 64.0
+
+    def __init__(
+        self,
+        base: CardinalityOracle,
+        observed: dict[int, float],
+        propagate: bool | None = None,
+    ):
         super().__init__({})
         self.base = base
         self.observed = dict(observed)
+        self.propagate = (
+            getattr(base, "FEEDBACK_PROPAGATES", False)
+            if propagate is None
+            else propagate
+        )
 
     def card(self, graph: JoinGraph, s: int) -> float:
         hit = self.observed.get(s)
-        return float(hit) if hit is not None else self.base.card(graph, s)
+        if hit is not None:
+            return float(hit)
+        est = self.base.card(graph, s)
+        if not self.propagate:
+            return est
+        # LEO adjustment propagation: greedy maximal disjoint family of
+        # observed strict subsets (largest first -- the most specific
+        # correction wins, like LEO's longest-match adjustment lookup)
+        chosen = 0
+        adj = 1.0
+        for o in sorted(
+            self.observed, key=lambda m: (-bin(m).count("1"), m)
+        ):
+            if o & ~s or o & chosen:
+                continue
+            o_est = self.base.card(graph, o)
+            if o_est <= 0:
+                continue
+            f = self.observed[o] / o_est
+            adj *= min(max(f, 1.0 / self._ADJ_CLAMP), self._ADJ_CLAMP)
+            chosen |= o
+            if chosen == s:
+                break
+        return max(est * adj, 1.0)
 
     def distinct_count(self, graph, alias, columns):
         return self.base.distinct_count(graph, alias, columns)

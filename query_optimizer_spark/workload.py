@@ -13,7 +13,7 @@ from functools import lru_cache
 
 from .costmodels import get_cost_model
 from .executor import Renderer, query_to_sql
-from .joingraph import JoinGraph
+from .joingraph import JoinGraph, bits
 from .oracle import (
     SampledCountOracle,
     SketchOracle,
@@ -371,6 +371,81 @@ def _first_leaf_join(node):
     return _first_leaf_join(child)
 
 
+def _scan_observations(graph, df, block_factors: int) -> dict[int, float]:
+    """Harvest post-filter LEAF cardinalities from the executed plan's
+    operator metrics after an action ran on ``df`` -- the feedback LEO
+    reads from completed scans for FREE (no extra jobs; DB2's LEO and
+    Spark's AQE both source runtime statistics this way).  Returns
+    {single-factor mask: observed rows} for every leaf of the block
+    whose base TABLE appears exactly once among the block's leaves
+    (self-join aliases are skipped: two scans of one parquet file
+    cannot be attributed to an alias from the metrics alone).
+
+    Touches Spark's internal executedPlan via py4j; any failure
+    degrades to {} -- feedback is an optimization, never a correctness
+    dependency."""
+    import re
+
+    try:
+        per_table: dict[str, float] = {}
+
+        def walk(node, pending_filter_rows):
+            cname = node.getClass().getSimpleName()
+            mets = node.metrics()
+            it = mets.iterator()
+            rows = None
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    rows = float(kv._2().value())
+            if cname == "FilterExec":
+                pending_filter_rows = rows
+            elif "Join" in cname or "Exchange" in cname or "Aggregate" in cname:
+                pending_filter_rows = None
+            if cname == "FileSourceScanExec":
+                m = re.search(r"(\w+)\.parquet", node.toString())
+                if m:
+                    got = (
+                        pending_filter_rows
+                        if pending_filter_rows is not None
+                        else rows
+                    )
+                    if got is not None:
+                        # duplicate table -> poison the entry
+                        t = m.group(1)
+                        per_table[t] = (
+                            -1.0 if t in per_table else got
+                        )
+                return
+            if cname == "AdaptiveSparkPlanExec":
+                walk(node.executedPlan(), pending_filter_rows)
+                return
+            if "InMemoryTableScan" in cname:
+                walk(node.relation().cachedPlan(), pending_filter_rows)
+            if "QueryStage" in cname:
+                walk(node.plan(), pending_filter_rows)
+                return
+            for i in range(node.children().length()):
+                walk(node.children().apply(i), pending_filter_rows)
+
+        walk(df._jdf.queryExecution().executedPlan(), None)
+        # attribute: table -> alias, only when unique among block leaves
+        obs: dict[int, float] = {}
+        block_aliases = [
+            (i, graph.aliases[i]) for i in bits(block_factors)
+        ]
+        by_table: dict[str, list[int]] = {}
+        for i, a in block_aliases:
+            by_table.setdefault(graph.tables[a], []).append(i)
+        for t, idxs in by_table.items():
+            rows = per_table.get(t)
+            if rows is not None and rows >= 0 and len(idxs) == 1:
+                obs[1 << idxs[0]] = rows
+        return obs
+    except Exception:
+        return {}
+
+
 class _MaterializedRenderer(Renderer):
     """Renderer that substitutes the already-computed DataFrame for the
     pinned subtree -- physical reuse of the materialized intermediate
@@ -419,6 +494,10 @@ def run_fixture_adaptive(
     observed = block.count()  # runtime feedback; also warms the cache
     t2 = _time.monotonic()
     overlay = OverlayOracle(est, {first.factors: float(observed)})
+    # free leaf feedback: post-filter scan counts from the block's
+    # executed-plan metrics (LEO reads completed operators, not just
+    # the top of the block)
+    overlay.observed.update(_scan_observations(graph, block, first.factors))
     res2 = plan_with_materialized(
         graph, overlay, get_cost_model(cost_model), first
     )
@@ -499,6 +578,9 @@ def run_fixture_adaptive_full(
         t0 = _time.monotonic()
         block = renderer.render(nxt).persist()
         overlay.observed[nxt.factors] = float(block.count())
+        # free leaf feedback from the freshly-executed scans (cached
+        # child blocks re-read from memory and surface no scan here)
+        overlay.observed.update(_scan_observations(graph, block, nxt.factors))
         observe_sec += _time.monotonic() - t0
         rounds += 1
         mat[nxt.factors] = block

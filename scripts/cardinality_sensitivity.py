@@ -36,7 +36,7 @@ from query_optimizer_spark.oracle import (
     SparkStatsOracle,
     TrueCountOracle,
 )
-from query_optimizer_spark.planners import PLANNERS
+from query_optimizer_spark.planners import PLANNERS, PlanResult
 from query_optimizer_spark.sqlparse import parse
 from query_optimizer_spark.workload import FIXTURES, _base_rows
 
@@ -51,14 +51,121 @@ PLANNER_NAMES = [
     "ikkbz",
     "reinforce",
     "reinforce_pretrained",
+    # planning-level simulations of the progressive reopt loop
+    # (observations answered by the true oracle) -- measure how much of
+    # each rung's estimation-error cost within-query feedback recovers:
+    #   adaptive_leo        full loop, OverlayOracle auto mode (what
+    #                       run_fixture_adaptive_full ships: LEO
+    #                       propagation iff the estimator declares
+    #                       multiplicative errors)
+    #   adaptive_leo_prop   full loop, propagation forced ON
+    #   adaptive_leo_noprop full loop, exact-mask overlay only
+    #   adaptive_oracle     perfect-knowledge completion around the
+    #                       blind first join -- the HEADROOM of any
+    #                       within-query feedback (the first join is
+    #                       always chosen before any observation
+    #                       exists, so its cost is sunk for every
+    #                       scheme)
+    "adaptive_leo",
+    "adaptive_leo_prop",
+    "adaptive_leo_noprop",
+    "adaptive_oracle",
 ]
+
+# set in main(); the adaptive simulation reads observations from it
+_TRUE_ORACLE = None
 
 
 def _plan(planner: str, graph, oracle, cm):
     """Plan with fallback to dp_ccp, mirroring run_fixture (IKKBZ
     declines cyclic graphs, branch_and_bound declines >12 edges)."""
+    if planner == "adaptive_leo":
+        return _plan_adaptive(graph, oracle, cm, propagate=None)
+    if planner == "adaptive_leo_prop":
+        return _plan_adaptive(graph, oracle, cm, propagate=True)
+    if planner == "adaptive_leo_noprop":
+        return _plan_adaptive(graph, oracle, cm, propagate=False)
+    if planner == "adaptive_oracle":
+        return _plan_adaptive_oracle(graph, oracle, cm)
     res = PLANNERS[planner](graph, oracle, cm)
     return res if res is not None else PLANNERS["dp_ccp"](graph, oracle, cm)
+
+
+def _plan_adaptive_oracle(graph, est, cm):
+    """Headroom bound: the est-based plan commits its first join blind
+    (no feedback exists before anything has executed), then an oracle
+    hands the re-planner TRUE cardinalities for everything.  No
+    within-query feedback scheme can beat this completion, so
+    static_ratio - this_ratio is the total recoverable estimation-error
+    cost and this_ratio - 1.0 is the sunk cost of the blind first
+    join."""
+    from query_optimizer_spark.planners import plan_with_materialized
+    from query_optimizer_spark.workload import _next_unit_join
+
+    tree = PLANNERS["dp_ccp"](graph, est, cm).tree
+    first = _next_unit_join(tree, {})
+    if first is None or first.factors == graph.all_factors:
+        return PLANNERS["dp_ccp"](graph, est, cm)
+    res = plan_with_materialized(graph, _TRUE_ORACLE, cm, first)
+    return PlanResult(
+        res.tree,
+        cm.cumulative(graph, res.tree, _TRUE_ORACLE),
+        "adaptive_oracle",
+    )
+
+
+def _plan_adaptive(graph, est, cm, propagate: bool | None = None):
+    """Planning-level simulation of the FULL progressive re-optimization
+    loop (run_fixture_adaptive_full): plan on the estimating oracle,
+    then repeatedly 'observe' the next materialized join's TRUE
+    cardinality (here answered by the true oracle instead of a Spark
+    count(), which is exactly what the count() returns) and re-plan the
+    remainder with the observed blocks pinned.  The returned plan is
+    the one the adaptive executor would finish with -- its true-cost
+    ratio measures how much of the estimation-error cost the feedback
+    loop claws back, the reference's motivating LEO number."""
+    from query_optimizer_spark.oracle import OverlayOracle
+    from query_optimizer_spark.planners import plan_with_materialized
+    from query_optimizer_spark.workload import _next_unit_join, _subtree_of
+
+    from query_optimizer_spark.joingraph import bits
+
+    def leaf_observations(block_factors):
+        """Mirror of workload._scan_observations: the executor harvests
+        post-filter leaf counts from the block's executed-scan metrics,
+        attributable only when the base table appears once among the
+        block's leaves (self-join aliases skipped)."""
+        by_table = {}
+        for i in bits(block_factors):
+            by_table.setdefault(graph.tables[graph.aliases[i]], []).append(i)
+        return {
+            1 << idxs[0]: _TRUE_ORACLE.card(graph, 1 << idxs[0])
+            for idxs in by_table.values()
+            if len(idxs) == 1
+        }
+
+    overlay = OverlayOracle(est, {}, propagate=propagate)
+    tree = PLANNERS["dp_ccp"](graph, overlay, cm).tree
+    mat: dict[int, object] = {}
+    while True:
+        nxt = _next_unit_join(tree, mat)
+        if nxt is None:
+            break
+        overlay.observed[nxt.factors] = _TRUE_ORACLE.card(graph, nxt.factors)
+        overlay.observed.update(leaf_observations(nxt.factors))
+        mat[nxt.factors] = nxt
+        if nxt.factors == graph.all_factors:
+            break
+        live_masks = [
+            f for f in mat if not any(o != f and (f & o) == f for o in mat)
+        ]
+        live = [_subtree_of(tree, f) for f in live_masks]
+        tree = plan_with_materialized(graph, overlay, cm, live).tree
+    return PlanResult(
+        tree,
+        cm.cumulative(graph, tree, overlay),
+        "adaptive_leo",
+    )
 
 
 def main() -> None:
@@ -70,6 +177,8 @@ def main() -> None:
 
     cm = get_cost_model(args.cost_model)
     true_oracle = TrueCountOracle(args.sf_dir)
+    global _TRUE_ORACLE
+    _TRUE_ORACLE = true_oracle
     graphs = {}
     for name, sql in FIXTURES.items():
         graphs[name] = JoinGraph.from_query(parse(sql))

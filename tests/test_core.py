@@ -390,3 +390,56 @@ def test_env_greedy_agent_matches_greedy_costs(true_oracle):
         cm.node_cost(g, Leaf(i, a), true_oracle)
         for i, a in enumerate(g.aliases)
     ) - 1e-6
+
+
+# --- overlay feedback (LEO adjustment propagation) ---------------------------
+
+
+def test_overlay_exact_and_propagation():
+    """OverlayOracle: observed masks return verbatim; unobserved
+    SUPERSETS scale by the observed/est ratio of a greedy maximal
+    disjoint family of observed subsets, largest-first (LEO, VLDB'01
+    sec 3.2); non-supersets are untouched; propagate=False restores the
+    exact-mask-only overlay."""
+    from query_optimizer_spark.oracle import OverlayOracle
+
+    g = graph_of("SELECT MIN(a.x) AS m FROM t1 a, t2 b, t3 c "
+                 "WHERE a.k = b.k AND b.j = c.j")
+    base = CardinalityOracle({
+        g.key_for(0b001): 100.0,
+        g.key_for(0b010): 200.0,
+        g.key_for(0b100): 300.0,
+        g.key_for(0b011): 1000.0,
+        g.key_for(0b110): 2000.0,
+        g.key_for(0b111): 10000.0,
+    })
+    # auto mode resolves from the base estimator's declared error
+    # model: a plain injected oracle does not propagate
+    assert OverlayOracle(base, {}).propagate is False
+
+    # one leaf observed 10x below estimate
+    ov = OverlayOracle(base, {0b001: 10.0}, propagate=True)
+    assert ov.card(g, 0b001) == 10.0                  # exact hit
+    assert ov.card(g, 0b011) == pytest.approx(100.0)  # 1000 * 0.1
+    assert ov.card(g, 0b111) == pytest.approx(1000.0)
+    assert ov.card(g, 0b010) == 200.0                 # not a superset
+    assert ov.card(g, 0b110) == 2000.0
+
+    # disjoint observed leaves multiply their adjustments
+    ov2 = OverlayOracle(base, {0b001: 10.0, 0b010: 400.0}, propagate=True)
+    assert ov2.card(g, 0b011) == pytest.approx(1000.0 * 0.1 * 2.0)
+    assert ov2.card(g, 0b111) == pytest.approx(10000.0 * 0.1 * 2.0)
+
+    # the largest observed subset wins; overlapped smaller ones are
+    # skipped (most-specific correction, like LEO's longest match)
+    ov3 = OverlayOracle(base, {0b011: 5000.0, 0b001: 10.0}, propagate=True)
+    assert ov3.card(g, 0b111) == pytest.approx(10000.0 * 5.0)
+
+    # per-factor clamp at 64x
+    ov4 = OverlayOracle(base, {0b001: 100.0 * 1000}, propagate=True)
+    assert ov4.card(g, 0b011) == pytest.approx(1000.0 * 64.0)
+
+    # propagation off -> pure exact-mask overlay
+    ov5 = OverlayOracle(base, {0b001: 10.0}, propagate=False)
+    assert ov5.card(g, 0b001) == 10.0
+    assert ov5.card(g, 0b011) == 1000.0

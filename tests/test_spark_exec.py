@@ -171,3 +171,56 @@ def test_galaxy_10_planners_agree(spark):
         for p in ("dp_ccp", "greedy", "ikkbz")
     }
     assert len(set(hashes.values())) == 1, hashes
+
+
+def test_scan_observations_harvest(spark, oracle):
+    """Leaf feedback for the LEO loop: after a block executes,
+    _scan_observations reads post-filter per-scan row counts from the
+    executed plan's operator metrics -- they must equal the true
+    oracle's leaf cardinalities exactly (the metric IS a count, not an
+    estimate), and a base table scanned for TWO aliases (self-join)
+    must be excluded because the two scans cannot be attributed."""
+    from query_optimizer_spark.joingraph import bits
+    from query_optimizer_spark.workload import (
+        FIXTURES,
+        _first_leaf_join,
+        _scan_observations,
+        plan_fixture,
+    )
+
+    graph, est, res = plan_fixture(SF_DIR, "join_events_8")
+    first = _first_leaf_join(res.tree)
+    block = Renderer(spark, SF_DIR, graph, est).render(first).persist()
+    try:
+        block.count()
+        obs = _scan_observations(graph, block, first.factors)
+        # every singly-occurring base table of the block is observed
+        by_table: dict[str, list[int]] = {}
+        for i in bits(first.factors):
+            by_table.setdefault(graph.tables[graph.aliases[i]], []).append(i)
+        expect = {1 << v[0] for v in by_table.values() if len(v) == 1}
+        assert set(obs) == expect
+        for mask, rows in obs.items():
+            assert rows == oracle.card(graph, mask)
+    finally:
+        block.unpersist()
+
+    # self-join graph: nation appears twice -> neither nation alias may
+    # be attributed; customer and supplier (unique) must be
+    graph2, est2, res2 = plan_fixture(SF_DIR, "join_selfjoin_4")
+    full = Renderer(spark, SF_DIR, graph2, est2).render(res2.tree).persist()
+    try:
+        full.count()
+        obs2 = _scan_observations(graph2, full, graph2.all_factors)
+        nation_masks = {
+            1 << i
+            for i, a in enumerate(graph2.aliases)
+            if graph2.tables[a] == "nation"
+        }
+        assert len(nation_masks) == 2
+        assert not (set(obs2) & nation_masks)
+        for mask, rows in obs2.items():
+            assert rows == oracle.card(graph2, mask)
+        assert obs2  # customer + supplier harvested
+    finally:
+        full.unpersist()
