@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     After r6 every declared query had been driver-verified at least
     once.  Round 7 leads with the ops r7 ADDED or TOUCHED
     (join_adaptive_outer -- outer-graph mid-query re-optimization --
+    join_feedback_warm -- cross-query FeedbackStore warm re-plan --
     plus evt_markov_stationary / emb_kmeans / stream_asof_join, whose
     oracles or state handling changed per r6 ADVICE, plus the
     re-instrumented join_adaptive_reopt/full), then the join fixtures
@@ -166,6 +167,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["join_adaptive_full"] = _adaptive_full
+
+    # cross-query LEO feedback (late r7): one adaptive pass over the
+    # cycle fixture RECORDS every observed cardinality into a
+    # FeedbackStore (keys: JoinGraph.key_for -- canonical across
+    # queries), then the warm pass re-plans the same fixture with the
+    # store overlaid -- including the first join, which within-query
+    # feedback can never correct -- and executes statically.  Feedback
+    # may change the ORDER, never the answer; the gate proves it.
+    def _feedback_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from query_optimizer_spark.oracle import FeedbackStore
+
+        configure_runtime(spark)
+        store = FeedbackStore()
+        workload.run_fixture_adaptive_full(
+            spark, sf_dir, "join_cycle_7", store=store
+        ).collect()
+        return workload.run_fixture_warm(
+            spark, sf_dir, "join_cycle_7", store=store
+        )
+
+    out["join_feedback_warm"] = _feedback_warm
 
     # new r7 pipeline ops: bucketed range join (the interval-join
     # companion of evt_asof_join) and count-min sketch frequency
@@ -275,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
     out["join_adaptive_outer"] = workload.fixture_oracle_sql(
         "join_outer_mixed_5"
     )
+    out["join_feedback_warm"] = workload.fixture_oracle_sql("join_cycle_7")
     out["join_env_wire"] = workload.fixture_oracle_sql("join_cycle_7")
     out["join_env_learned"] = workload.fixture_oracle_sql("join_cycle_7")
     out["join_semi_prefilter"] = workload.fixture_oracle_sql("join_cycle_7")

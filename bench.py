@@ -70,8 +70,9 @@ headline = [
     "dedup_family_agreement", "text_heaps_law", "sim_recall_report",
     "evt_markov_stationary", "corpus_dataset_card", "join_adaptive_full",
     # r7 additions: outer-graph progressive re-optimization, bucketed
-    # range join, count-min sketch
+    # range join, count-min sketch, cross-query feedback warm re-plan
     "join_adaptive_outer", "evt_range_join", "text_countmin_freq",
+    "join_feedback_warm",
 ]
 
 
@@ -129,7 +130,7 @@ def main() -> None:
                     # (plan/observe/replan rounds) -- copy it so a
                     # total-time spike is decomposable; assembly_sec is
                     # the remainder (final count() outside the split)
-                    if name.startswith("join_adaptive"):
+                    if name.startswith(("join_adaptive", "join_feedback")):
                         split = dict(workload.ADAPTIVE_SPLIT)
                         split["assembly_sec"] = round(
                             dt

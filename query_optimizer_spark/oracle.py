@@ -578,3 +578,69 @@ class OverlayOracle(CardinalityOracle):
 
     def table_rows(self, graph, alias):
         return self.base.table_rows(graph, alias)
+
+
+class FeedbackStore:
+    """Cross-query cardinality feedback -- the LEO paper's HEADLINE
+    loop (Stillger et al., VLDB'01): statistics observed while one
+    query executes correct the estimates of LATER queries, so a
+    workload's second pass over a query plans it with exact
+    cardinalities for everything the first pass touched.  The
+    within-query loop (run_fixture_adaptive_full) can only fix joins
+    not yet executed; this store is what removes the blind first join
+    on re-execution -- CARDSENS_r07's adaptive_warm rows measure the
+    recovery.
+
+    Keys are ``JoinGraph.key_for`` strings, which are canonical and
+    collision-free ACROSS queries (alias=table + filters + internal
+    join predicates), so one store serves a whole workload; the
+    reference must scope its runtime card caches per-query precisely
+    because its sorted-table-name keys collide
+    (MyMetadataQuery.java:107-146, MyUtils.java:120-192).
+
+    Optionally persists to a JSON sidecar -- at cluster scale this is
+    the query-history statistics service every warehouse keeps, and a
+    plain key->rows dict is mergeable across executors/sessions by
+    construction (last-writer-wins on identical true counts is
+    idempotent).
+    """
+
+    # seed() enumerates the graph's factor-subset lattice to translate
+    # stored keys back into this graph's masks; past ~16 factors that
+    # enumeration (2^n) would dominate planning, so larger graphs seed
+    # leaves only.  Every fixture is <= 10 factors.
+    _SEED_LATTICE_MAX_FACTORS = 16
+
+    def __init__(self, path: "str | None" = None):
+        self.path = path
+        self.rows: dict[str, float] = {}
+        if path is not None:
+            try:
+                with open(path) as f:
+                    self.rows = {k: float(v) for k, v in json.load(f).items()}
+            except FileNotFoundError:
+                pass
+
+    def record(self, graph: JoinGraph, mask: int, rows: float) -> None:
+        self.rows[graph.key_for(mask)] = float(rows)
+
+    def seed(self, graph: JoinGraph) -> dict[int, float]:
+        """Every stored observation that names a subset of ``graph``,
+        as {mask: rows} ready for OverlayOracle.observed."""
+        out: dict[int, float] = {}
+        n = graph.n
+        if n <= self._SEED_LATTICE_MAX_FACTORS:
+            masks = range(1, 1 << n)
+        else:
+            masks = (1 << i for i in range(n))
+        for m in masks:
+            hit = self.rows.get(graph.key_for(m))
+            if hit is not None:
+                out[m] = hit
+        return out
+
+    def save(self) -> None:
+        if self.path is None:
+            raise ValueError("FeedbackStore created without a path")
+        with open(self.path, "w") as f:
+            json.dump(self.rows, f, indent=0, sort_keys=True)

@@ -70,6 +70,16 @@ PLANNER_NAMES = [
     "adaptive_leo_prop",
     "adaptive_leo_noprop",
     "adaptive_oracle",
+    # cross-query feedback (FeedbackStore, the LEO paper's main loop):
+    #   adaptive_warm     plan quality of the SECOND execution -- one
+    #                     recording pass, then a static re-plan seeded
+    #                     with everything that pass observed (incl. the
+    #                     first join, unreachable within-query)
+    #   adaptive_warm_fix plan quality at the re-execution FIXPOINT
+    #                     (each run also records, re-plan until the
+    #                     plan stops changing; cap 10 runs)
+    "adaptive_warm",
+    "adaptive_warm_fix",
 ]
 
 # set in main(); the adaptive simulation reads observations from it
@@ -87,6 +97,10 @@ def _plan(planner: str, graph, oracle, cm):
         return _plan_adaptive(graph, oracle, cm, propagate=False)
     if planner == "adaptive_oracle":
         return _plan_adaptive_oracle(graph, oracle, cm)
+    if planner == "adaptive_warm":
+        return _plan_warm(graph, oracle, cm, fixpoint=False)
+    if planner == "adaptive_warm_fix":
+        return _plan_warm(graph, oracle, cm, fixpoint=True)
     res = PLANNERS[planner](graph, oracle, cm)
     return res if res is not None else PLANNERS["dp_ccp"](graph, oracle, cm)
 
@@ -114,7 +128,7 @@ def _plan_adaptive_oracle(graph, est, cm):
     )
 
 
-def _plan_adaptive(graph, est, cm, propagate: bool | None = None):
+def _plan_adaptive(graph, est, cm, propagate: bool | None = None, out_observed=None):
     """Planning-level simulation of the FULL progressive re-optimization
     loop (run_fixture_adaptive_full): plan on the estimating oracle,
     then repeatedly 'observe' the next materialized join's TRUE
@@ -161,10 +175,69 @@ def _plan_adaptive(graph, est, cm, propagate: bool | None = None):
         ]
         live = [_subtree_of(tree, f) for f in live_masks]
         tree = plan_with_materialized(graph, overlay, cm, live).tree
+    if out_observed is not None:
+        out_observed.update(overlay.observed)
     return PlanResult(
         tree,
         cm.cumulative(graph, tree, overlay),
         "adaptive_leo",
+    )
+
+
+def _tree_observations(graph, tree):
+    """Everything a STATIC execution of ``tree`` observes for free from
+    operator metrics: every join node's output count plus every
+    uniquely-attributable leaf's post-filter scan count (the same
+    harvest _scan_observations does on the real executed plan)."""
+    from query_optimizer_spark.joingraph import Join, bits
+
+    obs = {}
+
+    def walk(node):
+        obs[node.factors] = _TRUE_ORACLE.card(graph, node.factors)
+        if isinstance(node, Join):
+            walk(node.left)
+            walk(node.right)
+
+    walk(tree)
+    by_table = {}
+    for i in bits(graph.all_factors):
+        by_table.setdefault(graph.tables[graph.aliases[i]], []).append(i)
+    for idxs in by_table.values():
+        if len(idxs) == 1:
+            m = 1 << idxs[0]
+            obs[m] = _TRUE_ORACLE.card(graph, m)
+    return obs
+
+
+def _plan_warm(graph, est, cm, fixpoint: bool):
+    """Cross-query feedback simulation (run_fixture_warm +
+    FeedbackStore): execute the adaptive loop once, RECORDING every
+    observation, then re-plan the query statically with the record
+    overlaid -- the second execution's plan.  With ``fixpoint`` the
+    re-executions keep recording (each static run's operator metrics
+    observe every node of ITS plan) and re-planning until the plan
+    stops changing (<= 10 runs; convergence is typically 1-2 because
+    each new plan can only disagree where it is cheaper under
+    now-exact statistics)."""
+    from query_optimizer_spark.oracle import OverlayOracle
+
+    recorded: dict[int, float] = {}
+    first = _plan_adaptive(graph, est, cm, propagate=None, out_observed=recorded)
+    tree = first.tree
+    runs = 10 if fixpoint else 1
+    for _ in range(runs):
+        overlay = OverlayOracle(est, recorded)
+        new_tree = PLANNERS["dp_ccp"](graph, overlay, cm).tree
+        if repr(new_tree) == repr(tree):
+            tree = new_tree
+            break
+        tree = new_tree
+        recorded.update(_tree_observations(graph, tree))
+    return PlanResult(
+        tree,
+        cm.cumulative(graph, tree, _TRUE_ORACLE),
+        "adaptive_warm_fix" if fixpoint else "adaptive_warm",
     )
 
 

@@ -224,3 +224,56 @@ def test_scan_observations_harvest(spark, oracle):
         assert obs2  # customer + supplier harvested
     finally:
         full.unpersist()
+
+
+def test_feedback_store_warm_rerun(spark, oracle):
+    """Cross-query LEO: an adaptive pass RECORDS observed cardinalities
+    into a FeedbackStore under canonical keys; a warm re-plan of the
+    same fixture seeds from the store (including the first join -- the
+    one no within-query scheme can fix) and must hash-match both the
+    cold result and the static planner.  Keys are canonical across
+    graph INSTANCES: a freshly parsed graph seeds the same masks."""
+    from query_optimizer_spark.joingraph import JoinGraph
+    from query_optimizer_spark.oracle import FeedbackStore
+    from query_optimizer_spark.sqlparse import parse as parse_sql
+    from query_optimizer_spark.workload import (
+        FIXTURES,
+        run_fixture,
+        run_fixture_adaptive_full,
+        run_fixture_warm,
+    )
+
+    store = FeedbackStore()
+    cold = run_fixture_adaptive_full(
+        spark, SF_DIR, "join_cycle_7", store=store
+    )
+    n_cold, h_cold = result_hash(cold)
+    # 6 unit joins + at least the uniquely-attributable leaves
+    assert len(store.rows) >= 7
+
+    # every stored value is the TRUE cardinality of its subset
+    g = JoinGraph.from_query(parse_sql(FIXTURES["join_cycle_7"]))
+    seeded = store.seed(g)
+    assert seeded  # a fresh graph instance translates the same keys
+    for mask, rows in seeded.items():
+        assert rows == oracle.card(g, mask)
+
+    warm = run_fixture_warm(spark, SF_DIR, "join_cycle_7", store=store)
+    n_warm, h_warm = result_hash(warm)
+    n_static, h_static = result_hash(run_fixture(spark, SF_DIR, "join_cycle_7"))
+    assert (n_warm, h_warm) == (n_cold, h_cold) == (n_static, h_static)
+
+    # persistence roundtrip
+    import tempfile, os
+
+    path = os.path.join(tempfile.mkdtemp(), "fb.json")
+    store.path = path
+    store.save()
+    again = FeedbackStore(path)
+    assert again.rows == store.rows
+
+    # a DIFFERENT query seeds only what it shares with the store --
+    # and anything it does seed is that graph's own true cardinality
+    g2 = JoinGraph.from_query(parse_sql(FIXTURES["join_star_4"]))
+    for mask, rows in store.seed(g2).items():
+        assert rows == oracle.card(g2, mask)
