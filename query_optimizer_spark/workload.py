@@ -661,8 +661,11 @@ def run_fixture_warm(
     The result must hash-match the static planners regardless of the
     store's contents -- feedback may change the ORDER, never the
     answer (driver gate: join_feedback_warm)."""
+    import time as _time
+
     from .oracle import OverlayOracle
 
+    t0 = _time.monotonic()
     graph, est, res = plan_fixture(
         sf_dir, name, planner="dp_ccp", cost_model=cost_model
     )
@@ -671,6 +674,16 @@ def run_fixture_warm(
     )
     if overlay.observed:
         res = PLANNERS["dp_ccp"](graph, overlay, get_cost_model(cost_model))
+    # warm pass has NO observation barriers and no re-planning -- the
+    # split records that contrast against the adaptive rows
+    ADAPTIVE_SPLIT.clear()
+    ADAPTIVE_SPLIT.update(
+        plan_sec=round(_time.monotonic() - t0, 4),
+        observe_sec=0.0,
+        replan_sec=0.0,
+        rounds=0,
+        warm_seeded=len(overlay.observed),
+    )
     return Renderer(spark, sf_dir, graph, overlay).run(res.tree)
 
 
