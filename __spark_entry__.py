@@ -176,16 +176,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # feedback can never correct -- and executes statically.  Feedback
     # may change the ORDER, never the answer; the gate proves it.
     def _feedback_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import time as _time
+
         from query_optimizer_spark.oracle import FeedbackStore
 
         configure_runtime(spark)
         store = FeedbackStore()
+        t0 = _time.monotonic()
         workload.run_fixture_adaptive_full(
             spark, sf_dir, "join_cycle_7", store=store
         ).collect()
-        return workload.run_fixture_warm(
+        cold_sec = _time.monotonic() - t0
+        df = workload.run_fixture_warm(
             spark, sf_dir, "join_cycle_7", store=store
         )
+        # bench decomposition: total - cold_record_sec - plan_sec is
+        # the warm pass's pure execution time (zero observe barriers)
+        workload.ADAPTIVE_SPLIT["cold_record_sec"] = round(cold_sec, 4)
+        return df
 
     out["join_feedback_warm"] = _feedback_warm
 
