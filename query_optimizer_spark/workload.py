@@ -389,7 +389,7 @@ def _scan_observations(graph, df, block_factors: int) -> dict[int, float]:
     try:
         per_table: dict[str, float] = {}
 
-        def walk(node, pending_filter_rows):
+        def walk(node, pending_filter_rows, cache_ok=True):
             cname = node.getClass().getSimpleName()
             mets = node.metrics()
             it = mets.iterator()
@@ -418,15 +418,26 @@ def _scan_observations(graph, df, block_factors: int) -> dict[int, float]:
                         )
                 return
             if cname == "AdaptiveSparkPlanExec":
-                walk(node.executedPlan(), pending_filter_rows)
+                walk(node.executedPlan(), pending_filter_rows, cache_ok)
                 return
             if "InMemoryTableScan" in cname:
-                walk(node.relation().cachedPlan(), pending_filter_rows)
+                # the block's OWN cache (root) holds its real executed
+                # plan with populated metrics -- descend once.  NESTED
+                # caches are previously materialized child blocks whose
+                # scans were harvested in the round that built them;
+                # re-walking their lineage every round would cost
+                # O(rounds^2) py4j traffic across the loop (measured:
+                # join_adaptive_full observe 1.4 s -> 5.6 s at sf0.1)
+                # and could double-attribute a table the live plan
+                # scans again.
+                if cache_ok:
+                    walk(node.relation().cachedPlan(), None, False)
+                return
             if "QueryStage" in cname:
-                walk(node.plan(), pending_filter_rows)
+                walk(node.plan(), pending_filter_rows, cache_ok)
                 return
             for i in range(node.children().length()):
-                walk(node.children().apply(i), pending_filter_rows)
+                walk(node.children().apply(i), pending_filter_rows, cache_ok)
 
         walk(df._jdf.queryExecution().executedPlan(), None)
         # attribute: table -> alias, only when unique among block leaves

@@ -443,3 +443,27 @@ def test_overlay_exact_and_propagation():
     ov5 = OverlayOracle(base, {0b001: 10.0}, propagate=False)
     assert ov5.card(g, 0b001) == 10.0
     assert ov5.card(g, 0b011) == 1000.0
+
+
+def test_feedback_store_full_seed_recovers_optimum(true_oracle):
+    """Planning-level warm-start guarantee: with a FeedbackStore that
+    has observed EVERY connected subset, the warm re-plan under an
+    arbitrarily wrong estimator is exactly the true-cardinality
+    optimum -- the store, not the estimator, decides."""
+    from query_optimizer_spark.costmodels import get_cost_model
+    from query_optimizer_spark.oracle import FeedbackStore, OverlayOracle
+    from query_optimizer_spark.planners import PLANNERS
+
+    g = graph_of(Q_CYCLE_7)
+    true_oracle.precompute_all_connected(g)
+    cm = get_cost_model("cm1")
+    store = FeedbackStore()
+    for m in range(1, 1 << g.n):
+        if g.connected(m):
+            store.record(g, m, true_oracle.card(g, m))
+    est = true_oracle.snapshot().perturbed(seed=3, max_factor=64)
+    warm = OverlayOracle(est, store.seed(g))
+    res_warm = PLANNERS["dp_ccp"](g, warm, cm)
+    res_true = PLANNERS["dp_ccp"](g, true_oracle, cm)
+    assert repr(res_warm.tree) == repr(res_true.tree)
+    assert res_warm.cost == res_true.cost
