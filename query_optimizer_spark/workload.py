@@ -608,7 +608,7 @@ def run_fixture_adaptive_full(
     full = (1 << len(graph.aliases)) - 1
     renderer = _MaterializedRenderer(spark, sf_dir, graph, overlay)
     renderer.materialized = mat
-    observe_sec = replan_sec = 0.0
+    observe_sec = replan_sec = harvest_sec = 0.0
     rounds = 0
     while True:
         nxt = _next_unit_join(tree, mat)
@@ -619,7 +619,9 @@ def run_fixture_adaptive_full(
         fresh = {nxt.factors: float(block.count())}
         # free leaf feedback from the freshly-executed scans (cached
         # child blocks re-read from memory and surface no scan here)
+        th0 = _time.monotonic()
         fresh.update(_scan_observations(graph, block, nxt.factors))
+        harvest_sec += _time.monotonic() - th0
         overlay.observed.update(fresh)
         if store is not None:
             for m, rows in fresh.items():
@@ -642,6 +644,9 @@ def run_fixture_adaptive_full(
     ADAPTIVE_SPLIT.update(
         plan_sec=round(plan_sec, 4),
         observe_sec=round(observe_sec, 4),
+        # metrics-walk slice of observe_sec -- proves the count()
+        # barriers, not the py4j harvest, carry the observation cost
+        harvest_sec=round(harvest_sec, 4),
         replan_sec=round(replan_sec, 4),
         rounds=rounds,
     )

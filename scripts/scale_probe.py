@@ -112,6 +112,17 @@ def build_inputs(scales: list[int]) -> None:
                     ) TO '{evt_out}' (FORMAT parquet)
                     """
                 )
+            # TPC-H dims/facts copied UNCHANGED: the adaptive-fixture
+            # probes model fact-table growth (events x k) against
+            # constant dimensions -- the realistic warehouse shape
+            import shutil
+
+            for t in (
+                "region nation customer supplier part orders lineitem"
+            ).split():
+                dst = d / f"{t}.parquet"
+                if not dst.exists():
+                    shutil.copyfile(f"{BASE}/{t}.parquet", dst)
     con.close()
 
 
@@ -286,6 +297,36 @@ def main() -> None:
               lambda sf=f"{WORK}/disjoint_x{k}":
                   temporal.range_join(spark, sf),
               n_events0 * k)
+        # --- cold adaptive vs warm re-execution (r7 FeedbackStore):
+        # the progressive loop's n-1 count() barriers are paid by the
+        # COLD (recording) run; the warm run plans from the store and
+        # executes as one job.  Fact table (events) grows x k against
+        # constant dims; observe_sec in the cold row is the barrier
+        # cost that the warm row eliminates.  Same-session back-to-back
+        # so the cold/warm contrast is not session noise.
+        from query_optimizer_spark import workload as _wl
+        from query_optimizer_spark.oracle import FeedbackStore
+
+        fb_store = FeedbackStore()
+
+        def _cold_split():
+            return {
+                "observe_sec": _wl.ADAPTIVE_SPLIT.get("observe_sec"),
+                "rounds": _wl.ADAPTIVE_SPLIT.get("rounds"),
+            }
+
+        probe("join_adaptive_cold", "replica", k,
+              lambda sf=f"{WORK}/replica_x{k}", s=fb_store:
+                  _wl.run_fixture_adaptive_full(
+                      spark, sf, "join_events_8", store=s),
+              n_events0 * k, post=_cold_split)
+        probe("join_feedback_warm", "replica", k,
+              lambda sf=f"{WORK}/replica_x{k}", s=fb_store:
+                  _wl.run_fixture_warm(
+                      spark, sf, "join_events_8", store=s),
+              n_events0 * k)
+        # the cold run's persisted blocks are per-scale scratch
+        spark.catalog.clearCache()
 
     spark.stop()
 
@@ -340,6 +381,13 @@ def main() -> None:
         "state_rows (stateOperators numRowsTotal) stays constant -- the",
         "one-row-per-user carry state depends on users, never on event",
         "count; disjoint mode grows users linearly and state follows.",
+        "join_adaptive_cold vs join_feedback_warm (r7): the cold run",
+        "pays the progressive loop's n-1 count() barriers (observe_sec",
+        "column) and records every observation into a FeedbackStore;",
+        "the warm run plans from the store and executes as ONE job --",
+        "its wall time should track the static query as the fact table",
+        "grows, which is the amortization story for repeated executions",
+        "at warehouse scale.",
     ]
     Path(args.out).write_text("\n".join(lines) + "\n")
     print(f"wrote {args.out}")
