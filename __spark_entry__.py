@@ -187,6 +187,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf_dir, "join_cycle_7", store=store
         ).collect()
         cold_sec = _time.monotonic() - t0
+        # drop the cold pass's persisted blocks BEFORE the warm run:
+        # the warm claim is a fresh re-execution planning from the
+        # store, not a read of the recording run's live caches (which
+        # would also leak into every later bench query's timing)
+        spark.catalog.clearCache()
         df = workload.run_fixture_warm(
             spark, sf_dir, "join_cycle_7", store=store
         )

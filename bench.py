@@ -136,7 +136,10 @@ def main() -> None:
                             dt
                             - split.get("plan_sec", 0)
                             - split.get("observe_sec", 0)
-                            - split.get("replan_sec", 0),
+                            - split.get("replan_sec", 0)
+                            # join_feedback_warm: the cold recording
+                            # pass is its own split field, not assembly
+                            - split.get("cold_record_sec", 0),
                             4,
                         )
                         split["total_sec"] = round(dt, 4)

@@ -543,6 +543,31 @@ class OverlayOracle(CardinalityOracle):
             else propagate
         )
 
+    def _adjustments(self, graph: JoinGraph):
+        """(mask, clamped observed/est ratio) sorted largest-first --
+        rebuilt only when ``observed`` grows (a planning pass makes
+        tens of thousands of card() calls against an observed set that
+        changes at most once per observation round; re-sorting and
+        re-pricing per call would dominate DP time at warm-seeded
+        store sizes)."""
+        key = (id(graph), len(self.observed))
+        cached = getattr(self, "_adj_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        out = []
+        for o in sorted(
+            self.observed, key=lambda m: (-bin(m).count("1"), m)
+        ):
+            o_est = self.base.card(graph, o)
+            if o_est <= 0:
+                continue
+            f = self.observed[o] / o_est
+            out.append(
+                (o, min(max(f, 1.0 / self._ADJ_CLAMP), self._ADJ_CLAMP))
+            )
+        self._adj_cache = (key, out)
+        return out
+
     def card(self, graph: JoinGraph, s: int) -> float:
         hit = self.observed.get(s)
         if hit is not None:
@@ -555,16 +580,10 @@ class OverlayOracle(CardinalityOracle):
         # correction wins, like LEO's longest-match adjustment lookup)
         chosen = 0
         adj = 1.0
-        for o in sorted(
-            self.observed, key=lambda m: (-bin(m).count("1"), m)
-        ):
+        for o, f in self._adjustments(graph):
             if o & ~s or o & chosen:
                 continue
-            o_est = self.base.card(graph, o)
-            if o_est <= 0:
-                continue
-            f = self.observed[o] / o_est
-            adj *= min(max(f, 1.0 / self._ADJ_CLAMP), self._ADJ_CLAMP)
+            adj *= f
             chosen |= o
             if chosen == s:
                 break
@@ -611,15 +630,37 @@ class FeedbackStore:
     # leaves only.  Every fixture is <= 10 factors.
     _SEED_LATTICE_MAX_FACTORS = 16
 
-    def __init__(self, path: "str | None" = None):
+    def __init__(
+        self, path: "str | None" = None, tag: "str | None" = None
+    ):
+        """``tag`` names the DATASET the counts were observed on (e.g.
+        the sf_dir, or a table-snapshot fingerprint at warehouse
+        scale).  key_for strings deliberately do not encode data
+        identity -- a persisted sidecar loaded against refreshed or
+        re-scaled data would otherwise seed every mask with stale
+        'true' counts the planner trusts over the estimator.  A tagged
+        store DISCARDS a persisted payload whose tag differs; untagged
+        (None) skips the check for in-session stores that never outlive
+        their data."""
         self.path = path
+        self.tag = tag
         self.rows: dict[str, float] = {}
         if path is not None:
             try:
                 with open(path) as f:
-                    self.rows = {k: float(v) for k, v in json.load(f).items()}
+                    payload = json.load(f)
             except FileNotFoundError:
-                pass
+                payload = None
+            if payload is not None:
+                if isinstance(payload, dict) and "rows" in payload:
+                    stored_tag = payload.get("tag")
+                    if tag is None or stored_tag == tag:
+                        self.rows = {
+                            k: float(v) for k, v in payload["rows"].items()
+                        }
+                elif tag is None:
+                    # legacy flat payload (no tag recorded)
+                    self.rows = {k: float(v) for k, v in payload.items()}
 
     def record(self, graph: JoinGraph, mask: int, rows: float) -> None:
         self.rows[graph.key_for(mask)] = float(rows)
@@ -643,4 +684,9 @@ class FeedbackStore:
         if self.path is None:
             raise ValueError("FeedbackStore created without a path")
         with open(self.path, "w") as f:
-            json.dump(self.rows, f, indent=0, sort_keys=True)
+            json.dump(
+                {"tag": self.tag, "rows": self.rows},
+                f,
+                indent=0,
+                sort_keys=True,
+            )

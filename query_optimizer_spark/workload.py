@@ -398,10 +398,6 @@ def _scan_observations(graph, df, block_factors: int) -> dict[int, float]:
                 kv = it.next()
                 if kv._1() == "numOutputRows":
                     rows = float(kv._2().value())
-            if cname == "FilterExec":
-                pending_filter_rows = rows
-            elif "Join" in cname or "Exchange" in cname or "Aggregate" in cname:
-                pending_filter_rows = None
             if cname == "FileSourceScanExec":
                 m = re.search(r"(\w+)\.parquet", node.toString())
                 if m:
@@ -417,6 +413,32 @@ def _scan_observations(graph, df, block_factors: int) -> dict[int, float]:
                             -1.0 if t in per_table else got
                         )
                 return
+            if cname == "FilterExec":
+                # stacked filters (e.g. a split non-deterministic
+                # predicate): walking top-down, the OUTERMOST filter's
+                # output is the post-ALL-filters count -- keep it
+                if pending_filter_rows is None:
+                    pending_filter_rows = rows
+            elif not any(
+                p in cname
+                for p in (
+                    # WHITELIST of row-count-preserving pass-throughs: a
+                    # Filter's count may only be attributed to a scan
+                    # reached through these.  Anything else (joins,
+                    # aggregates, generates, limits, unions, cartesian
+                    # products, a second Filter...) resets the carry --
+                    # a blacklist here would silently record a WRONG
+                    # count as ground truth the first time an unlisted
+                    # cardinality-changing operator appears.
+                    "Project",
+                    "WholeStageCodegen",
+                    "InputAdapter",
+                    "ColumnarToRow",
+                    "Sort",
+                    "Exchange",  # shuffles move rows, never drop them
+                )
+            ):
+                pending_filter_rows = None
             if cname == "AdaptiveSparkPlanExec":
                 walk(node.executedPlan(), pending_filter_rows, cache_ok)
                 return
@@ -502,29 +524,29 @@ def run_fixture_adaptive(
     graph, est, res = plan_fixture(
         sf_dir, name, planner="dp_ccp", cost_model=cost_model
     )
-    if store is not None:
+    seed = store.seed(graph) if store is not None else {}
+    if seed:
         # cross-query warm start: previously observed cardinalities
         # (FeedbackStore) correct even the FIRST join choice, which
         # within-query feedback alone can never reach
-        seeded = OverlayOracle(est, store.seed(graph))
-        if seeded.observed:
-            res = PLANNERS["dp_ccp"](graph, seeded, get_cost_model(cost_model))
+        seeded = OverlayOracle(est, seed)
+        res = PLANNERS["dp_ccp"](graph, seeded, get_cost_model(cost_model))
     t1 = _time.monotonic()
     first = _first_leaf_join(res.tree)
     pre = Renderer(spark, sf_dir, graph, est)
     block = pre.render(first).persist()
     observed = block.count()  # runtime feedback; also warms the cache
-    t2 = _time.monotonic()
-    overlay = OverlayOracle(
-        est, store.seed(graph) if store is not None else {}
-    )
+    overlay = OverlayOracle(est, seed)
     overlay.observed[first.factors] = float(observed)
     # free leaf feedback: post-filter scan counts from the block's
     # executed-plan metrics (LEO reads completed operators, not just
     # the top of the block)
-    overlay.observed.update(_scan_observations(graph, block, first.factors))
+    fresh = _scan_observations(graph, block, first.factors)
+    overlay.observed.update(fresh)
+    t2 = _time.monotonic()  # harvest is part of observation, not replan
     if store is not None:
-        for m, rows in overlay.observed.items():
+        store.record(graph, first.factors, float(observed))
+        for m, rows in fresh.items():
             store.record(graph, m, rows)
     res2 = plan_with_materialized(
         graph, overlay, get_cost_model(cost_model), first

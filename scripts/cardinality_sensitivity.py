@@ -194,8 +194,12 @@ def _tree_observations(graph, tree):
     obs = {}
 
     def walk(node):
-        obs[node.factors] = _TRUE_ORACLE.card(graph, node.factors)
         if isinstance(node, Join):
+            # JOIN outputs are always observable (operator metrics);
+            # LEAF scans only when uniquely attributable -- the
+            # unique-table loop below decides, exactly like the real
+            # harvest (self-join aliases stay unobserved)
+            obs[node.factors] = _TRUE_ORACLE.card(graph, node.factors)
             walk(node.left)
             walk(node.right)
 

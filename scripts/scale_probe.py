@@ -320,13 +320,15 @@ def main() -> None:
                   _wl.run_fixture_adaptive_full(
                       spark, sf, "join_events_8", store=s),
               n_events0 * k, post=_cold_split)
+        # drop the cold run's persisted blocks BEFORE timing the warm
+        # run: the warm claim is a fresh re-execution planning from the
+        # store, not a read of the recording run's live caches
+        spark.catalog.clearCache()
         probe("join_feedback_warm", "replica", k,
               lambda sf=f"{WORK}/replica_x{k}", s=fb_store:
                   _wl.run_fixture_warm(
                       spark, sf, "join_events_8", store=s),
               n_events0 * k)
-        # the cold run's persisted blocks are per-scale scratch
-        spark.catalog.clearCache()
 
     spark.stop()
 

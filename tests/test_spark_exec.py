@@ -182,7 +182,6 @@ def test_scan_observations_harvest(spark, oracle):
     must be excluded because the two scans cannot be attributed."""
     from query_optimizer_spark.joingraph import bits
     from query_optimizer_spark.workload import (
-        FIXTURES,
         _first_leaf_join,
         _scan_observations,
         plan_fixture,
@@ -268,9 +267,13 @@ def test_feedback_store_warm_rerun(spark, oracle):
 
     path = os.path.join(tempfile.mkdtemp(), "fb.json")
     store.path = path
+    store.tag = SF_DIR
     store.save()
-    again = FeedbackStore(path)
+    again = FeedbackStore(path, tag=SF_DIR)
     assert again.rows == store.rows
+    # a store persisted against OTHER data must not seed this one
+    stale = FeedbackStore(path, tag="/some/other/sf_dir")
+    assert stale.rows == {}
 
     # a DIFFERENT query seeds only what it shares with the store --
     # and anything it does seed is that graph's own true cardinality
