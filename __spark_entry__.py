@@ -190,8 +190,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # drop the cold pass's persisted blocks BEFORE the warm run:
         # the warm claim is a fresh re-execution planning from the
         # store, not a read of the recording run's live caches (which
-        # would also leak into every later bench query's timing)
-        spark.catalog.clearCache()
+        # would also leak into every later bench query's timing).
+        # Unpersist EXACTLY the blocks the recording pass persisted --
+        # a session-wide clearCache() would also evict every OTHER
+        # query's cached relations mid-benchmark and perturb later
+        # queries' timings within the same shuffled rep (r7 ADVICE).
+        for blk in workload.PERSISTED_BLOCKS:
+            blk.unpersist(blocking=True)
+        workload.PERSISTED_BLOCKS.clear()
         df = workload.run_fixture_warm(
             spark, sf_dir, "join_cycle_7", store=store
         )

@@ -1,7 +1,7 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
-"sf": ...}.
+JSON line: {"metric": ..., "value": N, "unit": "sec", "n_queries": N,
+"reps": N, "cohorts": N, "sf": ...}.
 
 Runs with the 'default' profile (AQE on, auto-broadcast on) -- the
 configuration a real cluster would use; the planner still picks the join
@@ -19,11 +19,13 @@ Methodology (VERDICT r5 "What's wrong" #1: unexplained run-tail drifts):
 - $SPARK_GRAFT_BENCH_COHORTS > 1 splits the reps across that many FRESH
   SparkSessions (stop + rebuild between cohorts, each warmed the same
   way), isolating session-aging effects from real regressions;
-- the stdout line is COMPACT (metric/value/per-query mins/reps/cohorts/
-  sf only); raw per-rep timings, the planning-vs-execution split and
-  the adaptive phase decomposition are written to
-  $SPARK_GRAFT_BENCH_RAW_PATH (default BENCH_COHORTS_LATEST.json) so
-  the one line never outgrows the driver's capture window (VERDICT r6).
+- the stdout line carries SCALARS ONLY (metric/value/unit/n_queries/
+  reps/cohorts/sf, ~140 bytes): the driver's capture window is
+  measured at exactly 2,000 bytes (VERDICT r7 #1) and a per-query map
+  for 75+ queries can never fit it.  Per-query best-of-reps timings,
+  raw per-rep timings, the planning-vs-execution split and the
+  adaptive phase decomposition are written to
+  $SPARK_GRAFT_BENCH_RAW_PATH (default BENCH_COHORTS_LATEST.json).
 """
 
 from __future__ import annotations
@@ -186,26 +188,29 @@ def main() -> None:
             if "sf" in sf_dir
             else -1.0
         )
-        # ONE compact stdout line for the driver (VERDICT r6 #1: the
-        # full raw map outgrew the driver's capture window and
-        # BENCH_r06 recorded "parsed": null); raw per-rep timings,
-        # plan/exec splits and the adaptive phase decomposition go to a
-        # side artifact instead.
-        print(
-            json.dumps(
-                {
-                    "metric": "headline_queries_total_runtime",
-                    "value": total,
-                    "unit": "sec",
-                    "queries": timings,
-                    "reps": reps,
-                    "cohorts": cohorts,
-                    "sf": sf,
-                },
-                separators=(",", ":"),
-            ),
-            flush=True,
+        # ONE compact stdout line for the driver.  The capture window
+        # is MEASURED at exactly 2,000 bytes (VERDICT r7 #1: the
+        # checked-in BENCH_r07 tail is 2,000 chars, chopped mid-key at
+        # the front; r3/r6/r7 all recorded "parsed": null).  A
+        # per-query map for 75+ queries (~27 B each) can NEVER fit and
+        # grows every round, so stdout carries ONLY the scalars
+        # (~140 B); the best-of-reps per-query map joins the raw
+        # per-rep timings, plan/exec splits and the adaptive phase
+        # decomposition in the side artifact.
+        line = json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "reps": reps,
+                "cohorts": cohorts,
+                "sf": sf,
+            },
+            separators=(",", ":"),
         )
+        assert len(line) <= 1024, f"stdout line {len(line)} B > 1024"
+        print(line, flush=True)
         # the side artifact is best-effort: an unwritable path must not
         # discard the run the driver just captured from stdout
         side_path = os.environ.get(
@@ -219,6 +224,8 @@ def main() -> None:
             with open(side_path, "w") as fh:
                 json.dump(
                     {
+                        "timings": timings,
+                        "total_sec": total,
                         "raw": raw,
                         "plan_sec": plan_secs,
                         "adaptive_split": adaptive_split,

@@ -487,6 +487,57 @@ class SketchOracle(TrueCountOracle):
         return super().distinct_count(graph, alias, columns)
 
 
+class _VersionedObservations(dict):
+    """Observed-cardinality dict that bumps its owning OverlayOracle's
+    ``_observed_version`` on EVERY mutation, so the adjustment cache
+    invalidates on in-place re-observation too -- a plain dict keyed by
+    len() keeps serving stale ratios when an existing mask's value is
+    replaced at unchanged size (r7 ADVICE, oracle.py:553).  Mutations
+    stay the normal dict operators (``observed[m] = rows``,
+    ``observed.update(...)``) so every existing caller is covered
+    without a recording-method migration."""
+
+    __slots__ = ("_owner",)
+
+    def __init__(self, owner: "OverlayOracle", *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._owner = owner
+
+    def _bump(self) -> None:
+        self._owner._observed_version += 1
+
+    def __setitem__(self, key, value):
+        super().__setitem__(key, value)
+        self._bump()
+
+    def __delitem__(self, key):
+        super().__delitem__(key)
+        self._bump()
+
+    def update(self, *args, **kwargs):
+        super().update(*args, **kwargs)
+        self._bump()
+
+    def setdefault(self, key, default=None):
+        out = super().setdefault(key, default)
+        self._bump()
+        return out
+
+    def pop(self, *args):
+        out = super().pop(*args)
+        self._bump()
+        return out
+
+    def popitem(self):
+        out = super().popitem()
+        self._bump()
+        return out
+
+    def clear(self):
+        super().clear()
+        self._bump()
+
+
 class OverlayOracle(CardinalityOracle):
     """Estimator + runtime-observed cardinality overrides -- the
     feedback half of mid-query re-optimization (Kabra & DeWitt,
@@ -536,7 +587,8 @@ class OverlayOracle(CardinalityOracle):
     ):
         super().__init__({})
         self.base = base
-        self.observed = dict(observed)
+        self._observed_version = 0
+        self.observed = _VersionedObservations(self, observed)
         self.propagate = (
             getattr(base, "FEEDBACK_PROPAGATES", False)
             if propagate is None
@@ -545,15 +597,21 @@ class OverlayOracle(CardinalityOracle):
 
     def _adjustments(self, graph: JoinGraph):
         """(mask, clamped observed/est ratio) sorted largest-first --
-        rebuilt only when ``observed`` grows (a planning pass makes
+        rebuilt only when ``observed`` MUTATES (a planning pass makes
         tens of thousands of card() calls against an observed set that
         changes at most once per observation round; re-sorting and
         re-pricing per call would dominate DP time at warm-seeded
-        store sizes)."""
-        key = (id(graph), len(self.observed))
+        store sizes).  The cache keys on an explicit version counter
+        bumped by every write to ``observed`` -- NOT len(observed),
+        which misses an in-place re-observation (same length, changed
+        value, e.g. a store-seeded mask re-recorded after the data
+        refreshed) and would plan on stale ratios (r7 ADVICE).  The
+        cached graph is held by strong reference, so a dead graph's
+        recycled id() can never alias the cache key."""
+        key = self._observed_version
         cached = getattr(self, "_adj_cache", None)
-        if cached is not None and cached[0] == key:
-            return cached[1]
+        if cached is not None and cached[0] == key and cached[1] is graph:
+            return cached[2]
         out = []
         for o in sorted(
             self.observed, key=lambda m: (-bin(m).count("1"), m)
@@ -565,7 +623,7 @@ class OverlayOracle(CardinalityOracle):
             out.append(
                 (o, min(max(f, 1.0 / self._ADJ_CLAMP), self._ADJ_CLAMP))
             )
-        self._adj_cache = (key, out)
+        self._adj_cache = (key, graph, out)
         return out
 
     def card(self, graph: JoinGraph, s: int) -> float:

@@ -461,6 +461,13 @@ _ASOF_STATE_SCHEMA = T.StructType(
     [
         T.StructField("p_ms", T.LongType()),
         T.StructField("p_value", T.DoubleType()),
+        # the carried purchase's REAL event_id: the virtual row it
+        # becomes in the next batch must sort by the same
+        # (ms, is_click, event_id) total order as within-batch rows, so
+        # a cross-batch equal-ms tie resolves identically to the batch
+        # operator (r7 ADVICE: a sentinel -1 id always LOST the tie,
+        # even when the carried purchase's id was higher)
+        T.StructField("p_event_id", T.LongType()),
     ]
 )
 
@@ -481,22 +488,27 @@ def _asof_fn(
     import numpy as np
 
     (user_id,) = key
-    p_ms, p_value = state.get if state.exists else (None, None)
+    p_ms, p_value, p_eid = (
+        state.get if state.exists else (None, None, None)
+    )
     frames = [f for f in batches if len(f)]
     if frames:
         # The carried purchase enters the batch as a VIRTUAL row at its
-        # real ms (event_id -1, so an equal-ms real purchase wins the
-        # tie): the ffill then picks the max-ms prior purchase even
-        # when a late file delivers purchases OLDER than the carried
-        # one, and the post-sort last purchase -- which becomes the new
-        # state -- can never regress below the carried ms (r6 ADVICE:
-        # the previous unconditional overwrite assumed time-ordered
-        # batches without guarding it).
+        # real (ms, event_id): the ffill then picks the max-ms prior
+        # purchase even when a late file delivers purchases OLDER than
+        # the carried one, and the post-sort last purchase -- which
+        # becomes the new state -- can never regress below the carried
+        # ms (r6 ADVICE: the previous unconditional overwrite assumed
+        # time-ordered batches without guarding it).  The virtual row
+        # carries the purchase's REAL event_id so a cross-batch
+        # equal-ms tie resolves by the same (ms, is_click, event_id)
+        # total order as within-batch ties (r7 ADVICE: a sentinel -1
+        # made the later batch's real purchase always win).
         if p_ms is not None:
             frames.append(
                 pd.DataFrame(
                     {
-                        "event_id": [-1],
+                        "event_id": [p_eid],
                         "user_id": [user_id],
                         "ms": [p_ms],
                         "is_click": [0],
@@ -531,7 +543,8 @@ def _asof_fn(
             last = np.flatnonzero(is_p)[-1]
             p_ms = int(pdf["ms"].iloc[last])
             p_value = float(pdf["value"].iloc[last])
-    state.update((p_ms, p_value))
+            p_eid = int(pdf["event_id"].iloc[last])
+    state.update((p_ms, p_value, p_eid))
 
 
 def asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,6 +29,14 @@ from .sqlparse import parse
 # (VERDICT r6 "What's wrong" #2).
 ADAPTIVE_SPLIT: dict[str, float] = {}
 
+# DataFrames the most recent adaptive run persist()ed, overwritten per
+# call.  A caller that wants a genuinely-cold follow-up run (e.g.
+# join_feedback_warm's fresh re-execution claim) unpersists EXACTLY
+# these -- a session-wide catalog.clearCache() would also evict every
+# other query's cached relations and perturb their timings inside the
+# same bench rep (r7 ADVICE, __spark_entry__.py:196).
+PERSISTED_BLOCKS: list = []
+
 FIXTURES: dict[str, str] = {
     # chain: l-o-c (build plan step 1; entry() flagship at sf0.001)
     "join_chain_3": """
@@ -419,24 +427,34 @@ def _scan_observations(graph, df, block_factors: int) -> dict[int, float]:
                 # output is the post-ALL-filters count -- keep it
                 if pending_filter_rows is None:
                     pending_filter_rows = rows
-            elif not any(
-                p in cname
-                for p in (
-                    # WHITELIST of row-count-preserving pass-throughs: a
-                    # Filter's count may only be attributed to a scan
-                    # reached through these.  Anything else (joins,
-                    # aggregates, generates, limits, unions, cartesian
-                    # products, a second Filter...) resets the carry --
-                    # a blacklist here would silently record a WRONG
-                    # count as ground truth the first time an unlisted
-                    # cardinality-changing operator appears.
-                    "Project",
-                    "WholeStageCodegen",
+            elif not (
+                cname in (
+                    # WHITELIST of row-count-preserving pass-throughs,
+                    # matched by EXACT class name: a Filter's count may
+                    # only be attributed to a scan reached through
+                    # these.  Anything else (joins, aggregates,
+                    # generates, limits, unions, cartesian products, a
+                    # second Filter...) resets the carry -- a blacklist
+                    # here would silently record a WRONG count as
+                    # ground truth the first time an unlisted
+                    # cardinality-changing operator appeared.  Exact
+                    # names, not substrings: SortMergeJoinExec and
+                    # SortAggregateExec contain "Sort" but CHANGE row
+                    # counts -- a substring match would carry a filter
+                    # count across a join/aggregate and poison the
+                    # FeedbackStore (r7 ADVICE).
+                    "ProjectExec",
                     "InputAdapter",
-                    "ColumnarToRow",
-                    "Sort",
-                    "Exchange",  # shuffles move rows, never drop them
+                    "ColumnarToRowExec",
+                    "RowToColumnarExec",
+                    "SortExec",
+                    # shuffles/broadcasts move rows, never drop them
+                    "ShuffleExchangeExec",
+                    "BroadcastExchangeExec",
+                    "ReusedExchangeExec",
+                    "CoalesceExec",
                 )
+                or cname.startswith("WholeStageCodegen")
             ):
                 pending_filter_rows = None
             if cname == "AdaptiveSparkPlanExec":
@@ -535,6 +553,8 @@ def run_fixture_adaptive(
     first = _first_leaf_join(res.tree)
     pre = Renderer(spark, sf_dir, graph, est)
     block = pre.render(first).persist()
+    PERSISTED_BLOCKS.clear()
+    PERSISTED_BLOCKS.append(block)
     observed = block.count()  # runtime feedback; also warms the cache
     overlay = OverlayOracle(est, seed)
     overlay.observed[first.factors] = float(observed)
@@ -626,6 +646,7 @@ def run_fixture_adaptive_full(
         res = PLANNERS["dp_ccp"](graph, overlay, cm)
     plan_sec = _time.monotonic() - t0
     mat: dict[int, object] = {}  # factor mask -> persisted DataFrame
+    PERSISTED_BLOCKS.clear()
     tree = res.tree
     full = (1 << len(graph.aliases)) - 1
     renderer = _MaterializedRenderer(spark, sf_dir, graph, overlay)
@@ -638,6 +659,7 @@ def run_fixture_adaptive_full(
             break
         t0 = _time.monotonic()
         block = renderer.render(nxt).persist()
+        PERSISTED_BLOCKS.append(block)
         fresh = {nxt.factors: float(block.count())}
         # free leaf feedback from the freshly-executed scans (cached
         # child blocks re-read from memory and surface no scan here)

@@ -445,6 +445,39 @@ def test_overlay_exact_and_propagation():
     assert ov5.card(g, 0b011) == 1000.0
 
 
+def test_overlay_adjustment_cache_invalidates_on_reobservation():
+    """The adjustment cache must invalidate on an IN-PLACE
+    re-observation -- same dict length, changed value (e.g. a
+    store-seeded mask re-recorded after the data refreshed).  A cache
+    keyed on len(observed) served stale ratios here (r7 ADVICE,
+    oracle.py:553); the version-counter key may not."""
+    from query_optimizer_spark.oracle import OverlayOracle
+
+    g = graph_of("SELECT MIN(a.x) AS m FROM t1 a, t2 b, t3 c "
+                 "WHERE a.k = b.k AND b.j = c.j")
+    base = CardinalityOracle({
+        g.key_for(0b001): 100.0,
+        g.key_for(0b010): 200.0,
+        g.key_for(0b100): 300.0,
+        g.key_for(0b011): 1000.0,
+        g.key_for(0b110): 2000.0,
+        g.key_for(0b111): 10000.0,
+    })
+    ov = OverlayOracle(base, {0b001: 10.0}, propagate=True)
+    # plan-time call populates the adjustment cache (ratio 0.1)
+    assert ov.card(g, 0b011) == pytest.approx(100.0)
+    # overwrite the SAME mask with a different true count: len() is
+    # unchanged, so the old cache key would still match
+    ov.observed[0b001] = 50.0
+    assert ov.card(g, 0b011) == pytest.approx(500.0)
+    # deletion invalidates too
+    del ov.observed[0b001]
+    assert ov.card(g, 0b011) == 1000.0
+    # update() path (the workload's bulk-harvest write)
+    ov.observed.update({0b010: 400.0})
+    assert ov.card(g, 0b011) == pytest.approx(2000.0)
+
+
 def test_feedback_store_full_seed_recovers_optimum(true_oracle):
     """Planning-level warm-start guarantee: with a FeedbackStore that
     has observed EVERY connected subset, the warm re-plan under an

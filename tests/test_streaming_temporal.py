@@ -95,7 +95,7 @@ def test_stream_asof_late_batch_cannot_regress_state():
     state = FakeState()
     # batch 1: one purchase at ms=100
     out1 = list(_asof_fn((7,), iter([batch([[1, 7, 100, 0, 10.0]])]), state))
-    assert out1 == [] and state.get == (100, 10.0)
+    assert out1 == [] and state.get == (100, 10.0, 1)
     # batch 2 (late): an OLDER purchase at ms=50, clicks at 60 and 120
     out2 = pd.concat(
         list(
@@ -123,7 +123,59 @@ def test_stream_asof_late_batch_cannot_regress_state():
     # click@60 -> purchase@50 (most recent <= 60); click@120 -> the
     # CARRIED purchase@100, not the batch-local older one
     assert got == {3: (5.0, 10), 4: (10.0, 20)}
-    assert state.get == (100, 10.0)  # state did not regress to ms=50
+    # state did not regress to ms=50 and carries the real event_id
+    assert state.get == (100, 10.0, 1)
+
+
+def test_stream_asof_cross_batch_equal_ms_tie_uses_event_id():
+    """Cross-batch equal-ms purchase ties must resolve by the SAME
+    (ms, is_click, event_id) total order as within-batch ties: the
+    carried purchase re-enters the next batch as a virtual row with its
+    REAL event_id (r7 ADVICE: a sentinel -1 id made a later batch's
+    equal-ms purchase always win, even against a carried purchase with
+    the higher event_id)."""
+    import pandas as pd
+
+    from query_optimizer_spark.streaming.ops import _asof_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.get = None
+
+        def update(self, tup):
+            self.exists = True
+            self.get = tup
+
+    def batch(rows):
+        return pd.DataFrame(
+            rows, columns=["event_id", "user_id", "ms", "is_click", "value"]
+        )
+
+    state = FakeState()
+    # batch 1: purchase event_id=9 at ms=100
+    list(_asof_fn((7,), iter([batch([[9, 7, 100, 0, 10.0]])]), state))
+    assert state.get == (100, 10.0, 9)
+    # batch 2 (late duplicate-ms): purchase event_id=2 at the SAME
+    # ms=100 with a different value, then a click
+    out = pd.concat(
+        list(
+            _asof_fn(
+                (7,),
+                iter([batch([[2, 7, 100, 0, 5.0], [3, 7, 150, 1, 0.0]])]),
+                state,
+            )
+        )
+    )
+    got = {
+        int(r.event_id): (float(r.purchase_value), int(r.ms_since_purchase))
+        for r in out.itertuples()
+    }
+    # within-batch semantics: at equal ms the HIGHER event_id (9) is
+    # the later purchase, so the click joins to value 10.0 -- and the
+    # carried state keeps event_id 9, not the later batch's 2
+    assert got == {3: (10.0, 50)}
+    assert state.get == (100, 10.0, 9)
 
 
 def test_value_quantiles_match_sorted_definition(spark, duck):
