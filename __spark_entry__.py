@@ -125,14 +125,167 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-instrumented join_adaptive_reopt/full), then the join fixtures
     and planner paths and as much of the SQL surface as fits (their r5
     driver evidence is two rounds stale); the pipeline remainder
-    (fresh r6 evidence) declares last.  ALL declared queries are checked
-    against their DuckDB oracles by scripts/local_gate.py (checked-in:
-    CORRECTNESS_LOCAL_FULL.json) and pytest every round regardless of
-    gate order.
+    (fresh r6 evidence) declares last.  Round 8 (VERDICT r7 #2) leads
+    with what r8 added or touched (join_feedback_persist,
+    stream_feedback_join, mm_image_decode, the re-gated
+    stream_asof_join and join_feedback_warm), then fills the REST of
+    the window with exactly the 45 stalest-evidence queries (driver row
+    <= r5): all 25 sql_*, the 7 r4-era stream_*, both io_*,
+    skew_salted_join, dedup_containment, text_oov_bigram_rate,
+    text_repetition_stats, 4 evt_*, 3 corpus_* -- the r6/r7-gated
+    blocks take their turn going stale.  ALL declared queries are
+    checked against their DuckDB oracles by scripts/local_gate.py
+    (checked-in: CORRECTNESS_LOCAL_FULL.json) and pytest every round
+    regardless of gate order.
     """
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     pipeline = dict(PIPELINE_OPS)
-    # --- block A (r7 window lead): ops r7 ADDED or TOUCHED ---
+
+    # =====================================================================
+    # block A (r8 window lead): ops r8 ADDED or TOUCHED.
+    # join_feedback_persist (new): FeedbackStore sidecar save -> reload
+    # into a FRESH store (same dataset tag) -> warm plan, proving the
+    # persistence round trip end-to-end (VERDICT r7 #4);
+    # stream_feedback_join (new): streaming state-metrics feedback
+    # deciding the dimension-side broadcast (VERDICT r7 #6);
+    # mm_image_decode (new): real dependency-free BMP/PPM pixel decode
+    # (VERDICT r7 #5); stream_asof_join re-gated (cross-batch equal-ms
+    # tie order changed per r7 ADVICE); join_feedback_warm re-gated
+    # (targeted unpersist replaced clearCache per r7 ADVICE).
+    # =====================================================================
+
+    # FeedbackStore sidecar round trip: an adaptive recording pass
+    # SAVES its observations to a JSON sidecar tagged with the dataset;
+    # a FRESH store reloads them (same tag -> seeded; the wrong-tag
+    # negative path is asserted inline and pytest-covered) and the warm
+    # pass plans from the reloaded observations.  At warehouse scale
+    # this is the query-history statistics service surviving a session
+    # restart.  Feedback may change the ORDER, never the answer.
+    def _feedback_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os as _os
+        import tempfile as _tempfile
+
+        from query_optimizer_spark.oracle import FeedbackStore
+
+        configure_runtime(spark)
+        path = _os.path.join(
+            _tempfile.mkdtemp(prefix="fbstore_"), "feedback.json"
+        )
+        rec = FeedbackStore(path=path, tag=sf_dir)
+        workload.run_fixture_adaptive_full(
+            spark, sf_dir, "join_star_4", store=rec
+        ).collect()
+        rec.save()
+        # warm claim = fresh re-execution: drop the recording pass's
+        # persisted blocks (targeted -- never a session-wide clearCache)
+        for blk in workload.PERSISTED_BLOCKS:
+            blk.unpersist(blocking=True)
+        workload.PERSISTED_BLOCKS.clear()
+        # negative path: a sidecar recorded against OTHER data must
+        # load cold (stale true counts would outrank the estimator)
+        assert FeedbackStore(path, tag=sf_dir + "#refreshed").rows == {}
+        # positive path: fresh store, same tag -> every observation back
+        warm_store = FeedbackStore(path, tag=sf_dir)
+        assert warm_store.rows == rec.rows and warm_store.rows
+        df = workload.run_fixture_warm(
+            spark, sf_dir, "join_star_4", store=warm_store
+        )
+        assert workload.ADAPTIVE_SPLIT.get("warm_seeded", 0) > 0
+        return df
+
+    out["join_feedback_persist"] = _feedback_persist
+
+    # streaming feedback bridge + real image decode (new r8 pipeline
+    # ops) and the r8-touched re-gates, all inside the window
+    for name in (
+        "stream_feedback_join",
+        "mm_image_decode",
+        "stream_asof_join",
+    ):
+        out[name] = pipeline[name][0]
+
+    # cross-query LEO feedback (r7; re-gated r8: targeted unpersist of
+    # the recording pass's blocks replaced the session-wide clearCache
+    # per r7 ADVICE): one adaptive pass over the cycle fixture RECORDS
+    # every observed cardinality into a FeedbackStore (keys:
+    # JoinGraph.key_for -- canonical across queries), then the warm
+    # pass re-plans the same fixture with the store overlaid --
+    # including the first join, which within-query feedback can never
+    # correct -- and executes statically.  Feedback may change the
+    # ORDER, never the answer; the gate proves it.
+    def _feedback_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import time as _time
+
+        from query_optimizer_spark.oracle import FeedbackStore
+
+        configure_runtime(spark)
+        store = FeedbackStore()
+        t0 = _time.monotonic()
+        workload.run_fixture_adaptive_full(
+            spark, sf_dir, "join_cycle_7", store=store
+        ).collect()
+        cold_sec = _time.monotonic() - t0
+        # drop the cold pass's persisted blocks BEFORE the warm run:
+        # the warm claim is a fresh re-execution planning from the
+        # store, not a read of the recording run's live caches (which
+        # would also leak into every later bench query's timing).
+        # Unpersist EXACTLY the blocks the recording pass persisted --
+        # a session-wide clearCache() would also evict every OTHER
+        # query's cached relations mid-benchmark and perturb later
+        # queries' timings within the same shuffled rep (r7 ADVICE).
+        for blk in workload.PERSISTED_BLOCKS:
+            blk.unpersist(blocking=True)
+        workload.PERSISTED_BLOCKS.clear()
+        df = workload.run_fixture_warm(
+            spark, sf_dir, "join_cycle_7", store=store
+        )
+        # bench decomposition: total - cold_record_sec - plan_sec is
+        # the warm pass's pure execution time (zero observe barriers)
+        workload.ADAPTIVE_SPLIT["cold_record_sec"] = round(cold_sec, 4)
+        return df
+
+    out["join_feedback_warm"] = _feedback_warm
+
+    # =====================================================================
+    # block B (r8 rotation, VERDICT r7 #2): the 45 queries below are
+    # exactly the stale-evidence set -- freshest driver row <= r5, two-
+    # plus rounds old -- rotated back into the 50-row gate window: the
+    # 25 sql_* TPC-H adaptations, all 7 r4-era stream_* ops, both io_*
+    # roundtrips, skew_salted_join, dedup_containment, the two text_*
+    # stragglers, 4 evt_*, and the first 3 of the 12 stale corpus_*
+    # (the other 9 take the r9 window; the r6/r7-gated blocks go stale
+    # in their place this round).
+    # =====================================================================
+    _R8_ROTATION = [
+        "sql_q3_shipping_priority", "sql_q4_order_priority",
+        "sql_q5_local_revenue", "sql_q6_forecast_revenue",
+        "sql_q7_volume_shipping", "sql_q8_market_share",
+        "sql_q9_product_profit", "sql_q10_returned_items",
+        "sql_q12_priority_classes", "sql_q13_custdist",
+        "sql_q14_promo_effect", "sql_q15_top_supplier",
+        "sql_q17_small_qty_revenue", "sql_q18_large_volume",
+        "sql_q19_discounted_revenue", "sql_q21_waiting_supplier",
+        "sql_q22_sales_opportunity", "sql_array_agg_sorted",
+        "sql_date_arith", "sql_full_outer_merge", "sql_left_antijoin",
+        "sql_left_join_agg", "sql_median", "sql_null_funcs",
+        "sql_stddev",
+        "stream_hourly_counts", "stream_sessionize", "stream_dedup",
+        "stream_enrich", "stream_sliding_counts", "stream_join",
+        "stream_sink_parquet",
+        "io_csv_roundtrip", "io_jsonl_roundtrip",
+        "skew_salted_join", "dedup_containment",
+        "text_oov_bigram_rate", "text_repetition_stats",
+        "evt_anomaly_hours", "evt_asof_tolerance", "evt_hourly_topk",
+        "evt_retention_cohorts",
+        "corpus_vocab_topk", "corpus_tfidf_topk", "corpus_curate",
+    ]
+    for name in _R8_ROTATION:
+        if name.startswith("sql_"):
+            out[name] = _surface_runner(name)
+        else:
+            out[name] = pipeline[name][0]
+
+    # --- r7 lead block, now past the window (fresh r7 evidence) ---
     # outer-graph mid-query re-optimization (new r7, VERDICT r6 gap #1):
     # the full progressive LEO loop on the mixed inner/outer 5-relation
     # graph -- the inner core re-plans around pinned materialized
@@ -168,56 +321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["join_adaptive_full"] = _adaptive_full
 
-    # cross-query LEO feedback (late r7): one adaptive pass over the
-    # cycle fixture RECORDS every observed cardinality into a
-    # FeedbackStore (keys: JoinGraph.key_for -- canonical across
-    # queries), then the warm pass re-plans the same fixture with the
-    # store overlaid -- including the first join, which within-query
-    # feedback can never correct -- and executes statically.  Feedback
-    # may change the ORDER, never the answer; the gate proves it.
-    def _feedback_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
-        import time as _time
-
-        from query_optimizer_spark.oracle import FeedbackStore
-
-        configure_runtime(spark)
-        store = FeedbackStore()
-        t0 = _time.monotonic()
-        workload.run_fixture_adaptive_full(
-            spark, sf_dir, "join_cycle_7", store=store
-        ).collect()
-        cold_sec = _time.monotonic() - t0
-        # drop the cold pass's persisted blocks BEFORE the warm run:
-        # the warm claim is a fresh re-execution planning from the
-        # store, not a read of the recording run's live caches (which
-        # would also leak into every later bench query's timing).
-        # Unpersist EXACTLY the blocks the recording pass persisted --
-        # a session-wide clearCache() would also evict every OTHER
-        # query's cached relations mid-benchmark and perturb later
-        # queries' timings within the same shuffled rep (r7 ADVICE).
-        for blk in workload.PERSISTED_BLOCKS:
-            blk.unpersist(blocking=True)
-        workload.PERSISTED_BLOCKS.clear()
-        df = workload.run_fixture_warm(
-            spark, sf_dir, "join_cycle_7", store=store
-        )
-        # bench decomposition: total - cold_record_sec - plan_sec is
-        # the warm pass's pure execution time (zero observe barriers)
-        workload.ADAPTIVE_SPLIT["cold_record_sec"] = round(cold_sec, 4)
-        return df
-
-    out["join_feedback_warm"] = _feedback_warm
-
-    # new r7 pipeline ops: bucketed range join (the interval-join
-    # companion of evt_asof_join) and count-min sketch frequency
-    # estimation -- declared in-window so the r7 driver gate proves
-    # them immediately
-    for name in ("evt_range_join", "text_countmin_freq"):
-        out[name] = pipeline[name][0]
-
-    # oracle or state semantics changed per r6 ADVICE -> re-gate these
-    # inside the r7 window
-    for name in ("evt_markov_stationary", "emb_kmeans", "stream_asof_join"):
+    # r7 pipeline ops (fresh r7 evidence, past the window this round)
+    for name in ("evt_range_join", "text_countmin_freq",
+                 "evt_markov_stationary", "emb_kmeans"):
         out[name] = pipeline[name][0]
 
     # --- block B: join-planner fixtures + planner paths (driver
@@ -317,6 +423,7 @@ def oracle_sql() -> dict[str, str]:
         "join_outer_mixed_5"
     )
     out["join_feedback_warm"] = workload.fixture_oracle_sql("join_cycle_7")
+    out["join_feedback_persist"] = workload.fixture_oracle_sql("join_star_4")
     out["join_env_wire"] = workload.fixture_oracle_sql("join_cycle_7")
     out["join_env_learned"] = workload.fixture_oracle_sql("join_cycle_7")
     out["join_semi_prefilter"] = workload.fixture_oracle_sql("join_cycle_7")

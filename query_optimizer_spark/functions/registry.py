@@ -58,6 +58,10 @@ PIPELINE_OPS: dict[str, tuple] = {
         multimodal.frame_sample,
         multimodal.frame_sample_oracle(),
     ),
+    "mm_image_decode": (
+        multimodal.image_decode_demo,
+        multimodal.image_decode_demo_oracle(),
+    ),
     # temporal (batch)
     "evt_hourly_rollup": (temporal.hourly_rollup, temporal.hourly_rollup_oracle()),
     "evt_sessionize": (temporal.sessionize, temporal.sessionize_oracle()),
@@ -84,6 +88,10 @@ PIPELINE_OPS: dict[str, tuple] = {
         streaming.sliding_counts_stream_oracle(),
     ),
     "stream_join": (streaming.join_stream, streaming.join_stream_oracle()),
+    "stream_feedback_join": (
+        streaming.feedback_broadcast_join,
+        streaming.feedback_broadcast_join_oracle(),
+    ),
     # source/sink formats (JSONL interchange round-trip)
     "io_jsonl_roundtrip": (
         sources.jsonl_roundtrip,

@@ -723,6 +723,19 @@ class FeedbackStore:
     def record(self, graph: JoinGraph, mask: int, rows: float) -> None:
         self.rows[graph.key_for(mask)] = float(rows)
 
+    def record_stream(self, op: str, metric: str, rows: float) -> None:
+        """Streaming analog of record(): per-micro-batch state/input
+        metrics (stateOperators numRowsTotal, per-source numInputRows)
+        keyed ``stream::<op>::<metric>``.  Cumulative metrics recorded
+        batch-by-batch converge on the final total (last writer wins),
+        exactly like re-observing an identical batch count.  The
+        namespace prefix cannot collide with key_for strings (those
+        start with the canonical alias=table list)."""
+        self.rows[f"stream::{op}::{metric}"] = float(rows)
+
+    def stream_observation(self, op: str, metric: str) -> "float | None":
+        return self.rows.get(f"stream::{op}::{metric}")
+
     def seed(self, graph: JoinGraph) -> dict[int, float]:
         """Every stored observation that names a subset of ``graph``,
         as {mask: rows} ready for OverlayOracle.observed."""

@@ -14,6 +14,8 @@ from .ops import (
     asof_stream,
     asof_stream_oracle,
     dedup_stream,
+    feedback_broadcast_join,
+    feedback_broadcast_join_oracle,
     join_stream,
     join_stream_oracle,
     dedup_stream_oracle,
@@ -34,6 +36,8 @@ __all__ = [
     "stream_events",
     "asof_stream",
     "asof_stream_oracle",
+    "feedback_broadcast_join",
+    "feedback_broadcast_join_oracle",
     "join_stream",
     "join_stream_oracle",
     "hourly_counts_stream",

@@ -61,7 +61,33 @@ def _capture_audit(q, output_mode: str) -> None:
     )
 
 
-def _run_to_memory(sdf, output_mode: str) -> DataFrame:
+def _record_stream_feedback(q, store, op: str) -> None:
+    """Harvest every micro-batch's progress into a FeedbackStore: the
+    state operator's numRowsTotal (the streaming analog of a batch
+    block's observed cardinality -- rows the operator actually holds)
+    and the summed per-batch numInputRows.  Cumulative metrics recorded
+    per batch converge on the final value; best-effort like the batch
+    scan harvest -- a missing metric degrades to no observation, never
+    a wrong one."""
+    try:
+        input_rows = 0.0
+        for prog in q.recentProgress:
+            for src in prog.get("sources") or []:
+                input_rows += src.get("numInputRows") or 0
+            state_ops = prog.get("stateOperators") or []
+            if state_ops:
+                store.record_stream(
+                    op, "state_rows_total",
+                    float(state_ops[0].get("numRowsTotal") or 0),
+                )
+        store.record_stream(op, "input_rows", input_rows)
+    except Exception:
+        pass
+
+
+def _run_to_memory(
+    sdf, output_mode: str, store=None, op: str = ""
+) -> DataFrame:
     spark = sdf.sparkSession
     name = f"stream_{uuid.uuid4().hex[:12]}"
     q = (
@@ -73,6 +99,8 @@ def _run_to_memory(sdf, output_mode: str) -> DataFrame:
     )
     q.awaitTermination()
     _capture_audit(q, output_mode)
+    if store is not None:
+        _record_stream_feedback(q, store, op)
     return spark.table(name)
 
 
@@ -326,9 +354,14 @@ def sessionize_stream_oracle() -> str:
     """
 
 
-def join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_stream(
+    spark: SparkSession, sf_dir: str, store=None
+) -> DataFrame:
     """Watermarked stream-stream inner join: each purchase matched to
-    the same user's clicks in the preceding hour.
+    the same user's clicks in the preceding hour.  With ``store``, each
+    micro-batch's state-row and input-row metrics are recorded into the
+    FeedbackStore (the streaming feedback bridge --
+    feedback_broadcast_join plans from them).
 
     Both sides carry a 1 h watermark and the join condition bounds the
     event-time distance, so Spark can evict click state older than the
@@ -373,7 +406,109 @@ def join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lag_us"
         ),
     )
+    return _run_to_memory(joined, "append", store=store, op="stream_join")
+
+
+# assumed bytes/row for the feedback broadcast decision: 3 narrow
+# columns (2 longs + timestamp) plus per-row overhead -- deliberately
+# generous so the decision flips to shuffle well before a true
+# broadcast OOM would
+_DIM_ROW_BYTES = 64
+
+
+def feedback_broadcast_join(
+    spark: SparkSession, sf_dir: str, store=None
+) -> DataFrame:
+    """The streaming feedback bridge, end to end: a RECORDING pass runs
+    the stream-stream join and harvests its per-micro-batch
+    stateOperators numRowsTotal into the FeedbackStore (the rows the
+    join actually buffered -- the streaming analog of a batch block's
+    observed cardinality); the WARM pass then re-plans the same join
+    stream-STATIC, and the dimension (click) side is broadcast iff the
+    OBSERVED row count says it fits under
+    spark.sql.autoBroadcastJoinThreshold -- Catalyst's own size
+    estimate never enters the decision.  At 100 TB this is how a
+    long-running pipeline right-sizes its enrichment joins: the first
+    execution's state metrics, kept in the query-history store, decide
+    broadcast-vs-shuffle for every later run instead of a static guess
+    that goes stale as the dimension grows.
+
+    Feedback may change the STRATEGY, never the answer: the output is
+    exactly join_stream's (purchase_id, click_id, user_id, lag_us) and
+    hash-matches the same DuckDB oracle -- the driver gate proves it.
+    The chosen strategy is observable in LAST_STREAM_AUDIT (the warm
+    plan shows BroadcastHashJoin when the observed count fits)."""
+    from ..oracle import FeedbackStore
+    from ..session import events_df
+
+    if store is None:
+        store = FeedbackStore()
+    if store.stream_observation("stream_join", "state_rows_total") is None:
+        # recording pass: the cold run a real workload needed anyway
+        join_stream(spark, sf_dir, store=store)
+    observed = store.stream_observation("stream_join", "state_rows_total")
+    clicks = events_df(spark, sf_dir).filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    threshold = _broadcast_threshold_bytes(spark)
+    if observed is not None and observed * _DIM_ROW_BYTES <= threshold:
+        clicks = F.broadcast(clicks)
+    else:
+        # feedback says the dimension does NOT fit: pin the shuffle
+        # strategy explicitly, or Catalyst's own (stale) size estimate
+        # would re-broadcast behind the decision's back
+        clicks = clicks.hint("shuffle_hash")
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter("event_type = 'purchase'")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "user_id = click_user AND "
+            "click_ts BETWEEN purchase_ts - INTERVAL 1 HOUR AND purchase_ts"
+        ),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.expr("unix_micros(purchase_ts) - unix_micros(click_ts)").alias(
+            "lag_us"
+        ),
+    )
     return _run_to_memory(joined, "append")
+
+
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """spark.sql.autoBroadcastJoinThreshold as plain bytes (the conf
+    accepts 10485760, '10485760b', '10MB', or -1 for disabled)."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    if raw.endswith("b"):
+        raw = raw[:-1]
+    mult = 1
+    if raw and raw[-1] in units:
+        mult = units[raw[-1]]
+        raw = raw[:-1]
+    try:
+        val = int(raw) * mult
+    except ValueError:
+        val = 10 << 20
+    return val if val > 0 else 0
+
+
+def feedback_broadcast_join_oracle() -> str:
+    return join_stream_oracle()
 
 
 def join_stream_oracle() -> str:

@@ -84,10 +84,17 @@ def test_embedding_cosine_driver_guard(spark):
     assert "FlatMapGroupsInPandas" in physical_plan(over)
 
 
-def test_decode_image_stub(spark):
-    df = multimodal.with_binary_payload(spark, SF_DIR)
+def test_decode_image_codec_formats_raise():
+    """Codec formats (no dependency-free decoder) raise per-payload
+    with the magic named; text bytes (no image magic) raise too."""
+    with pytest.raises(NotImplementedError, match="PNG"):
+        multimodal._decode_payload(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(df, fake=False)
+        multimodal._decode_payload(b"just some text bytes")
+
+
+def test_decode_image_fake_stub(spark):
+    df = multimodal.with_binary_payload(spark, SF_DIR)
     feats = multimodal.decode_image(df, fake=True)
     rows = feats.limit(5).collect()
     assert len(rows) == 5
@@ -95,6 +102,52 @@ def test_decode_image_stub(spark):
         "doc_id", "width", "height", "n_channels", "mean_intensity",
     }
     assert all(r.n_channels == 3 and r.width >= 1 for r in rows)
+
+
+def test_bmp_ppm_roundtrip_exact():
+    """encode->decode is the identity on every padding remainder
+    (w mod 4 in {0,1,2,3}), both BMP row orders, and a comment-bearing
+    PPM header -- pixel-exact, not just shape-exact."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for w in (2, 3, 4, 5, 8, 9):
+        for h in (1, 2, 5):
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            assert np.array_equal(
+                multimodal.decode_bmp(multimodal.encode_bmp(px)), px
+            )
+            assert np.array_equal(
+                multimodal.decode_ppm(multimodal.encode_ppm(px)), px
+            )
+    # top-down BMP (negative height) decodes identically
+    px = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    b = bytearray(multimodal.encode_bmp(px[::-1]))  # stored rows reversed
+    import struct as _struct
+
+    _struct.pack_into("<i", b, 22, -3)  # declare top-down
+    assert np.array_equal(multimodal.decode_bmp(bytes(b)), px[::-1][::-1])
+    # netpbm comment in the header
+    ppm = multimodal.encode_ppm(px)
+    commented = b"P6\n# a comment line\n" + ppm[3:]
+    assert np.array_equal(multimodal.decode_ppm(commented), px)
+
+
+def test_decode_image_real_path_on_bmp_payloads(spark):
+    """decode_image(fake=False) really decodes generated BMP payloads
+    through the mapInPandas plumbing -- dims and mean from pixels."""
+    import numpy as np
+
+    px = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    pdf = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_bmp(px))),
+         (2, bytearray(multimodal.encode_ppm(px)))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in multimodal.decode_image(pdf).collect()}
+    for r in rows.values():
+        assert (r.width, r.height, r.n_channels) == (4, 2, 3)
+        assert r.mean_intensity == pytest.approx(float(px.mean()), abs=1e-6)
 
 
 def test_materialize_curated_roundtrip(spark, duck):

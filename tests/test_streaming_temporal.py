@@ -47,6 +47,37 @@ def test_stream_is_streaming(spark):
     assert sdf.isStreaming
 
 
+def test_stream_feedback_bridge_broadcast_decision(spark):
+    """The streaming feedback bridge: the recording pass stores the
+    join's observed state rows; the warm pass broadcasts the dimension
+    side iff the OBSERVED count fits the threshold -- and either
+    strategy returns exactly the stream-stream join's rows."""
+    from query_optimizer_spark.oracle import FeedbackStore
+    from query_optimizer_spark.streaming.ops import (
+        LAST_STREAM_AUDIT,
+        feedback_broadcast_join,
+    )
+
+    expected = result_hash(streaming.join_stream(spark, SF_DIR))
+
+    store = FeedbackStore()
+    warm = feedback_broadcast_join(spark, SF_DIR, store=store)
+    observed = store.stream_observation("stream_join", "state_rows_total")
+    assert observed is not None and observed > 0
+    assert store.stream_observation("stream_join", "input_rows") > 0
+    # sf0.001 clicks are tiny -> observed count says broadcast
+    assert "BroadcastHashJoin" in LAST_STREAM_AUDIT["plan"]
+    assert result_hash(warm) == expected
+
+    # negative path: a store claiming a huge dimension forces the
+    # shuffle strategy -- different plan, same rows
+    big = FeedbackStore()
+    big.record_stream("stream_join", "state_rows_total", 1e9)
+    cold = feedback_broadcast_join(spark, SF_DIR, store=big)
+    assert "BroadcastHashJoin" not in LAST_STREAM_AUDIT["plan"]
+    assert result_hash(cold) == expected
+
+
 def test_stream_asof_matches_batch_asof(spark):
     """The streaming carry-forward as-of must equal the batch window
     as-of row-for-row -- two independent implementations, one
