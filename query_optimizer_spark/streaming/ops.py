@@ -64,13 +64,17 @@ def _capture_audit(q, output_mode: str) -> None:
 def _record_stream_feedback(q, store, op: str) -> None:
     """Harvest every micro-batch's progress into a FeedbackStore: the
     state operator's numRowsTotal (the streaming analog of a batch
-    block's observed cardinality -- rows the operator actually holds)
-    and the summed per-batch numInputRows.  Cumulative metrics recorded
-    per batch converge on the final value; best-effort like the batch
+    block's observed cardinality -- rows the operator actually holds),
+    the summed per-batch numInputRows, and any named observed metrics
+    the query attached via Dataset.observe() (e.g. the click-side row
+    count -- the dimension cardinality the broadcast decision needs).
+    Cumulative metrics recorded per batch converge on the final value;
+    observe() counts sum across batches.  Best-effort like the batch
     scan harvest -- a missing metric degrades to no observation, never
     a wrong one."""
     try:
         input_rows = 0.0
+        observed_sums: dict[str, float] = {}
         for prog in q.recentProgress:
             for src in prog.get("sources") or []:
                 input_rows += src.get("numInputRows") or 0
@@ -80,7 +84,17 @@ def _record_stream_feedback(q, store, op: str) -> None:
                     op, "state_rows_total",
                     float(state_ops[0].get("numRowsTotal") or 0),
                 )
+            for name, metrics in (prog.get("observedMetrics") or {}).items():
+                # a pyspark Row in some versions, a plain dict in others
+                if hasattr(metrics, "asDict"):
+                    metrics = metrics.asDict()
+                for col, val in (metrics or {}).items():
+                    if isinstance(val, (int, float)):
+                        key = f"{name}.{col}"
+                        observed_sums[key] = observed_sums.get(key, 0.0) + val
         store.record_stream(op, "input_rows", input_rows)
+        for key, val in observed_sums.items():
+            store.record_stream(op, key, val)
     except Exception:
         pass
 
@@ -379,8 +393,16 @@ def join_stream(
             F.col("user_id").alias("click_user"),
             F.col("ts").alias("click_ts"),
         )
-        .withWatermark("click_ts", "1 hour")
     )
+    if store is not None:
+        # Dataset.observe: the per-micro-batch click-side row count,
+        # surfaced through observedMetrics in the query progress --
+        # the dimension-side cardinality feedback_broadcast_join's
+        # strategy decision consumes (state numRowsTotal alone
+        # understates the dimension: watermark eviction has already
+        # dropped sealed rows from it)
+        clicks = clicks.observe("click_side", F.count(F.lit(1)).alias("n"))
+    clicks = clicks.withWatermark("click_ts", "1 hour")
     purchases = (
         stream_events(spark, sf_dir)
         .filter("event_type = 'purchase'")
@@ -409,25 +431,28 @@ def join_stream(
     return _run_to_memory(joined, "append", store=store, op="stream_join")
 
 
-# assumed bytes/row for the feedback broadcast decision: 3 narrow
-# columns (2 longs + timestamp) plus per-row overhead -- deliberately
-# generous so the decision flips to shuffle well before a true
-# broadcast OOM would
-_DIM_ROW_BYTES = 64
+# assumed bytes/row for the feedback broadcast decision: the 3-column
+# (long, long, timestamp) UnsafeRow is 32 B, and a BroadcastHashedRelation
+# carries ~2-3x that in hash-table structure -- 80 B/row budgets the
+# relation's true executor-memory footprint, so the decision flips to
+# shuffle well before a broadcast OOM would
+_DIM_ROW_BYTES = 80
 
 
 def feedback_broadcast_join(
     spark: SparkSession, sf_dir: str, store=None
 ) -> DataFrame:
     """The streaming feedback bridge, end to end: a RECORDING pass runs
-    the stream-stream join and harvests its per-micro-batch
-    stateOperators numRowsTotal into the FeedbackStore (the rows the
-    join actually buffered -- the streaming analog of a batch block's
-    observed cardinality); the WARM pass then re-plans the same join
-    stream-STATIC, and the dimension (click) side is broadcast iff the
-    OBSERVED row count says it fits under
-    spark.sql.autoBroadcastJoinThreshold -- Catalyst's own size
-    estimate never enters the decision.  At 100 TB this is how a
+    the stream-stream join and harvests its per-micro-batch metrics
+    into the FeedbackStore -- stateOperators numRowsTotal (the rows the
+    join actually buffered, the streaming analog of a batch block's
+    observed cardinality) plus a Dataset.observe() count of the click
+    side (the full dimension cardinality; retained state alone
+    understates it because watermark eviction already dropped sealed
+    rows).  The WARM pass then re-plans the same join stream-STATIC,
+    and the dimension (click) side is broadcast iff the OBSERVED row
+    count says it fits under spark.sql.autoBroadcastJoinThreshold --
+    Catalyst's own size estimate never enters the decision.  At 100 TB this is how a
     long-running pipeline right-sizes its enrichment joins: the first
     execution's state metrics, kept in the query-history store, decide
     broadcast-vs-shuffle for every later run instead of a static guess
@@ -446,7 +471,14 @@ def feedback_broadcast_join(
     if store.stream_observation("stream_join", "state_rows_total") is None:
         # recording pass: the cold run a real workload needed anyway
         join_stream(spark, sf_dir, store=store)
-    observed = store.stream_observation("stream_join", "state_rows_total")
+    # the click-side observe() count is the dimension cardinality; the
+    # retained state rows are the fallback for a store recorded by an
+    # observer-less run (still an observed lower bound, never a guess)
+    observed = store.stream_observation("stream_join", "click_side.n")
+    if observed is None:
+        observed = store.stream_observation(
+            "stream_join", "state_rows_total"
+        )
     clicks = events_df(spark, sf_dir).filter("event_type = 'click'").select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("click_user"),

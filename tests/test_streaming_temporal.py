@@ -65,6 +65,16 @@ def test_stream_feedback_bridge_broadcast_decision(spark):
     observed = store.stream_observation("stream_join", "state_rows_total")
     assert observed is not None and observed > 0
     assert store.stream_observation("stream_join", "input_rows") > 0
+    # the observe() click-side count is the full dimension cardinality:
+    # at least the retained state rows, and equal to the batch count
+    clicks = store.stream_observation("stream_join", "click_side.n")
+    assert clicks is not None and clicks >= observed
+    from query_optimizer_spark.session import events_df
+
+    n_clicks = (
+        events_df(spark, SF_DIR).filter("event_type = 'click'").count()
+    )
+    assert clicks == n_clicks
     # sf0.001 clicks are tiny -> observed count says broadcast
     assert "BroadcastHashJoin" in LAST_STREAM_AUDIT["plan"]
     assert result_hash(warm) == expected
