@@ -75,6 +75,12 @@ headline = [
     # range join, count-min sketch, cross-query feedback warm re-plan
     "join_adaptive_outer", "evt_range_join", "text_countmin_freq",
     "join_feedback_warm",
+    # r8 additions: feedback-store sidecar round trip, streaming
+    # broadcast-decision bridge, real BMP/PPM pixel decode, the four
+    # derived-partsupp TPC-H shapes
+    "join_feedback_persist", "stream_feedback_join", "mm_image_decode",
+    "sql_q2_min_cost_supplier", "sql_q11_important_stock",
+    "sql_q16_supplier_cnt", "sql_q20_promotion_stock",
 ]
 
 

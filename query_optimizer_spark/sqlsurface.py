@@ -610,8 +610,12 @@ SURFACE: dict[str, str | tuple[str, str]] = {
             GROUP BY l_partkey, l_suppkey
         )
         , g AS (
+            -- CAST: DuckDB sums BIGINT into HUGEINT (int128), Spark
+            -- into BIGINT -- same value, different wire type, which
+            -- the value-hash distinguishes
             SELECT ps.ps_partkey,
-                   SUM(ps.ps_supplycost_c * ps.ps_availqty) AS value_c
+                   CAST(SUM(ps.ps_supplycost_c * ps.ps_availqty)
+                        AS BIGINT) AS value_c
             FROM partsupp ps, supplier s, nation n
             WHERE ps.ps_suppkey = s.s_suppkey
               AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_7'
