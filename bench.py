@@ -152,6 +152,17 @@ def main() -> None:
                         )
                         split["total_sec"] = round(dt, 4)
                         adaptive_split.setdefault(name, []).append(split)
+                    elif name == "stream_feedback_join":
+                        from query_optimizer_spark.streaming.ops import (
+                            FEEDBACK_JOIN_SPLIT,
+                        )
+
+                        split = dict(FEEDBACK_JOIN_SPLIT)
+                        split["warm_exec_sec"] = round(
+                            dt - split.get("record_sec", 0), 4
+                        )
+                        split["total_sec"] = round(dt, 4)
+                        adaptive_split.setdefault(name, []).append(split)
                     elif name == "dedup_survivors":
                         from query_optimizer_spark.functions.clustering import (
                             CLUSTER_SPLIT,

@@ -431,6 +431,13 @@ def join_stream(
     return _run_to_memory(joined, "append", store=store, op="stream_join")
 
 
+# phase split of the most recent feedback_broadcast_join run (bench.py
+# copies it into the side artifact): record_sec is the embedded cold
+# stream-stream recording pass -- the expensive slice a real workload
+# pays once -- and the remainder is the warm stream-static execution;
+# 'broadcast' is the strategy the observed rows chose
+FEEDBACK_JOIN_SPLIT: dict = {}
+
 # assumed bytes/row for the feedback broadcast decision: the 3-column
 # (long, long, timestamp) UnsafeRow is 32 B, and a BroadcastHashedRelation
 # carries ~2-3x that in hash-table structure -- 80 B/row budgets the
@@ -466,11 +473,16 @@ def feedback_broadcast_join(
     from ..oracle import FeedbackStore
     from ..session import events_df
 
+    import time as _time
+
     if store is None:
         store = FeedbackStore()
+    t0 = _time.monotonic()
+    FEEDBACK_JOIN_SPLIT.clear()
     if store.stream_observation("stream_join", "state_rows_total") is None:
         # recording pass: the cold run a real workload needed anyway
         join_stream(spark, sf_dir, store=store)
+    FEEDBACK_JOIN_SPLIT["record_sec"] = round(_time.monotonic() - t0, 4)
     # the click-side observe() count is the dimension cardinality; the
     # retained state rows are the fallback for a store recorded by an
     # observer-less run (still an observed lower bound, never a guess)
@@ -485,7 +497,10 @@ def feedback_broadcast_join(
         F.col("ts").alias("click_ts"),
     )
     threshold = _broadcast_threshold_bytes(spark)
-    if observed is not None and observed * _DIM_ROW_BYTES <= threshold:
+    FEEDBACK_JOIN_SPLIT["broadcast"] = bool(
+        observed is not None and observed * _DIM_ROW_BYTES <= threshold
+    )
+    if FEEDBACK_JOIN_SPLIT["broadcast"]:
         clicks = F.broadcast(clicks)
     else:
         # feedback says the dimension does NOT fit: pin the shuffle
