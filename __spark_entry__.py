@@ -130,10 +130,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stream_feedback_join, mm_image_decode, the 4 derived-partsupp
     TPC-H adaptations Q2/Q11/Q16/Q20, the re-gated stream_asof_join
     and join_feedback_warm), then fills the REST of the window with
-    the 41 stalest-evidence queries (driver row <= r5): all 25 sql_*,
-    the 7 r4-era stream_*, both io_*, skew_salted_join,
+    the 39 stalest-evidence queries (driver row <= r5): all 25 sql_*,
+    the 7 r4-era stream_*, both io_* roundtrips, skew_salted_join,
     dedup_containment, text_oov_bigram_rate, text_repetition_stats,
-    3 evt_* -- the r6/r7-gated blocks take their turn going stale.  ALL declared queries are
+    evt_anomaly_hours -- the r6/r7-gated blocks take their turn going
+    stale, and evt_asof_tolerance/evt_hourly_topk join the r9 backlog
+    to make room for the late-r8 sim_hamming_topk/io_bucketed_join.
+    ALL declared queries are
     checked against their DuckDB oracles by scripts/local_gate.py
     (checked-in: CORRECTNESS_LOCAL_FULL.json) and pytest every round
     regardless of gate order.
@@ -196,10 +199,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["join_feedback_persist"] = _feedback_persist
 
     # streaming feedback bridge + real image decode (new r8 pipeline
-    # ops) and the r8-touched re-gates, all inside the window
+    # ops), the r8-touched re-gates, and the late-r8 additions --
+    # sim_hamming_topk (binary-quantized ANN: packed sign-bit
+    # signatures, XOR+popcount Hamming pre-rank, exact cosine re-rank
+    # of survivors only) and io_bucketed_join (co-located bucketed-
+    # table sort-merge join, zero Exchange asserted on the plan) --
+    # all inside the window
     for name in (
         "stream_feedback_join",
         "mm_image_decode",
+        "sim_hamming_topk",
+        "io_bucketed_join",
         "stream_asof_join",
     ):
         out[name] = pipeline[name][0]
@@ -260,14 +270,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["join_feedback_warm"] = _feedback_warm
 
     # =====================================================================
-    # block B (r8 rotation, VERDICT r7 #2): the 41 queries below are
+    # block B (r8 rotation, VERDICT r7 #2): the 39 queries below are
     # the stale-evidence set -- freshest driver row <= r5, two-plus
-    # rounds old -- rotated back into what the 9-query r8 lead leaves
+    # rounds old -- rotated back into what the 11-query r8 lead leaves
     # of the 50-row gate window: the 25 sql_* TPC-H adaptations, all 7
     # r4-era stream_* ops, both io_* roundtrips, skew_salted_join,
-    # dedup_containment, the two text_* stragglers, and 3 evt_*
-    # (the 12 stale corpus_* + evt_retention_cohorts take the r9
-    # window; the r6/r7-gated blocks go stale in their place).
+    # dedup_containment, the two text_* stragglers, and evt_anomaly_hours
+    # (the 12 stale corpus_* + evt_retention_cohorts +
+    # evt_asof_tolerance + evt_hourly_topk take the r9 window; the
+    # r6/r7-gated blocks go stale in their place).
     # =====================================================================
     _R8_ROTATION = [
         "sql_q3_shipping_priority", "sql_q4_order_priority",
@@ -288,7 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_csv_roundtrip", "io_jsonl_roundtrip",
         "skew_salted_join", "dedup_containment",
         "text_oov_bigram_rate", "text_repetition_stats",
-        "evt_anomaly_hours", "evt_asof_tolerance", "evt_hourly_topk",
+        "evt_anomaly_hours",
     ]
     for name in _R8_ROTATION:
         if name.startswith("sql_"):

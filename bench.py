@@ -81,6 +81,9 @@ headline = [
     "join_feedback_persist", "stream_feedback_join", "mm_image_decode",
     "sql_q2_min_cost_supplier", "sql_q11_important_stock",
     "sql_q16_supplier_cnt", "sql_q20_promotion_stock",
+    # late-r8 additions: binary-quantized ANN (Hamming pre-rank + exact
+    # re-rank), co-located bucketed-table join (zero-Exchange asserted)
+    "sim_hamming_topk", "io_bucketed_join",
 ]
 
 

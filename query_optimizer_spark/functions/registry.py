@@ -45,6 +45,10 @@ PIPELINE_OPS: dict[str, tuple] = {
         similarity.ivf_topk,
         similarity.ivf_topk_oracle(),
     ),
+    "sim_hamming_topk": (
+        similarity.hamming_topk,
+        similarity.hamming_topk_oracle(),
+    ),
     "emb_quantize_int8": (
         similarity.quantize_int8,
         similarity.quantize_int8_oracle(),
@@ -102,6 +106,10 @@ PIPELINE_OPS: dict[str, tuple] = {
         sources.csv_roundtrip_oracle(),
     ),
     # r6: hive-partitioned sink + pruned read (PartitionFilters)
+    "io_bucketed_join": (
+        sources.bucketed_join_gate,
+        sources.bucketed_join_gate_oracle(),
+    ),
     "io_partitioned_roundtrip": (
         sources.partitioned_roundtrip,
         sources.partitioned_roundtrip_oracle(),

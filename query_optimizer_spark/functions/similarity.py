@@ -393,6 +393,158 @@ def quantize_int8_oracle() -> str:
     """
 
 
+# --- 1-bit (binary) quantized ANN ---------------------------------------------
+
+# sign-bit packing: the 64-dim embedding becomes TWO 32-bit words stored
+# as BIGINTs (bit d of word w = 1 iff q[32w + d] > 0).  Two half-words
+# instead of one 64-bit word keeps every packed value positive, so the
+# DuckDB twin (whose list_sum promotes to int128) and Spark (whose
+# aggregate stays int64) hold identical values with no sign-bit hazard.
+HAM_WORD_BITS = 32
+# Hamming pre-rank keeps this many candidates per query for the exact
+# cosine re-rank (> ANN_TOP_K so near-boundary neighbors survive the
+# 1-bit approximation)
+HAM_CANDIDATES = 8 * ANN_TOP_K
+
+
+def _ham_word_spark(w: int) -> str:
+    lo = w * HAM_WORD_BITS
+    return (
+        f"aggregate(transform(sequence(0, {HAM_WORD_BITS - 1}), d ->"
+        f" IF(element_at(q, d + {lo + 1}) > 0, shiftleft(1L, d), 0L)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+
+
+def _ham_word_duck(w: int) -> str:
+    lo = w * HAM_WORD_BITS
+    return (
+        f"CAST(coalesce(list_sum([CASE WHEN q[d + {lo + 1}] > 0"
+        f" THEN (1::BIGINT << d) ELSE 0 END"
+        f" for d in generate_series(0, {HAM_WORD_BITS - 1})]), 0)"
+        " AS BIGINT)"
+    )
+
+
+def hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: sign-bit signatures (64 dims -> two packed
+    words, 8 bytes/vector -- a 32x memory/IO reduction over f32), a
+    Hamming-distance pre-rank via XOR + popcount, then exact cosine
+    re-rank of the HAM_CANDIDATES survivors only.
+
+    This is the production shape for billion-scale retrieval (binary
+    quantization): at 100 TB the pre-rank pass scans ONLY the packed
+    signature column (columnar parquet reads 8 bytes/row instead of the
+    256-byte vector), entirely in whole-stage codegen (xor + bit_count
+    are JVM intrinsics), and the expensive float path touches just
+    queries x HAM_CANDIDATES rows.  Both stages are deterministic
+    integer arithmetic until the final cosine division, and ties break
+    on neighbor_id -- the DuckDB oracle agrees bit-for-bit.
+    """
+    emb = _quantized(spark, sf_dir).withColumn(
+        "w0", F.expr(_ham_word_spark(0))
+    ).withColumn("w1", F.expr(_ham_word_spark(1)))
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    # stage 1: Hamming pre-rank on the packed words only
+    pre = (
+        emb.select("vec_id", "w0", "w1")
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                "cast(bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1) as int)"
+            ).alias("hamming"),
+        )
+    )
+    wpre = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        pre.withColumn("hrank", F.row_number().over(wpre))
+        .filter(F.col("hrank") <= HAM_CANDIDATES)
+        .drop("hrank")
+    )
+    # stage 2: exact cosine re-rank of the survivors only
+    dot = DOT_SPARK.format(a="qq", b="q")
+    scored = (
+        cand.join(emb.select("vec_id", "q", "n2"),
+                  cand.neighbor_id == F.col("vec_id"))
+        .join(F.broadcast(queries.select("query_id", "qq", "qn2")),
+              "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.expr(
+                f"round({dot} / (sqrt(cast(qn2 as double))"
+                " * sqrt(cast(n2 as double))), 6)"
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "neighbor_id", "rank", "hamming", "cosine")
+    )
+
+
+def hamming_topk_oracle() -> str:
+    return f"""
+        WITH {_SQL_QUANT},
+        sig AS (
+            SELECT vec_id, q, n2,
+                   {_ham_word_duck(0)} AS w0,
+                   {_ham_word_duck(1)} AS w1
+            FROM qn
+        ),
+        pre AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   CAST(bit_count(xor(a.w0, b.w0))
+                        + bit_count(xor(a.w1, b.w1)) AS INT) AS hamming
+            FROM sig a, sig b
+            WHERE a.vec_id < {ANN_N_QUERIES} AND b.vec_id <> a.vec_id
+        ),
+        cand AS (
+            SELECT query_id, neighbor_id, hamming FROM (
+                SELECT query_id, neighbor_id, hamming,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY hamming, neighbor_id)
+                           AS hrank
+                FROM pre
+            ) WHERE hrank <= {HAM_CANDIDATES}
+        ),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id, c.hamming,
+                   round(list_sum([qa.q[i] * qb.q[i]
+                                   for i in generate_series(1, len(qa.q))])
+                         / (sqrt(qa.n2::DOUBLE) * sqrt(qb.n2::DOUBLE)), 6)
+                       AS cosine
+            FROM cand c
+            JOIN qn qa ON qa.vec_id = c.query_id
+            JOIN qn qb ON qb.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+               hamming, cosine
+        FROM (
+            SELECT query_id, neighbor_id, hamming, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id)
+                       AS rank
+            FROM scored
+        ) WHERE rank <= {ANN_TOP_K}
+    """
+
+
 def norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label L2-norm statistics of the embedding column -- the
     hygiene check run before any ANN/dedup pass (collapsed or exploding

@@ -96,6 +96,50 @@ def bucketed_join_demo(
     return joined, physical_plan(joined)
 
 
+def bucketed_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated co-located join: lineitem and orders are written as
+    bucketed managed tables hash-partitioned on the join key, then
+    sort-merge joined with NO Exchange on either side (asserted on the
+    physical plan inline -- a silent regression to shuffling would
+    still return correct rows).  This is the pre-shuffle-once,
+    join-many-times strategy for repeated large-large joins at 100 TB:
+    the write pays the shuffle one time, every later join reads
+    co-located, pre-sorted buckets.
+
+    The output aggregates the join per orderkey residue class (16
+    groups): the revenue sum goes through DECIMAL(18,2) so engine
+    summation order cannot move the double result."""
+    joined, plan = bucketed_join_demo(spark, sf_dir)
+    assert "Exchange" not in plan, "bucketed join must not shuffle"
+    from pyspark.sql import functions as F
+
+    return (
+        joined.groupBy(
+            (F.col("l_orderkey") % 16).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.expr(
+                "cast(sum(cast(l_extendedprice as decimal(18, 2)))"
+                " as double)"
+            ).alias("revenue"),
+        )
+    )
+
+
+def bucketed_join_gate_oracle() -> str:
+    return """
+        SELECT CAST(l_orderkey % 16 AS INT) AS bucket,
+               count(*) AS n_rows,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 2)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    """
+
+
 def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL source/sink round-trip: write the documents table as JSON
     lines (the interchange format most raw training corpora arrive in),
