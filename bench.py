@@ -82,8 +82,9 @@ headline = [
     "sql_q2_min_cost_supplier", "sql_q11_important_stock",
     "sql_q16_supplier_cnt", "sql_q20_promotion_stock",
     # late-r8 additions: binary-quantized ANN (Hamming pre-rank + exact
-    # re-rank), co-located bucketed-table join (zero-Exchange asserted)
-    "sim_hamming_topk", "io_bucketed_join",
+    # re-rank), co-located bucketed-table join (zero-Exchange asserted),
+    # z-order clustering + footer min/max file skipping
+    "sim_hamming_topk", "io_bucketed_join", "io_zorder_skipping",
 ]
 
 

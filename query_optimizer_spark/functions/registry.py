@@ -110,6 +110,10 @@ PIPELINE_OPS: dict[str, tuple] = {
         sources.bucketed_join_gate,
         sources.bucketed_join_gate_oracle(),
     ),
+    "io_zorder_skipping": (
+        sources.zorder_skipping,
+        sources.zorder_skipping_oracle(),
+    ),
     "io_partitioned_roundtrip": (
         sources.partitioned_roundtrip,
         sources.partitioned_roundtrip_oracle(),

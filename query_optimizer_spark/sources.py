@@ -140,6 +140,135 @@ def bucketed_join_gate_oracle() -> str:
     """
 
 
+# --- z-order data skipping ---------------------------------------------------
+
+# bits per dimension in the interleaved z-value: 20 bits covers keys to
+# ~1M; at larger domains widen (the curve only needs to ORDER, so
+# truncation above 2^20 would degrade clustering, not correctness)
+ZORDER_BITS = 20
+# target file count for the clustered layout (each file = one z range)
+ZORDER_FILES = 32
+# the probe box selects keys <= max/ZORDER_SEL per dimension, so the
+# query touches ~1/ZORDER_SEL^2 of the data at ANY scale factor
+ZORDER_SEL = 25
+# observability: the last zorder_skipping run's file counts (tests and
+# SCALING probes read this; the OUTPUT never depends on layout)
+ZORDER_LAST: dict[str, int] = {}
+
+
+def _zorder_expr(c1: str, c2: str, bits: int = ZORDER_BITS) -> str:
+    """Bit-interleave two non-negative integer columns into one z-value
+    (bit b of c1 -> bit 2b, bit b of c2 -> bit 2b+1).  Pure integer
+    arithmetic, single codegen projection; the terms write disjoint bits
+    so + is |."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"shiftleft(shiftright({c1}, {b}) & 1, {2 * b})")
+        terms.append(f"shiftleft(shiftright({c2}, {b}) & 1, {2 * b + 1})")
+    return " + ".join(terms)
+
+
+def zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering + file-level min/max data skipping -- the
+    Delta/Iceberg OPTIMIZE ZORDER BY pattern, built from parts:
+
+    1. cluster lineitem on the z-interleave of (l_partkey, l_suppkey)
+       (repartitionByRange on the z-value + sortWithinPartitions), so
+       every output file covers a NARROW range of BOTH dimensions;
+    2. prune files from parquet footer min/max stats alone (driver-side
+       metadata, the role a table format's manifest plays at 100 TB) --
+       a file is read only if its [min,max] intersects the predicate
+       box on BOTH dimensions; skipping must actually happen (asserted);
+    3. read only the surviving files, apply the residual filter, return
+       the matching rows.
+
+    The predicate box is scale-relative (keys <= max/{sel} per
+    dimension, floor division in both engines), so the query selects
+    ~1/{sel}^2 of the rows at every sf.  Correctness of the PRUNING is
+    what the driver gate checks: a dropped needed file would lose rows
+    and break the hash match against the full-scan oracle.
+
+    At 100 TB this is the difference between scanning a 2-D slice's
+    worth of files and scanning the table: with z-order both
+    dimensions' min/max ranges are narrow per file, where a sort on one
+    column only prunes that column's dimension.
+    """
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    hi = li.agg(
+        F.max("l_partkey").alias("p"), F.max("l_suppkey").alias("s")
+    ).first()
+    p_hi, s_hi = hi.p // ZORDER_SEL, hi.s // ZORDER_SEL
+
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    out = Path(f"{DEFAULT_WAREHOUSE}/lineitem_zorder_{tag}")
+    (
+        li.withColumn(
+            "zval", F.expr(_zorder_expr("l_partkey", "l_suppkey"))
+        )
+        .repartitionByRange(ZORDER_FILES, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(str(out))
+    )
+
+    # file-level skipping from footer stats only (no data IO)
+    import pyarrow.parquet as pq
+
+    files = sorted(str(p) for p in out.glob("*.parquet"))
+    keep = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        lo = {c: None for c in ("l_partkey", "l_suppkey")}
+        hi2 = dict(lo)
+        for rg in range(md.num_row_groups):
+            for c in lo:
+                st = md.row_group(rg).column(idx[c]).statistics
+                lo[c] = st.min if lo[c] is None else min(lo[c], st.min)
+                hi2[c] = st.max if hi2[c] is None else max(hi2[c], st.max)
+        if lo["l_partkey"] <= p_hi and lo["l_suppkey"] <= s_hi:
+            keep.append(f)
+    assert keep, "z-order pruning kept zero files"
+    assert len(keep) < len(files), (
+        f"z-order skipping pruned nothing ({len(files)} files)"
+    )
+    ZORDER_LAST.update(n_files=len(files), n_kept=len(keep))
+
+    return (
+        spark.read.parquet(*keep)
+        .filter(
+            (F.col("l_partkey") <= p_hi) & (F.col("l_suppkey") <= s_hi)
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_quantity",
+        )
+    )
+
+
+def zorder_skipping_oracle() -> str:
+    return f"""
+        WITH thr AS (
+            SELECT CAST(floor(max(l_partkey) / {ZORDER_SEL}) AS BIGINT)
+                       AS p_hi,
+                   CAST(floor(max(l_suppkey) / {ZORDER_SEL}) AS BIGINT)
+                       AS s_hi
+            FROM lineitem
+        )
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        FROM lineitem, thr
+        WHERE l_partkey <= p_hi AND l_suppkey <= s_hi
+    """
+
+
 def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL source/sink round-trip: write the documents table as JSON
     lines (the interchange format most raw training corpora arrive in),

@@ -277,6 +277,14 @@ def main() -> None:
               lambda sf=sf: dedup.embedding_cosine_pairs_blocked(
                   spark, sf, block_rows=2000),
               n_vecs0 * k)
+        # --- binary-quantized ANN (r8): the Hamming pre-rank scans the
+        # 8-byte packed-signature column once per query set (fixed
+        # ANN_N_QUERIES), so wall time must grow ~linearly in corpus
+        # size while the exact-cosine re-rank stays CONSTANT
+        # (HAM_CANDIDATES survivors per query regardless of n)
+        probe("sim_hamming_topk", "replica", k,
+              lambda sf=sf: similarity.hamming_topk(spark, sf),
+              n_vecs0 * k)
         # --- distributed k-means: O(n*k*d) per round by spec -- the
         # probe verifies the measured exponent is ~1 in n and that the
         # driver's per-round collect stays at the k*d model-state size

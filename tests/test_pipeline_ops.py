@@ -646,3 +646,104 @@ def test_range_join_covers_every_purchase(spark, duck):
             assert r.ms_since_last_view is None
         else:
             assert 0 <= r.ms_since_last_view < RANGE_JOIN_WINDOW_MS
+
+
+def test_hamming_signature_packing_matches_numpy(spark):
+    """The packed sign-bit words (r8) must equal an independent numpy
+    packing of the same quantized vectors, and the XOR+popcount Hamming
+    distance must equal the element-wise sign-disagreement count."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from query_optimizer_spark.functions import similarity
+
+    emb = similarity._quantized(spark, SF_DIR).withColumn(
+        "w0", F.expr(similarity._ham_word_spark(0))
+    ).withColumn("w1", F.expr(similarity._ham_word_spark(1)))
+    rows = emb.select("vec_id", "q", "w0", "w1").orderBy("vec_id").collect()
+    assert rows
+    packed = {}
+    for r in rows:
+        q = np.asarray(r.q)
+        bits = (q > 0).astype(np.int64)
+        w0 = int((bits[:32] << np.arange(32)).sum())
+        w1 = int((bits[32:64] << np.arange(32)).sum())
+        assert (r.w0, r.w1) == (w0, w1), r.vec_id
+        packed[r.vec_id] = bits
+    # Hamming via packed words == sign-disagreement count, spot-checked
+    # across the first query's neighborhood
+    a = rows[0]
+    for b in rows[1:16]:
+        ham = bin(a.w0 ^ b.w0).count("1") + bin(a.w1 ^ b.w1).count("1")
+        assert ham == int((packed[a.vec_id] != packed[b.vec_id]).sum())
+
+
+def test_hamming_topk_contract(spark):
+    """sim_hamming_topk (r8): exactly top-k rows per query with dense
+    ranks; the exact-cosine re-rank orders each query's rows by
+    (cosine desc, neighbor_id); no query returns itself."""
+    from query_optimizer_spark.functions.constants import (
+        ANN_N_QUERIES,
+        ANN_TOP_K,
+    )
+
+    rows = PIPELINE_OPS["sim_hamming_topk"][0](spark, SF_DIR).collect()
+    assert len(rows) == ANN_N_QUERIES * ANN_TOP_K
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == ANN_N_QUERIES
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, ANN_TOP_K + 1))
+        key = [(-r.cosine, r.neighbor_id) for r in rs]
+        assert key == sorted(key), q
+
+
+def test_bucketed_join_plan_has_no_exchange(spark):
+    """io_bucketed_join (r8): the gated runner's inline assert is the
+    contract -- the co-located sort-merge join must build with zero
+    Exchange; here we also assert the OUTPUT matches a plain (shuffled)
+    join of the raw parquet, so bucketing changed the plan, not the
+    answer."""
+    from pyspark.sql import functions as F
+
+    from query_optimizer_spark.session import read_table
+
+    df = PIPELINE_OPS["io_bucketed_join"][0](spark, SF_DIR)
+    got = {r.bucket: (r.n_rows, r.sum_qty, round(r.revenue, 2))
+           for r in df.collect()}
+    li = read_table(spark, SF_DIR, "lineitem")
+    orders = read_table(spark, SF_DIR, "orders")
+    plain = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy((F.col("l_orderkey") % 16).cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.expr("cast(sum(cast(l_extendedprice as decimal(18, 2)))"
+                   " as double)").alias("revenue"),
+        )
+    )
+    want = {r.bucket: (r.n_rows, r.sum_qty, round(r.revenue, 2))
+            for r in plain.collect()}
+    assert got == want
+
+
+def test_zorder_skipping_prunes_most_files(spark, duck):
+    """io_zorder_skipping (r8): the footer-stats pruning must skip a
+    majority of the clustered files for the ~1/SEL^2 box (that IS the
+    operator's reason to exist), and the surviving rows must equal a
+    full-scan filter -- no row lost to an over-eager prune."""
+    from query_optimizer_spark import sources
+
+    df = PIPELINE_OPS["io_zorder_skipping"][0](spark, SF_DIR)
+    got = result_hash(df)
+    n_files, n_kept = (
+        sources.ZORDER_LAST["n_files"],
+        sources.ZORDER_LAST["n_kept"],
+    )
+    assert n_kept < n_files / 2, (n_kept, n_files)
+    expected = duck_hash(duck, PIPELINE_OPS["io_zorder_skipping"][1])
+    assert got == expected
