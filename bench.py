@@ -83,8 +83,10 @@ headline = [
     "sql_q16_supplier_cnt", "sql_q20_promotion_stock",
     # late-r8 additions: binary-quantized ANN (Hamming pre-rank + exact
     # re-rank), co-located bucketed-table join (zero-Exchange asserted),
-    # z-order clustering + footer min/max file skipping
+    # z-order clustering + footer min/max file skipping, runtime
+    # bloom-filter fact-scan pruning (InjectRuntimeFilter asserted)
     "sim_hamming_topk", "io_bucketed_join", "io_zorder_skipping",
+    "io_runtime_bloom_prune",
 ]
 
 

@@ -114,6 +114,10 @@ PIPELINE_OPS: dict[str, tuple] = {
         sources.zorder_skipping,
         sources.zorder_skipping_oracle(),
     ),
+    "io_runtime_bloom_prune": (
+        sources.runtime_bloom_prune,
+        sources.runtime_bloom_prune_oracle(),
+    ),
     "io_partitioned_roundtrip": (
         sources.partitioned_roundtrip,
         sources.partitioned_roundtrip_oracle(),

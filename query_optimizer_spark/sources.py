@@ -254,6 +254,85 @@ def zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def runtime_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter pruning (Spark's InjectRuntimeFilter): a
+    selective dimension predicate is turned into a bloom filter AT RUN
+    TIME and pushed into the fact-side scan as ``might_contain``, so
+    fact rows that cannot join are dropped at the scan -- before the
+    shuffle -- without any precomputed index.  At 100 TB this is the
+    difference between shuffling the whole fact table and shuffling the
+    ~1% that can match a 1% dimension slice.
+
+    The injection is ASSERTED on the physical plan (both the
+    ``bloom_filter_agg`` build on the dimension side and the
+    ``might_contain`` probe in the fact scan filter); a regression to a
+    plain shuffle join would still answer correctly, so the assert is
+    what makes this a feature gate rather than a correctness gate.
+    Broadcast is disabled inside the op (restored after) because a
+    broadcast join already prunes at the scan -- the runtime filter is
+    the strategy for the LARGE-dimension case where broadcast is off
+    the table.  The result is materialized eagerly while the confs are
+    in force; only the 3-row aggregate ever reaches the driver.
+    """
+    from pyspark.sql import functions as F
+
+    from .executor import physical_plan
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # the toy dimension is far below the default 10 MB creation
+        # threshold's intent; at real scale the defaults apply
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        # default 10 GB: injection only pays off when the pruned scan
+        # is big -- exactly the regime this op models on toy data
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            "o_custkey % 97 = 0"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            )
+        )
+        plan = physical_plan(j)
+        assert "bloom_filter_agg" in plan, "runtime filter not built"
+        assert "might_contain" in plan, "runtime filter not applied"
+        rows = j.collect()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, schema=j.schema)
+
+
+def runtime_bloom_prune_oracle() -> str:
+    return """
+        SELECT o_orderstatus, count(*) AS n_rows,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey % 97 = 0
+        GROUP BY o_orderstatus
+    """
+
+
 def zorder_skipping_oracle() -> str:
     return f"""
         WITH thr AS (

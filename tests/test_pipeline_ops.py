@@ -747,3 +747,26 @@ def test_zorder_skipping_prunes_most_files(spark, duck):
     assert n_kept < n_files / 2, (n_kept, n_files)
     expected = duck_hash(duck, PIPELINE_OPS["io_zorder_skipping"][1])
     assert got == expected
+
+
+def test_runtime_bloom_prune_restores_confs(spark, duck):
+    """io_runtime_bloom_prune (r8) flips session confs (broadcast OFF,
+    bloom thresholds) while building its plan -- they MUST come back,
+    or every later query in the session plans under the wrong rules.
+    Also: the inline asserts require the runtime filter actually
+    injected, and the output matches the full-scan oracle."""
+    before = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "creationSideThreshold",
+        )
+    }
+    df = PIPELINE_OPS["io_runtime_bloom_prune"][0](spark, SF_DIR)
+    got = result_hash(df)
+    after = {k: spark.conf.get(k) for k in before}
+    assert after == before, (before, after)
+    expected = duck_hash(duck, PIPELINE_OPS["io_runtime_bloom_prune"][1])
+    assert got == expected
