@@ -580,7 +580,7 @@ SURFACE: dict[str, str | tuple[str, str]] = {
                p.p_partkey, p.p_type
         FROM part p, supplier s, partsupp ps, nation n, region r
         WHERE p.p_partkey = ps.ps_partkey AND s.s_suppkey = ps.ps_suppkey
-          AND p.p_size = 15 AND p.p_type = 'ECONOMY'
+          AND p.p_size <= 15 AND p.p_type = 'ECONOMY'
           AND s.s_nationkey = n.n_nationkey
           AND n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
           AND ps.ps_supplycost_c = (
@@ -595,11 +595,14 @@ SURFACE: dict[str, str | tuple[str, str]] = {
         LIMIT 100
     """,
     # Q11 shape: grouped stock value filtered against a scalar-subquery
-    # threshold over the SAME aggregate (parts worth > 2x the nation's
+    # threshold over the SAME aggregate (parts worth > 2x the bloc's
     # average -- relative, so the predicate stays selective at every
     # SF, unlike the original's fixed fraction which is defined
-    # per-scale-factor); integer arithmetic keeps the threshold
-    # comparison exact on both engines
+    # per-scale-factor); the dimension slice is a REGION (the original's
+    # single nation has zero suppliers in the tiny sf0.001 sample --
+    # scoping by region keeps the query non-vacuous at every SF);
+    # integer arithmetic keeps the threshold comparison exact on both
+    # engines
     "sql_q11_important_stock": """
         WITH partsupp AS (
             SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
@@ -616,9 +619,10 @@ SURFACE: dict[str, str | tuple[str, str]] = {
             SELECT ps.ps_partkey,
                    CAST(SUM(ps.ps_supplycost_c * ps.ps_availqty)
                         AS BIGINT) AS value_c
-            FROM partsupp ps, supplier s, nation n
+            FROM partsupp ps, supplier s, nation n, region r
             WHERE ps.ps_suppkey = s.s_suppkey
-              AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_7'
+              AND s.s_nationkey = n.n_nationkey
+              AND n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
             GROUP BY ps.ps_partkey
         )
         SELECT ps_partkey, value_c FROM g
