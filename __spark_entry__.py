@@ -130,13 +130,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stream_feedback_join, mm_image_decode, the 4 derived-partsupp
     TPC-H adaptations Q2/Q11/Q16/Q20, the re-gated stream_asof_join
     and join_feedback_warm), then fills the REST of the window with
-    the 37 stalest-evidence queries (driver row <= r5): all 25 sql_*,
-    the 7 r4-era stream_*, both io_* roundtrips, skew_salted_join,
-    dedup_containment, and text_oov_bigram_rate -- the r6/r7-gated
-    blocks take their turn going stale, and evt_asof_tolerance /
-    evt_hourly_topk / evt_anomaly_hours / text_repetition_stats join
-    the r9 backlog to make room for the late-r8 sim_hamming_topk /
-    io_bucketed_join / io_zorder_skipping / io_runtime_bloom_prune.
+    the 36 stalest-evidence queries (driver row <= r5): all 25 sql_*,
+    the 7 r4-era stream_*, both io_* roundtrips, skew_salted_join, and
+    dedup_containment -- the r6/r7-gated blocks take their turn going
+    stale, and evt_asof_tolerance / evt_hourly_topk / evt_anomaly_hours
+    / text_repetition_stats / text_oov_bigram_rate join the r9 backlog
+    to make room for the late-r8 sim_hamming_topk / io_bucketed_join /
+    io_zorder_skipping / io_runtime_bloom_prune / text_hll_vocab.
     ALL declared queries are
     checked against their DuckDB oracles by scripts/local_gate.py
     (checked-in: CORRECTNESS_LOCAL_FULL.json) and pytest every round
@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_bucketed_join",
         "io_zorder_skipping",
         "io_runtime_bloom_prune",
+        "text_hll_vocab",
         "stream_asof_join",
     ):
         out[name] = pipeline[name][0]
@@ -273,16 +274,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["join_feedback_warm"] = _feedback_warm
 
     # =====================================================================
-    # block B (r8 rotation, VERDICT r7 #2): the 37 queries below are
+    # block B (r8 rotation, VERDICT r7 #2): the 36 queries below are
     # the stale-evidence set -- freshest driver row <= r5, two-plus
-    # rounds old -- rotated back into what the 13-query r8 lead leaves
+    # rounds old -- rotated back into what the 14-query r8 lead leaves
     # of the 50-row gate window: the 25 sql_* TPC-H adaptations, all 7
-    # r4-era stream_* ops, both io_* roundtrips, skew_salted_join,
-    # dedup_containment, and text_oov_bigram_rate
-    # (the 12 stale corpus_* + evt_retention_cohorts +
-    # evt_asof_tolerance + evt_hourly_topk + evt_anomaly_hours +
-    # text_repetition_stats take the r9 window; the r6/r7-gated blocks
-    # go stale in their place).
+    # r4-era stream_* ops, both io_* roundtrips, skew_salted_join, and
+    # dedup_containment (the 12 stale corpus_* + evt_retention_cohorts
+    # + evt_asof_tolerance + evt_hourly_topk + evt_anomaly_hours +
+    # text_repetition_stats + text_oov_bigram_rate take the r9 window;
+    # the r6/r7-gated blocks go stale in their place).
     # =====================================================================
     _R8_ROTATION = [
         "sql_q3_shipping_priority", "sql_q4_order_priority",
@@ -302,7 +302,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sink_parquet",
         "io_csv_roundtrip", "io_jsonl_roundtrip",
         "skew_salted_join", "dedup_containment",
-        "text_oov_bigram_rate",
     ]
     for name in _R8_ROTATION:
         if name.startswith("sql_"):

@@ -84,9 +84,10 @@ headline = [
     # late-r8 additions: binary-quantized ANN (Hamming pre-rank + exact
     # re-rank), co-located bucketed-table join (zero-Exchange asserted),
     # z-order clustering + footer min/max file skipping, runtime
-    # bloom-filter fact-scan pruning (InjectRuntimeFilter asserted)
+    # bloom-filter fact-scan pruning (InjectRuntimeFilter asserted),
+    # cross-engine bit-identical HyperLogLog vocabulary sketch
     "sim_hamming_topk", "io_bucketed_join", "io_zorder_skipping",
-    "io_runtime_bloom_prune",
+    "io_runtime_bloom_prune", "text_hll_vocab",
 ]
 
 

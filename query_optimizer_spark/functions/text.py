@@ -953,3 +953,160 @@ def countmin_freq_oracle() -> str:
         FROM probes p JOIN cells c ON p.d = c.d AND p.cell = c.cell
         GROUP BY p.token, p.true_cnt
     """
+
+
+# --- HyperLogLog distinct-count sketch ----------------------------------------
+
+# 2^HLL_B registers; the sketch is HLL_M small ints regardless of corpus
+# size -- the ANALYZE-pass NDV estimator at 100 TB, map-side combinable
+# (max per register), one tiny final reduce
+HLL_B = 8
+HLL_M = 1 << HLL_B
+# 15 hex chars of md5 = 60 hash bits (identical parse on both engines;
+# stays positive in a signed 64-bit lane); HLL_B go to the register
+# index, the rest carry the geometric rank
+HLL_HASH_BITS = 60
+HLL_W_BITS = HLL_HASH_BITS - HLL_B  # 52
+# the estimator's exact-arithmetic scale: register r contributes
+# 2^(W+1-r), so the harmonic sum is an INTEGER <= m * 2^(W+1) < 2^62 --
+# summed exactly by both engines, ONE cast to double at the end
+HLL_RANK_MAX = HLL_W_BITS + 1  # 53
+# alpha_m * m^2 * 2^RANK_MAX, spelled identically in both engines'
+# expressions so every float op is the same correctly-rounded IEEE step
+_HLL_EST_NUM = (
+    f"((0.7213 / (1 + 1.079 / {HLL_M})) * {HLL_M * HLL_M})"
+    f" * 9007199254740992e0"
+)
+# the paper's small-range regime switch: below 2.5m with empty
+# registers, linear counting m*ln(m/zeros) beats the raw estimator.
+# ln() is the one libm call in the sketch; rounding to 2 decimals
+# absorbs any conceivable cross-engine ulp difference (gate-proven at
+# three SFs).  `zeros` is the register-frame column; spelled once,
+# used verbatim by BOTH engines.
+_HLL_CORRECTED = (
+    f"case when zeros > 0 and ({_HLL_EST_NUM} / sv) <= 2.5 * {HLL_M}"
+    f" then {HLL_M} * ln({HLL_M}e0 / zeros)"
+    f" else {_HLL_EST_NUM} / sv end"
+)
+
+
+def hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog vocabulary estimate (Flajolet et al. 2007), built to
+    be bit-identical across engines: md5-derived 60-bit hashes, a
+    trailing-zeros geometric rank in PURE integer arithmetic
+    (bit_count((w & -w) - 1) + 1), and an exact integer harmonic sum
+    (register r contributes 2^(53-r), total < 2^62) so the only float
+    steps are one int->double cast and the final alpha*m^2/S division --
+    both correctly-rounded IEEE, so Spark and DuckDB agree on every
+    output bit.  The exact COUNT(DISTINCT) rides along as ground truth;
+    at 100 TB you would keep only the sketch (256 bytes of state,
+    map-side-combinable max per register -- one tiny final reduce,
+    mergeable across shards/days by construction)."""
+    toks = _docs(spark, sf_dir).select(F.explode(F.expr(TOKS)).alias("tok"))
+    h = "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
+    regs = (
+        toks.select(
+            F.expr(f"{h} % {HLL_M}").alias("idx"),
+            F.expr(f"{h} div {HLL_M}").alias("w"),
+        )
+        .select(
+            "idx",
+            F.expr(
+                f"case when w = 0 then {HLL_RANK_MAX} else"
+                " cast(bit_count((w & -w) - 1) + 1 as int) end"
+            ).alias("rank"),
+        )
+        .groupBy("idx")
+        .agg(F.max("rank").alias("r"))
+    )
+    filled = (
+        spark.range(HLL_M)
+        .select(F.col("id").alias("idx"))
+        .join(regs, "idx", "left")
+        .select(F.coalesce("r", F.lit(0)).alias("r"))
+    )
+    stats = filled.agg(
+        F.expr(
+            f"cast(sum(shiftleft(cast(1 as bigint), {HLL_RANK_MAX} - r))"
+            " as double)"
+        ).alias("sv"),
+        F.expr("cast(sum(case when r = 0 then 1 else 0 end) as int)").alias(
+            "zeros"
+        ),
+    )
+    exact = toks.agg(
+        F.countDistinct("tok").cast("int").alias("exact_vocab")
+    )
+    return (
+        stats.crossJoin(exact)
+        .select(
+            F.lit(HLL_M).cast("int").alias("m"),
+            (F.lit(HLL_M) - F.col("zeros")).cast("int").alias(
+                "used_registers"
+            ),
+            F.expr(f"{_HLL_EST_NUM} / sv").alias("est_raw"),
+            F.expr(_HLL_CORRECTED).alias("est"),
+            "exact_vocab",
+        )
+        .select(
+            "m",
+            "used_registers",
+            F.expr("round(est_raw, 2)").alias("hll_raw_estimate"),
+            F.expr("round(est, 2)").alias("hll_estimate"),
+            "exact_vocab",
+            F.expr(
+                "round((est / exact_vocab - 1) * 100, 2)"
+            ).alias("rel_err_pct"),
+        )
+    )
+
+
+def hll_vocab_oracle() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT unnest({sql_tokens('text')}) AS tok FROM documents
+        ),
+        hashed AS (
+            SELECT CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+                       AS h
+            FROM toks
+        ),
+        ranked AS (
+            SELECT h % {HLL_M} AS idx,
+                   CASE WHEN h // {HLL_M} = 0 THEN {HLL_RANK_MAX}
+                        ELSE CAST(bit_count(((h // {HLL_M})
+                                   & -(h // {HLL_M})) - 1) + 1 AS INT)
+                   END AS rank
+            FROM hashed
+        ),
+        agg AS (SELECT idx, max(rank) AS r FROM ranked GROUP BY idx),
+        filled AS (
+            SELECT coalesce(a.r, 0) AS r
+            FROM (SELECT unnest(range({HLL_M})) AS idx) i
+            LEFT JOIN agg a ON a.idx = i.idx
+        ),
+        s AS (
+            SELECT CAST(sum(CAST(1 AS BIGINT)
+                            << ({HLL_RANK_MAX} - r)) AS DOUBLE) AS sv,
+                   CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS INT)
+                       AS zeros
+            FROM filled
+        ),
+        ex AS (
+            SELECT CAST(count(DISTINCT tok) AS INT) AS exact_vocab
+            FROM toks
+        ),
+        est AS (
+            SELECT {HLL_M} AS m, {HLL_M} - zeros AS used_registers,
+                   {_HLL_EST_NUM} / sv AS est_raw,
+                   {_HLL_CORRECTED} AS est, exact_vocab
+            FROM s, ex
+        )
+        SELECT CAST(m AS INT) AS m,
+               CAST(used_registers AS INT) AS used_registers,
+               round(est_raw, 2) AS hll_raw_estimate,
+               round(est, 2) AS hll_estimate,
+               exact_vocab,
+               round((est / exact_vocab - 1) * 100, 2) AS rel_err_pct
+        FROM est
+    """

@@ -509,6 +509,25 @@ def main() -> None:
         rows.setdefault("text_countmin_freq (vocabgrowth)", []).append(rec)
         print(f"text_countmin_freq (vocabgrowth) x{m}: {rec}", flush=True)
 
+        # --- HLL vocabulary sketch on the same growing vocabulary
+        # (r8): fixed 256-register state while true NDV grows past m --
+        # the probe records the measured relative error through the
+        # linear-counting -> raw-estimator regime switch (the standard
+        # error for m=256 is 1.04/sqrt(m) ~ 6.5% once past the
+        # small-range regime)
+        t0 = time.monotonic()
+        hrow = text.hll_vocab(spark, sf).collect()[0]
+        rec_h = {
+            "k": m, "n": n_docs0 * m,
+            "sec": round(time.monotonic() - t0, 2), "out_rows": 1,
+            "exact_vocab": int(hrow.exact_vocab),
+            "hll_estimate": float(hrow.hll_estimate),
+            "rel_err_pct": float(hrow.rel_err_pct),
+            "used_regs": int(hrow.used_registers),
+        }
+        rows.setdefault("text_hll_vocab (vocabgrowth)", []).append(rec_h)
+        print(f"text_hll_vocab (vocabgrowth) x{m}: {rec_h}", flush=True)
+
     spark.stop()
 
     lines = [

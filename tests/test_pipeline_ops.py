@@ -770,3 +770,26 @@ def test_runtime_bloom_prune_restores_confs(spark, duck):
     assert after == before, (before, after)
     expected = duck_hash(duck, PIPELINE_OPS["io_runtime_bloom_prune"][1])
     assert got == expected
+
+
+def test_hll_vocab_estimator_quality(spark, duck):
+    """text_hll_vocab (r8): the small-range-corrected estimate must
+    land within 20% of the exact distinct count (Flajolet's linear-
+    counting regime -- the base corpus vocabulary is far below m), the
+    raw estimator must visibly overshoot in that regime (that is WHY
+    the correction exists), and the register frame must be exactly m
+    wide."""
+    from query_optimizer_spark.functions.text import HLL_M
+
+    row = PIPELINE_OPS["text_hll_vocab"][0](spark, SF_DIR).collect()[0]
+    assert row.m == HLL_M
+    assert 0 < row.used_registers <= HLL_M
+    assert abs(row.rel_err_pct) <= 20.0, row
+    assert row.hll_raw_estimate > row.hll_estimate, row
+    exact = duck.execute(
+        "SELECT count(DISTINCT tok) FROM (SELECT unnest("
+        "list_filter(string_split_regex(trim(regexp_replace(lower(text),"
+        " '[^a-z0-9 ]', ' ', 'g')), ' +'), x -> x <> '')) AS tok"
+        " FROM documents)"
+    ).fetchone()[0]
+    assert row.exact_vocab == exact
