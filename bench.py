@@ -88,6 +88,9 @@ headline = [
     # cross-engine bit-identical HyperLogLog vocabulary sketch
     "sim_hamming_topk", "io_bucketed_join", "io_zorder_skipping",
     "io_runtime_bloom_prune", "text_hll_vocab",
+    # CDC -> SCD2 dimension build (two windows, one shuffle); PQ-ADC
+    # ANN (8-byte codes, LUT probe, exact re-rank of survivors)
+    "evt_scd2_intervals", "sim_pq_adc_topk",
 ]
 
 

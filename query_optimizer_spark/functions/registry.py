@@ -49,6 +49,10 @@ PIPELINE_OPS: dict[str, tuple] = {
         similarity.hamming_topk,
         similarity.hamming_topk_oracle(),
     ),
+    "sim_pq_adc_topk": (
+        similarity.pq_adc_topk,
+        similarity.pq_adc_topk_oracle(),
+    ),
     "emb_quantize_int8": (
         similarity.quantize_int8,
         similarity.quantize_int8_oracle(),
@@ -72,6 +76,10 @@ PIPELINE_OPS: dict[str, tuple] = {
     "evt_asof_join": (temporal.asof_join, temporal.asof_join_oracle()),
     "evt_funnel": (temporal.funnel, temporal.funnel_oracle()),
     "evt_range_join": (temporal.range_join, temporal.range_join_oracle()),
+    "evt_scd2_intervals": (
+        temporal.scd2_intervals,
+        temporal.scd2_intervals_oracle(),
+    ),
     "evt_asof_tolerance": (
         temporal.asof_join_tolerance,
         temporal.asof_join_tolerance_oracle(),

@@ -1089,3 +1089,191 @@ def recall_report_oracle() -> str:
                    AS recall
         FROM hits
     """
+
+
+# --- product-quantization ADC ANN ---------------------------------------------
+
+PQ_M = 8      # subspaces (64 dims -> 8 x 8)
+PQ_DSUB = 8   # dims per subspace
+# codewords per subspace: the subvectors of the PQ_K smallest vec_ids
+# (the same deterministic seed convention as KMEANS_K / IVF; production
+# would Lloyd-iterate each subspace codebook -- emb_kmeans proves that
+# machinery -- but the ADC mechanics are identical either way)
+PQ_K = 16
+PQ_CANDIDATES = 8 * ANN_TOP_K
+
+# exact integer squared distance between two PQ_DSUB-dim lattice
+# subvectors -- the only arithmetic PQ encode/probe ever does
+_PQ_SUBDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " 0L, (acc, v) -> acc + v)"
+)
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jegou, Douze, Schmid 2011): every vector is encoded as PQ_M
+    4-bit-sized codes (8 codes here -- the 256-byte float vector
+    becomes ~8 bytes), each query builds a PQ_M x PQ_K lookup table of
+    exact subspace distances ONCE, and the approximate distance to any
+    vector is just PQ_M table lookups + adds.  The top PQ_CANDIDATES
+    by ADC distance get an exact cosine re-rank.
+
+    Scale shape: encode is a broadcast join against the 128-row
+    codebook + a map-side-combinable struct-min argmin (ties ->
+    smallest code id, deterministic); the probe joins the bounded LUT
+    (queries x 128 rows, broadcast) and sums PQ_M partials per
+    (query, vector) -- all integer arithmetic on the EMB_QUANT
+    lattice, so Spark and the DuckDB oracle (row_number argmin -- a
+    different algorithm) agree exactly.  At 100 TB the scan reads the
+    8-byte code column, not the vectors; only queries x PQ_CANDIDATES
+    rows ever touch the float path."""
+    emb = _quantized(spark, sf_dir)
+    subs = spark.range(PQ_M).select(F.col("id").cast("int").alias("s"))
+    sub_of = f"slice(q, s * {PQ_DSUB} + 1, {PQ_DSUB})"
+    codebook = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("code_id"), "q")
+        .crossJoin(subs)
+        .select("s", "code_id", F.expr(sub_of).alias("csub"))
+    )
+    enc = (
+        emb.select("vec_id", "q")
+        .crossJoin(subs)
+        .select("vec_id", "s", F.expr(sub_of).alias("vsub"))
+        .join(F.broadcast(codebook), "s")
+        .select(
+            "vec_id", "s", "code_id",
+            F.expr(_PQ_SUBDIST.format(a="vsub", b="csub")).alias("dist"),
+        )
+        .groupBy("vec_id", "s")
+        .agg(
+            F.min(F.struct("dist", "code_id"))
+            .getField("code_id")
+            .alias("code_id")
+        )
+    )
+    lut = (
+        emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "q")
+        .crossJoin(subs)
+        .select("query_id", "s", F.expr(sub_of).alias("qsub"))
+        .join(F.broadcast(codebook), "s")
+        .select(
+            "query_id", "s", "code_id",
+            F.expr(_PQ_SUBDIST.format(a="qsub", b="csub")).alias("qdist"),
+        )
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["s", "code_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qdist").cast("bigint").alias("adc_dist"))
+    )
+    wpre = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        adc.withColumn("arank", F.row_number().over(wpre))
+        .filter(F.col("arank") <= PQ_CANDIDATES)
+        .drop("arank")
+    )
+    dot = DOT_SPARK.format(a="qq", b="q")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+    )
+    scored = (
+        cand.join(emb.select("vec_id", "q", "n2"),
+                  cand.neighbor_id == F.col("vec_id"))
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id", "neighbor_id", "adc_dist",
+            F.expr(
+                f"round({dot} / (sqrt(cast(qn2 as double))"
+                " * sqrt(cast(n2 as double))), 6)"
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "neighbor_id", "rank", "adc_dist", "cosine")
+    )
+
+
+def pq_adc_topk_oracle() -> str:
+    subdist = (
+        f"list_sum([(a.vsub[i] - cb.csub[i]) * (a.vsub[i] - cb.csub[i])"
+        f" for i in generate_series(1, {PQ_DSUB})])"
+    )
+    return f"""
+        WITH {_SQL_QUANT},
+        subs AS (SELECT unnest(range({PQ_M})) AS s),
+        codebook AS (
+            SELECT subs.s, c.vec_id AS code_id,
+                   list_slice(c.q, subs.s * {PQ_DSUB} + 1,
+                              subs.s * {PQ_DSUB} + {PQ_DSUB}) AS csub
+            FROM qn c, subs WHERE c.vec_id < {PQ_K}
+        ),
+        vsubs AS (
+            SELECT v.vec_id, subs.s,
+                   list_slice(v.q, subs.s * {PQ_DSUB} + 1,
+                              subs.s * {PQ_DSUB} + {PQ_DSUB}) AS vsub
+            FROM qn v, subs
+        ),
+        enc AS (
+            SELECT vec_id, s, code_id FROM (
+                SELECT a.vec_id, a.s, cb.code_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id, a.s
+                           ORDER BY {subdist}, cb.code_id) AS rn
+                FROM vsubs a JOIN codebook cb ON cb.s = a.s
+            ) WHERE rn = 1
+        ),
+        lut AS (
+            SELECT a.vec_id AS query_id, a.s, cb.code_id,
+                   {subdist} AS qdist
+            FROM vsubs a JOIN codebook cb ON cb.s = a.s
+            WHERE a.vec_id < {ANN_N_QUERIES}
+        ),
+        adc AS (
+            SELECT l.query_id, e.vec_id AS neighbor_id,
+                   CAST(sum(l.qdist) AS BIGINT) AS adc_dist
+            FROM enc e JOIN lut l ON l.s = e.s AND l.code_id = e.code_id
+            WHERE e.vec_id <> l.query_id
+            GROUP BY l.query_id, e.vec_id
+        ),
+        cand AS (
+            SELECT query_id, neighbor_id, adc_dist FROM (
+                SELECT query_id, neighbor_id, adc_dist,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY adc_dist, neighbor_id)
+                           AS arank
+                FROM adc
+            ) WHERE arank <= {PQ_CANDIDATES}
+        ),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id, c.adc_dist,
+                   round(list_sum([qa.q[i] * qb.q[i]
+                                   for i in generate_series(1, len(qa.q))])
+                         / (sqrt(qa.n2::DOUBLE) * sqrt(qb.n2::DOUBLE)), 6)
+                       AS cosine
+            FROM cand c
+            JOIN qn qa ON qa.vec_id = c.query_id
+            JOIN qn qb ON qb.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+               adc_dist, cosine
+        FROM (
+            SELECT query_id, neighbor_id, adc_dist, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id)
+                       AS rank
+            FROM scored
+        ) WHERE rank <= {ANN_TOP_K}
+    """

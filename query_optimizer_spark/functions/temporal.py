@@ -888,3 +888,76 @@ def range_join_oracle() -> str:
          AND v.v_ms <= p.ms
         GROUP BY p.event_id, p.user_id, p.ms
     """
+
+
+# --- CDC -> SCD2 interval build ------------------------------------------------
+
+# the slowly-changing attribute: the user's spend tier (value // 100).
+# Low-cardinality by construction, so consecutive-duplicate compression
+# does real work -- the point of SCD type 2.
+SCD2_TIER = "cast(floor(value / 100) as int)"
+
+
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture -> slowly-changing-dimension type 2: compress
+    each user's event stream into validity intervals of their spend
+    tier -- keep only CHANGE rows (lag over the per-user total order
+    (ms, event_id)), then close each interval with the next change's
+    start (lead; NULL = current row).
+
+    This is the warehouse MERGE-into-dimension pattern built as two
+    window passes over ONE hash partitioning (user_id): no per-key
+    loops, no MERGE statement, no shuffle between the passes --
+    Catalyst plans a single Exchange and both windows ride it.  At
+    100 TB the stream arrives partitioned by day; the same two passes
+    run per partition with the previous day's open intervals unioned
+    in, so the build stays incremental.  Deterministic: the order key
+    includes the unique event_id, and the tier is floor(value/100) --
+    one IEEE division + floor, identical on both engines.
+    """
+    ev = events_df(spark, sf_dir).select(
+        "user_id",
+        F.expr("unix_millis(ts)").alias("ms"),
+        "event_id",
+        F.expr(SCD2_TIER).alias("tier"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    changes = ev.withColumn("prev_tier", F.lag("tier").over(w)).filter(
+        "prev_tier IS NULL OR prev_tier <> tier"
+    )
+    return changes.select(
+        "user_id",
+        "tier",
+        F.col("ms").alias("valid_from_ms"),
+        F.lead("ms").over(w).alias("valid_to_ms"),
+        F.row_number().over(w).cast("int").alias("version"),
+        F.lead("ms").over(w).isNull().alias("is_current"),
+    )
+
+
+def scd2_intervals_oracle() -> str:
+    return f"""
+        WITH ev AS (
+            SELECT user_id, epoch_ms(ts) AS ms, event_id,
+                   {SCD2_TIER.replace('cast', 'CAST').replace(' as int', ' AS INT')} AS tier
+            FROM events
+        ),
+        changes AS (
+            SELECT user_id, ms, event_id, tier FROM (
+                SELECT user_id, ms, event_id, tier,
+                       lag(tier) OVER (PARTITION BY user_id
+                                       ORDER BY ms, event_id) AS prev_tier
+                FROM ev
+            ) WHERE prev_tier IS NULL OR prev_tier <> tier
+        )
+        SELECT user_id, tier, ms AS valid_from_ms,
+               lead(ms) OVER (PARTITION BY user_id
+                              ORDER BY ms, event_id) AS valid_to_ms,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ms, event_id) AS INT)
+                   AS version,
+               (lead(ms) OVER (PARTITION BY user_id
+                               ORDER BY ms, event_id) IS NULL)
+                   AS is_current
+        FROM changes
+    """

@@ -339,3 +339,31 @@ def test_markov_stationary_source_only_type_matches_oracle(spark, tmp_path):
         ).fetchall()
     }
     assert oracle == got
+
+
+def test_scd2_intervals_tile_each_user(spark):
+    """evt_scd2_intervals (r8): per user the intervals must tile the
+    timeline -- dense versions, each interval closed by the next one's
+    start, exactly one open (current) interval, and no two consecutive
+    intervals with the same tier (the compression invariant)."""
+    from query_optimizer_spark.functions.registry import PIPELINE_OPS
+
+    rows = PIPELINE_OPS["evt_scd2_intervals"][0](spark, SF_DIR).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.version)
+        assert [r.version for r in ivs] == list(range(1, len(ivs) + 1))
+        assert sum(1 for r in ivs if r.is_current) == 1
+        assert ivs[-1].is_current and ivs[-1].valid_to_ms is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to_ms == b.valid_from_ms, user
+            assert a.tier != b.tier, user
+            assert a.valid_from_ms < a.valid_to_ms or (
+                # equal-ms change events are legal: the order key is
+                # (ms, event_id), so a later event at the same ms may
+                # open the next interval at an equal timestamp
+                a.valid_from_ms == a.valid_to_ms
+            )
