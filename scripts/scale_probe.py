@@ -285,6 +285,13 @@ def main() -> None:
         probe("sim_hamming_topk", "replica", k,
               lambda sf=sf: similarity.hamming_topk(spark, sf),
               n_vecs0 * k)
+        # --- PQ-ADC ANN (r8): encode is linear in corpus size (one
+        # broadcast-codebook pass), the per-query LUT is CONSTANT
+        # (PQ_M x PQ_K), the ADC probe is linear, and the exact re-rank
+        # stays at PQ_CANDIDATES survivors per query regardless of n
+        probe("sim_pq_adc_topk", "replica", k,
+              lambda sf=sf: similarity.pq_adc_topk(spark, sf),
+              n_vecs0 * k)
         # --- distributed k-means: O(n*k*d) per round by spec -- the
         # probe verifies the measured exponent is ~1 in n and that the
         # driver's per-round collect stays at the k*d model-state size
@@ -372,6 +379,20 @@ def main() -> None:
         probe("evt_range_join", "replica", k,
               lambda sf=f"{WORK}/replica_x{k}":
                   temporal.range_join(spark, sf),
+              n_events0 * k)
+        # --- CDC -> SCD2 (r8): two window passes over one hash
+        # partitioning.  Replica mode multiplies per-user change
+        # events (same users, k x events -- deeper per-user sort
+        # runs); disjoint mode grows users with constant per-user
+        # history (the horizontal-scaling claim).  Both must stay
+        # ~linear: the build is sort + lag/lead, no joins.
+        probe("evt_scd2_intervals", "replica", k,
+              lambda sf=f"{WORK}/replica_x{k}":
+                  temporal.scd2_intervals(spark, sf),
+              n_events0 * k)
+        probe("evt_scd2_intervals", "disjoint", k,
+              lambda sf=f"{WORK}/disjoint_x{k}":
+                  temporal.scd2_intervals(spark, sf),
               n_events0 * k)
         probe("evt_range_join", "disjoint", k,
               lambda sf=f"{WORK}/disjoint_x{k}":
