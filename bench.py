@@ -89,8 +89,9 @@ headline = [
     "sim_hamming_topk", "io_bucketed_join", "io_zorder_skipping",
     "io_runtime_bloom_prune", "text_hll_vocab",
     # CDC -> SCD2 dimension build (two windows, one shuffle); PQ-ADC
-    # ANN (8-byte codes, LUT probe, exact re-rank of survivors)
-    "evt_scd2_intervals", "sim_pq_adc_topk",
+    # ANN (8-byte codes, LUT probe, exact re-rank of survivors);
+    # SemDeDup cluster-blocked semantic dedup (sum(|c|^2), not n^2)
+    "evt_scd2_intervals", "sim_pq_adc_topk", "dedup_semdedup",
 ]
 
 

@@ -820,3 +820,138 @@ def family_agreement_oracle() -> str:
         SELECT in_minhash, in_jaccard, in_simhash, count(*) AS n_pairs
         FROM allp GROUP BY 1, 2, 3
     """
+
+
+# --- SemDeDup: cluster-blocked semantic dedup ---------------------------------
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): assign every embedding to its
+    nearest coarse centroid, then compare pairs ONLY within a cluster;
+    an item is a semantic duplicate if some smaller-id item in its
+    cluster has cosine >= COSINE_DUP_THRESHOLD (the released
+    implementation's lower-index rule -- non-iterative, so it
+    parallelizes as one self-join).  Returns every vector with its
+    cluster, the dup flag, and the smallest qualifying partner.
+
+    The scale story IS the blocking: all-pairs cosine is O(n^2) flops
+    (dedup_embedding_cosine pays it with a distributed block matmul);
+    SemDeDup pays sum(|cluster|^2) -- with balanced clusters that is
+    n^2/k -- and cross-cluster near-dups are the documented
+    approximation.  Centroids are the deterministic IVF_N_CENTROIDS
+    seed convention (sim_ivf_topk), so the assignment and the DuckDB
+    oracle are bit-exact; per-pair cosine rounds to 6 before the
+    threshold, same as every other cosine gate in the package."""
+    from pyspark.sql import Window
+
+    from .constants import IVF_N_CENTROIDS
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.expr(QUANT_SPARK).alias("q"))
+        .withColumn("n2", F.expr(DOT_SPARK.format(a="q", b="q")))
+    )
+    cents = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("q").alias("cq"),
+        F.col("n2").alias("cn2"),
+    )
+    cdot = DOT_SPARK.format(a="q", b="cq")
+    scored = emb.join(F.broadcast(cents)).select(
+        "vec_id", "q", "n2", "cent_id",
+        F.expr(
+            f"round({cdot} / (sqrt(cast(n2 as double))"
+            " * sqrt(cast(cn2 as double))), 6)"
+        ).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cent_id")
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "q", "n2", "cent_id")
+    )
+    a = assign.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("a_id"),
+        F.col("q").alias("aq"),
+        F.col("n2").alias("an2"),
+    )
+    b = assign.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("b_id"),
+        F.col("q").alias("bq"),
+        F.col("n2").alias("bn2"),
+    )
+    pdot = DOT_SPARK.format(a="aq", b="bq")
+    dups = (
+        a.join(b, "cent_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            F.expr(
+                f"round({pdot} / (sqrt(cast(an2 as double))"
+                " * sqrt(cast(bn2 as double))), 6)"
+            )
+            >= COSINE_DUP_THRESHOLD
+        )
+        .groupBy(F.col("b_id").alias("vec_id"))
+        .agg(F.min("a_id").alias("dup_of"))
+    )
+    return (
+        assign.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cent_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )
+
+
+def semdedup_oracle() -> str:
+    from .constants import IVF_N_CENTROIDS
+
+    dot = "list_sum([a.q[i] * b.q[i] for i in generate_series(1, len(a.q))])"
+    cdot = "list_sum([a.q[i] * c.cq[i] for i in generate_series(1, len(a.q))])"
+    return f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> round(x::DOUBLE * {EMB_QUANT})::BIGINT) AS q
+            FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, q,
+                   list_sum([q[i] * q[i] for i in generate_series(1, len(q))]) AS n2
+            FROM q
+        ),
+        cents AS (
+            SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n
+            WHERE vec_id < {IVF_N_CENTROIDS}
+        ),
+        scored AS (
+            SELECT a.vec_id, a.q, a.n2, c.cent_id,
+                   round({cdot} / (sqrt(a.n2::DOUBLE) * sqrt(c.cn2::DOUBLE)), 6)
+                       AS csim
+            FROM n a, cents c
+        ),
+        assign AS (
+            SELECT vec_id, q, n2, cent_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY csim DESC, cent_id)
+                           AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ),
+        dups AS (
+            SELECT b.vec_id, min(a.vec_id) AS dup_of
+            FROM assign a JOIN assign b
+              ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+            WHERE round({dot} / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)), 6)
+                  >= {COSINE_DUP_THRESHOLD}
+            GROUP BY b.vec_id
+        )
+        SELECT s.vec_id, s.cent_id, d.dup_of IS NOT NULL AS is_dup,
+               d.dup_of
+        FROM assign s LEFT JOIN dups d ON d.vec_id = s.vec_id
+    """

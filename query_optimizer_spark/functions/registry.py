@@ -28,6 +28,7 @@ PIPELINE_OPS: dict[str, tuple] = {
         dedup.embedding_cosine_pairs,
         dedup.embedding_cosine_oracle(),
     ),
+    "dedup_semdedup": (dedup.semdedup, dedup.semdedup_oracle()),
     "dedup_clusters": (
         clustering.duplicate_clusters,
         clustering.duplicate_clusters_oracle(),

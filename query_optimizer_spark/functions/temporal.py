@@ -961,3 +961,4 @@ def scd2_intervals_oracle() -> str:
                    AS is_current
         FROM changes
     """
+

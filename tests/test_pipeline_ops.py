@@ -814,3 +814,32 @@ def test_pq_adc_recall_against_exact(spark):
     ex = {(r.query_id, r.neighbor_id) for r in exact}
     got = {(r.query_id, r.neighbor_id) for r in pq}
     assert len(ex & got) / len(ex) >= 0.6
+
+
+def test_semdedup_consistent_with_allpairs(spark):
+    """dedup_semdedup (r8): every vector appears exactly once; at least
+    one planted near-dup is flagged; and for every ALL-PAIRS cosine dup
+    whose two vectors landed in the same cluster, the larger id must be
+    flagged (within-cluster recall is exact -- only cross-cluster pairs
+    are the documented approximation)."""
+    from query_optimizer_spark.functions import dedup
+
+    rows = PIPELINE_OPS["dedup_semdedup"][0](spark, SF_DIR).collect()
+    n_emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert len(rows) == n_emb
+    assert len({r.vec_id for r in rows}) == n_emb
+    flagged = {r.vec_id for r in rows if r.is_dup}
+    assert flagged, "no semantic dup flagged -- planted dups missed"
+    cluster = {r.vec_id: r.cent_id for r in rows}
+    for r in rows:
+        assert r.is_dup == (r.dup_of is not None)
+        if r.is_dup:
+            assert r.dup_of < r.vec_id
+            assert cluster[r.dup_of] == cluster[r.vec_id]
+    allpairs = dedup.embedding_cosine_pairs(spark, SF_DIR).collect()
+    same_cluster = [
+        p for p in allpairs if cluster[p.vec_a] == cluster[p.vec_b]
+    ]
+    assert same_cluster, "no planted dup pair shares a cluster"
+    for p in same_cluster:
+        assert max(p.vec_a, p.vec_b) in flagged, p
