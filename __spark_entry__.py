@@ -166,15 +166,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this is the query-history statistics service surviving a session
     # restart.  Feedback may change the ORDER, never the answer.
     def _feedback_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import hashlib as _hashlib
         import os as _os
-        import tempfile as _tempfile
 
         from query_optimizer_spark.oracle import FeedbackStore
+        from query_optimizer_spark.sources import DEFAULT_WAREHOUSE
 
         configure_runtime(spark)
-        path = _os.path.join(
-            _tempfile.mkdtemp(prefix="fbstore_"), "feedback.json"
-        )
+        # one deterministic sidecar per sf_dir, overwritten per run --
+        # bench reps*cohorts re-invoke this query, so a fresh mkdtemp
+        # per call would leak directories (r8 ADVICE)
+        tag = _hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+        _os.makedirs(DEFAULT_WAREHOUSE, exist_ok=True)
+        path = _os.path.join(DEFAULT_WAREHOUSE, f"fbstore_{tag}.json")
+        if _os.path.exists(path):  # cold start: never seed from a
+            _os.remove(path)       # previous invocation's sidecar
         rec = FeedbackStore(path=path, tag=sf_dir)
         workload.run_fixture_adaptive_full(
             spark, sf_dir, "join_star_4", store=rec

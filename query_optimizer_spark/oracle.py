@@ -606,12 +606,21 @@ class OverlayOracle(CardinalityOracle):
         which misses an in-place re-observation (same length, changed
         value, e.g. a store-seeded mask re-recorded after the data
         refreshed) and would plan on stale ratios (r7 ADVICE).  The
-        cached graph is held by strong reference, so a dead graph's
-        recycled id() can never alias the cache key."""
-        key = self._observed_version
-        cached = getattr(self, "_adj_cache", None)
-        if cached is not None and cached[0] == key and cached[1] is graph:
-            return cached[2]
+        Cached per (version, graph): a small FIFO-bounded dict so
+        alternating card() calls across two live graphs at the same
+        observed version (inner + outer graph of a mixed fixture, or
+        the sensitivity harness's side-by-side arms) each hit their own
+        entry instead of thrashing a single slot (r8 ADVICE).  Each
+        entry holds ITS graph by strong reference, so a dead graph's
+        recycled id() can never alias a live cache key; the bound (8)
+        caps how many graphs the oracle keeps alive."""
+        key = (self._observed_version, id(graph))
+        cache = getattr(self, "_adj_cache", None)
+        if cache is None:
+            cache = self._adj_cache = {}
+        hit = cache.get(key)
+        if hit is not None and hit[0] is graph:
+            return hit[1]
         out = []
         for o in sorted(
             self.observed, key=lambda m: (-bin(m).count("1"), m)
@@ -623,7 +632,9 @@ class OverlayOracle(CardinalityOracle):
             out.append(
                 (o, min(max(f, 1.0 / self._ADJ_CLAMP), self._ADJ_CLAMP))
             )
-        self._adj_cache = (key, graph, out)
+        while len(cache) >= 8:
+            cache.pop(next(iter(cache)))
+        cache[key] = (graph, out)
         return out
 
     def card(self, graph: JoinGraph, s: int) -> float:

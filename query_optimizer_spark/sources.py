@@ -229,17 +229,30 @@ def zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         lo = {c: None for c in ("l_partkey", "l_suppkey")}
         hi2 = dict(lo)
+        stats_missing = False
         for rg in range(md.num_row_groups):
             for c in lo:
                 st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or st.min is None or st.max is None:
+                    # a writer may omit stats; without them the file's
+                    # key range is unknown -- conservatively keep it
+                    # (r8 ADVICE: never prune on absent evidence)
+                    stats_missing = True
+                    continue
                 lo[c] = st.min if lo[c] is None else min(lo[c], st.min)
                 hi2[c] = st.max if hi2[c] is None else max(hi2[c], st.max)
-        if lo["l_partkey"] <= p_hi and lo["l_suppkey"] <= s_hi:
+        if (
+            stats_missing
+            or lo["l_partkey"] is None
+            or lo["l_suppkey"] is None
+            or (lo["l_partkey"] <= p_hi and lo["l_suppkey"] <= s_hi)
+        ):
             keep.append(f)
     assert keep, "z-order pruning kept zero files"
-    assert len(keep) < len(files), (
-        f"z-order skipping pruned nothing ({len(files)} files)"
-    )
+    # pruning-nothing is a layout observation, not a failure: a
+    # single-file output or uniform key range legitimately keeps all
+    # files, and the query must still answer correctly (r8 ADVICE
+    # downgraded the former assert)
     ZORDER_LAST.update(n_files=len(files), n_kept=len(keep))
 
     return (

@@ -18,6 +18,68 @@ from pyspark.sql import DataFrame, SparkSession
 from . import TABLES
 from .session import configure_runtime, read_table
 
+# The derived-partsupp bridge shared by the TPC-H Q2/Q11/Q16/Q20
+# adaptations: distinct (l_partkey, l_suppkey) pairs with min unit
+# price (integer cents) as supply cost and summed quantity as
+# availability.  All four queries consume the SAME relation, so the
+# Spark side materializes it ONCE per (session, sf_dir) as a cached
+# temp view (r8 VERDICT #5) -- at warehouse scale this is a shared
+# staging table amortizing one full lineitem group-by across every
+# downstream consumer -- while each DuckDB oracle keeps the inline CTE
+# (the oracle is a fresh single-query engine run; sharing there would
+# prove nothing).
+_PARTSUPP_SQL = """
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           CAST(ROUND(MIN(l_extendedprice / l_quantity) * 100)
+                AS BIGINT) AS ps_supplycost_c,
+           CAST(SUM(l_quantity) AS BIGINT) AS ps_availqty
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+"""
+
+PARTSUPP_QUERIES = {
+    "sql_q2_min_cost_supplier",
+    "sql_q11_important_stock",
+    "sql_q16_supplier_cnt",
+    "sql_q20_promotion_stock",
+}
+
+# (id(spark), sf_dir) -> cached derived-partsupp DataFrame; each entry
+# holds its DataFrame (and through it the session) strongly, so a dead
+# session's recycled id() can never alias a live key
+_PARTSUPP_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _partsupp_pair(body: str) -> tuple[str, str]:
+    """(spark_sql, duck_sql) for a query over the derived partsupp:
+    DuckDB gets the full inline CTE; Spark reads the shared cached
+    ``partsupp`` temp view registered by ``_ensure_partsupp``."""
+    duck = f"WITH partsupp AS ({_PARTSUPP_SQL}){body}"
+    spark_body = body.lstrip()
+    if spark_body.startswith(","):  # body continues a WITH chain
+        spark_body = "WITH " + spark_body[1:].lstrip()
+    return (spark_body, duck)
+
+
+def _ensure_partsupp(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the derived partsupp once per (session, sf_dir) and
+    expose it as the ``partsupp`` temp view.  Scoped like
+    workload.PERSISTED_BLOCKS: lives for the session, evicted when the
+    same session switches sf_dir (the gate and tests reuse one session
+    across scale factors)."""
+    key = (id(spark), sf_dir.rstrip("/"))
+    df = _PARTSUPP_CACHE.get(key)
+    if df is None:
+        for stale in [k for k in _PARTSUPP_CACHE if k[0] == id(spark)]:
+            try:
+                _PARTSUPP_CACHE.pop(stale).unpersist(blocking=True)
+            except Exception:
+                _PARTSUPP_CACHE.pop(stale, None)
+        df = spark.sql(_PARTSUPP_SQL).persist()
+        _PARTSUPP_CACHE[key] = df
+    df.createOrReplaceTempView("partsupp")
+
+
 # name -> SQL valid for BOTH Spark and DuckDB, or a (spark_sql, duck_sql)
 # pair where the dialects diverge (results must still hash-match).
 SURFACE: dict[str, str | tuple[str, str]] = {
@@ -567,15 +629,7 @@ SURFACE: dict[str, str | tuple[str, str]] = {
     # hazard in the HAVING/comparison predicates.
     # Q2 shape: correlated scalar subquery picking the min-cost
     # supplier per part within a region
-    "sql_q2_min_cost_supplier": """
-        WITH partsupp AS (
-            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-                   CAST(ROUND(MIN(l_extendedprice / l_quantity) * 100)
-                        AS BIGINT) AS ps_supplycost_c,
-                   CAST(SUM(l_quantity) AS BIGINT) AS ps_availqty
-            FROM lineitem
-            GROUP BY l_partkey, l_suppkey
-        )
+    "sql_q2_min_cost_supplier": _partsupp_pair("""
         SELECT ROUND(s.s_acctbal, 3) AS s_acctbal, s.s_name, n.n_name,
                p.p_partkey, p.p_type
         FROM part p, supplier s, partsupp ps, nation n, region r
@@ -593,7 +647,7 @@ SURFACE: dict[str, str | tuple[str, str]] = {
                 AND r2.r_name = 'EUROPE')
         ORDER BY s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
         LIMIT 100
-    """,
+    """),
     # Q11 shape: grouped stock value filtered against a scalar-subquery
     # threshold over the SAME aggregate (parts worth > 2x the bloc's
     # average -- relative, so the predicate stays selective at every
@@ -603,21 +657,17 @@ SURFACE: dict[str, str | tuple[str, str]] = {
     # scoping by region keeps the query non-vacuous at every SF);
     # integer arithmetic keeps the threshold comparison exact on both
     # engines
-    "sql_q11_important_stock": """
-        WITH partsupp AS (
-            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-                   CAST(ROUND(MIN(l_extendedprice / l_quantity) * 100)
-                        AS BIGINT) AS ps_supplycost_c,
-                   CAST(SUM(l_quantity) AS BIGINT) AS ps_availqty
-            FROM lineitem
-            GROUP BY l_partkey, l_suppkey
-        )
+    "sql_q11_important_stock": _partsupp_pair("""
         , g AS (
-            -- CAST: DuckDB sums BIGINT into HUGEINT (int128), Spark
-            -- into BIGINT -- same value, different wire type, which
-            -- the value-hash distinguishes
+            -- sum in DECIMAL(38,0) on BOTH engines: cents * quantity is
+            -- ~1e12 per pair, so a BIGINT sum would silently wrap at
+            -- large SF on Spark while DuckDB promotes to HUGEINT -- the
+            -- explicit decimal makes the arithmetic identical (and
+            -- exact) everywhere; the final CAST only normalizes the
+            -- wire type for the value hash, per-part totals fit BIGINT
             SELECT ps.ps_partkey,
-                   CAST(SUM(ps.ps_supplycost_c * ps.ps_availqty)
+                   CAST(SUM(CAST(ps.ps_supplycost_c AS DECIMAL(38, 0))
+                            * ps.ps_availqty)
                         AS BIGINT) AS value_c
             FROM partsupp ps, supplier s, nation n, region r
             WHERE ps.ps_suppkey = s.s_suppkey
@@ -626,20 +676,16 @@ SURFACE: dict[str, str | tuple[str, str]] = {
             GROUP BY ps.ps_partkey
         )
         SELECT ps_partkey, value_c FROM g
-        WHERE value_c * (SELECT COUNT(*) FROM g) >
-              2 * (SELECT SUM(value_c) FROM g)
+        -- threshold compares in DECIMAL(38,0) too: value_c * COUNT(*)
+        -- crosses 2^63 long before any single value_c does
+        WHERE CAST(value_c AS DECIMAL(38, 0)) * (SELECT COUNT(*) FROM g) >
+              2 * (SELECT SUM(CAST(value_c AS DECIMAL(38, 0))) FROM g)
         ORDER BY value_c DESC, ps_partkey
-    """,
+    """),
     # Q16 shape: NOT IN exclusion subquery + COUNT(DISTINCT) per part
     # attribute group (the excluded set is suppliers in bad standing --
     # the testdata's analog of the comment-flagged complainers)
-    "sql_q16_supplier_cnt": """
-        WITH partsupp AS (
-            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-                   CAST(SUM(l_quantity) AS BIGINT) AS ps_availqty
-            FROM lineitem
-            GROUP BY l_partkey, l_suppkey
-        )
+    "sql_q16_supplier_cnt": _partsupp_pair("""
         SELECT p.p_brand, p.p_type, CAST(p.p_size AS INT) AS p_size,
                CAST(COUNT(DISTINCT ps.ps_suppkey) AS INT) AS supplier_cnt
         FROM partsupp ps, part p
@@ -651,19 +697,13 @@ SURFACE: dict[str, str | tuple[str, str]] = {
               SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         GROUP BY p.p_brand, p.p_type, p.p_size
         ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size
-    """,
+    """),
     # Q20 shape: nested IN subqueries with a correlated scalar
     # threshold (suppliers holding excess stock of promoted parts);
     # the half-of-annual-volume test is doubled to stay integral, and
     # pairs with no shipments in the window are excluded by NULL
     # comparison semantics exactly as in the original
-    "sql_q20_promotion_stock": """
-        WITH partsupp AS (
-            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-                   CAST(SUM(l_quantity) AS BIGINT) AS ps_availqty
-            FROM lineitem
-            GROUP BY l_partkey, l_suppkey
-        )
+    "sql_q20_promotion_stock": _partsupp_pair("""
         SELECT s.s_name, ROUND(s.s_acctbal, 3) AS s_acctbal
         FROM supplier s, nation n
         WHERE s.s_suppkey IN (
@@ -679,7 +719,7 @@ SURFACE: dict[str, str | tuple[str, str]] = {
                     AND l.l_shipdate < DATE '1998-01-01'))
           AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
         ORDER BY s.s_name
-    """,
+    """),
     # multi-join + agg + order: classic TPC-H Q5 shape
     "sql_q5_local_revenue": """
         SELECT n.n_name AS nation,
@@ -739,4 +779,6 @@ def oracle_sql_of(name: str) -> str:
 
 def run_surface(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     register_views(spark, sf_dir)
+    if name in PARTSUPP_QUERIES:
+        _ensure_partsupp(spark, sf_dir)
     return spark.sql(spark_sql_of(name))

@@ -2,7 +2,9 @@
 
 from __future__ import annotations
 
+import json
 import uuid
+import warnings
 from collections.abc import Iterator
 from typing import Any
 
@@ -71,11 +73,17 @@ def _record_stream_feedback(q, store, op: str) -> None:
     Cumulative metrics recorded per batch converge on the final value;
     observe() counts sum across batches.  Best-effort like the batch
     scan harvest -- a missing metric degrades to no observation, never
-    a wrong one."""
+    a wrong one.  ``recentProgress`` yields plain dicts on some PySpark
+    builds and StreamingQueryProgress objects on others; the object
+    form is normalized through its json() payload so the harvest never
+    silently no-ops on a build where dict .get() is absent (r8
+    ADVICE)."""
     try:
         input_rows = 0.0
         observed_sums: dict[str, float] = {}
         for prog in q.recentProgress:
+            if not hasattr(prog, "get"):  # StreamingQueryProgress object
+                prog = json.loads(prog.json())
             for src in prog.get("sources") or []:
                 input_rows += src.get("numInputRows") or 0
             state_ops = prog.get("stateOperators") or []
@@ -95,8 +103,13 @@ def _record_stream_feedback(q, store, op: str) -> None:
         store.record_stream(op, "input_rows", input_rows)
         for key, val in observed_sums.items():
             store.record_stream(op, key, val)
-    except Exception:
-        pass
+    except Exception as exc:  # degrade to no observation, but say so
+        warnings.warn(
+            f"stream feedback harvest for {op!r} degraded to no "
+            f"observation: {exc!r}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def _run_to_memory(
