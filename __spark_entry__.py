@@ -64,6 +64,10 @@ _FIXTURE_PLANNERS = {
     # J12 composite: (user_id, ts) unique as a pair -- null-aware
     # multi-column proof (new r5)
     "join_selfjoin_removed_composite": "greedy",
+    # pipeline-shaped graph (new r9, VERDICT r8 #6): documents joined
+    # to embeddings (1:1) and the high-fan-out events stream -- the
+    # curation-probe cardinality profile, planner-controlled
+    "join_pipeline_5": "dp_ccp",
 }
 
 # removal rewrites need true distinct/row metadata to prove uniqueness;
@@ -117,26 +121,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ops (driver evidence from r04, now two rounds stale), filling the
     50-row window; joins and SQL surface (fresh r5 evidence) follow.
     After r6 every declared query had been driver-verified at least
-    once.  Round 7 leads with the ops r7 ADDED or TOUCHED
-    (join_adaptive_outer -- outer-graph mid-query re-optimization --
-    join_feedback_warm -- cross-query FeedbackStore warm re-plan --
-    plus evt_markov_stationary / emb_kmeans / stream_asof_join, whose
-    oracles or state handling changed per r6 ADVICE, plus the
-    re-instrumented join_adaptive_reopt/full), then the join fixtures
-    and planner paths and as much of the SQL surface as fits (their r5
-    driver evidence is two rounds stale); the pipeline remainder
-    (fresh r6 evidence) declares last.  Round 8 (VERDICT r7 #2) leads
-    with what r8 added or touched (join_feedback_persist,
-    stream_feedback_join, mm_image_decode, the 4 derived-partsupp
-    TPC-H adaptations Q2/Q11/Q16/Q20, the re-gated stream_asof_join
-    and join_feedback_warm), then fills the REST of the window with
-    the 36 stalest-evidence queries (driver row <= r5): all 25 sql_*,
-    the 7 r4-era stream_*, both io_* roundtrips, skew_salted_join, and
-    dedup_containment -- the r6/r7-gated blocks take their turn going
-    stale, and evt_asof_tolerance / evt_hourly_topk / evt_anomaly_hours
-    / text_repetition_stats / text_oov_bigram_rate join the r9 backlog
-    to make room for the late-r8 sim_hamming_topk / io_bucketed_join /
-    io_zorder_skipping / io_runtime_bloom_prune / text_hll_vocab.
+    once.  Rounds 7 and 8 each led with their added/touched ops and
+    rotated the then-stalest block back in (r7: join fixtures +
+    planner paths + SQL surface; r8: the 25 sql_*, r4-era stream_*,
+    io roundtrips, skew, containment).  Round 9 (VERDICT r8 #1) leads
+    with the 3 queries that have NEVER had a driver row (the late-r8
+    dedup_semdedup / evt_scd2_intervals / sim_pq_adc_topk -- the
+    latter also reshaped this round to the in-executor ADC probe),
+    the new join_pipeline_5 sensitivity fixture, and everything r9
+    TOUCHED (the 4 shared-derived-partsupp TPC-H queries incl. the
+    Q11 DECIMAL(38,0) overflow fix, io_zorder_skipping's
+    missing-stats handling, stream_feedback_join's progress-harvest
+    fix, join_feedback_persist's deterministic sidecar); then the
+    18-query r4/r5-evidence backlog (the 12 stale corpus_*,
+    evt_retention_cohorts / evt_asof_tolerance / evt_anomaly_hours /
+    evt_hourly_topk, text_repetition_stats / text_oov_bigram_rate);
+    then as much of the 44-query r6 block as fits (the dedup, sim/emb,
+    io/mm families + sql_recursive_spine -- the corpus/evt/text
+    remainder of the r6 block takes the r10 window).
     ALL declared queries are
     checked against their DuckDB oracles by scripts/local_gate.py
     (checked-in: CORRECTNESS_LOCAL_FULL.json) and pytest every round
@@ -146,16 +148,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pipeline = dict(PIPELINE_OPS)
 
     # =====================================================================
-    # block A (r8 window lead): ops r8 ADDED or TOUCHED.
-    # join_feedback_persist (new): FeedbackStore sidecar save -> reload
-    # into a FRESH store (same dataset tag) -> warm plan, proving the
-    # persistence round trip end-to-end (VERDICT r7 #4);
-    # stream_feedback_join (new): streaming state-metrics feedback
-    # deciding the dimension-side broadcast (VERDICT r7 #6);
-    # mm_image_decode (new): real dependency-free BMP/PPM pixel decode
-    # (VERDICT r7 #5); stream_asof_join re-gated (cross-batch equal-ms
-    # tie order changed per r7 ADVICE); join_feedback_warm re-gated
-    # (targeted unpersist replaced clearCache per r7 ADVICE).
+    # block A (r9 window lead): first, the 3 never-driver-verified ops
+    # (VERDICT r8 missing #1) -- late-r8 additions declared past the
+    # 50-row window last round
+    # =====================================================================
+    for name in ("dedup_semdedup", "evt_scd2_intervals", "sim_pq_adc_topk"):
+        out[name] = pipeline[name][0]
+
+    # the new r9 pipeline-shaped planner fixture (VERDICT r8 #6): the
+    # curation-probe join over documents/embeddings/events, planned by
+    # DPccp and measured by the cardinality-sensitivity harness
+    out["join_pipeline_5"] = _fixture_runner("join_pipeline_5", "dp_ccp")
+
+    # =====================================================================
+    # block A': ops r9 TOUCHED -- re-gated because their code changed
+    # this round (shared derived-partsupp + Q11 decimal overflow fix;
+    # z-order missing-stats conservatism; streaming progress-harvest
+    # object form; feedback-persist deterministic sidecar)
     # =====================================================================
 
     # FeedbackStore sidecar round trip: an adaptive recording pass
@@ -205,30 +214,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["join_feedback_persist"] = _feedback_persist
 
-    # streaming feedback bridge + real image decode (new r8 pipeline
-    # ops), the r8-touched re-gates, and the late-r8 additions --
-    # sim_hamming_topk (binary-quantized ANN: packed sign-bit
-    # signatures, XOR+popcount Hamming pre-rank, exact cosine re-rank
-    # of survivors only) and io_bucketed_join (co-located bucketed-
-    # table sort-merge join, zero Exchange asserted on the plan) --
-    # all inside the window
-    for name in (
-        "stream_feedback_join",
-        "mm_image_decode",
-        "sim_hamming_topk",
-        "io_bucketed_join",
-        "io_zorder_skipping",
-        "io_runtime_bloom_prune",
-        "text_hll_vocab",
-        "stream_asof_join",
-    ):
+    # r9-touched streaming/IO re-gates: stream_feedback_join's progress
+    # harvest now handles object-form recentProgress; io_zorder_skipping
+    # keeps files with missing footer stats instead of pruning blind
+    for name in ("stream_feedback_join", "io_zorder_skipping"):
         out[name] = pipeline[name][0]
 
-    # TPC-H Q2/Q11/Q16/Q20 (new r8, closing VERDICT r7 missing #2):
-    # adaptable after all via a partsupp DERIVED from lineitem's
-    # (l_partkey, l_suppkey) pairs -- correlated min-cost subquery,
-    # scalar-threshold stock filter, NOT-IN + count-distinct, nested
-    # IN with correlated volume threshold
+    # TPC-H Q2/Q11/Q16/Q20, re-gated r9: all four now read ONE shared
+    # cached derived-partsupp view per session (r8 VERDICT #5) and Q11
+    # sums cents x quantity in DECIMAL(38,0) on both engines (r8
+    # ADVICE overflow hazard)
     for name in (
         "sql_q2_min_cost_supplier",
         "sql_q11_important_stock",
@@ -236,6 +231,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_q20_promotion_stock",
     ):
         out[name] = _surface_runner(name)
+
+    # =====================================================================
+    # block B (r9 rotation, VERDICT r8 #1): the 18-query backlog whose
+    # freshest driver row is r4/r5 -- four-plus rounds stale -- then 21
+    # of the 44-query r6 block (dedup, sim/emb, io/mm families +
+    # sql_recursive_spine; the r6 corpus/evt/text remainder rotates in
+    # r10).
+    # =====================================================================
+    _R9_ROTATION = [
+        "corpus_chunk_overlap", "corpus_clean", "corpus_curate",
+        "corpus_dataset_split", "corpus_decontaminate",
+        "corpus_filter_funnel", "corpus_pack_sequences",
+        "corpus_redact_pii", "corpus_sample_stratified",
+        "corpus_score_model", "corpus_tfidf_topk", "corpus_vocab_topk",
+        "evt_retention_cohorts", "evt_asof_tolerance",
+        "evt_anomaly_hours", "evt_hourly_topk",
+        "text_repetition_stats", "text_oov_bigram_rate",
+        # --- 21 rotations from the r6 block ---
+        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_simhash", "dedup_embedding_cosine", "dedup_clusters",
+        "dedup_survivors", "dedup_family_agreement",
+        "sim_bruteforce_topk", "sim_ivf_topk", "sim_lsh_ann_topk",
+        "sim_recall_report", "emb_gram_matrix", "emb_norm_stats",
+        "emb_pca_project", "emb_quantize_int8",
+        "io_partitioned_roundtrip", "mm_binary_stats",
+        "mm_frame_sample", "mm_shard_manifest", "sql_recursive_spine",
+    ]
+    for name in _R9_ROTATION:
+        if name == "sql_recursive_spine":
+            out[name] = _surface_runner(name)
+        else:
+            out[name] = pipeline[name][0]
+
+    # --- past the 50-row window from here on (fresh r7/r8 evidence,
+    # re-verified by the full local gate + pytest every round) ---
+    for name in (
+        "mm_image_decode",
+        "sim_hamming_topk",
+        "io_bucketed_join",
+        "io_runtime_bloom_prune",
+        "text_hll_vocab",
+        "stream_asof_join",
+    ):
+        out[name] = pipeline[name][0]
 
     # cross-query LEO feedback (r7; re-gated r8: targeted unpersist of
     # the recording pass's blocks replaced the session-wide clearCache
@@ -279,43 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["join_feedback_warm"] = _feedback_warm
 
-    # =====================================================================
-    # block B (r8 rotation, VERDICT r7 #2): the 36 queries below are
-    # the stale-evidence set -- freshest driver row <= r5, two-plus
-    # rounds old -- rotated back into what the 14-query r8 lead leaves
-    # of the 50-row gate window: the 25 sql_* TPC-H adaptations, all 7
-    # r4-era stream_* ops, both io_* roundtrips, skew_salted_join, and
-    # dedup_containment (the 12 stale corpus_* + evt_retention_cohorts
-    # + evt_asof_tolerance + evt_hourly_topk + evt_anomaly_hours +
-    # text_repetition_stats + text_oov_bigram_rate take the r9 window;
-    # the r6/r7-gated blocks go stale in their place).
-    # =====================================================================
-    _R8_ROTATION = [
-        "sql_q3_shipping_priority", "sql_q4_order_priority",
-        "sql_q5_local_revenue", "sql_q6_forecast_revenue",
-        "sql_q7_volume_shipping", "sql_q8_market_share",
-        "sql_q9_product_profit", "sql_q10_returned_items",
-        "sql_q12_priority_classes", "sql_q13_custdist",
-        "sql_q14_promo_effect", "sql_q15_top_supplier",
-        "sql_q17_small_qty_revenue", "sql_q18_large_volume",
-        "sql_q19_discounted_revenue", "sql_q21_waiting_supplier",
-        "sql_q22_sales_opportunity", "sql_array_agg_sorted",
-        "sql_date_arith", "sql_full_outer_merge", "sql_left_antijoin",
-        "sql_left_join_agg", "sql_median", "sql_null_funcs",
-        "sql_stddev",
-        "stream_hourly_counts", "stream_sessionize", "stream_dedup",
-        "stream_enrich", "stream_sliding_counts", "stream_join",
-        "stream_sink_parquet",
-        "io_csv_roundtrip", "io_jsonl_roundtrip",
-        "skew_salted_join", "dedup_containment",
-    ]
-    for name in _R8_ROTATION:
-        if name.startswith("sql_"):
-            out[name] = _surface_runner(name)
-        else:
-            out[name] = pipeline[name][0]
-
-    # --- r7 lead block, now past the window (fresh r7 evidence) ---
+    # --- r7 lead block (fresh r7 evidence) ---
     # outer-graph mid-query re-optimization (new r7, VERDICT r6 gap #1):
     # the full progressive LEO loop on the mixed inner/outer 5-relation
     # graph -- the inner core re-plans around pinned materialized

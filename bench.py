@@ -125,6 +125,9 @@ headline = [
     # ANN (8-byte codes, LUT probe, exact re-rank of survivors);
     # SemDeDup cluster-blocked semantic dedup (sum(|c|^2), not n^2)
     "evt_scd2_intervals", "sim_pq_adc_topk", "dedup_semdedup",
+    # r9 addition: the pipeline-shaped planner fixture (documents x
+    # embeddings x events curation probe, also a CARDSENS column)
+    "join_pipeline_5",
 ]
 
 
@@ -165,6 +168,18 @@ def main() -> None:
             spark = _fresh_session(cpus)
             # warm the JVM/codegen path once with the cheapest query
             all_qs["join_cross_2"](spark, sf_dir).collect()
+            # ...and the shared shingle->minhash->band codegen stages:
+            # their first-use compilation otherwise lands on whichever
+            # minhash-family query the rep's shuffled order visits
+            # first (measured: 9.3-11.0 s cold vs 2.4-3.5 s warmed
+            # setup for dedup_survivors -- the r8 cohort-2 spike),
+            # making cohorts incomparable.  Every cohort gets the SAME
+            # fixed warmup, so shuffle order can't skew phase splits.
+            from query_optimizer_spark.functions.dedup import (
+                minhash_lsh_pairs,
+            )
+
+            minhash_lsh_pairs(spark, sf_dir).count()
             for _ in range(cohort_reps):
                 order = headline[:]
                 # deterministic per-rep shuffle: decorrelates a query's

@@ -190,6 +190,24 @@ FIXTURES: dict[str, str] = {
         WHERE e1.user_id = e2.user_id AND e1.ts = e2.ts
           AND e1.event_type = 'purchase'
     """,
+    # pipeline-shaped graph (r8 VERDICT #6): the training-data curation
+    # probe -- documents keyed to their embeddings (doc_id = vec_id,
+    # 1:1) and to the curator's event stream (high fan-out: ~67 events
+    # per user), with the selective filters a curation pass applies
+    # (language slice, label range, event type, length floor).  The
+    # planner controls this join order exactly as it does the TPC-H-ish
+    # fixtures, so the est-vs-true sensitivity harness measures the
+    # SAME machinery on a pipeline cardinality profile (documents/
+    # embeddings/events never appear together in any other fixture).
+    "join_pipeline_5": """
+        SELECT COUNT(d.doc_id) AS n_rows, MIN(d.n_chars) AS min_chars,
+               MAX(e.value) AS max_val
+        FROM documents d, embeddings v, events e, customer c, nation n1
+        WHERE d.doc_id = v.vec_id AND e.user_id = d.doc_id
+          AND e.user_id = c.c_custkey AND c.c_nationkey = n1.n_nationkey
+          AND d.lang = 'en' AND v.label < 5
+          AND e.event_type = 'view' AND d.n_chars > 200
+    """,
 }
 
 
