@@ -160,6 +160,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DPccp and measured by the cardinality-sensitivity harness
     out["join_pipeline_5"] = _fixture_runner("join_pipeline_5", "dp_ccp")
 
+    # new r9 table-maintenance ops: incremental materialized-rollup
+    # maintenance (merge stored partial aggregates with one day's
+    # delta -- gate proves == full recompute), copy-on-write MERGE
+    # upsert (snapshot v1 + CDC batch -> snapshot v2, old version
+    # intact), and small-file compaction (footer-metadata bin-packing;
+    # content hash must survive the rewrite)
+    for name in (
+        "evt_incremental_rollup",
+        "io_merge_upsert",
+        "io_compact_small_files",
+    ):
+        out[name] = pipeline[name][0]
+
     # =====================================================================
     # block A': ops r9 TOUCHED -- re-gated because their code changed
     # this round (shared derived-partsupp + Q11 decimal overflow fix;
@@ -256,13 +269,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_recall_report", "emb_gram_matrix", "emb_norm_stats",
         "emb_pca_project", "emb_quantize_int8",
         "io_partitioned_roundtrip", "mm_binary_stats",
-        "mm_frame_sample", "mm_shard_manifest", "sql_recursive_spine",
+        # (mm_frame_sample / mm_shard_manifest / sql_recursive_spine
+        # were trimmed from this rotation when the three r9
+        # table-maintenance ops took window slots -- they join the r6
+        # corpus/evt/text remainder in the r10 window)
     ]
     for name in _R9_ROTATION:
-        if name == "sql_recursive_spine":
-            out[name] = _surface_runner(name)
-        else:
-            out[name] = pipeline[name][0]
+        out[name] = pipeline[name][0]
 
     # --- past the 50-row window from here on (fresh r7/r8 evidence,
     # re-verified by the full local gate + pytest every round) ---

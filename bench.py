@@ -125,9 +125,12 @@ headline = [
     # ANN (8-byte codes, LUT probe, exact re-rank of survivors);
     # SemDeDup cluster-blocked semantic dedup (sum(|c|^2), not n^2)
     "evt_scd2_intervals", "sim_pq_adc_topk", "dedup_semdedup",
-    # r9 addition: the pipeline-shaped planner fixture (documents x
-    # embeddings x events curation probe, also a CARDSENS column)
-    "join_pipeline_5",
+    # r9 additions: the pipeline-shaped planner fixture (documents x
+    # embeddings x events curation probe, also a CARDSENS column) and
+    # the table-maintenance trio -- incremental rollup maintenance,
+    # copy-on-write MERGE upsert, small-file compaction
+    "join_pipeline_5", "evt_incremental_rollup", "io_merge_upsert",
+    "io_compact_small_files",
 ]
 
 

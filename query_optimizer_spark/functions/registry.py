@@ -81,6 +81,12 @@ PIPELINE_OPS: dict[str, tuple] = {
         temporal.scd2_intervals,
         temporal.scd2_intervals_oracle(),
     ),
+    # r9: incremental materialized-rollup maintenance (merge stored
+    # partials with one day's delta; gate proves == full recompute)
+    "evt_incremental_rollup": (
+        temporal.incremental_rollup,
+        temporal.incremental_rollup_oracle(),
+    ),
     "evt_asof_tolerance": (
         temporal.asof_join_tolerance,
         temporal.asof_join_tolerance_oracle(),
@@ -126,6 +132,16 @@ PIPELINE_OPS: dict[str, tuple] = {
     "io_runtime_bloom_prune": (
         sources.runtime_bloom_prune,
         sources.runtime_bloom_prune_oracle(),
+    ),
+    # r9: copy-on-write MERGE upsert + small-file compaction (table
+    # maintenance patterns)
+    "io_merge_upsert": (
+        sources.merge_upsert,
+        sources.merge_upsert_oracle(),
+    ),
+    "io_compact_small_files": (
+        sources.compact_small_files,
+        sources.compact_small_files_oracle(),
     ),
     "io_partitioned_roundtrip": (
         sources.partitioned_roundtrip,

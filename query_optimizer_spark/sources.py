@@ -476,3 +476,186 @@ def partitioned_roundtrip_oracle() -> str:
         WHERE lang IN ('en', 'fr')
         GROUP BY lang, source
     """
+
+
+# --- copy-on-write MERGE (upsert) ---------------------------------------------
+
+# the MERGE cutoff: orders strictly before the split date form the
+# stored dimension snapshot; the rest arrive as the CDC batch
+MERGE_CUTOFF = "1997-01-01"
+MERGE_LAST: dict[str, int] = {}
+
+
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE INTO -- the Delta/Iceberg upsert pattern
+    built from parts: a per-customer order summary snapshot (n_orders,
+    latest order) is materialized to parquet from history before
+    MERGE_CUTOFF, a CDC batch aggregates the orders since, and the
+    MERGE is one full-outer join producing the new snapshot version --
+    matched keys update (counts add, latest-order resolves by the
+    total order (ms, orderkey)), unmatched source keys insert,
+    unmatched target keys carry over.  The new snapshot is written to
+    a NEW path and read back: the old version stays intact
+    (copy-on-write time travel, the isolation a table format provides
+    at 100 TB).
+
+    Scale shape: the join shuffles only the snapshot (one row per
+    customer) and the pre-aggregated batch (one row per changed
+    customer) -- never raw orders; both group-bys are map-side
+    combinable.  The driver gate proves snapshot-v1 + batch == the
+    full recompute (the DuckDB oracle aggregates all orders in one
+    pass -- a different algorithm shape)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from .session import read_table
+
+    def summarize(df):
+        return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.count("*").alias("n_orders"),
+            F.max(F.struct(
+                F.expr("unix_millis(o_orderdate)").alias("ms"),
+                F.col("o_orderkey").alias("okey"),
+                F.col("o_totalprice").alias("price"),
+            )).alias("last"),
+        ).select(
+            "custkey", "n_orders",
+            F.col("last.ms").alias("last_ms"),
+            F.col("last.okey").alias("last_okey"),
+            F.col("last.price").alias("last_price"),
+        )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    cut = F.expr(f"timestamp'{MERGE_CUTOFF} 00:00:00'")
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    v1 = Path(f"{DEFAULT_WAREHOUSE}/cust_snapshot_{tag}_v1")
+    v2 = Path(f"{DEFAULT_WAREHOUSE}/cust_snapshot_{tag}_v2")
+    summarize(orders.filter(F.col("o_orderdate") < cut)).write.mode(
+        "overwrite"
+    ).parquet(str(v1))
+    batch = summarize(orders.filter(F.col("o_orderdate") >= cut))
+
+    t = spark.read.parquet(str(v1)).alias("t")
+    s = batch.alias("s")
+    src_wins = (F.col("t.custkey").isNull()) | (
+        F.col("s.custkey").isNotNull()
+        & (
+            F.struct(F.col("s.last_ms"), F.col("s.last_okey"))
+            > F.struct(F.col("t.last_ms"), F.col("t.last_okey"))
+        )
+    )
+    merged = t.join(s, F.col("t.custkey") == F.col("s.custkey"), "full_outer").select(
+        F.coalesce(F.col("t.custkey"), F.col("s.custkey")).alias("custkey"),
+        (
+            F.coalesce(F.col("t.n_orders"), F.lit(0))
+            + F.coalesce(F.col("s.n_orders"), F.lit(0))
+        ).alias("n_orders"),
+        F.when(src_wins, F.col("s.last_ms")).otherwise(F.col("t.last_ms")).alias("last_ms"),
+        F.when(src_wins, F.col("s.last_okey")).otherwise(F.col("t.last_okey")).alias("last_okey"),
+        F.when(src_wins, F.col("s.last_price")).otherwise(F.col("t.last_price")).alias("last_price"),
+    )
+    merged.write.mode("overwrite").parquet(str(v2))
+    MERGE_LAST.update(
+        v1_rows=spark.read.parquet(str(v1)).count(),
+        v2_rows=spark.read.parquet(str(v2)).count(),
+    )
+    out = spark.read.parquet(str(v2))
+    return out.select(
+        "custkey", "n_orders", "last_ms", "last_okey",
+        F.round("last_price", 3).alias("last_price"),
+    )
+
+
+def merge_upsert_oracle() -> str:
+    # row_number argmax over ALL orders in one pass -- a different
+    # algorithm than the snapshot+batch merge it verifies
+    return """
+        WITH ranked AS (
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC,
+                                               o_orderkey DESC) AS rn,
+                   COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+            FROM orders
+        )
+        SELECT o_custkey AS custkey, n_orders,
+               epoch_ms(o_orderdate) AS last_ms,
+               o_orderkey AS last_okey,
+               round(o_totalprice, 3) AS last_price
+        FROM ranked WHERE rn = 1
+    """
+
+
+# --- small-file compaction ----------------------------------------------------
+
+# seed fragmentation: the slice is written as this many files, the
+# compactor re-bins them toward COMPACT_TARGET_BYTES per output file
+COMPACT_SMALL_N = 64
+COMPACT_TARGET_BYTES = 4 << 20
+COMPACT_LAST: dict[str, int] = {}
+
+
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction -- the OPTIMIZE table-maintenance pattern:
+    a fragmented table (COMPACT_SMALL_N tiny parquet files -- what
+    streaming ingest or over-parallel writes leave behind) is rewritten
+    into ceil(total_bytes / COMPACT_TARGET_BYTES) right-sized files.
+    The output file count is planned from FOOTER METADATA only
+    (driver-side, no data IO -- the role a table format's manifest
+    plays), the rewrite is one repartition, and row content must be
+    byte-identical -- the driver gate hashes the compacted table
+    against the raw slice.
+
+    At 100 TB fragmentation is the silent killer: every query pays
+    per-file open/footer costs and the scheduler drowns in splits;
+    compaction restores scan throughput without touching semantics.
+    """
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_linenumber") <= 2
+    ).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    frag = Path(f"{DEFAULT_WAREHOUSE}/frag_{tag}")
+    compacted = Path(f"{DEFAULT_WAREHOUSE}/compacted_{tag}")
+    li.repartition(COMPACT_SMALL_N).write.mode("overwrite").parquet(str(frag))
+
+    files = sorted(str(p) for p in frag.glob("*.parquet"))
+    total = sum(
+        pq.ParquetFile(f).metadata.serialized_size
+        + sum(
+            pq.ParquetFile(f).metadata.row_group(i).total_byte_size
+            for i in range(pq.ParquetFile(f).metadata.num_row_groups)
+        )
+        for f in files
+    )
+    n_out = max(1, math.ceil(total / COMPACT_TARGET_BYTES))
+    (
+        spark.read.parquet(str(frag))
+        .repartition(n_out)
+        .write.mode("overwrite")
+        .parquet(str(compacted))
+    )
+    out_files = sorted(str(p) for p in compacted.glob("*.parquet"))
+    assert len(out_files) < len(files), (
+        f"compaction produced {len(out_files)} files from {len(files)}"
+    )
+    COMPACT_LAST.update(n_in=len(files), n_out=len(out_files))
+    return spark.read.parquet(str(compacted))
+
+
+def compact_small_files_oracle() -> str:
+    return """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_linenumber <= 2
+    """

@@ -843,3 +843,69 @@ def test_semdedup_consistent_with_allpairs(spark):
     assert same_cluster, "no planted dup pair shares a cluster"
     for p in same_cluster:
         assert max(p.vec_a, p.vec_b) in flagged, p
+
+
+def test_merge_upsert_copy_on_write(spark, duck):
+    """io_merge_upsert (r9): the MERGE writes a NEW snapshot version;
+    the old version must survive the merge untouched (copy-on-write
+    isolation) and the batch must have actually changed rows."""
+    import hashlib
+
+    from query_optimizer_spark import sources
+
+    df = PIPELINE_OPS["io_merge_upsert"][0](spark, SF_DIR)
+    got = result_hash(df)
+    expected = duck_hash(duck, PIPELINE_OPS["io_merge_upsert"][1])
+    assert got == expected
+    tag = hashlib.md5(SF_DIR.rstrip("/").encode()).hexdigest()[:12]
+    v1 = spark.read.parquet(
+        f"{sources.DEFAULT_WAREHOUSE}/cust_snapshot_{tag}_v1"
+    )
+    # v1 is the pre-cutoff summary: every customer with an early order,
+    # none of the post-cutoff counts
+    assert v1.count() == sources.MERGE_LAST["v1_rows"] > 0
+    assert sources.MERGE_LAST["v2_rows"] >= sources.MERGE_LAST["v1_rows"]
+    n_pre = duck.execute(
+        "SELECT count(DISTINCT o_custkey) FROM orders "
+        f"WHERE o_orderdate < TIMESTAMP '{sources.MERGE_CUTOFF}'"
+    ).fetchone()[0]
+    assert v1.count() == n_pre
+
+
+def test_compact_small_files_reduces_file_count(spark, duck):
+    """io_compact_small_files (r9): the rewrite must reduce the file
+    count by an order of magnitude while the row multiset survives
+    byte-identically (hash vs the raw slice)."""
+    from query_optimizer_spark import sources
+
+    df = PIPELINE_OPS["io_compact_small_files"][0](spark, SF_DIR)
+    got = result_hash(df)
+    expected = duck_hash(duck, PIPELINE_OPS["io_compact_small_files"][1])
+    assert got == expected
+    n_in, n_out = sources.COMPACT_LAST["n_in"], sources.COMPACT_LAST["n_out"]
+    assert n_in == sources.COMPACT_SMALL_N
+    assert n_out <= n_in / 4, (n_in, n_out)
+
+
+def test_incremental_rollup_state_is_partial(spark, duck):
+    """evt_incremental_rollup (r9): the materialized state must cover
+    every day EXCEPT the newest (the incremental claim -- the refresh
+    reads one day of raw events plus the compact state), and the merge
+    must equal the full recompute."""
+    import hashlib
+
+    from query_optimizer_spark import sources
+
+    df = PIPELINE_OPS["evt_incremental_rollup"][0](spark, SF_DIR)
+    got = result_hash(df)
+    expected = duck_hash(duck, PIPELINE_OPS["evt_incremental_rollup"][1])
+    assert got == expected
+    tag = hashlib.md5(SF_DIR.rstrip("/").encode()).hexdigest()[:12]
+    state = spark.read.parquet(
+        f"{sources.DEFAULT_WAREHOUSE}/rollup_state_{tag}"
+    )
+    full_days = duck.execute(
+        "SELECT count(DISTINCT date_trunc('day', ts)) FROM events"
+    ).fetchone()[0]
+    state_days = state.select("day").distinct().count()
+    assert state_days == full_days - 1
