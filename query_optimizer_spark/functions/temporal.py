@@ -966,6 +966,14 @@ def scd2_intervals_oracle() -> str:
 
 # --- incremental materialized-rollup maintenance -------------------------------
 
+# phase split of the most recent incremental_rollup run: state_build =
+# the one-time full-history aggregation + parquet write (the "nightly
+# full" the incremental pattern replaces).  The REFRESH cost -- one
+# day's delta + the merge -- is the op's total minus this, measured by
+# the caller at action time (the merge is lazy until then).
+ROLLUP_SPLIT: dict[str, float] = {}
+
+
 def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental maintenance of a materialized daily rollup: the
     day x event_type aggregate table is kept current by MERGING the
@@ -987,11 +995,13 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute -- a different algorithm shape).
     """
     import hashlib
+    import time as _time
 
     from pathlib import Path
 
     from ..sources import DEFAULT_WAREHOUSE
 
+    t0 = _time.monotonic()
     ev = events_df(spark, sf_dir).select(
         F.date_trunc("day", "ts").alias("day"), "event_type", "value"
     )
@@ -1010,6 +1020,8 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial(ev.filter(F.col("day") < newest)).write.mode(
         "overwrite"
     ).parquet(str(stored))
+    ROLLUP_SPLIT.clear()
+    ROLLUP_SPLIT["state_build_sec"] = round(_time.monotonic() - t0, 4)
     delta = partial(ev.filter(F.col("day") >= newest))
     merged = (
         spark.read.parquet(str(stored))

@@ -398,6 +398,27 @@ def main() -> None:
               lambda sf=f"{WORK}/disjoint_x{k}":
                   temporal.range_join(spark, sf),
               n_events0 * k)
+        # --- incremental rollup maintenance (r9): state_build is the
+        # one-time full-history aggregation the pattern replaces; the
+        # REFRESH (total - state_build) reads one day's delta plus the
+        # compact state table, so it must stay a small fraction of the
+        # full rebuild at every scale -- the nightly-pipeline claim,
+        # measured under both growth models
+        def _rollup_post():
+            return {
+                "state_build_sec": temporal.ROLLUP_SPLIT.get(
+                    "state_build_sec"
+                ),
+            }
+
+        probe("evt_incremental_rollup", "replica", k,
+              lambda sf=f"{WORK}/replica_x{k}":
+                  temporal.incremental_rollup(spark, sf),
+              n_events0 * k, post=_rollup_post)
+        probe("evt_incremental_rollup", "disjoint", k,
+              lambda sf=f"{WORK}/disjoint_x{k}":
+                  temporal.incremental_rollup(spark, sf),
+              n_events0 * k, post=_rollup_post)
         # --- range join under ONE-hot-user skew (VERDICT r7 #7): a
         # single user's views replicate x (k * HOT_BASE) against an
         # otherwise constant table, so ALL the growth lands on one
