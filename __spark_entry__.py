@@ -170,6 +170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_incremental_rollup",
         "io_merge_upsert",
         "io_compact_small_files",
+        # r9 multimodal: overlapping PCM framing (energy / zero
+        # crossings / peak as exact integers via numpy stride windows)
+        "mm_audio_framing",
     ):
         out[name] = pipeline[name][0]
 
@@ -268,10 +271,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_bruteforce_topk", "sim_ivf_topk", "sim_lsh_ann_topk",
         "sim_recall_report", "emb_gram_matrix", "emb_norm_stats",
         "emb_pca_project", "emb_quantize_int8",
-        "io_partitioned_roundtrip", "mm_binary_stats",
-        # (mm_frame_sample / mm_shard_manifest / sql_recursive_spine
-        # were trimmed from this rotation when the three r9
-        # table-maintenance ops took window slots -- they join the r6
+        "io_partitioned_roundtrip",
+        # (mm_binary_stats / mm_frame_sample / mm_shard_manifest /
+        # sql_recursive_spine were trimmed from this rotation when the
+        # four r9 ops took window slots -- they join the r6
         # corpus/evt/text remainder in the r10 window)
     ]
     for name in _R9_ROTATION:

@@ -130,7 +130,7 @@ headline = [
     # the table-maintenance trio -- incremental rollup maintenance,
     # copy-on-write MERGE upsert, small-file compaction
     "join_pipeline_5", "evt_incremental_rollup", "io_merge_upsert",
-    "io_compact_small_files",
+    "io_compact_small_files", "mm_audio_framing",
 ]
 
 

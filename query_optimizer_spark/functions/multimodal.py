@@ -543,3 +543,112 @@ def shard_manifest_oracle() -> str:
         FROM documents
         GROUP BY source
     """
+
+
+# --- audio framing -------------------------------------------------------------
+
+# PCM framing geometry: 64-sample windows, 32-sample hop (50% overlap --
+# the standard STFT/feature-extraction shape).  The payload bytes act as
+# deterministic synthetic 8-bit PCM: sample = byte - AUDIO_BIAS, with
+# the bias inside the ASCII range so sign changes (zero crossings)
+# actually occur in text-derived payloads.
+AUDIO_WIN = 64
+AUDIO_HOP = 32
+AUDIO_BIAS = 80
+# fixed frames-per-doc bound for the oracle's generate_series (this
+# DuckDB build rejects lateral column bounds); max n_chars is ~553 ->
+# <= 16 frames, 32 is safe headroom
+AUDIO_MAX_FRAMES = 32
+
+
+def audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style overlapping framing over an opaque payload: the
+    bytes are interpreted as 8-bit PCM samples and cut into AUDIO_WIN
+    windows every AUDIO_HOP samples (50% overlap), one output row per
+    frame with the classic integer frame features -- energy (sum of
+    squared samples), zero-crossing count, peak amplitude.  A real
+    audio decoder (wav/flac needs a codec library this container does
+    not have) drops into the same ``mapInPandas`` slot; the synthetic
+    byte->PCM mapping keeps every feature exact-integer and therefore
+    oracle-checkable.
+
+    Scale shape: framing is a map-side 1->N fan-out inside the Arrow
+    batch (numpy stride windowing, no per-sample Python), zero
+    shuffles; at 100 TB the frame stream feeds feature extraction
+    without ever materializing per-sample rows."""
+    df = with_binary_payload(spark, sf_dir)
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "energy": [],
+                   "zero_crossings": [], "peak": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                if n < AUDIO_WIN:
+                    continue
+                arr = (
+                    np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                    - AUDIO_BIAS
+                )
+                nf = 1 + (n - AUDIO_WIN) // AUDIO_HOP
+                idx = (
+                    np.arange(AUDIO_WIN)[None, :]
+                    + AUDIO_HOP * np.arange(nf)[:, None]
+                )
+                fr = arr[idx]  # (nf, AUDIO_WIN)
+                neg = fr < 0
+                out["doc_id"].extend([doc_id] * nf)
+                out["frame_idx"].extend(range(nf))
+                out["energy"].extend((fr * fr).sum(1).tolist())
+                out["zero_crossings"].extend(
+                    (neg[:, 1:] != neg[:, :-1]).sum(1).tolist()
+                )
+                out["peak"].extend(np.abs(fr).max(1).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "energy": pd.Series(out["energy"], dtype="int64"),
+                    "zero_crossings": pd.Series(
+                        out["zero_crossings"], dtype="int32"
+                    ),
+                    "peak": pd.Series(out["peak"], dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(
+        frames,
+        "doc_id long, frame_idx int, energy long, "
+        "zero_crossings int, peak int",
+    )
+
+
+def audio_framing_oracle() -> str:
+    """Byte windows over ASCII text are substring windows; every frame
+    feature is exact-integer arithmetic on ord() - AUDIO_BIAS."""
+    return f"""
+        WITH d AS (
+            SELECT doc_id, text, strlen(text) AS n FROM documents
+            WHERE strlen(text) >= {AUDIO_WIN}
+        ),
+        f AS (
+            SELECT doc_id, k AS frame_idx,
+                   substring(text, k * {AUDIO_HOP} + 1, {AUDIO_WIN}) AS win
+            FROM d, generate_series(0, {AUDIO_MAX_FRAMES}) t(k)
+            WHERE k < 1 + (n - {AUDIO_WIN}) // {AUDIO_HOP}
+        ),
+        s AS (
+            SELECT doc_id, frame_idx,
+                   [ord(win[i]) - {AUDIO_BIAS}
+                    for i in generate_series(1, {AUDIO_WIN})] AS pcm
+            FROM f
+        )
+        SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+               CAST(list_sum([x * x for x in pcm]) AS BIGINT) AS energy,
+               CAST(list_sum([CASE WHEN (pcm[i] < 0) <> (pcm[i + 1] < 0)
+                                   THEN 1 ELSE 0 END
+                              for i in generate_series(1, {AUDIO_WIN} - 1)])
+                    AS INT) AS zero_crossings,
+               CAST(list_max([abs(x) for x in pcm]) AS INT) AS peak
+        FROM s
+    """

@@ -67,6 +67,12 @@ PIPELINE_OPS: dict[str, tuple] = {
         multimodal.frame_sample,
         multimodal.frame_sample_oracle(),
     ),
+    # r9: overlapping PCM framing with integer frame features (energy,
+    # zero crossings, peak) -- the audio analog of frame_sample
+    "mm_audio_framing": (
+        multimodal.audio_framing,
+        multimodal.audio_framing_oracle(),
+    ),
     "mm_image_decode": (
         multimodal.image_decode_demo,
         multimodal.image_decode_demo_oracle(),

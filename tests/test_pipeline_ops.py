@@ -909,3 +909,29 @@ def test_incremental_rollup_state_is_partial(spark, duck):
     ).fetchone()[0]
     state_days = state.select("day").distinct().count()
     assert state_days == full_days - 1
+
+
+def test_audio_framing_geometry(spark, duck):
+    """mm_audio_framing (r9): every doc long enough for one window must
+    emit exactly 1 + (n - WIN) // HOP frames (the 50%-overlap framing
+    contract), and frame features must match the exact-integer oracle."""
+    from query_optimizer_spark.functions import multimodal as mm
+
+    df = PIPELINE_OPS["mm_audio_framing"][0](spark, SF_DIR)
+    got = result_hash(df)
+    expected = duck_hash(duck, PIPELINE_OPS["mm_audio_framing"][1])
+    assert got == expected
+    per_doc = {
+        r.doc_id: r.nf
+        for r in df.groupBy("doc_id").count().withColumnRenamed(
+            "count", "nf"
+        ).collect()
+    }
+    lens = dict(
+        duck.execute(
+            "SELECT doc_id, strlen(text) FROM documents"
+        ).fetchall()
+    )
+    for doc_id, n in lens.items():
+        want = 1 + (n - mm.AUDIO_WIN) // mm.AUDIO_HOP if n >= mm.AUDIO_WIN else 0
+        assert per_doc.get(doc_id, 0) == want, (doc_id, n)
