@@ -173,6 +173,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9 multimodal: overlapping PCM framing (energy / zero
         # crossings / peak as exact integers via numpy stride windows)
         "mm_audio_framing",
+        # r9 sketch mergeability: per-source HLL register vectors
+        # merged to the corpus union (Spark merges sketches, the
+        # oracle recomputes the union from raw tokens -- agreement IS
+        # the mergeability proof)
+        "text_hll_rollup",
     ):
         out[name] = pipeline[name][0]
 

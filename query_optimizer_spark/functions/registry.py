@@ -302,6 +302,7 @@ PIPELINE_OPS: dict[str, tuple] = {
     # r7: count-min sketch frequency estimation vs exact counts
     "text_countmin_freq": (text.countmin_freq, text.countmin_freq_oracle()),
     "text_hll_vocab": (text.hll_vocab, text.hll_vocab_oracle()),
+    "text_hll_rollup": (text.hll_rollup, text.hll_rollup_oracle()),
     # r6: dedup-detector cross-validation report
     "dedup_family_agreement": (
         dedup.family_agreement,

@@ -1110,3 +1110,181 @@ def hll_vocab_oracle() -> str:
                round((est / exact_vocab - 1) * 100, 2) AS rel_err_pct
         FROM est
     """
+
+
+def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HLL sketches rolled up to the corpus union by register
+    merge -- the property sketches exist FOR at 100 TB: keep one 256-byte
+    register vector per shard/day/source, and the union NDV of any
+    subset is max-per-register over the stored sketches, no rescan.
+
+    The Spark side computes the ``*ALL*`` row ONLY from the per-source
+    sketches (``max(r)`` per register index over the 20 source
+    sketches); the DuckDB oracle computes the same row directly from
+    the raw union of tokens.  Bit-identical agreement (same md5-derived
+    hash, pure-integer rank, exact integer harmonic sum as
+    ``hll_vocab``) is the mergeability proof, not an assertion.
+    Per-source rows ride along with exact ground truth.
+
+    Scale shape: ONE shuffle keyed (source, idx) builds every sketch
+    map-side-combined (max is the combiner); the merge reduces
+    |sources| x m tiny rows; exact counts ride along here for the gate
+    but would be dropped at 100 TB.  Reference parity: the reference's
+    cardinality oracle keeps exact per-relation counts
+    (query-optimizer CardinalityEstimationAlg); this is the sketch the
+    same ANALYZE pass would persist per shard."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("source", F.explode(F.expr(TOKS)).alias("tok"))
+    h = "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
+    ranked = (
+        toks.select(
+            "source",
+            F.expr(f"{h} % {HLL_M}").alias("idx"),
+            F.expr(f"{h} div {HLL_M}").alias("w"),
+        )
+        .select(
+            "source",
+            "idx",
+            F.expr(
+                f"case when w = 0 then {HLL_RANK_MAX} else"
+                " cast(bit_count((w & -w) - 1) + 1 as int) end"
+            ).alias("rank"),
+        )
+    )
+    # the stored state: one register vector per source
+    sketches = ranked.groupBy("source", "idx").agg(F.max("rank").alias("r"))
+
+    sv_expr = F.expr(
+        f"cast(sum(shiftleft(cast(1 as bigint), {HLL_RANK_MAX} - r))"
+        " as double)"
+    ).alias("sv")
+    zeros_expr = F.expr(
+        "cast(sum(case when r = 0 then 1 else 0 end) as int)"
+    ).alias("zeros")
+
+    grid = (
+        docs.select("source")
+        .distinct()
+        .crossJoin(spark.range(HLL_M).select(F.col("id").alias("idx")))
+    )
+    per_src_stats = (
+        grid.join(sketches, ["source", "idx"], "left")
+        .select("source", F.coalesce("r", F.lit(0)).alias("r"))
+        .groupBy("source")
+        .agg(sv_expr, zeros_expr)
+    )
+    per_src_exact = toks.groupBy("source").agg(
+        F.countDistinct("tok").cast("int").alias("exact_vocab")
+    )
+    per_src = per_src_stats.join(per_src_exact, "source")
+
+    # union row: merged FROM THE SKETCHES ONLY (max per register index)
+    merged = sketches.groupBy("idx").agg(F.max("r").alias("r"))
+    merged_stats = (
+        spark.range(HLL_M)
+        .select(F.col("id").alias("idx"))
+        .join(merged, "idx", "left")
+        .select(F.coalesce("r", F.lit(0)).alias("r"))
+        .agg(sv_expr, zeros_expr)
+        .withColumn("source", F.lit("*ALL*"))
+    )
+    union_exact = toks.agg(
+        F.countDistinct("tok").cast("int").alias("exact_vocab")
+    )
+    all_row = merged_stats.crossJoin(union_exact).select(
+        "source", "sv", "zeros", "exact_vocab"
+    )
+
+    return (
+        per_src.select("source", "sv", "zeros", "exact_vocab")
+        .unionByName(all_row)
+        .select(
+            "source",
+            F.lit(HLL_M).cast("int").alias("m"),
+            (F.lit(HLL_M) - F.col("zeros")).cast("int").alias(
+                "used_registers"
+            ),
+            F.expr(f"round({_HLL_CORRECTED}, 2)").alias("hll_estimate"),
+            "exact_vocab",
+            F.expr(
+                f"round(({_HLL_CORRECTED}) / exact_vocab * 100 - 100, 2)"
+            ).alias("rel_err_pct"),
+        )
+    )
+
+
+def hll_rollup_oracle() -> str:
+    sv_zeros = f"""
+            CAST(sum(CAST(1 AS BIGINT)
+                     << ({HLL_RANK_MAX} - r)) AS DOUBLE) AS sv,
+            CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS INT) AS zeros
+    """
+    return f"""
+        WITH toks AS (
+            SELECT source, unnest({sql_tokens('text')}) AS tok
+            FROM documents
+        ),
+        ranked AS (
+            SELECT source, h % {HLL_M} AS idx,
+                   CASE WHEN h // {HLL_M} = 0 THEN {HLL_RANK_MAX}
+                        ELSE CAST(bit_count(((h // {HLL_M})
+                                   & -(h // {HLL_M})) - 1) + 1 AS INT)
+                   END AS rank
+            FROM (
+                SELECT source,
+                       CAST(concat('0x', substr(md5(tok), 1, 15))
+                            AS BIGINT) AS h
+                FROM toks
+            )
+        ),
+        agg AS (
+            SELECT source, idx, max(rank) AS r FROM ranked GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT s.source, i.idx
+            FROM (SELECT DISTINCT source FROM documents) s,
+                 (SELECT unnest(range({HLL_M})) AS idx) i
+        ),
+        per_src_stats AS (
+            SELECT g.source, {sv_zeros}
+            FROM (SELECT g0.source, coalesce(a.r, 0) AS r
+                  FROM grid g0 LEFT JOIN agg a
+                    ON a.source = g0.source AND a.idx = g0.idx) g
+            GROUP BY g.source
+        ),
+        per_src_exact AS (
+            SELECT source, CAST(count(DISTINCT tok) AS INT) AS exact_vocab
+            FROM toks GROUP BY source
+        ),
+        -- union row computed DIRECTLY from the raw token stream; the
+        -- Spark side instead merges the per-source sketches, so
+        -- agreement here IS the mergeability proof
+        union_stats AS (
+            SELECT {sv_zeros}
+            FROM (
+                SELECT coalesce(a.r, 0) AS r
+                FROM (SELECT unnest(range({HLL_M})) AS idx) i
+                LEFT JOIN (SELECT idx, max(rank) AS r
+                           FROM ranked GROUP BY idx) a
+                  ON a.idx = i.idx
+            )
+        ),
+        union_exact AS (
+            SELECT CAST(count(DISTINCT tok) AS INT) AS exact_vocab
+            FROM toks
+        ),
+        unioned AS (
+            SELECT s.source, s.sv, s.zeros, e.exact_vocab
+            FROM per_src_stats s JOIN per_src_exact e USING (source)
+            UNION ALL
+            SELECT '*ALL*' AS source, sv, zeros, exact_vocab
+            FROM union_stats, union_exact
+        )
+        SELECT source, CAST({HLL_M} AS INT) AS m,
+               CAST({HLL_M} - zeros AS INT) AS used_registers,
+               round({_HLL_CORRECTED}, 2) AS hll_estimate,
+               exact_vocab,
+               round(({_HLL_CORRECTED}) / exact_vocab * 100 - 100, 2)
+                   AS rel_err_pct
+        FROM unioned
+    """
