@@ -178,6 +178,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle recomputes the union from raw tokens -- agreement IS
         # the mergeability proof)
         "text_hll_rollup",
+        # r9 IVF-PQ: the FAISS IVFADC composition -- coarse quantizer
+        # prunes to nprobe lists, PQ-ADC ranks inside them, exact
+        # re-rank on survivors; one Arrow pass, integer-exact
+        "sim_ivfpq_topk",
     ):
         out[name] = pipeline[name][0]
 

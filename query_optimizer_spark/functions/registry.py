@@ -54,6 +54,10 @@ PIPELINE_OPS: dict[str, tuple] = {
         similarity.pq_adc_topk,
         similarity.pq_adc_topk_oracle(),
     ),
+    "sim_ivfpq_topk": (
+        similarity.ivfpq_topk,
+        similarity.ivfpq_topk_oracle(),
+    ),
     "emb_quantize_int8": (
         similarity.quantize_int8,
         similarity.quantize_int8_oracle(),

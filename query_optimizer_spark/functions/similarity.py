@@ -1322,3 +1322,246 @@ def pq_adc_topk_oracle() -> str:
             FROM scored
         ) WHERE rank <= {ANN_TOP_K}
     """
+
+
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IVFADC composition, Jegou et al. 2011
+    sec. V): a coarse quantizer restricts each query to its
+    ``IVF_NPROBE`` nearest inverted lists, PQ-ADC ranks the vectors
+    INSIDE those lists with integer table lookups, and only the top
+    ``PQ_CANDIDATES`` survivors get an exact cosine re-rank.  This is
+    the production ANN shape at 100 TB: the coarse quantizer prunes
+    ~(1 - nprobe/nlist) of the corpus before any distance math, and
+    the surviving lists are scanned via 8-byte codes, not 256-byte
+    floats.
+
+    Unlike ``ivf_topk`` (cosine centroid ranking, float round), the
+    coarse assignment here is EXACT integer squared-L2 with ties to
+    the smallest cent_id -- zero float ops inside the executor pass,
+    so numpy, Spark SQL, and DuckDB cannot disagree.  Codes are
+    non-residual (FAISS ``by_residual=false``): one codebook serves
+    every list, which keeps the oracle fully relational.
+
+    Scale shape: ALL model state -- 32 centroids, the PQ codebook, the
+    query set, and each query's probe list -- is a broadcast of a few
+    KB.  One Arrow ``mapInPandas`` pass assigns, encodes, masks by
+    probe-list membership, and keeps a per-partition top
+    ``PQ_CANDIDATES`` per query under the total order (adc_dist,
+    neighbor_id); at 100 TB the lists would be written
+    partitioned-by-cent_id so non-probed lists are never read at all
+    (partition pruning does the mask's job).  Only partitions x
+    queries x PQ_CANDIDATES rows reach the one shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _quantized(spark, sf_dir)
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id") < IVF_N_CENTROIDS)
+        .select("vec_id", "q")
+        .collect()
+    )
+    cb_rows = sorted(
+        emb.filter(F.col("vec_id") < PQ_K).select("vec_id", "q").collect()
+    )
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+        .select("vec_id", "q")
+        .collect()
+    )
+    cents = np.array([r.q for r in cent_rows], dtype=np.int64)
+    cn2 = (cents * cents).sum(-1)
+    cb = (
+        np.array([r.q for r in cb_rows], dtype=np.int64)
+        .reshape(PQ_K, PQ_M, PQ_DSUB)
+        .transpose(1, 0, 2)
+        .copy()
+    )
+    qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    qvecs = np.array([r.q for r in q_rows], dtype=np.int64)
+    qsub = qvecs.reshape(len(qids), PQ_M, PQ_DSUB)
+    lut = ((qsub[:, :, None, :] - cb[None]) ** 2).sum(-1)
+    # probe lists: the IVF_NPROBE nearest centroids per query by exact
+    # integer |q-c|^2 (the |q|^2 constant drops for ranking), ties ->
+    # smallest cent_id -- lexsort, like the oracle's row_number over
+    # (d2, cent_id)
+    qdist = cn2[None, :] - 2 * (qvecs @ cents.T)
+    probe_mask = np.zeros((len(qids), IVF_N_CENTROIDS), dtype=bool)
+    for qi in range(len(qids)):
+        order = np.lexsort(
+            (np.arange(IVF_N_CENTROIDS), qdist[qi])
+        )[:IVF_NPROBE]
+        probe_mask[qi, order] = True
+    bc = spark.sparkContext.broadcast(
+        (qids, lut, cb, cents, cn2, probe_mask)
+    )
+
+    def _probe(batches):
+        b_qids, b_lut, b_cb, b_cents, b_cn2, b_mask = bc.value
+        nq = len(b_qids)
+        s_idx = np.arange(PQ_M)[None, :]
+        cb_norm = (b_cb * b_cb).sum(-1)
+        acc_n = [np.empty(0, np.int64) for _ in range(nq)]
+        acc_d = [np.empty(0, np.int64) for _ in range(nq)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vids = pdf["vec_id"].to_numpy(np.int64)
+            vecs = np.array(pdf["q"].tolist(), dtype=np.int64)
+            # coarse assignment: argmin |v-c|^2 == argmin(|c|^2 - 2v.c);
+            # np.argmin first-min -> smallest cent_id on ties
+            assign = (b_cn2[None] - 2 * (vecs @ b_cents.T)).argmin(-1)
+            sub = vecs.reshape(len(vids), PQ_M, PQ_DSUB)
+            dots = np.einsum("bmd,mkd->bmk", sub, b_cb)
+            codes = (cb_norm[None] - 2 * dots).argmin(-1)
+            adc = b_lut[:, s_idx, codes].sum(-1)  # (nq, batch)
+            for qi in range(nq):
+                keep = (vids != b_qids[qi]) & b_mask[qi][assign]
+                nn = np.concatenate([acc_n[qi], vids[keep]])
+                dd = np.concatenate([acc_d[qi], adc[qi][keep]])
+                if len(nn) > PQ_CANDIDATES:
+                    order = np.lexsort((nn, dd))[:PQ_CANDIDATES]
+                    nn, dd = nn[order], dd[order]
+                acc_n[qi], acc_d[qi] = nn, dd
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(b_qids, [len(a) for a in acc_n]),
+                "neighbor_id": np.concatenate(acc_n),
+                "adc_dist": np.concatenate(acc_d),
+            }
+        )
+        if len(out):
+            yield out
+
+    adc = emb.select("vec_id", "q").mapInPandas(
+        _probe, "query_id long, neighbor_id long, adc_dist long"
+    )
+    wpre = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        adc.withColumn("arank", F.row_number().over(wpre))
+        .filter(F.col("arank") <= PQ_CANDIDATES)
+        .drop("arank")
+    )
+    dot = DOT_SPARK.format(a="qq", b="q")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+    )
+    scored = (
+        cand.join(emb.select("vec_id", "q", "n2"),
+                  cand.neighbor_id == F.col("vec_id"))
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id", "neighbor_id", "adc_dist",
+            F.expr(
+                f"round({dot} / (sqrt(cast(qn2 as double))"
+                " * sqrt(cast(n2 as double))), 6)"
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "neighbor_id", "rank", "adc_dist", "cosine")
+    )
+
+
+def ivfpq_topk_oracle() -> str:
+    l2 = (
+        "list_sum([(a.q[i] - c.q[i]) * (a.q[i] - c.q[i])"
+        " for i in generate_series(1, len(a.q))])"
+    )
+    subdist = (
+        f"list_sum([(a.vsub[i] - cb.csub[i]) * (a.vsub[i] - cb.csub[i])"
+        f" for i in generate_series(1, {PQ_DSUB})])"
+    )
+    return f"""
+        WITH {_SQL_QUANT},
+        cents AS (
+            SELECT vec_id AS cent_id, q FROM qn
+            WHERE vec_id < {IVF_N_CENTROIDS}
+        ),
+        cdist AS (
+            SELECT a.vec_id, c.cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {l2}, c.cent_id) AS crank
+            FROM qn a JOIN cents c ON true
+        ),
+        assign AS (SELECT vec_id, cent_id FROM cdist WHERE crank = 1),
+        probes AS (
+            SELECT vec_id AS query_id, cent_id FROM cdist
+            WHERE vec_id < {ANN_N_QUERIES} AND crank <= {IVF_NPROBE}
+        ),
+        subs AS (SELECT unnest(range({PQ_M})) AS s),
+        codebook AS (
+            SELECT subs.s, c.vec_id AS code_id,
+                   list_slice(c.q, subs.s * {PQ_DSUB} + 1,
+                              subs.s * {PQ_DSUB} + {PQ_DSUB}) AS csub
+            FROM qn c, subs WHERE c.vec_id < {PQ_K}
+        ),
+        vsubs AS (
+            SELECT v.vec_id, subs.s,
+                   list_slice(v.q, subs.s * {PQ_DSUB} + 1,
+                              subs.s * {PQ_DSUB} + {PQ_DSUB}) AS vsub
+            FROM qn v, subs
+        ),
+        enc AS (
+            SELECT vec_id, s, code_id FROM (
+                SELECT a.vec_id, a.s, cb.code_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id, a.s
+                           ORDER BY {subdist}, cb.code_id) AS rn
+                FROM vsubs a JOIN codebook cb ON cb.s = a.s
+            ) WHERE rn = 1
+        ),
+        lut AS (
+            SELECT a.vec_id AS query_id, a.s, cb.code_id,
+                   {subdist} AS qdist
+            FROM vsubs a JOIN codebook cb ON cb.s = a.s
+            WHERE a.vec_id < {ANN_N_QUERIES}
+        ),
+        adc AS (
+            SELECT l.query_id, e.vec_id AS neighbor_id,
+                   CAST(sum(l.qdist) AS BIGINT) AS adc_dist
+            FROM enc e
+            JOIN assign av ON av.vec_id = e.vec_id
+            JOIN probes p ON p.cent_id = av.cent_id
+            JOIN lut l ON l.query_id = p.query_id
+                      AND l.s = e.s AND l.code_id = e.code_id
+            WHERE e.vec_id <> l.query_id
+            GROUP BY l.query_id, e.vec_id
+        ),
+        cand AS (
+            SELECT query_id, neighbor_id, adc_dist FROM (
+                SELECT query_id, neighbor_id, adc_dist,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY adc_dist, neighbor_id)
+                           AS arank
+                FROM adc
+            ) WHERE arank <= {PQ_CANDIDATES}
+        ),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id, c.adc_dist,
+                   round(list_sum([qa.q[i] * qb.q[i]
+                                   for i in generate_series(1, len(qa.q))])
+                         / (sqrt(qa.n2::DOUBLE) * sqrt(qb.n2::DOUBLE)), 6)
+                       AS cosine
+            FROM cand c
+            JOIN qn qa ON qa.vec_id = c.query_id
+            JOIN qn qb ON qb.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+               adc_dist, cosine
+        FROM (
+            SELECT query_id, neighbor_id, adc_dist, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id)
+                       AS rank
+            FROM scored
+        ) WHERE rank <= {ANN_TOP_K}
+    """
