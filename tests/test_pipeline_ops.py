@@ -203,6 +203,63 @@ def test_ivf_ann_quality(spark):
     assert sum(overlaps) / len(overlaps) > 0.3  # nprobe 4/32 lists
 
 
+def test_ivfpq_neighbors_come_from_probed_lists(spark, duck):
+    """Every IVF-PQ neighbor must live in one of its query's nprobe
+    probed inverted lists -- the pruning contract.  The probe/assign
+    ground truth is recomputed relationally in DuckDB (integer L2,
+    ties to smallest cent_id), independent of the Spark pass."""
+    from query_optimizer_spark.functions.constants import (
+        ANN_N_QUERIES,
+        IVF_N_CENTROIDS,
+        IVF_NPROBE,
+    )
+    from query_optimizer_spark.functions.similarity import _SQL_QUANT
+
+    l2 = (
+        "list_sum([(a.q[i] - c.q[i]) * (a.q[i] - c.q[i])"
+        " for i in generate_series(1, len(a.q))])"
+    )
+    rows = duck.execute(f"""
+        WITH {_SQL_QUANT},
+        cdist AS (
+            SELECT a.vec_id, c.vec_id AS cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {l2}, c.vec_id) AS crank
+            FROM qn a JOIN qn c ON c.vec_id < {IVF_N_CENTROIDS}
+        )
+        SELECT vec_id, cent_id, crank FROM cdist
+        WHERE crank = 1 OR (vec_id < {ANN_N_QUERIES}
+                            AND crank <= {IVF_NPROBE})
+    """).fetchall()
+    assign = {v: c for v, c, r in rows if r == 1}
+    probes: dict = {}
+    for v, c, r in rows:
+        if v < ANN_N_QUERIES and r <= IVF_NPROBE:
+            probes.setdefault(v, set()).add(c)
+    out = PIPELINE_OPS["sim_ivfpq_topk"][0](spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert assign[r.neighbor_id] in probes[r.query_id], (
+            f"neighbor {r.neighbor_id} of query {r.query_id} sits in "
+            f"list {assign[r.neighbor_id]}, outside the probe set"
+        )
+
+
+def test_hll_rollup_merge_equals_direct(spark):
+    """The rollup's *ALL* row is computed by MERGING the 20 per-source
+    register vectors; hll_vocab computes the same registers directly
+    from the full token stream.  max-per-register merge must be
+    lossless: identical estimate, identical used_registers."""
+    direct = PIPELINE_OPS["text_hll_vocab"][0](spark, SF_DIR).collect()[0]
+    merged = {
+        r.source: r
+        for r in PIPELINE_OPS["text_hll_rollup"][0](spark, SF_DIR).collect()
+    }["*ALL*"]
+    assert merged.hll_estimate == direct.hll_estimate
+    assert merged.used_registers == direct.used_registers
+    assert merged.exact_vocab == direct.exact_vocab
+
+
 def test_mix_weighted_proportions(spark):
     """Output mix approximates MIX_WEIGHTS and the limiting (highest
     count/weight-ratio... i.e. smallest) source is kept whole; no
