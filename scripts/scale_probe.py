@@ -292,6 +292,14 @@ def main() -> None:
         probe("sim_pq_adc_topk", "replica", k,
               lambda sf=sf: similarity.pq_adc_topk(spark, sf),
               n_vecs0 * k)
+        # --- IVF-PQ ANN (r9): composes the coarse-quantizer prune with
+        # the ADC scan, so the per-query work is ~(nprobe/nlist) of
+        # pq_adc's -- the measured exponent must stay at-or-below
+        # pq_adc's and the constant visibly smaller (the probed-list
+        # mask cuts candidate volume before the one shuffle)
+        probe("sim_ivfpq_topk", "replica", k,
+              lambda sf=sf: similarity.ivfpq_topk(spark, sf),
+              n_vecs0 * k)
         # --- distributed k-means: O(n*k*d) per round by spec -- the
         # probe verifies the measured exponent is ~1 in n and that the
         # driver's per-round collect stays at the k*d model-state size
@@ -569,6 +577,27 @@ def main() -> None:
         }
         rows.setdefault("text_hll_vocab (vocabgrowth)", []).append(rec_h)
         print(f"text_hll_vocab (vocabgrowth) x{m}: {rec_h}", flush=True)
+
+        # --- HLL rollup on the same growing vocabulary (r9): the
+        # merged *ALL* row must track hll_vocab's estimate EXACTLY at
+        # every scale (merge losslessness under growth), while state
+        # stays |sources| x 256 registers no matter how large the
+        # vocabulary gets
+        t0 = time.monotonic()
+        mrow = {
+            r.source: r for r in text.hll_rollup(spark, sf).collect()
+        }["*ALL*"]
+        rec_m = {
+            "k": m, "n": n_docs0 * m,
+            "sec": round(time.monotonic() - t0, 2), "out_rows": 21,
+            "exact_vocab": int(mrow.exact_vocab),
+            "merged_estimate": float(mrow.hll_estimate),
+            "merge_lossless": bool(
+                float(mrow.hll_estimate) == float(hrow.hll_estimate)
+            ),
+        }
+        rows.setdefault("text_hll_rollup (vocabgrowth)", []).append(rec_m)
+        print(f"text_hll_rollup (vocabgrowth) x{m}: {rec_m}", flush=True)
 
     spark.stop()
 
