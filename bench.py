@@ -131,6 +131,10 @@ headline = [
     # copy-on-write MERGE upsert, small-file compaction
     "join_pipeline_5", "evt_incremental_rollup", "io_merge_upsert",
     "io_compact_small_files", "mm_audio_framing",
+    # late-r9 additions: IVF-PQ ANN (coarse-quantizer list pruning
+    # composed with the in-executor ADC scan) and the HLL rollup
+    # (per-source sketches merged to the corpus union)
+    "sim_ivfpq_topk", "text_hll_rollup",
 ]
 
 
