@@ -182,6 +182,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prunes to nprobe lists, PQ-ADC ranks inside them, exact
         # re-rank on survivors; one Arrow pass, integer-exact
         "sim_ivfpq_topk",
+        # r9 streaming HLL: distinct users per event_type with a
+        # 256-register applyInPandasWithState vector per key -- hash
+        # and rank JVM-side, float finish batch-side, oracle relational
+        "stream_hll_users",
     ):
         out[name] = pipeline[name][0]
 

@@ -117,6 +117,10 @@ PIPELINE_OPS: dict[str, tuple] = {
         streaming.sliding_counts_stream_oracle(),
     ),
     "stream_join": (streaming.join_stream, streaming.join_stream_oracle()),
+    "stream_hll_users": (
+        streaming.hll_users_stream,
+        streaming.hll_users_stream_oracle(),
+    ),
     "stream_feedback_join": (
         streaming.feedback_broadcast_join,
         streaming.feedback_broadcast_join_oracle(),

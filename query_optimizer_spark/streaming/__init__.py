@@ -23,6 +23,8 @@ from .ops import (
     enrich_stream_oracle,
     sliding_counts_stream,
     sliding_counts_stream_oracle,
+    hll_users_stream,
+    hll_users_stream_oracle,
     hourly_counts_stream,
     hourly_counts_stream_oracle,
     sessionize_stream,
@@ -52,4 +54,6 @@ __all__ = [
     "sliding_counts_stream_oracle",
     "sink_parquet_stream",
     "sink_parquet_stream_oracle",
+    "hll_users_stream",
+    "hll_users_stream_oracle",
 ]

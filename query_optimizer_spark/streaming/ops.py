@@ -780,3 +780,177 @@ def asof_stream_oracle() -> str:
     from ..functions.temporal import asof_join_oracle
 
     return asof_join_oracle()
+
+
+# --- streaming HLL distinct-user sketch ---------------------------------------
+
+_HLL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("idx", T.IntegerType()),
+        T.StructField("r", T.IntegerType()),
+    ]
+)
+# the whole per-key state is ONE register vector: 256 small ints
+_HLL_STATE_SCHEMA = T.StructType(
+    [T.StructField("regs", T.ArrayType(T.IntegerType()))]
+)
+
+
+def _hll_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Merge this batch's (idx, rank) maxima into the carried register
+    vector and emit the CURRENT non-zero registers.  Registers grow
+    monotonically, so re-emissions across micro-batches collapse under
+    the downstream max(r) -- the op is batch-count-agnostic."""
+    import numpy as np
+
+    from ..functions.text import HLL_M
+
+    (event_type,) = key
+    if state.exists:
+        (regs_list,) = state.get
+        regs = np.asarray(regs_list, dtype=np.int64)
+    else:
+        regs = np.zeros(HLL_M, dtype=np.int64)
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        np.maximum.at(
+            regs,
+            pdf["idx"].to_numpy(np.int64),
+            pdf["rank"].to_numpy(np.int64),
+        )
+    state.update((regs.astype("int32").tolist(),))
+    nz = np.nonzero(regs)[0]
+    if len(nz):
+        yield pd.DataFrame(
+            {
+                "event_type": event_type,
+                "idx": nz.astype("int32"),
+                "r": regs[nz].astype("int32"),
+            }
+        )
+
+
+def hll_users_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous distinct-user count per event_type as a streaming HLL
+    sketch: the `applyInPandasWithState` state is ONE 256-register
+    vector per key -- the exact thing COUNT(DISTINCT) cannot be in a
+    stream (its state grows with the user set; the sketch's never
+    does).
+
+    The division of labor keeps every step gate-exact: the md5-derived
+    60-bit hash, register index, and pure-integer geometric rank are
+    computed JVM-side BEFORE the stateful op (the same expressions as
+    batch ``text.hll_vocab``); the Python state function only does
+    integer max-merge (`np.maximum.at`); and the estimate itself is
+    finished BATCH-side on the tiny sink table with the identical
+    Spark SQL float expressions the batch sketch gate-proved -- no
+    Python float math anywhere.  The DuckDB oracle recomputes the
+    sketch from the raw user_id column relationally.
+
+    At 100 TB: state is |event_types| x 256 B regardless of user
+    count, every micro-batch shuffles only its (key, idx) partial
+    maxima (max is the map-side combiner), and the same sketch rows
+    merge across days/streams by construction (text_hll_rollup
+    measures that property)."""
+    from ..functions.text import HLL_M, HLL_RANK_MAX, _HLL_CORRECTED
+
+    h = "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)"
+    sdf = (
+        stream_events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.expr(f"{h} % {HLL_M}").alias("idx"),
+            F.expr(f"{h} div {HLL_M}").alias("w"),
+        )
+        .select(
+            "event_type",
+            "idx",
+            F.expr(
+                f"case when w = 0 then {HLL_RANK_MAX} else"
+                " cast(bit_count((w & -w) - 1) + 1 as int) end"
+            ).alias("rank"),
+        )
+    )
+    regs = sdf.groupBy("event_type").applyInPandasWithState(
+        _hll_fn,
+        outputStructType=_HLL_OUT_SCHEMA,
+        stateStructType=_HLL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    tbl = _run_to_memory(regs, "append")
+    # batch finish on the sink table (a few hundred rows): collapse
+    # multi-batch re-emissions, then estimate.  The sink holds only
+    # NON-ZERO registers, so no zero-fill grid is needed: each of the
+    # (m - count) zero registers contributes exactly 2^RANK_MAX to the
+    # harmonic sum -- added as one integer term, keeping the whole sum
+    # exact until the single cast to double
+    stats = (
+        tbl.groupBy("event_type", "idx")
+        .agg(F.max("r").alias("r"))
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                f"cast(sum(shiftleft(cast(1 as bigint), {HLL_RANK_MAX} - r))"
+                f" + ({HLL_M} - count(*))"
+                f" * shiftleft(cast(1 as bigint), {HLL_RANK_MAX})"
+                " as double)"
+            ).alias("sv"),
+            F.expr(f"cast({HLL_M} - count(*) as int)").alias("zeros"),
+        )
+    )
+    return stats.select(
+        "event_type",
+        F.lit(HLL_M).cast("int").alias("m"),
+        (F.lit(HLL_M) - F.col("zeros")).cast("int").alias("used_registers"),
+        F.expr(f"round({_HLL_CORRECTED}, 2)").alias("hll_users_estimate"),
+    )
+
+
+def hll_users_stream_oracle() -> str:
+    from ..functions.text import HLL_M, HLL_RANK_MAX, _HLL_CORRECTED
+
+    return f"""
+        WITH ranked AS (
+            SELECT event_type, h % {HLL_M} AS idx,
+                   CASE WHEN h // {HLL_M} = 0 THEN {HLL_RANK_MAX}
+                        ELSE CAST(bit_count(((h // {HLL_M})
+                                   & -(h // {HLL_M})) - 1) + 1 AS INT)
+                   END AS rank
+            FROM (
+                SELECT event_type,
+                       CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                                1, 15)) AS BIGINT) AS h
+                FROM events
+            )
+        ),
+        agg AS (
+            SELECT event_type, idx, max(rank) AS r FROM ranked GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT t.event_type, i.idx
+            FROM (SELECT DISTINCT event_type FROM events) t,
+                 (SELECT unnest(range({HLL_M})) AS idx) i
+        ),
+        stats AS (
+            SELECT g.event_type,
+                   CAST(sum(CAST(1 AS BIGINT)
+                            << ({HLL_RANK_MAX} - r)) AS DOUBLE) AS sv,
+                   CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS INT)
+                       AS zeros
+            FROM (SELECT g0.event_type, coalesce(a.r, 0) AS r
+                  FROM grid g0 LEFT JOIN agg a
+                    ON a.event_type = g0.event_type AND a.idx = g0.idx) g
+            GROUP BY g.event_type
+        )
+        SELECT event_type, CAST({HLL_M} AS INT) AS m,
+               CAST({HLL_M} - zeros AS INT) AS used_registers,
+               round({_HLL_CORRECTED}, 2) AS hll_users_estimate
+        FROM stats
+    """
