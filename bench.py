@@ -132,9 +132,10 @@ headline = [
     "join_pipeline_5", "evt_incremental_rollup", "io_merge_upsert",
     "io_compact_small_files", "mm_audio_framing",
     # late-r9 additions: IVF-PQ ANN (coarse-quantizer list pruning
-    # composed with the in-executor ADC scan) and the HLL rollup
-    # (per-source sketches merged to the corpus union)
-    "sim_ivfpq_topk", "text_hll_rollup",
+    # composed with the in-executor ADC scan), the HLL rollup
+    # (per-source sketches merged to the corpus union), and the
+    # streaming HLL (one 256-register state row per event_type)
+    "sim_ivfpq_topk", "text_hll_rollup", "stream_hll_users",
 ]
 
 
