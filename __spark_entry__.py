@@ -186,6 +186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 256-register applyInPandasWithState vector per key -- hash
         # and rank JVM-side, float finish batch-side, oracle relational
         "stream_hll_users",
+        # r9 bounded-state quantile sketch: <= 40 power-of-two buckets
+        # per key, integer-comparison bucketing (no float log), exact
+        # quantile rides along to measure the <2x bound
+        "evt_quantile_sketch",
     ):
         out[name] = pipeline[name][0]
 

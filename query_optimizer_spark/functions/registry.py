@@ -302,6 +302,13 @@ PIPELINE_OPS: dict[str, tuple] = {
         temporal.value_quantiles,
         temporal.value_quantiles_oracle(),
     ),
+    # r9: the bounded-state variant -- <= QSK_BITS power-of-two buckets
+    # per key (320 B of mergeable state), est <= 2x exact by
+    # construction, ratio columns measure the bound
+    "evt_quantile_sketch": (
+        temporal.quantile_sketch,
+        temporal.quantile_sketch_oracle(),
+    ),
     # r6: winnowing fingerprint selection (MOSS) -- pure projection
     "text_winnow_fingerprints": (
         text.winnow_fingerprints,

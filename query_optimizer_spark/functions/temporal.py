@@ -1051,3 +1051,147 @@ def incremental_rollup_oracle() -> str:
         FROM events
         GROUP BY 1, 2
     """
+
+
+# --- bounded-state quantile sketch --------------------------------------------
+
+# power-of-two buckets: bucket(c) = |{k in 0..QSK_BITS-1 : c >= 2^k}|,
+# i.e. floor(log2(c)) + 1 for c >= 1 -- computed as pure integer
+# comparisons (NO float log anywhere: a faithful-but-not-correctly-
+# rounded libm could flip floor(log2(2^k - 1)) across engines).  40
+# bits cover any realistic cent value.
+QSK_BITS = 40
+_QSK_BUCKET = " + ".join(
+    f"(case when c >= {1 << k} then 1 else 0 end)" for k in range(QSK_BITS)
+)
+
+
+def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a BOUNDED-state histogram sketch -- the third leg
+    of the mergeable-sketch trio (HLL = distinct, count-min =
+    frequency, this = distribution).  ``evt_value_quantiles`` keeps one
+    counter per distinct cent value (exact, but state grows with the
+    value domain); this op keeps at most ``QSK_BITS`` power-of-two
+    buckets per event_type -- 320 bytes of state per key no matter how
+    wide the domain gets, mergeable across shards/days by plain count
+    addition.  The price is bounded and measured: the bucket upper
+    bound 2^b - 1 is at most 2x the true quantile (a value in
+    [2^(b-1), 2^b - 1] is estimated by the bucket's top), and the
+    exact type-1 quantile rides along so the output SHOWS the ratio.
+    At 100 TB only the sketch survives; the exact path exists for the
+    gate and the bound columns.
+
+    One map-side-combinable aggregation per path, a window over the
+    tiny histogram for the CDF walk -- nothing sorts the raw stream."""
+    cents = events_df(spark, sf_dir).select(
+        "event_type",
+        F.expr("cast(round(value * 100, 0) as bigint)").alias("c"),
+    )
+    # --- sketch path: <= QSK_BITS buckets per type
+    sk_hist = (
+        cents.select("event_type", F.expr(_QSK_BUCKET).alias("b"))
+        .groupBy("event_type", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wb = Window.partitionBy("event_type").orderBy("b")
+    sk_cum = sk_hist.withColumn(
+        "cum",
+        F.sum("cnt").over(wb.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("n", F.sum("cnt").over(Window.partitionBy("event_type")))
+    sk_cols = [
+        F.expr(
+            f"(shiftleft(cast(1 as bigint),"
+            f" min(CASE WHEN cum * 100 >= {q} * n THEN b END)) - 1)"
+            " / cast(100 as double)"
+        ).alias(f"p{q}_est")
+        for q in (50, 90, 99)
+    ]
+    sk = sk_cum.groupBy("event_type").agg(
+        F.max("n").cast("int").alias("n_events"), *sk_cols
+    )
+    # --- exact ride-along (the same type-1 rule evt_value_quantiles
+    # gate-proved), for the bound columns
+    ex_hist = cents.groupBy("event_type", "c").agg(F.count("*").alias("cnt"))
+    wc = Window.partitionBy("event_type").orderBy("c")
+    ex_cum = ex_hist.withColumn(
+        "cum",
+        F.sum("cnt").over(wc.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("n", F.sum("cnt").over(Window.partitionBy("event_type")))
+    ex_cols = [
+        F.expr(
+            f"min(CASE WHEN cum * 100 >= {q} * n THEN c END)"
+            " / cast(100 as double)"
+        ).alias(f"p{q}_exact")
+        for q in (50, 90, 99)
+    ]
+    ex = ex_cum.groupBy("event_type").agg(*ex_cols)
+    out = sk.join(ex, "event_type")
+    return out.select(
+        "event_type",
+        "n_events",
+        *[
+            c
+            for q in (50, 90, 99)
+            for c in (
+                F.col(f"p{q}_est"),
+                F.col(f"p{q}_exact"),
+                F.expr(f"round(p{q}_est / p{q}_exact, 4)").alias(
+                    f"p{q}_ratio"
+                ),
+            )
+        ],
+    )
+
+
+def quantile_sketch_oracle() -> str:
+    sk_cols = ", ".join(
+        f"((1::BIGINT << min(CASE WHEN cum * 100 >= {q} * n THEN b END))"
+        f" - 1) / 100.0 AS p{q}_est"
+        for q in (50, 90, 99)
+    )
+    ex_cols = ", ".join(
+        f"min(CASE WHEN cum * 100 >= {q} * n THEN c END) / 100.0"
+        f" AS p{q}_exact"
+        for q in (50, 90, 99)
+    )
+    out_cols = ", ".join(
+        f"p{q}_est, p{q}_exact, round(p{q}_est / p{q}_exact, 4)"
+        f" AS p{q}_ratio"
+        for q in (50, 90, 99)
+    )
+    return f"""
+        WITH cents AS (
+            SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+            FROM events
+        ),
+        sk_hist AS (
+            SELECT event_type, {_QSK_BUCKET} AS b, count(*) AS cnt
+            FROM cents GROUP BY 1, 2
+        ),
+        sk_cum AS (
+            SELECT event_type, b, cnt,
+                   sum(cnt) OVER (PARTITION BY event_type ORDER BY b
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY event_type) AS n
+            FROM sk_hist
+        ),
+        sk AS (
+            SELECT event_type, CAST(max(n) AS INT) AS n_events, {sk_cols}
+            FROM sk_cum GROUP BY event_type
+        ),
+        ex_hist AS (
+            SELECT event_type, c, count(*) AS cnt FROM cents GROUP BY 1, 2
+        ),
+        ex_cum AS (
+            SELECT event_type, c, cnt,
+                   sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY event_type) AS n
+            FROM ex_hist
+        ),
+        ex AS (
+            SELECT event_type, {ex_cols} FROM ex_cum GROUP BY event_type
+        )
+        SELECT sk.event_type, n_events, {out_cols}
+        FROM sk JOIN ex ON ex.event_type = sk.event_type
+    """

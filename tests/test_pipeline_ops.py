@@ -260,6 +260,21 @@ def test_hll_rollup_merge_equals_direct(spark):
     assert merged.exact_vocab == direct.exact_vocab
 
 
+def test_quantile_sketch_bound_holds(spark):
+    """The power-of-two bucket sketch's contract: every estimated
+    quantile is >= the exact one (bucket upper bound) and < 2x it
+    (bucket width) -- for every event_type and every q."""
+    out = PIPELINE_OPS["evt_quantile_sketch"][0](spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        for q in (50, 90, 99):
+            est = getattr(r, f"p{q}_est")
+            exact = getattr(r, f"p{q}_exact")
+            assert exact <= est < 2 * exact, (
+                f"{r.event_type} p{q}: est {est} vs exact {exact}"
+            )
+
+
 def test_mix_weighted_proportions(spark):
     """Output mix approximates MIX_WEIGHTS and the limiting (highest
     count/weight-ratio... i.e. smallest) source is kept whole; no
