@@ -136,6 +136,8 @@ headline = [
     # (per-source sketches merged to the corpus union), and the
     # streaming HLL (one 256-register state row per event_type)
     "sim_ivfpq_topk", "text_hll_rollup", "stream_hll_users",
+    # bounded-state quantile sketch (<= 40 buckets/key, <2x bound)
+    "evt_quantile_sketch",
 ]
 
 
