@@ -190,6 +190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per key, integer-comparison bucketing (no float log), exact
         # quantile rides along to measure the <2x bound
         "evt_quantile_sketch",
+        # r9 edit-distance verify of the shared LSH candidates
+        # (JVM levenshtein on both engines, candidates never all-pairs)
+        "dedup_edit_distance",
     ):
         out[name] = pipeline[name][0]
 

@@ -259,6 +259,95 @@ def minhash_lsh_oracle() -> str:
     """
 
 
+# --- edit-distance verification of LSH candidates -----------------------------
+
+# normalized edit distance bound for a "near duplicate": planted dups
+# differ by a handful of characters, unrelated docs by most of them
+EDIT_NED_MAX = 0.2
+
+
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-duplicates verified by EXACT Levenshtein distance
+    -- the classic verify step a production dedup runs after blocking.
+    The O(len_a x len_b) DP is why it can never run all-pairs: it runs
+    ONLY on the LSH band collisions (the same ``_band_candidates`` the
+    minhash family shares), so the quadratic cost is paid per
+    candidate, not per document pair.  Both engines evaluate the same
+    unit-cost Levenshtein builtin (Spark `levenshtein`, DuckDB
+    `levenshtein`), so the distances -- and the normalized ratio, one
+    correctly-rounded division -- agree exactly.
+
+    At 100 TB: candidates stream through a broadcast-free equi-join on
+    doc_id (texts are fetched for candidate ids only, never shuffled
+    wholesale), and the DP runs JVM-side inside whole-stage codegen --
+    no Python in the row path."""
+    sig = minhash_signatures(spark, sf_dir)
+    cand = _band_candidates(sig)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("levenshtein(text_a, text_b)").alias("edit_dist"),
+            F.expr(
+                "round(levenshtein(text_a, text_b) / cast(greatest("
+                "length(text_a), length(text_b)) as double), 6)"
+            ).alias("ned"),
+        )
+        .filter(F.col("ned") <= EDIT_NED_MAX)
+        .select("doc_a", "doc_b", "edit_dist", "ned")
+    )
+
+
+def edit_distance_oracle() -> str:
+    perms = ", ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_keys = ", ".join(
+        "concat_ws(','," + ", ".join(
+            f"m{bnd * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)
+        ) + f") AS bk{bnd}"
+        for bnd in range(MINHASH_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bnd} AS band, bk{bnd} AS key FROM band_keys"
+        for bnd in range(MINHASH_BANDS)
+    )
+    return f"""
+        WITH {_sql_shingles_cte()},
+        hashed AS (SELECT doc_id, {sql_hash32('sh')} AS h FROM shingles),
+        sig AS (SELECT doc_id, {perms} FROM hashed GROUP BY doc_id),
+        band_keys AS (SELECT doc_id, {band_keys} FROM sig),
+        bands AS ({band_rows}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a, bands b
+            WHERE a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        scored AS (
+            SELECT c.doc_a, c.doc_b,
+                   levenshtein(da.text, db.text) AS edit_dist,
+                   round(levenshtein(da.text, db.text)
+                         / greatest(length(da.text),
+                                    length(db.text))::DOUBLE, 6) AS ned
+            FROM cand c
+            JOIN documents da ON da.doc_id = c.doc_a
+            JOIN documents db ON db.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b, CAST(edit_dist AS INT) AS edit_dist, ned
+        FROM scored WHERE ned <= {EDIT_NED_MAX}
+    """
+
+
 # --- exact n-gram jaccard ----------------------------------------------------
 
 

@@ -24,6 +24,12 @@ PIPELINE_OPS: dict[str, tuple] = {
         dedup.ngram_jaccard_oracle(),
     ),
     "dedup_simhash": (dedup.simhash_pairs, dedup.simhash_oracle()),
+    # r9: exact Levenshtein verify over the shared LSH candidates --
+    # the quadratic DP paid per candidate, never per pair
+    "dedup_edit_distance": (
+        dedup.edit_distance_pairs,
+        dedup.edit_distance_oracle(),
+    ),
     "dedup_embedding_cosine": (
         dedup.embedding_cosine_pairs,
         dedup.embedding_cosine_oracle(),

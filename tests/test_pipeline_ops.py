@@ -260,6 +260,27 @@ def test_hll_rollup_merge_equals_direct(spark):
     assert merged.exact_vocab == direct.exact_vocab
 
 
+def test_edit_distance_confirms_planted_dups(spark, duck):
+    """Pairs the exact trigram-jaccard dedup confirms (planted
+    near-dups, jaccard ~0.99) differ by a handful of characters, so
+    the Levenshtein verifier must keep nearly all of them under the
+    NED bound."""
+    exact = {
+        (a, b)
+        for a, b, _ in duck.execute(
+            PIPELINE_OPS["dedup_ngram_jaccard"][1]
+        ).fetchall()
+    }
+    ed = {
+        (r.doc_a, r.doc_b)
+        for r in PIPELINE_OPS["dedup_edit_distance"][0](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert exact, "no planted dups -- weak test"
+    assert len(exact & ed) / len(exact) >= 0.8
+
+
 def test_quantile_sketch_bound_holds(spark):
     """The power-of-two bucket sketch's contract: every estimated
     quantile is >= the exact one (bucket upper bound) and < 2x it
