@@ -138,6 +138,8 @@ headline = [
     "sim_ivfpq_topk", "text_hll_rollup", "stream_hll_users",
     # bounded-state quantile sketch (<= 40 buckets/key, <2x bound)
     "evt_quantile_sketch",
+    # Levenshtein verify of LSH candidates (quadratic DP per candidate)
+    "dedup_edit_distance",
 ]
 
 
