@@ -193,6 +193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9 edit-distance verify of the shared LSH candidates
         # (JVM levenshtein on both engines, candidates never all-pairs)
         "dedup_edit_distance",
+        # r9 Bloom-filter decontamination: 8 KB broadcast filter vs the
+        # exact semi-join; zero false negatives asserted, FP measured
+        "corpus_decontaminate_bloom",
     ):
         out[name] = pipeline[name][0]
 

@@ -75,6 +75,13 @@ def lsh_plane_component(p: int, d: int) -> int:
 DECON_SALT = "decon:v1:"
 DECON_NGRAM = 5
 DECON_EVAL_MOD = 20
+# Bloom-filter variant: m bits (as m/64 int64 words, bit_or-merged),
+# k probes via Kirsch-Mitzenmacher double hashing pos_i = h1 + i*h2
+# mod m -- two md5-derived 32-bit halves, pure integer, cross-engine
+# exact.  No false negatives by construction; the measured FP rate at
+# this m/k and the eval-set size is what the op's output shows.
+BLOOM_M_BITS = 1 << 16
+BLOOM_K = 3
 
 # --- stratified sampling ----------------------------------------------------
 # Per-language keep-rate (percent); hash-based so the sample is a pure

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .constants import (
+    BLOOM_K,
+    BLOOM_M_BITS,
     BOILER_DF_MIN,
     BOILER_NGRAM,
     DECON_EVAL_MOD,
@@ -347,6 +349,171 @@ def decontaminate_oracle() -> str:
         FROM grams
         WHERE NOT is_eval AND g IN (SELECT g FROM eval_grams)
         GROUP BY doc_id
+    """
+
+
+# --- Bloom-filter decontamination --------------------------------------------------
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate scale path next to ``decontaminate``'s exact
+    semi-join: the eval shingle set is folded into a Bloom filter --
+    ``BLOOM_M_BITS/63`` int64 words (63 usable bits per word: bit 63
+    would overflow DuckDB's checked left shift) built with a map-side-combinable
+    ``bit_or`` -- and training shingles probe it with ``BLOOM_K``
+    double-hashed bit tests.  At 100 TB the filter is an 8 KB broadcast
+    where the exact path ships the full eval shingle set through a
+    shuffle; the price is false positives, NEVER false negatives, and
+    the exact count rides along so the output (and a test) shows both.
+
+    Everything is relational: filter words live in a 1024-row frame
+    (broadcast hash join on the word index), positions are pure integer
+    md5 halves (Kirsch-Mitzenmacher pos_i = h1 + i*h2 mod m), so Spark
+    and DuckDB agree on every bit.  A shingle counts as a hit only when
+    ALL k probed bits are set."""
+    m, k = BLOOM_M_BITS, BLOOM_K
+    h1 = "cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint)"
+    h2 = "cast(conv(substring(md5(g), 9, 8), 16, 10) as bigint)"
+    eval_flag = f"({_spark_hash32(f'concat({DECON_SALT!r}, doc_id)')} % {DECON_EVAL_MOD}) = 0"
+    base = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(TOKS).alias("toks"),
+            F.expr(eval_flag).alias("is_eval"),
+        )
+        .filter(F.expr(f"size(toks) >= {DECON_NGRAM}"))
+    )
+    grams = base.select(
+        "doc_id",
+        "is_eval",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {DECON_NGRAM - 1}), "
+                f"i -> concat_ws(' ', slice(toks, i, {DECON_NGRAM})))"
+            )
+        ).alias("g"),
+    )
+    eval_grams = grams.filter("is_eval").select("g").distinct()
+    # build: k positions per eval shingle -> (word, bit) -> bit_or mask
+    bloom_words = (
+        eval_grams.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {k - 1}),"
+                    f" i -> ({h1} + i * {h2}) % {m})"
+                )
+            ).alias("pos")
+        )
+        .select(
+            F.expr("cast(pos div 63 as int)").alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 63 as int))")
+            .alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("mask"))
+    )
+    # probe: every distinct (train doc, shingle) tests its k bits
+    train = grams.filter(~F.col("is_eval")).select("doc_id", "g").distinct()
+    probes = train.select(
+        "doc_id",
+        "g",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {k - 1}),"
+                f" i -> ({h1} + i * {h2}) % {m})"
+            )
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "g",
+        F.expr("cast(pos div 63 as int)").alias("w"),
+        F.expr("shiftleft(cast(1 as bigint), cast(pos % 63 as int))")
+        .alias("bit"),
+    )
+    per_gram = (
+        probes.join(F.broadcast(bloom_words), "w", "left")
+        .select(
+            "doc_id",
+            "g",
+            F.expr(
+                "case when mask is not null and (mask & bit) != 0"
+                " then 1 else 0 end"
+            ).alias("hit"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.expr(f"case when sum(hit) = {k} then 1 else 0 end").alias("bloom_hit"))
+    )
+    exact_marked = eval_grams.withColumn("ex", F.lit(1))
+    return (
+        per_gram.join(F.broadcast(exact_marked), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("cast(sum(bloom_hit) as int)").alias("n_bloom_hits"),
+            F.expr(
+                "cast(sum(case when ex is not null then 1 else 0 end)"
+                " as int)"
+            ).alias("n_shared_exact"),
+        )
+        .filter(F.col("n_bloom_hits") > 0)
+    )
+
+
+def decontaminate_bloom_oracle() -> str:
+    m, k, n = BLOOM_M_BITS, BLOOM_K, DECON_NGRAM
+    h1 = "('0x' || substr(md5(g), 1, 8))::BIGINT"
+    h2 = "('0x' || substr(md5(g), 9, 8))::BIGINT"
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {sql_tokens('text')} AS toks,
+                   ({sql_hash32(f"'{DECON_SALT}' || doc_id")}
+                        % {DECON_EVAL_MOD} = 0) AS is_eval
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, is_eval,
+                   unnest([array_to_string(toks[i:i+{n - 1}], ' ')
+                           for i in generate_series(1, len(toks) - {n - 1})]) AS g
+            FROM base WHERE len(toks) >= {n}
+        ),
+        eval_grams AS (SELECT DISTINCT g FROM grams WHERE is_eval),
+        eval_pos AS (
+            SELECT unnest([({h1} + i * {h2}) % {m}
+                           for i in generate_series(0, {k - 1})]) AS pos
+            FROM eval_grams
+        ),
+        bloom_words AS (
+            SELECT CAST(pos // 63 AS INT) AS w,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS mask
+            FROM eval_pos GROUP BY 1
+        ),
+        train AS (
+            SELECT DISTINCT doc_id, g FROM grams WHERE NOT is_eval
+        ),
+        probes AS (
+            SELECT doc_id, g,
+                   unnest([({h1} + i * {h2}) % {m}
+                           for i in generate_series(0, {k - 1})]) AS pos
+            FROM train
+        ),
+        per_gram AS (
+            SELECT doc_id, g,
+                   CASE WHEN sum(CASE WHEN b.mask IS NOT NULL
+                                       AND (b.mask & (CAST(1 AS BIGINT)
+                                            << CAST(p.pos % 63 AS INT))) != 0
+                                      THEN 1 ELSE 0 END) = {k}
+                        THEN 1 ELSE 0 END AS bloom_hit
+            FROM probes p
+            LEFT JOIN bloom_words b ON b.w = CAST(p.pos // 63 AS INT)
+            GROUP BY doc_id, g
+        )
+        SELECT pg.doc_id,
+               CAST(sum(pg.bloom_hit) AS INT) AS n_bloom_hits,
+               CAST(sum(CASE WHEN eg.g IS NOT NULL THEN 1 ELSE 0 END)
+                    AS INT) AS n_shared_exact
+        FROM per_gram pg LEFT JOIN eval_grams eg ON eg.g = pg.g
+        GROUP BY pg.doc_id
+        HAVING sum(pg.bloom_hit) > 0
     """
 
 

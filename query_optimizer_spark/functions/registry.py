@@ -176,6 +176,13 @@ PIPELINE_OPS: dict[str, tuple] = {
     "corpus_tfidf_topk": (corpus.tfidf_topk, corpus.tfidf_topk_oracle()),
     "corpus_dataset_split": (corpus.dataset_split, corpus.dataset_split_oracle()),
     "corpus_decontaminate": (corpus.decontaminate, corpus.decontaminate_oracle()),
+    # r9: the approximate scale path -- an 8 KB broadcast Bloom filter
+    # instead of shipping the eval shingle set; no false negatives by
+    # construction, exact count rides along to show the FP rate
+    "corpus_decontaminate_bloom": (
+        corpus.decontaminate_bloom,
+        corpus.decontaminate_bloom_oracle(),
+    ),
     "corpus_sample_stratified": (
         corpus.sample_stratified,
         corpus.sample_stratified_oracle(),

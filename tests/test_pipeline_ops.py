@@ -260,6 +260,29 @@ def test_hll_rollup_merge_equals_direct(spark):
     assert merged.exact_vocab == direct.exact_vocab
 
 
+def test_bloom_decontaminate_has_no_false_negatives(spark, duck):
+    """Bloom's contract: every contaminated doc the exact semi-join
+    finds must be flagged by the filter with at least as many hits --
+    a Bloom filter can over-report, never under-report."""
+    exact = dict(
+        duck.execute(PIPELINE_OPS["corpus_decontaminate"][1]).fetchall()
+    )
+    bloom = {
+        r.doc_id: (r.n_bloom_hits, r.n_shared_exact)
+        for r in PIPELINE_OPS["corpus_decontaminate_bloom"][0](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert exact, "no contaminated docs -- weak test"
+    for doc_id, n_shared in exact.items():
+        hits, shared = bloom[doc_id]
+        assert shared == n_shared
+        assert hits >= n_shared
+    # and the ride-along exact column agrees per row in general
+    for doc_id, (hits, shared) in bloom.items():
+        assert hits >= shared
+
+
 def test_edit_distance_confirms_planted_dups(spark, duck):
     """Pairs the exact trigram-jaccard dedup confirms (planted
     near-dups, jaccard ~0.99) differ by a handful of characters, so
