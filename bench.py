@@ -140,6 +140,8 @@ headline = [
     "evt_quantile_sketch",
     # Levenshtein verify of LSH candidates (quadratic DP per candidate)
     "dedup_edit_distance",
+    # Bloom-filter decontamination (8 KB broadcast vs exact semi-join)
+    "corpus_decontaminate_bloom",
 ]
 
 
