@@ -43,6 +43,31 @@ def test_minhash_prunes_documents_scan(spark):
     assert line and "n_chars" not in line and "source" not in line
 
 
+def test_ivfpq_is_one_arrow_pass(spark):
+    """The IVF-PQ probe's scale claim: exactly one Arrow mapInPandas
+    stage over the vector scan, never a row-at-a-time Python UDF."""
+    from query_optimizer_spark.functions import similarity
+
+    plan = physical_plan(similarity.ivfpq_topk(spark, SF_DIR))
+    # the formatted plan names each node twice (tree + detail); count
+    # the numbered detail entries
+    import re
+
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_bloom_decontaminate_broadcasts_filter(spark):
+    """The Bloom path's scale claim: the filter words and the eval
+    shingle marker reach the probe side as broadcasts -- the big
+    (train-shingle) side is never shuffled for the membership test."""
+    from query_optimizer_spark.functions import corpus
+
+    plan = physical_plan(corpus.decontaminate_bloom(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
 def test_vocab_topk_is_take_ordered(spark):
     """VERDICT r1 scale-killer #1: the global top-K must compile to
     TakeOrderedAndProject (per-partition K-row heaps), never a
