@@ -221,10 +221,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from query_optimizer_spark.sources import DEFAULT_WAREHOUSE
 
         configure_runtime(spark)
-        # one deterministic sidecar per sf_dir, overwritten per run --
-        # bench reps*cohorts re-invoke this query, so a fresh mkdtemp
-        # per call would leak directories (r8 ADVICE)
-        tag = _hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+        # one deterministic sidecar per (session, sf_dir), overwritten
+        # per run -- bench reps*cohorts re-invoke this query, so a
+        # fresh mkdtemp per call would leak directories (r8 ADVICE);
+        # the applicationId component keeps concurrent sessions from
+        # racing on the same sidecar (r9 ADVICE)
+        tag = _hashlib.md5(
+            f"{sf_dir.rstrip('/')}|{spark.sparkContext.applicationId}"
+            .encode()
+        ).hexdigest()[:12]
         _os.makedirs(DEFAULT_WAREHOUSE, exist_ok=True)
         path = _os.path.join(DEFAULT_WAREHOUSE, f"fbstore_{tag}.json")
         if _os.path.exists(path):  # cold start: never seed from a

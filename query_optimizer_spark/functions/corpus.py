@@ -358,15 +358,16 @@ def decontaminate_oracle() -> str:
 def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The approximate scale path next to ``decontaminate``'s exact
     semi-join: the eval shingle set is folded into a Bloom filter --
-    ``BLOOM_M_BITS/63`` int64 words (63 usable bits per word: bit 63
-    would overflow DuckDB's checked left shift) built with a map-side-combinable
-    ``bit_or`` -- and training shingles probe it with ``BLOOM_K``
-    double-hashed bit tests.  At 100 TB the filter is an 8 KB broadcast
-    where the exact path ships the full eval shingle set through a
-    shuffle; the price is false positives, NEVER false negatives, and
-    the exact count rides along so the output (and a test) shows both.
+    ``ceil(BLOOM_M_BITS/63) = 1041`` int64 words (63 usable bits per
+    word: bit 63 would overflow DuckDB's checked left shift) built
+    with a map-side-combinable ``bit_or`` -- and training shingles
+    probe it with ``BLOOM_K`` double-hashed bit tests.  At 100 TB the
+    filter is an ~8.3 KB broadcast where the exact path ships the full
+    eval shingle set through a shuffle; the price is false positives,
+    NEVER false negatives, and the exact count rides along so the
+    output (and a test) shows both.
 
-    Everything is relational: filter words live in a 1024-row frame
+    Everything is relational: filter words live in a <= 1041-row frame
     (broadcast hash join on the word index), positions are pure integer
     md5 halves (Kirsch-Mitzenmacher pos_i = h1 + i*h2 mod m), so Spark
     and DuckDB agree on every bit.  A shingle counts as a hit only when

@@ -556,8 +556,12 @@ AUDIO_WIN = 64
 AUDIO_HOP = 32
 AUDIO_BIAS = 80
 # fixed frames-per-doc bound for the oracle's generate_series (this
-# DuckDB build rejects lateral column bounds); max n_chars is ~553 ->
-# <= 16 frames, 32 is safe headroom
+# DuckDB build rejects lateral column bounds AND subquery-derived
+# bounds -- "generate_series only accepts constant parameters"); max
+# n_chars is ~553 -> <= 16 frames, 32 is safe headroom.  The Spark op
+# ENFORCES the bound (r9 ADVICE): a payload long enough to exceed it
+# raises instead of silently emitting frames the oracle's fixed
+# series would drop.
 AUDIO_MAX_FRAMES = 32
 
 
@@ -591,6 +595,13 @@ def audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - AUDIO_BIAS
                 )
                 nf = 1 + (n - AUDIO_WIN) // AUDIO_HOP
+                if nf > AUDIO_MAX_FRAMES:
+                    raise ValueError(
+                        f"doc {doc_id}: {nf} frames exceeds the oracle"
+                        f" series bound AUDIO_MAX_FRAMES="
+                        f"{AUDIO_MAX_FRAMES} (payload {n} B); raise the"
+                        " constant on BOTH engines together"
+                    )
                 idx = (
                     np.arange(AUDIO_WIN)[None, :]
                     + AUDIO_HOP * np.arange(nf)[:, None]

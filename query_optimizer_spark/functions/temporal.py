@@ -989,10 +989,18 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the code path, is what makes the maintenance incremental: at
     100 TB the daily refresh reads ONE day of events plus the compact
     aggregate table (days x types rows), instead of the full history
-    every night.  Rounding happens once, after the merge, so the
-    stored partials stay exact.  The driver gate proves merged-
+    every night.  The value sums are carried in INTEGER CENTS (r9
+    ADVICE: merging stored double partials with a delta is a different
+    float summation order than the oracle's single pass, and
+    non-associative addition could flip a round(x, 3) boundary at
+    scale) -- integer addition is associative, so stored+delta ==
+    single-pass bit-exactly; division back to currency happens once,
+    in the final projection.  The driver gate proves merged-
     incremental == single-pass-full (the DuckDB oracle is the full
-    recompute -- a different algorithm shape).
+    recompute -- a different algorithm shape).  The state path carries
+    the session's applicationId (r9 ADVICE: a path keyed only by
+    sf_dir races under two concurrent sessions -- one overwrites the
+    state the other's lazy merge is about to read).
     """
     import hashlib
     import time as _time
@@ -1003,18 +1011,23 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t0 = _time.monotonic()
     ev = events_df(spark, sf_dir).select(
-        F.date_trunc("day", "ts").alias("day"), "event_type", "value"
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+        "value",
+        F.expr("cast(round(value * 100, 0) as bigint)").alias("c"),
     )
     newest = ev.agg(F.max("day").alias("d")).first().d
 
     def partial(df):
         return df.groupBy("day", "event_type").agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            F.sum("c").alias("sum_c"),
             F.max("value").alias("max_value"),
         )
 
-    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    tag = hashlib.md5(
+        f"{sf_dir.rstrip('/')}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
     stored = Path(f"{DEFAULT_WAREHOUSE}/rollup_state_{tag}")
     # the materialized state: partial aggregates for every CLOSED day
     partial(ev.filter(F.col("day") < newest)).write.mode(
@@ -1029,7 +1042,7 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "event_type")
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.sum("sum_value").alias("sum_value"),
+            F.sum("sum_c").alias("sum_c"),
             F.max("max_value").alias("max_value"),
         )
     )
@@ -1037,7 +1050,9 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "event_type",
         "n_events",
-        F.round("sum_value", 3).alias("total_value"),
+        F.expr("round(cast(sum_c as double) / 100.0, 3)").alias(
+            "total_value"
+        ),
         F.round("max_value", 3).alias("max_value"),
     )
 
@@ -1046,7 +1061,8 @@ def incremental_rollup_oracle() -> str:
     return """
         SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
                count(*) AS n_events,
-               round(sum(value), 3) AS total_value,
+               round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 3)
+                   AS total_value,
                round(max(value), 3) AS max_value
         FROM events
         GROUP BY 1, 2

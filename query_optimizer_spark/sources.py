@@ -530,7 +530,12 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
     )
     cut = F.expr(f"timestamp'{MERGE_CUTOFF} 00:00:00'")
-    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    # session-scoped state path (r9 ADVICE): keyed only by sf_dir, two
+    # concurrent sessions would overwrite each other's snapshot before
+    # the returned lazy DataFrame's action reads it back
+    tag = hashlib.md5(
+        f"{sf_dir.rstrip('/')}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
     v1 = Path(f"{DEFAULT_WAREHOUSE}/cust_snapshot_{tag}_v1")
     v2 = Path(f"{DEFAULT_WAREHOUSE}/cust_snapshot_{tag}_v2")
     summarize(orders.filter(F.col("o_orderdate") < cut)).write.mode(
@@ -624,7 +629,10 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
-    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    # session-scoped like merge_upsert's snapshots (r9 ADVICE)
+    tag = hashlib.md5(
+        f"{sf_dir.rstrip('/')}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
     frag = Path(f"{DEFAULT_WAREHOUSE}/frag_{tag}")
     compacted = Path(f"{DEFAULT_WAREHOUSE}/compacted_{tag}")
     li.repartition(COMPACT_SMALL_N).write.mode("overwrite").parquet(str(frag))

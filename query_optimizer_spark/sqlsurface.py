@@ -75,6 +75,18 @@ def _ensure_partsupp(spark: SparkSession, sf_dir: str) -> None:
                 _PARTSUPP_CACHE.pop(stale).unpersist(blocking=True)
             except Exception:
                 _PARTSUPP_CACHE.pop(stale, None)
+        # FIFO bound (r9 ADVICE): entries for STOPPED sessions are
+        # unreachable by the same-session eviction above and each one
+        # pins its dead session's plans through the persisted
+        # DataFrame -- bench's fresh-session-per-cohort pattern would
+        # otherwise grow this module global forever.  8 mirrors
+        # oracle.py's snapshot cache bound.
+        while len(_PARTSUPP_CACHE) >= 8:
+            oldest = next(iter(_PARTSUPP_CACHE))
+            try:
+                _PARTSUPP_CACHE.pop(oldest).unpersist(blocking=False)
+            except Exception:
+                _PARTSUPP_CACHE.pop(oldest, None)
         df = spark.sql(_PARTSUPP_SQL).persist()
         _PARTSUPP_CACHE[key] = df
     df.createOrReplaceTempView("partsupp")

@@ -1051,3 +1051,22 @@ def test_audio_framing_geometry(spark, duck):
     for doc_id, n in lens.items():
         want = 1 + (n - mm.AUDIO_WIN) // mm.AUDIO_HOP if n >= mm.AUDIO_WIN else 0
         assert per_doc.get(doc_id, 0) == want, (doc_id, n)
+
+
+def test_audio_frame_bound_holds_at_every_gate_sf(duck):
+    """r9 ADVICE: AUDIO_MAX_FRAMES hard-caps the oracle's
+    generate_series (this DuckDB build accepts only constant bounds),
+    so a document longer than WIN + HOP*MAX chars would make the
+    oracle silently drop frames the Spark side emits.  The op now
+    raises on such a payload; this pins that the bound actually holds
+    on every dataset the gates run (sf0.001 pytest, sf0.01 driver
+    gate, sf0.1 bench), so the raise path stays dead."""
+    from query_optimizer_spark.functions import multimodal as mm
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        max_n = duck.execute(
+            "SELECT max(strlen(text)) FROM "
+            f"read_parquet('/root/testdata/{sf}/documents.parquet')"
+        ).fetchone()[0]
+        nf = 1 + (max_n - mm.AUDIO_WIN) // mm.AUDIO_HOP
+        assert nf <= mm.AUDIO_MAX_FRAMES, (sf, max_n, nf)
