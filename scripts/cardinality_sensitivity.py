@@ -7,8 +7,17 @@ For every fixture query, every estimation RUNG of the est-vs-true ladder
 (C11: classic stats estimator -> Bernoulli sampling -> HLL sketches ->
 deterministic perturbations of truth -> truth itself), and every
 deterministic planner, plan under the estimate, re-cost that plan under
-TRUE cardinalities, and report the ratio to the true optimum computed by
-the same planner (1.0 = estimation error did not hurt that planner).
+TRUE cardinalities, and report the ratio to the GLOBAL true optimum --
+dp_ccp under true cardinalities, one denominator per fixture shared by
+every arm (r9 VERDICT #3: a per-arm denominator let stochastic arms
+score below 1.0 whenever their own true-card plan was not their search
+space's best, muddying the headline invariant).  dp_ccp enumerates
+every connected-subgraph bushy tree, a superset of every other arm's
+plan space, so est_cost_true >= opt_true holds by construction and
+every ratio is >= 1.0: exactly 1.0 means estimation error did not hurt
+that arm AND the arm found the global optimum; a heuristic arm's
+true-rung ratio now SHOWS its search-space suboptimality (``opt_self``
+rides along per cell to separate the two effects).
 This is the per-round artifact the reference's
 getEstCardinalityCosts/getOptCardinalityCosts pair records
 (QueryOptExperiment.java:437-505).
@@ -269,6 +278,15 @@ def main() -> None:
         "true": true_oracle,
     }
 
+    # ONE denominator per fixture for every arm: the global optimum,
+    # dp_ccp under true cardinalities (r9 VERDICT #3).  dp_ccp's plan
+    # space (all connected-subgraph bushy trees + the cross-join
+    # fallback) is a superset of every arm's, so ratio >= 1.0 always.
+    opt_global = {
+        qname: PLANNERS["dp_ccp"](graph, true_oracle, cm).cost
+        for qname, graph in graphs.items()
+    }
+
     results: dict[str, dict[str, dict[str, dict[str, float]]]] = {}
     for rung_name, est in rungs.items():
         per_planner: dict[str, dict[str, dict[str, float]]] = {}
@@ -276,12 +294,18 @@ def main() -> None:
             per_q = {}
             for qname, graph in graphs.items():
                 est_plan = _plan(planner, graph, est, cm)
-                opt_plan = _plan(planner, graph, true_oracle, cm)
+                # the arm's OWN true-card plan cost rides along so a
+                # reader can split ratio into estimation-error cost
+                # (est_cost_true / opt_self) x search-space
+                # suboptimality (opt_self / opt_true)
+                self_plan = _plan(planner, graph, true_oracle, cm)
                 est_cost_true = cm.cumulative(graph, est_plan.tree, true_oracle)
+                opt = opt_global[qname]
                 per_q[qname] = {
                     "est_cost_true": est_cost_true,
-                    "opt_true": opt_plan.cost,
-                    "ratio": est_cost_true / opt_plan.cost if opt_plan.cost else 1.0,
+                    "opt_true": opt,
+                    "opt_self": self_plan.cost,
+                    "ratio": est_cost_true / opt if opt else 1.0,
                 }
             per_planner[planner] = per_q
         results[rung_name] = per_planner
