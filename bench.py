@@ -175,10 +175,12 @@ def main() -> None:
     rep_idx = 0
     spark = None
     adaptive_split: dict[str, list[dict]] = {}
+    warmup_secs: list[float] = []
     try:
         for cohort_reps in per_cohort:
             if spark is not None:
                 spark.stop()
+            t_warm = time.monotonic()
             spark = _fresh_session(cpus)
             # warm the JVM/codegen path once with the cheapest query
             all_qs["join_cross_2"](spark, sf_dir).collect()
@@ -194,6 +196,7 @@ def main() -> None:
             )
 
             minhash_lsh_pairs(spark, sf_dir).count()
+            warmup_secs.append(round(time.monotonic() - t_warm, 4))
             for _ in range(cohort_reps):
                 order = headline[:]
                 # deterministic per-rep shuffle: decorrelates a query's
@@ -319,6 +322,19 @@ def main() -> None:
                         "raw": raw,
                         "plan_sec": plan_secs,
                         "adaptive_split": adaptive_split,
+                        # per-cohort session-build + fixed-warmup wall
+                        # time (r9 VERDICT #6: the driver stdout total
+                        # vs this artifact's wall clock differ by
+                        # exactly the warmups + the plan-split
+                        # instrumentation reruns -- now reconcilable
+                        # from the artifact alone)
+                        "warmup_sec": warmup_secs,
+                        "note": (
+                            "total_sec = sum of best-of-reps query"
+                            " timings; run wall clock additionally"
+                            " includes warmup_sec per cohort and the"
+                            " plan_sec instrumentation reruns"
+                        ),
                         "reps": reps,
                         "cohorts": cohorts,
                         "order": "shuffled per rep (seed=rep index)",
