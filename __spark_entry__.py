@@ -138,7 +138,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     evt_hourly_topk, text_repetition_stats / text_oov_bigram_rate);
     then as much of the 44-query r6 block as fits (the dedup, sim/emb,
     io/mm families + sql_recursive_spine -- the corpus/evt/text
-    remainder of the r6 block takes the r10 window).
+    remainder of the r6 block takes the r10 window).  Round 10
+    (VERDICT r9 #1) leads with the 3 ops ADDED in r10 (the
+    partition-pruned IVF-PQ layout, the quantile-rollup merge proof,
+    the streaming quantile sketch), then everything r10 TOUCHED
+    (dedup_edit_distance's length-prefiltered verify,
+    evt_incremental_rollup's integer-cent partials + session-scoped
+    state, io_merge_upsert / io_compact_small_files session-scoped
+    paths, mm_audio_framing's enforced frame bound, sim_ivfpq_topk's
+    factored model/rerank, join_feedback_persist's session-scoped
+    sidecar, the 4 partsupp TPC-H queries' bounded cache), then the
+    ENTIRE 33-query r6-freshness block -- after this round no driver
+    evidence predates r7 -- plus 3 of the oldest-r7 ops to fill the
+    window.
     ALL declared queries are
     checked against their DuckDB oracles by scripts/local_gate.py
     (checked-in: CORRECTNESS_LOCAL_FULL.json) and pytest every round
@@ -148,63 +160,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pipeline = dict(PIPELINE_OPS)
 
     # =====================================================================
-    # block A (r9 window lead): first, the 3 never-driver-verified ops
-    # (VERDICT r8 missing #1) -- late-r8 additions declared past the
-    # 50-row window last round
+    # block A (r10 window lead): the 3 ops ADDED in r10 --
+    #   sim_ivfpq_pruned     the partition-pruned inverted-list layout
+    #                        (VERDICT r9 #2): lists written
+    #                        partitionBy(cent_id), probed via partition
+    #                        filter, non-probed lists never read (scan
+    #                        metrics asserted in tests)
+    #   evt_quantile_rollup  the histogram sketch's rollup proof
+    #                        (VERDICT r9 #4): full-range quantiles from
+    #                        stored per-day bucket counts only; oracle
+    #                        recomputes from raw -- agreement IS the
+    #                        mergeability proof, mirroring the HLL's
+    #   stream_quantile_sketch  bounded-state streaming quantiles: one
+    #                        <=41-slot count vector per key, bucket
+    #                        index JVM-side, CDF walk batch-side
     # =====================================================================
-    for name in ("dedup_semdedup", "evt_scd2_intervals", "sim_pq_adc_topk"):
-        out[name] = pipeline[name][0]
-
-    # the new r9 pipeline-shaped planner fixture (VERDICT r8 #6): the
-    # curation-probe join over documents/embeddings/events, planned by
-    # DPccp and measured by the cardinality-sensitivity harness
-    out["join_pipeline_5"] = _fixture_runner("join_pipeline_5", "dp_ccp")
-
-    # new r9 table-maintenance ops: incremental materialized-rollup
-    # maintenance (merge stored partial aggregates with one day's
-    # delta -- gate proves == full recompute), copy-on-write MERGE
-    # upsert (snapshot v1 + CDC batch -> snapshot v2, old version
-    # intact), and small-file compaction (footer-metadata bin-packing;
-    # content hash must survive the rewrite)
     for name in (
-        "evt_incremental_rollup",
-        "io_merge_upsert",
-        "io_compact_small_files",
-        # r9 multimodal: overlapping PCM framing (energy / zero
-        # crossings / peak as exact integers via numpy stride windows)
-        "mm_audio_framing",
-        # r9 sketch mergeability: per-source HLL register vectors
-        # merged to the corpus union (Spark merges sketches, the
-        # oracle recomputes the union from raw tokens -- agreement IS
-        # the mergeability proof)
-        "text_hll_rollup",
-        # r9 IVF-PQ: the FAISS IVFADC composition -- coarse quantizer
-        # prunes to nprobe lists, PQ-ADC ranks inside them, exact
-        # re-rank on survivors; one Arrow pass, integer-exact
-        "sim_ivfpq_topk",
-        # r9 streaming HLL: distinct users per event_type with a
-        # 256-register applyInPandasWithState vector per key -- hash
-        # and rank JVM-side, float finish batch-side, oracle relational
-        "stream_hll_users",
-        # r9 bounded-state quantile sketch: <= 40 power-of-two buckets
-        # per key, integer-comparison bucketing (no float log), exact
-        # quantile rides along to measure the <2x bound
-        "evt_quantile_sketch",
-        # r9 edit-distance verify of the shared LSH candidates
-        # (JVM levenshtein on both engines, candidates never all-pairs)
-        "dedup_edit_distance",
-        # r9 Bloom-filter decontamination: 8 KB broadcast filter vs the
-        # exact semi-join; zero false negatives asserted, FP measured
-        "corpus_decontaminate_bloom",
+        "sim_ivfpq_pruned",
+        "evt_quantile_rollup",
+        "stream_quantile_sketch",
     ):
         out[name] = pipeline[name][0]
 
     # =====================================================================
-    # block A': ops r9 TOUCHED -- re-gated because their code changed
-    # this round (shared derived-partsupp + Q11 decimal overflow fix;
-    # z-order missing-stats conservatism; streaming progress-harvest
-    # object form; feedback-persist deterministic sidecar)
+    # block A': ops r10 TOUCHED -- re-gated because their code changed
+    # this round (r9 VERDICT #5 + ADVICE): the Levenshtein verify's
+    # length prefilter + integer DP gate; the incremental rollup's
+    # integer-cent partials and session-scoped state path; the MERGE /
+    # compaction session-scoped paths; the audio framing's enforced
+    # oracle bound; sim_ivfpq_topk's model/rerank factored out to be
+    # shared with the pruned sibling
     # =====================================================================
+    for name in (
+        "dedup_edit_distance",
+        "evt_incremental_rollup",
+        "io_merge_upsert",
+        "io_compact_small_files",
+        "mm_audio_framing",
+        "sim_ivfpq_topk",
+    ):
+        out[name] = pipeline[name][0]
 
     # FeedbackStore sidecar round trip: an adaptive recording pass
     # SAVES its observations to a JSON sidecar tagged with the dataset;
@@ -258,16 +253,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["join_feedback_persist"] = _feedback_persist
 
-    # r9-touched streaming/IO re-gates: stream_feedback_join's progress
-    # harvest now handles object-form recentProgress; io_zorder_skipping
-    # keeps files with missing footer stats instead of pruning blind
-    for name in ("stream_feedback_join", "io_zorder_skipping"):
-        out[name] = pipeline[name][0]
-
-    # TPC-H Q2/Q11/Q16/Q20, re-gated r9: all four now read ONE shared
-    # cached derived-partsupp view per session (r8 VERDICT #5) and Q11
-    # sums cents x quantity in DECIMAL(38,0) on both engines (r8
-    # ADVICE overflow hazard)
+    # TPC-H Q2/Q11/Q16/Q20, re-gated r10: the shared derived-partsupp
+    # cache they all read is now FIFO-bounded so stopped bench-cohort
+    # sessions can no longer pin their plans forever (r9 ADVICE)
     for name in (
         "sql_q2_min_cost_supplier",
         "sql_q11_important_stock",
@@ -277,36 +265,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _surface_runner(name)
 
     # =====================================================================
-    # block B (r9 rotation, VERDICT r8 #1): the 18-query backlog whose
-    # freshest driver row is r4/r5 -- four-plus rounds stale -- then 21
-    # of the 44-query r6 block (dedup, sim/emb, io/mm families +
-    # sql_recursive_spine; the r6 corpus/evt/text remainder rotates in
-    # r10).
+    # block B (r10 rotation, VERDICT r9 #1): the ENTIRE 33-query block
+    # whose freshest driver evidence is r6 (the corpus/evt/text/emb/
+    # io/mm remainder + sql_recursive_spine) -- after this round the
+    # freshness floor across all declared queries rises to r7 -- plus
+    # 3 of the oldest-r7 ops to fill the 50-row window.
     # =====================================================================
-    _R9_ROTATION = [
-        "corpus_chunk_overlap", "corpus_clean", "corpus_curate",
-        "corpus_dataset_split", "corpus_decontaminate",
-        "corpus_filter_funnel", "corpus_pack_sequences",
-        "corpus_redact_pii", "corpus_sample_stratified",
-        "corpus_score_model", "corpus_tfidf_topk", "corpus_vocab_topk",
-        "evt_retention_cohorts", "evt_asof_tolerance",
-        "evt_anomaly_hours", "evt_hourly_topk",
-        "text_repetition_stats", "text_oov_bigram_rate",
-        # --- 21 rotations from the r6 block ---
-        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "dedup_simhash", "dedup_embedding_cosine", "dedup_clusters",
-        "dedup_survivors", "dedup_family_agreement",
-        "sim_bruteforce_topk", "sim_ivf_topk", "sim_lsh_ann_topk",
-        "sim_recall_report", "emb_gram_matrix", "emb_norm_stats",
-        "emb_pca_project", "emb_quantize_int8",
-        "io_partitioned_roundtrip",
-        # (mm_binary_stats / mm_frame_sample / mm_shard_manifest /
-        # sql_recursive_spine were trimmed from this rotation when the
-        # four r9 ops took window slots -- they join the r6
-        # corpus/evt/text remainder in the r10 window)
+    _R10_ROTATION = [
+        "text_token_count", "text_language_id", "text_quality_score",
+        "text_fingerprint", "text_bigram_topk", "text_lang_confusion",
+        "text_token_diversity", "text_bpe_pair_topk",
+        "text_bigram_lm_score", "text_winnow_fingerprints",
+        "text_heaps_law",
+        "evt_hourly_rollup", "evt_sessionize", "evt_asof_join",
+        "evt_funnel", "evt_transition_matrix", "evt_user_features",
+        "evt_value_quantiles",
+        "corpus_boilerplate", "corpus_mix_weighted",
+        "corpus_shuffle_shard", "corpus_source_stats",
+        "corpus_dataset_card",
+        "emb_quantize_int8", "emb_norm_stats", "emb_gram_matrix",
+        "emb_pca_project",
+        "mm_binary_stats", "mm_frame_sample", "mm_shard_manifest",
+        "io_partitioned_roundtrip", "sim_recall_report",
+        # --- 3 oldest-r7 fills ---
+        "evt_range_join", "text_countmin_freq", "emb_kmeans",
     ]
-    for name in _R9_ROTATION:
+    for name in _R10_ROTATION:
         out[name] = pipeline[name][0]
+    # sql_recursive_spine (r6 block) runs through the SQL surface
+    out["sql_recursive_spine"] = _surface_runner("sql_recursive_spine")
 
     # --- past the 50-row window from here on (fresh r7/r8 evidence,
     # re-verified by the full local gate + pytest every round) ---

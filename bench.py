@@ -142,6 +142,11 @@ headline = [
     "dedup_edit_distance",
     # Bloom-filter decontamination (8 KB broadcast vs exact semi-join)
     "corpus_decontaminate_bloom",
+    # r10 additions: partition-pruned IVF-PQ list layout (non-probed
+    # lists never read -- scan metrics asserted), the quantile sketch's
+    # rollup proof (per-day histograms merged by count addition), and
+    # the streaming bounded-state quantile sketch
+    "sim_ivfpq_pruned", "evt_quantile_rollup", "stream_quantile_sketch",
 ]
 
 

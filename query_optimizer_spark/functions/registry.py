@@ -64,6 +64,14 @@ PIPELINE_OPS: dict[str, tuple] = {
         similarity.ivfpq_topk,
         similarity.ivfpq_topk_oracle(),
     ),
+    # r10: the partition-pruned list layout ivfpq_topk's docstring
+    # promises -- lists written partitionBy(cent_id), probed with a
+    # partition filter so non-probed lists are never read (scan
+    # metrics asserted in tests/test_plan_shape.py)
+    "sim_ivfpq_pruned": (
+        similarity.ivfpq_pruned_topk,
+        similarity.ivfpq_pruned_topk_oracle(),
+    ),
     "emb_quantize_int8": (
         similarity.quantize_int8,
         similarity.quantize_int8_oracle(),
@@ -123,6 +131,14 @@ PIPELINE_OPS: dict[str, tuple] = {
         streaming.sliding_counts_stream_oracle(),
     ),
     "stream_join": (streaming.join_stream, streaming.join_stream_oracle()),
+    # r10: streaming bounded-state quantile sketch -- one <=41-slot
+    # count vector per event_type as applyInPandasWithState state,
+    # bucket index JVM-side, CDF walk batch-side (mirrors the HLL's
+    # gate-proved division of labor)
+    "stream_quantile_sketch": (
+        streaming.quantile_sketch_stream,
+        streaming.quantile_sketch_stream_oracle(),
+    ),
     "stream_hll_users": (
         streaming.hll_users_stream,
         streaming.hll_users_stream_oracle(),
@@ -318,6 +334,13 @@ PIPELINE_OPS: dict[str, tuple] = {
     # r9: the bounded-state variant -- <= QSK_BITS power-of-two buckets
     # per key (320 B of mergeable state), est <= 2x exact by
     # construction, ratio columns measure the bound
+    # r10: the sketch's rollup proof -- full-range quantiles computed
+    # ONLY from stored per-day histograms (count addition), oracle
+    # recomputes both scopes from raw values (VERDICT r9 #4)
+    "evt_quantile_rollup": (
+        temporal.quantile_rollup,
+        temporal.quantile_rollup_oracle(),
+    ),
     "evt_quantile_sketch": (
         temporal.quantile_sketch,
         temporal.quantile_sketch_oracle(),

@@ -1211,3 +1211,100 @@ def quantile_sketch_oracle() -> str:
         SELECT sk.event_type, n_events, {out_cols}
         FROM sk JOIN ex ON ex.event_type = sk.event_type
     """
+
+
+# --- quantile-sketch rollup (merge-losslessness proof) --------------------------
+
+
+def quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile sketch's ROLLUP proof, mirroring ``text_hll_rollup``
+    (r9 VERDICT #4): per-day power-of-two histograms are the stored
+    sketches, and the full-range quantiles are computed ONLY by adding
+    those stored per-day bucket counts -- the raw stream is never
+    re-scanned for the 'ALL' row.  The DuckDB oracle recomputes both
+    scopes directly from the raw values in one pass (a different
+    algorithm shape); bit-exact agreement on the merged row IS the
+    mergeability proof, not an assertion.  Count addition is exact
+    integer arithmetic, so unlike float partials there is no summation
+    order to disagree about.
+
+    At 100 TB this is the nightly pattern: each day/shard keeps its
+    <= QSK_BITS x 8 B histogram; any date range's quantiles come from
+    summing histograms (days x buckets rows), never from the events.
+    One shuffle builds the per-day sketches; everything after windows
+    over the tiny histogram."""
+    cents = events_df(spark, sf_dir).select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.expr("cast(round(value * 100, 0) as bigint)").alias("c"),
+    )
+    # the stored state: one <=QSK_BITS-bucket histogram per (type, day)
+    hist = (
+        cents.select("event_type", "day", F.expr(_QSK_BUCKET).alias("b"))
+        .groupBy("event_type", "day", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    def walk(h: DataFrame, keys: list[str]) -> DataFrame:
+        wb = Window.partitionBy(*keys).orderBy("b")
+        cum = h.withColumn(
+            "cum",
+            F.sum("cnt").over(wb.rowsBetween(Window.unboundedPreceding, 0)),
+        ).withColumn("n", F.sum("cnt").over(Window.partitionBy(*keys)))
+        cols = [
+            F.expr(
+                f"(shiftleft(cast(1 as bigint),"
+                f" min(CASE WHEN cum * 100 >= {q} * n THEN b END)) - 1)"
+                " / cast(100 as double)"
+            ).alias(f"p{q}_est")
+            for q in (50, 90, 99)
+        ]
+        return cum.groupBy(*keys).agg(
+            F.max("n").cast("int").alias("n_events"), *cols
+        )
+
+    out_cols = ["n_events", "p50_est", "p90_est", "p99_est"]
+    day_rows = walk(hist, ["event_type", "day"]).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("scope"),
+        *out_cols,
+    )
+    # full-range row from the STORED sketches only: plain count addition
+    merged = hist.groupBy("event_type", "b").agg(F.sum("cnt").alias("cnt"))
+    all_rows = walk(merged, ["event_type"]).select(
+        "event_type", F.lit("ALL").alias("scope"), *out_cols
+    )
+    return day_rows.unionByName(all_rows)
+
+
+def quantile_rollup_oracle() -> str:
+    sk_cols = ", ".join(
+        f"((1::BIGINT << min(CASE WHEN cum * 100 >= {q} * n THEN b END))"
+        f" - 1) / 100.0 AS p{q}_est"
+        for q in (50, 90, 99)
+    )
+    return f"""
+        WITH cents AS (
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS scope,
+                   CAST(round(value * 100, 0) AS BIGINT) AS c
+            FROM events
+        ),
+        both_scopes AS (
+            SELECT event_type, scope, {_QSK_BUCKET} AS b, count(*) AS cnt
+            FROM cents GROUP BY 1, 2, 3
+            UNION ALL
+            SELECT event_type, 'ALL' AS scope, {_QSK_BUCKET} AS b,
+                   count(*) AS cnt
+            FROM cents GROUP BY 1, 2, 3
+        ),
+        cum AS (
+            SELECT event_type, scope, b, cnt,
+                   sum(cnt) OVER (PARTITION BY event_type, scope ORDER BY b
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY event_type, scope) AS n
+            FROM both_scopes
+        )
+        SELECT event_type, scope, CAST(max(n) AS INT) AS n_events, {sk_cols}
+        FROM cum GROUP BY event_type, scope
+    """

@@ -25,6 +25,8 @@ from .ops import (
     sliding_counts_stream_oracle,
     hll_users_stream,
     hll_users_stream_oracle,
+    quantile_sketch_stream,
+    quantile_sketch_stream_oracle,
     hourly_counts_stream,
     hourly_counts_stream_oracle,
     sessionize_stream,
@@ -56,4 +58,6 @@ __all__ = [
     "sink_parquet_stream_oracle",
     "hll_users_stream",
     "hll_users_stream_oracle",
+    "quantile_sketch_stream",
+    "quantile_sketch_stream_oracle",
 ]

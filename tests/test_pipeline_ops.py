@@ -1070,3 +1070,56 @@ def test_audio_frame_bound_holds_at_every_gate_sf(duck):
         ).fetchone()[0]
         nf = 1 + (max_n - mm.AUDIO_WIN) // mm.AUDIO_HOP
         assert nf <= mm.AUDIO_MAX_FRAMES, (sf, max_n, nf)
+
+
+def test_quantile_rollup_merge_equals_direct(spark):
+    """r9 VERDICT #4, the histogram's analogue of the HLL rollup proof:
+    the rollup's 'ALL' row is computed by ADDING the stored per-day
+    bucket counts; evt_quantile_sketch computes the same buckets
+    directly from the full stream.  Count addition must be lossless:
+    identical n_events and identical p50/p90/p99 estimates per type."""
+    direct = {
+        r.event_type: r
+        for r in PIPELINE_OPS["evt_quantile_sketch"][0](
+            spark, SF_DIR
+        ).collect()
+    }
+    merged = {
+        r.event_type: r
+        for r in PIPELINE_OPS["evt_quantile_rollup"][0](spark, SF_DIR)
+        .filter("scope = 'ALL'")
+        .collect()
+    }
+    assert set(merged) == set(direct) and merged
+    for et, m in merged.items():
+        d = direct[et]
+        assert m.n_events == d.n_events
+        for q in (50, 90, 99):
+            assert getattr(m, f"p{q}_est") == getattr(d, f"p{q}_est"), (
+                et, q
+            )
+
+
+def test_stream_quantile_sketch_matches_batch_sketch(spark):
+    """The streaming histogram's state is the same count vector the
+    batch sketch aggregates in one pass; after draining the stream the
+    estimates must agree exactly (and with the relational oracle via
+    the gate)."""
+    batch = {
+        r.event_type: r
+        for r in PIPELINE_OPS["evt_quantile_sketch"][0](
+            spark, SF_DIR
+        ).collect()
+    }
+    stream = {
+        r.event_type: r
+        for r in PIPELINE_OPS["stream_quantile_sketch"][0](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(stream) == set(batch) and stream
+    for et, s in stream.items():
+        b = batch[et]
+        assert s.n_events == b.n_events
+        for q in (50, 90, 99):
+            assert getattr(s, f"p{q}_est") == getattr(b, f"p{q}_est")
