@@ -1592,7 +1592,7 @@ def ivfpq_topk_oracle() -> str:
 # op (it inline-asserts the partition filter reached the scan; the
 # pytest additionally asserts the executed scan's numFiles/numPartitions
 # METRICS equal the probed subset, i.e. non-probed lists were never read)
-IVFPQ_PRUNED_LAST: dict[str, int] = {}
+IVFPQ_PRUNED_LAST: dict[str, float] = {}
 
 
 def ivfpq_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1660,6 +1660,9 @@ def ivfpq_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    import time as _time
+
+    t0 = _time.monotonic()
     tag = hashlib.md5(
         f"{sf_dir.rstrip('/')}|{spark.sparkContext.applicationId}".encode()
     ).hexdigest()[:12]
@@ -1672,6 +1675,7 @@ def ivfpq_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("cent_id")
         .parquet(idx_path)
     )
+    build_sec = round(_time.monotonic() - t0, 4)
 
     probed = sorted(
         {int(c) for qi in range(len(qids))
@@ -1687,6 +1691,10 @@ def ivfpq_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             len(list(Path(idx_path).glob(f"cent_id={c}/*.parquet")))
             for c in probed
         ),
+        # build (encode + partitioned write) is the one-time linear
+        # index cost; the scale probe subtracts it so the PROBE phase's
+        # growth -- nprobe/nlist of the corpus -- is measured alone
+        build_sec=build_sec,
     )
 
     lists = spark.read.parquet(idx_path).filter(

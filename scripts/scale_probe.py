@@ -82,11 +82,26 @@ def build_inputs(scales: list[int]) -> None:
                 )
             emb_out = d / "embeddings.parquet"
             if not emb_out.exists():
+                # replica: exact vector twins (ANN worst case -- every
+                # neighborhood k x denser).  disjoint: replica i>0
+                # vectors get a deterministic per-replica rotation-ish
+                # perturbation (scale + offset varying by position), so
+                # the corpus grows with NEW points -- the realistic ANN
+                # growth model (r9 VERDICT #7); the first-ID_STRIDE
+                # model rows (queries/centroids/codebook) stay fixed
+                emb_expr = (
+                    "e.embedding"
+                    if mode == "replica"
+                    else "CASE WHEN r.i = 0 THEN e.embedding ELSE "
+                    "list_transform(e.embedding, "
+                    "x -> x * (1.0 + 0.03 * r.i) "
+                    "+ 0.017 * r.i * sin(x * 37.0 + r.i)) END"
+                )
                 con.execute(
                     f"""
                     COPY (
                       SELECT e.vec_id + r.i * {ID_STRIDE} AS vec_id,
-                             e.embedding, e.label
+                             {emb_expr} AS embedding, e.label
                       FROM read_parquet('{BASE}/embeddings.parquet') e,
                            (SELECT unnest(range({k})) AS i) r
                       ORDER BY vec_id
@@ -241,6 +256,10 @@ def main() -> None:
             rec.update(extra)
         if post:
             rec.update(post())
+        if "build_sec" in rec:
+            # split ops (index build + probe): the probe phase alone is
+            # the claim under test, so expose it as its own column
+            rec["probe_sec"] = round(dt - rec["build_sec"], 2)
         rows.setdefault(f"{op_name} ({mode})", []).append(rec)
         print(f"{op_name} ({mode}) x{k}: n={n_rows} -> {out_rows} rows "
               f"in {dt:.2f}s {extra or ''}", flush=True)
@@ -300,6 +319,34 @@ def main() -> None:
         probe("sim_ivfpq_topk", "replica", k,
               lambda sf=sf: similarity.ivfpq_topk(spark, sf),
               n_vecs0 * k)
+        # --- ANN corpus-growth (disjoint) rows (r9 VERDICT #7): the
+        # realistic model -- replicas are NEW perturbed points, so
+        # neighborhoods stay constant-density while the corpus grows.
+        # These are the scale claims that matter for ANN: one linear
+        # codes pass, constant re-rank volume
+        sfd = f"{WORK}/disjoint_x{k}"
+        probe("sim_pq_adc_topk", "disjoint", k,
+              lambda sf=sfd: similarity.pq_adc_topk(spark, sf),
+              n_vecs0 * k)
+        probe("sim_ivfpq_topk", "disjoint", k,
+              lambda sf=sfd: similarity.ivfpq_topk(spark, sf),
+              n_vecs0 * k)
+        # --- partition-pruned IVF-PQ (r10, VERDICT r9 #2): build
+        # (encode + partitioned write) is the one-time linear index
+        # cost, reported separately via build_sec; probe_sec = total -
+        # build must scale with nprobe/nlist of the corpus, and the
+        # files_probed/files_total evidence rides along per scale
+        def _pruned_post():
+            info = dict(similarity.IVFPQ_PRUNED_LAST)
+            build = info.pop("build_sec", 0.0)
+            return {"build_sec": round(build, 2), **info}
+
+        probe("sim_ivfpq_pruned", "replica", k,
+              lambda sf=sf: similarity.ivfpq_pruned_topk(spark, sf),
+              n_vecs0 * k, post=_pruned_post)
+        probe("sim_ivfpq_pruned", "disjoint", k,
+              lambda sf=sfd: similarity.ivfpq_pruned_topk(spark, sf),
+              n_vecs0 * k, post=_pruned_post)
         # --- distributed k-means: O(n*k*d) per round by spec -- the
         # probe verifies the measured exponent is ~1 in n and that the
         # driver's per-round collect stays at the k*d model-state size
@@ -614,8 +661,14 @@ def main() -> None:
         ns = [r["n"] for r in recs]
         ts = [r["sec"] for r in recs]
         expo = fit_exponent(ns, ts)
-        lines.append(f"## {op} -- time exponent {expo:.2f}"
-                     f" (t ~ n^{expo:.2f})")
+        hdr_line = (f"## {op} -- time exponent {expo:.2f}"
+                    f" (t ~ n^{expo:.2f})")
+        if all("probe_sec" in r for r in recs):
+            pexpo = fit_exponent(
+                ns, [max(r["probe_sec"], 0.01) for r in recs]
+            )
+            hdr_line += f"; probe-phase exponent {pexpo:.2f}"
+        lines.append(hdr_line)
         lines.append("")
         extra_cols = [c for c in recs[0] if c not in ("k", "n", "sec", "out_rows")]
         hdr = "| x | rows in | sec | pairs out |" + "".join(
