@@ -150,7 +150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sidecar, the 4 partsupp TPC-H queries' bounded cache), then the
     ENTIRE 33-query r6-freshness block -- after this round no driver
     evidence predates r7 -- plus 3 of the oldest-r7 ops to fill the
-    window.
+    window (the end-to-end corpus_train_pipeline funnel is the 4th
+    r10 addition, leading the window with its siblings).
     ALL declared queries are
     checked against their DuckDB oracles by scripts/local_gate.py
     (checked-in: CORRECTNESS_LOCAL_FULL.json) and pytest every round
@@ -179,6 +180,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_pruned",
         "evt_quantile_rollup",
         "stream_quantile_sketch",
+        # the end-to-end curation funnel: exact dedup -> LSH near-dup
+        # -> decontamination -> quality gate, ONE lazy composed plan,
+        # per-stage doc/token survival (the pipeline's dry-run
+        # accounting mode; oracle recomputes every stage separately)
+        "corpus_train_pipeline",
     ):
         out[name] = pipeline[name][0]
 
@@ -287,8 +293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_project",
         "mm_binary_stats", "mm_frame_sample", "mm_shard_manifest",
         "io_partitioned_roundtrip", "sim_recall_report",
-        # --- 3 oldest-r7 fills ---
-        "evt_range_join", "text_countmin_freq", "emb_kmeans",
+        # --- 2 oldest-r7 fills ---
+        "evt_range_join", "text_countmin_freq",
     ]
     for name in _R10_ROTATION:
         out[name] = pipeline[name][0]

@@ -147,6 +147,9 @@ headline = [
     # rollup proof (per-day histograms merged by count addition), and
     # the streaming bounded-state quantile sketch
     "sim_ivfpq_pruned", "evt_quantile_rollup", "stream_quantile_sketch",
+    # the end-to-end curation funnel (dedup -> near-dup -> decontam ->
+    # quality), one composed plan, the data card's stage accounting
+    "corpus_train_pipeline",
 ]
 
 

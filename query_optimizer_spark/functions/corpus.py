@@ -1262,3 +1262,170 @@ def dataset_card_oracle() -> str:
                round(n_exact_dups / n_docs::DOUBLE, 6) AS dup_rate
         FROM volume, vocab, dups
     """
+
+
+# --- end-to-end training-data pipeline funnel -----------------------------------
+
+
+def train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation run, composed from the shipped operators
+    in the order a production training-data pipeline executes them,
+    with the stage-survival funnel as the output (5 rows):
+
+      0 raw            every document
+      1 exact_dedup    survivor of its normalized-text group
+                       (``dedup_exact``'s min-doc_id rule)
+      2 near_dedup     AND not the larger side of any MinHash-LSH
+                       verified near-duplicate pair (``dedup_minhash_lsh``
+                       candidates; the smaller doc_id is kept -- the
+                       non-iterative industry rule, deterministic and
+                       purely relational)
+      3 decontaminated AND not in the held-out eval slice AND sharing
+                       zero eval shingles (``corpus_decontaminate``'s
+                       semi-join, drop threshold = any shared shingle)
+      4 quality        AND length bounds + quality floor
+                       (``corpus_curate``'s thresholds over
+                       ``text_quality_score``)
+
+    Each row reports surviving doc and token counts -- the numbers a
+    data card quotes per pipeline stage.  Everything is ONE lazy
+    composed plan: per-doc flags land in a single projection (the dedup
+    survivor join, the near-dup anti-join, the decontamination
+    anti-join, the quality left join all feed it), one aggregation
+    computes every stage's conditional sums in one pass, and a
+    ``stack`` unpivots the single aggregate row to the 5-stage funnel.
+    Nothing is re-scanned per stage and nothing collects to the driver.
+
+    At 100 TB this is the pipeline's dry-run accounting mode: the same
+    flags that would gate ``materialize_curated`` are aggregated
+    instead of materialized, so threshold changes are costed before any
+    rewrite.  The DuckDB oracle recomputes every stage from scratch
+    with independent SQL (5 scans, a different shape entirely)."""
+    from .dedup import minhash_lsh_pairs
+    from .text import quality_score
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(f"cast(size({TOKS}) as int)").alias("toks_n"),
+        F.expr(f"concat_ws(' ', {TOKS})").alias("norm"),
+    )
+    survivor = base.groupBy("norm").agg(
+        F.min("doc_id").alias("survivor_id")
+    )
+    near_dropped = (
+        minhash_lsh_pairs(spark, sf_dir).select(
+            F.col("doc_b").alias("doc_id")
+        ).distinct()
+    )
+    eval_flag = (
+        f"({_spark_hash32(f'concat({DECON_SALT!r}, doc_id)')}"
+        f" % {DECON_EVAL_MOD}) = 0"
+    )
+    contaminated = decontaminate(spark, sf_dir).select("doc_id").distinct()
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    flags = (
+        base.join(survivor, "norm")
+        .join(near_dropped.withColumn("near_dup", F.lit(True)),
+              "doc_id", "left")
+        .join(contaminated.withColumn("contaminated", F.lit(True)),
+              "doc_id", "left")
+        .join(q, "doc_id", "left")
+        .select(
+            "doc_id",
+            "toks_n",
+            (F.col("doc_id") == F.col("survivor_id")).alias("ok1"),
+            F.col("near_dup").isNull().alias("ok2"),
+            (
+                ~F.expr(eval_flag) & F.col("contaminated").isNull()
+            ).alias("ok3"),
+            F.expr(
+                f"coalesce(toks_n between {MIN_TOKENS} and {MAX_TOKENS}"
+                f" and quality >= {MIN_QUALITY}, false)"
+            ).alias("ok4"),
+        )
+    )
+    stages = {
+        0: ("raw", "true"),
+        1: ("exact_dedup", "ok1"),
+        2: ("near_dedup", "ok1 and ok2"),
+        3: ("decontaminated", "ok1 and ok2 and ok3"),
+        4: ("quality", "ok1 and ok2 and ok3 and ok4"),
+    }
+    aggs = []
+    for s, (_, cond) in stages.items():
+        aggs.append(
+            F.expr(f"cast(sum(case when {cond} then 1 else 0 end) as int)")
+            .alias(f"n{s}")
+        )
+        aggs.append(
+            F.expr(
+                f"cast(sum(case when {cond} then toks_n else 0 end)"
+                " as bigint)"
+            ).alias(f"t{s}")
+        )
+    one = flags.agg(*aggs)
+    stack = ", ".join(
+        f"{s}, '{name}', n{s}, t{s}" for s, (name, _) in stages.items()
+    )
+    return one.selectExpr(
+        f"stack(5, {stack}) as (stage, stage_name, n_docs, n_tokens)"
+    ).select(
+        F.col("stage").cast("int"), "stage_name", "n_docs", "n_tokens"
+    )
+
+
+def train_pipeline_oracle() -> str:
+    from .dedup import minhash_lsh_oracle
+    from .text import quality_score_oracle
+
+    toks = sql_tokens("text")
+    hash_expr = sql_hash32(f"'{DECON_SALT}' || doc_id")
+    eval_flag = f"({hash_expr} % {DECON_EVAL_MOD} = 0)"
+    return f"""
+        WITH base AS (
+            SELECT doc_id, CAST(len({toks}) AS INT) AS toks_n,
+                   array_to_string({toks}, ' ') AS norm,
+                   {eval_flag} AS is_eval
+            FROM documents
+        ),
+        survivor AS (
+            SELECT norm, min(doc_id) AS survivor_id FROM base GROUP BY norm
+        ),
+        near_dropped AS (
+            SELECT DISTINCT doc_b AS doc_id
+            FROM ({minhash_lsh_oracle()}) p
+        ),
+        contaminated AS (
+            SELECT DISTINCT doc_id FROM ({decontaminate_oracle()}) d
+        ),
+        q AS ({quality_score_oracle()}),
+        flags AS (
+            SELECT b.doc_id, b.toks_n,
+                   b.doc_id = s.survivor_id AS ok1,
+                   nd.doc_id IS NULL AS ok2,
+                   (NOT b.is_eval AND c.doc_id IS NULL) AS ok3,
+                   coalesce(b.toks_n BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+                            AND q.quality >= {MIN_QUALITY}, false) AS ok4
+            FROM base b
+            JOIN survivor s ON s.norm = b.norm
+            LEFT JOIN near_dropped nd ON nd.doc_id = b.doc_id
+            LEFT JOIN contaminated c ON c.doc_id = b.doc_id
+            LEFT JOIN q ON q.doc_id = b.doc_id
+        )
+        SELECT 0 AS stage, 'raw' AS stage_name,
+               CAST(count(*) AS INT) AS n_docs,
+               CAST(sum(toks_n) AS BIGINT) AS n_tokens FROM flags
+        UNION ALL
+        SELECT 1, 'exact_dedup', CAST(count(*) AS INT),
+               CAST(sum(toks_n) AS BIGINT) FROM flags WHERE ok1
+        UNION ALL
+        SELECT 2, 'near_dedup', CAST(count(*) AS INT),
+               CAST(sum(toks_n) AS BIGINT) FROM flags WHERE ok1 AND ok2
+        UNION ALL
+        SELECT 3, 'decontaminated', CAST(count(*) AS INT),
+               CAST(sum(toks_n) AS BIGINT) FROM flags
+        WHERE ok1 AND ok2 AND ok3
+        UNION ALL
+        SELECT 4, 'quality', CAST(count(*) AS INT),
+               CAST(sum(toks_n) AS BIGINT) FROM flags
+        WHERE ok1 AND ok2 AND ok3 AND ok4
+    """

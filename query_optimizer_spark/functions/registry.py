@@ -203,6 +203,14 @@ PIPELINE_OPS: dict[str, tuple] = {
         corpus.sample_stratified,
         corpus.sample_stratified_oracle(),
     ),
+    # r10: the end-to-end curation run -- exact dedup -> LSH near-dup
+    # -> decontamination -> quality gate composed as ONE lazy plan,
+    # per-stage doc/token survival funnel as the output (the oracle
+    # recomputes every stage independently, 5 scans)
+    "corpus_train_pipeline": (
+        corpus.train_pipeline,
+        corpus.train_pipeline_oracle(),
+    ),
     "corpus_curate": (corpus.curate, corpus.curate_oracle()),
     # round-4 additions: repetition quality signals, sequence packing,
     # filter funnel report, cohort retention

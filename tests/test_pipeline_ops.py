@@ -1123,3 +1123,29 @@ def test_stream_quantile_sketch_matches_batch_sketch(spark):
         assert s.n_events == b.n_events
         for q in (50, 90, 99):
             assert getattr(s, f"p{q}_est") == getattr(b, f"p{q}_est")
+
+
+def test_train_pipeline_funnel_monotone_and_consistent(spark, duck):
+    """The end-to-end funnel must be monotone (each stage is an AND of
+    the previous), anchored to the constituent ops: raw == |documents|,
+    exact_dedup == the number of dedup_exact survivor groups, and the
+    final quality stage keeps a non-trivial corpus."""
+    rows = {
+        r.stage: r
+        for r in PIPELINE_OPS["corpus_train_pipeline"][0](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert [rows[s].stage_name for s in range(5)] == [
+        "raw", "exact_dedup", "near_dedup", "decontaminated", "quality",
+    ]
+    for s in range(1, 5):
+        assert rows[s].n_docs <= rows[s - 1].n_docs, s
+        assert rows[s].n_tokens <= rows[s - 1].n_tokens, s
+    n_docs = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert rows[0].n_docs == n_docs
+    n_groups = duck.execute(
+        f"SELECT count(*) FROM ({PIPELINE_OPS['dedup_exact'][1]})"
+    ).fetchone()[0]
+    assert rows[1].n_docs == n_groups
+    assert 0 < rows[4].n_docs < n_docs
