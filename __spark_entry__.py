@@ -185,6 +185,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-stage doc/token survival (the pipeline's dry-run
         # accounting mode; oracle recomputes every stage separately)
         "corpus_train_pipeline",
+        # residual IVF-PQ (FAISS by_residual=true): codes are offsets
+        # from the owning list's centroid, ADC via per-(query, list)
+        # precomputed tables -- integer-exact, relational oracle
+        "sim_ivfpq_residual",
     ):
         out[name] = pipeline[name][0]
 
@@ -293,8 +297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_project",
         "mm_binary_stats", "mm_frame_sample", "mm_shard_manifest",
         "io_partitioned_roundtrip", "sim_recall_report",
-        # --- 2 oldest-r7 fills ---
-        "evt_range_join", "text_countmin_freq",
+        # --- oldest-r7 fill ---
+        "evt_range_join",
     ]
     for name in _R10_ROTATION:
         out[name] = pipeline[name][0]

@@ -150,6 +150,8 @@ headline = [
     # the end-to-end curation funnel (dedup -> near-dup -> decontam ->
     # quality), one composed plan, the data card's stage accounting
     "corpus_train_pipeline",
+    # residual IVF-PQ (FAISS by_residual=true, precomputed ADC tables)
+    "sim_ivfpq_residual",
 ]
 
 

@@ -64,6 +64,14 @@ PIPELINE_OPS: dict[str, tuple] = {
         similarity.ivfpq_topk,
         similarity.ivfpq_topk_oracle(),
     ),
+    # r10: FAISS's actual default -- residual encoding (by_residual=
+    # true): codes are offsets from the owning list's centroid, ADC via
+    # per-(query, list) precomputed tables; all integer-exact, oracle
+    # fully relational
+    "sim_ivfpq_residual": (
+        similarity.ivfpq_residual_topk,
+        similarity.ivfpq_residual_topk_oracle(),
+    ),
     # r10: the partition-pruned list layout ivfpq_topk's docstring
     # promises -- lists written partitionBy(cent_id), probed with a
     # partition filter so non-probed lists are never read (scan

@@ -1750,3 +1750,211 @@ def ivfpq_pruned_topk_oracle() -> str:
     the physical layout changes WHICH BYTES ARE READ, never the
     result -- so the pruned op shares the relational IVFADC oracle."""
     return ivfpq_topk_oracle()
+
+
+def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding -- FAISS's actual default
+    (``by_residual=true``, Jegou et al. 2011 sec. V.B): every vector is
+    PQ-encoded as its offset from its own list's centroid, v - c(v),
+    which centers each inverted list's code distribution and is why
+    residual PQ dominates plain PQ at equal code budget.  The shipped
+    ``ivfpq_topk`` deliberately used non-residual codes to keep one
+    codebook-per-corpus semantics; this op closes that caveat and keeps
+    the oracle fully relational anyway.
+
+    The ADC table becomes per-(query, list): the distance estimate for
+    query q against code k in list L is |(q - c_L)_m - cb_k_m|^2 --
+    FAISS's 'precomputed tables' path.  All of it stays exact integer
+    math on the quantized vectors, so numpy, Spark SQL, and DuckDB
+    cannot disagree; the LUT is nq x nlist x M x K int64 (~256 KB
+    here, and at any realistic nq x nlist it remains a broadcast-scale
+    model artifact -- it never depends on corpus size).
+
+    Scale shape: identical to ``ivfpq_topk`` -- one Arrow
+    ``mapInPandas`` pass (assign + residual-encode + probe-mask +
+    per-partition top-k), shared exact re-rank tail; composes with the
+    ``ivfpq_pruned_topk`` partition layout unchanged (codes differ,
+    physics doesn't)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _quantized(spark, sf_dir)
+    qids, _, cb, cents, cn2, probe_mask = _ivfpq_model(emb)
+    # per-(query, list) residual LUT: |(q - c_L)_sub - cb|^2
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+        .select("vec_id", "q")
+        .collect()
+    )
+    qvecs = np.array([r.q for r in q_rows], dtype=np.int64)
+    qres = qvecs[:, None, :] - cents[None, :, :]  # (nq, nlist, D)
+    qres_sub = qres.reshape(len(qids), IVF_N_CENTROIDS, PQ_M, PQ_DSUB)
+    lut = (
+        (qres_sub[:, :, :, None, :] - cb[None, None]) ** 2
+    ).sum(-1)  # (nq, nlist, M, K)
+    bc = spark.sparkContext.broadcast(
+        (qids, lut, cb, cents, cn2, probe_mask)
+    )
+
+    def _probe(batches):
+        b_qids, b_lut, b_cb, b_cents, b_cn2, b_mask = bc.value
+        nq = len(b_qids)
+        s_idx = np.arange(PQ_M)[None, :]
+        cb_norm = (b_cb * b_cb).sum(-1)
+        acc_n = [np.empty(0, np.int64) for _ in range(nq)]
+        acc_d = [np.empty(0, np.int64) for _ in range(nq)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vids = pdf["vec_id"].to_numpy(np.int64)
+            vecs = np.array(pdf["q"].tolist(), dtype=np.int64)
+            assign = (b_cn2[None] - 2 * (vecs @ b_cents.T)).argmin(-1)
+            res = vecs - b_cents[assign]  # the residual, exact ints
+            rsub = res.reshape(len(vids), PQ_M, PQ_DSUB)
+            dots = np.einsum("bmd,mkd->bmk", rsub, b_cb)
+            codes = (cb_norm[None] - 2 * dots).argmin(-1)
+            for qi in range(nq):
+                keep = (vids != b_qids[qi]) & b_mask[qi][assign]
+                adc = b_lut[qi, assign[:, None], s_idx, codes].sum(-1)
+                nn = np.concatenate([acc_n[qi], vids[keep]])
+                dd = np.concatenate([acc_d[qi], adc[keep]])
+                if len(nn) > PQ_CANDIDATES:
+                    order = np.lexsort((nn, dd))[:PQ_CANDIDATES]
+                    nn, dd = nn[order], dd[order]
+                acc_n[qi], acc_d[qi] = nn, dd
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(b_qids, [len(a) for a in acc_n]),
+                "neighbor_id": np.concatenate(acc_n),
+                "adc_dist": np.concatenate(acc_d),
+            }
+        )
+        if len(out):
+            yield out
+
+    adc = emb.select("vec_id", "q").mapInPandas(
+        _probe, "query_id long, neighbor_id long, adc_dist long"
+    )
+    return _ivfpq_rerank(emb, adc)
+
+
+def ivfpq_residual_topk_oracle() -> str:
+    l2 = (
+        "list_sum([(a.q[i] - c.q[i]) * (a.q[i] - c.q[i])"
+        " for i in generate_series(1, len(a.q))])"
+    )
+    subdist = (
+        "list_sum([(r.rsub[i] - cb.csub[i]) * (r.rsub[i] - cb.csub[i])"
+        f" for i in generate_series(1, {PQ_DSUB})])"
+    )
+    qsubdist = (
+        "list_sum([(qr.rsub[i] - cb.csub[i]) * (qr.rsub[i] - cb.csub[i])"
+        f" for i in generate_series(1, {PQ_DSUB})])"
+    )
+    return f"""
+        WITH {_SQL_QUANT},
+        cents AS (
+            SELECT vec_id AS cent_id, q FROM qn
+            WHERE vec_id < {IVF_N_CENTROIDS}
+        ),
+        cdist AS (
+            SELECT a.vec_id, c.cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {l2}, c.cent_id) AS crank
+            FROM qn a JOIN cents c ON true
+        ),
+        assign AS (SELECT vec_id, cent_id FROM cdist WHERE crank = 1),
+        probes AS (
+            SELECT vec_id AS query_id, cent_id FROM cdist
+            WHERE vec_id < {ANN_N_QUERIES} AND crank <= {IVF_NPROBE}
+        ),
+        subs AS (SELECT unnest(range({PQ_M})) AS s),
+        codebook AS (
+            SELECT subs.s, c.vec_id AS code_id,
+                   list_slice(c.q, subs.s * {PQ_DSUB} + 1,
+                              subs.s * {PQ_DSUB} + {PQ_DSUB}) AS csub
+            FROM qn c, subs WHERE c.vec_id < {PQ_K}
+        ),
+        res AS (
+            SELECT v.vec_id,
+                   [v.q[i] - c.q[i]
+                    for i in generate_series(1, len(v.q))] AS r
+            FROM qn v
+            JOIN assign av ON av.vec_id = v.vec_id
+            JOIN cents c ON c.cent_id = av.cent_id
+        ),
+        rsubs AS (
+            SELECT res.vec_id, subs.s,
+                   list_slice(res.r, subs.s * {PQ_DSUB} + 1,
+                              subs.s * {PQ_DSUB} + {PQ_DSUB}) AS rsub
+            FROM res, subs
+        ),
+        enc AS (
+            SELECT vec_id, s, code_id FROM (
+                SELECT r.vec_id, r.s, cb.code_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY r.vec_id, r.s
+                           ORDER BY {subdist}, cb.code_id) AS rn
+                FROM rsubs r JOIN codebook cb ON cb.s = r.s
+            ) WHERE rn = 1
+        ),
+        qres AS (
+            SELECT p.query_id, p.cent_id,
+                   [q.q[i] - c.q[i]
+                    for i in generate_series(1, len(q.q))] AS r
+            FROM probes p
+            JOIN qn q ON q.vec_id = p.query_id
+            JOIN cents c ON c.cent_id = p.cent_id
+        ),
+        lut AS (
+            SELECT qr0.query_id, qr0.cent_id, qr.s, cb.code_id,
+                   {qsubdist} AS qdist
+            FROM qres qr0,
+                 LATERAL (
+                     SELECT subs.s,
+                            list_slice(qr0.r, subs.s * {PQ_DSUB} + 1,
+                                       subs.s * {PQ_DSUB} + {PQ_DSUB})
+                                AS rsub
+                     FROM subs
+                 ) qr
+            JOIN codebook cb ON cb.s = qr.s
+        ),
+        adc AS (
+            SELECT l.query_id, e.vec_id AS neighbor_id,
+                   CAST(sum(l.qdist) AS BIGINT) AS adc_dist
+            FROM enc e
+            JOIN assign av ON av.vec_id = e.vec_id
+            JOIN lut l ON l.cent_id = av.cent_id
+                      AND l.s = e.s AND l.code_id = e.code_id
+            WHERE e.vec_id <> l.query_id
+            GROUP BY l.query_id, e.vec_id
+        ),
+        cand AS (
+            SELECT query_id, neighbor_id, adc_dist FROM (
+                SELECT query_id, neighbor_id, adc_dist,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY adc_dist, neighbor_id)
+                           AS arank
+                FROM adc
+            ) WHERE arank <= {PQ_CANDIDATES}
+        ),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id, c.adc_dist,
+                   round(list_sum([qa.q[i] * qb.q[i]
+                                   for i in generate_series(1, len(qa.q))])
+                         / (sqrt(qa.n2::DOUBLE) * sqrt(qb.n2::DOUBLE)), 6)
+                       AS cosine
+            FROM cand c
+            JOIN qn qa ON qa.vec_id = c.query_id
+            JOIN qn qb ON qb.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+               adc_dist, cosine
+        FROM (
+            SELECT query_id, neighbor_id, adc_dist, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id)
+                       AS rank
+            FROM scored
+        ) WHERE rank <= {ANN_TOP_K}
+    """

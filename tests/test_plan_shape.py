@@ -48,13 +48,14 @@ def test_ivfpq_is_one_arrow_pass(spark):
     stage over the vector scan, never a row-at-a-time Python UDF."""
     from query_optimizer_spark.functions import similarity
 
-    plan = physical_plan(similarity.ivfpq_topk(spark, SF_DIR))
-    # the formatted plan names each node twice (tree + detail); count
-    # the numbered detail entries
     import re
 
-    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
-    assert "BatchEvalPython" not in plan
+    for op in (similarity.ivfpq_topk, similarity.ivfpq_residual_topk):
+        plan = physical_plan(op(spark, SF_DIR))
+        # the formatted plan names each node twice (tree + detail);
+        # count the numbered detail entries
+        assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, op
+        assert "BatchEvalPython" not in plan, op
 
 
 def test_edit_distance_length_prefilter_guards_the_dp(spark):
