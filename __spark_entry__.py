@@ -147,11 +147,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     state, io_merge_upsert / io_compact_small_files session-scoped
     paths, mm_audio_framing's enforced frame bound, sim_ivfpq_topk's
     factored model/rerank, join_feedback_persist's session-scoped
-    sidecar, the 4 partsupp TPC-H queries' bounded cache), then the
-    ENTIRE 33-query r6-freshness block -- after this round no driver
-    evidence predates r7 -- plus 3 of the oldest-r7 ops to fill the
-    window (the end-to-end corpus_train_pipeline funnel is the 4th
-    r10 addition, leading the window with its siblings).
+    sidecar, the 4 partsupp TPC-H queries' bounded cache, and
+    join_group_3 whose AVG moved to an integer-valued column after
+    runtime_test caught last-ulp cross-planner float flakiness), then
+    the ENTIRE 33-query r6-freshness block -- after this round no
+    driver evidence predates r7.
     ALL declared queries are
     checked against their DuckDB oracles by scripts/local_gate.py
     (checked-in: CORRECTNESS_LOCAL_FULL.json) and pytest every round
@@ -210,6 +210,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_topk",
     ):
         out[name] = pipeline[name][0]
+
+    # join_group_3, touched r10: its AVG now runs over an integer-
+    # valued column so the average is exact under any summation order
+    # -- runtime_test caught the double-AVG version hashing differently
+    # under left_deep/ikkbz join orders (last-ulp float flakiness)
+    out["join_group_3"] = _fixture_runner("join_group_3", "greedy")
 
     # FeedbackStore sidecar round trip: an adaptive recording pass
     # SAVES its observations to a JSON sidecar tagged with the dataset;
@@ -297,8 +303,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_project",
         "mm_binary_stats", "mm_frame_sample", "mm_shard_manifest",
         "io_partitioned_roundtrip", "sim_recall_report",
-        # --- oldest-r7 fill ---
-        "evt_range_join",
     ]
     for name in _R10_ROTATION:
         out[name] = pipeline[name][0]
