@@ -309,6 +309,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sql_recursive_spine (r6 block) runs through the SQL surface
     out["sql_recursive_spine"] = _surface_runner("sql_recursive_spine")
 
+    # --- position 51: late-r10 addition, first in line for the r11
+    # window (the late-r8/late-r9 precedent -- declared past the 50-row
+    # cap because the r10 window is exactly consumed by the 6 earlier
+    # r10 ops + everything touched + the ENTIRE 33-query r6 block;
+    # covered by the full local gate + pytest this round) ---
+    # emb_pq_train: PQ codebook training, M independent per-subspace
+    # integer-exact k-means -- completes train -> encode -> search
+    out["emb_pq_train"] = pipeline["emb_pq_train"][0]
+
     # --- past the 50-row window from here on (fresh r7/r8 evidence,
     # re-verified by the full local gate + pytest every round) ---
     for name in (

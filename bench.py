@@ -152,6 +152,9 @@ headline = [
     "corpus_train_pipeline",
     # residual IVF-PQ (FAISS by_residual=true, precomputed ADC tables)
     "sim_ivfpq_residual",
+    # PQ codebook training (per-subspace integer Lloyd, one Arrow
+    # pass per round)
+    "emb_pq_train",
 ]
 
 

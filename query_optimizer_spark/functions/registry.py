@@ -64,6 +64,13 @@ PIPELINE_OPS: dict[str, tuple] = {
         similarity.ivfpq_topk,
         similarity.ivfpq_topk_oracle(),
     ),
+    # r10: codebook TRAINING -- PQ_M independent per-subspace k-means
+    # (integer-exact Lloyd, floor-division updates), completing the PQ
+    # family: train -> encode -> search
+    "emb_pq_train": (
+        similarity.pq_train,
+        similarity.pq_train_oracle(),
+    ),
     # r10: FAISS's actual default -- residual encoding (by_residual=
     # true): codes are offsets from the owning list's centroid, ADC via
     # per-(query, list) precomputed tables; all integer-exact, oracle

@@ -1958,3 +1958,228 @@ def ivfpq_residual_topk_oracle() -> str:
             FROM scored
         ) WHERE rank <= {ANN_TOP_K}
     """
+
+
+# --- PQ codebook TRAINING (per-subspace k-means) --------------------------------
+
+PQ_TRAIN_ITERS = 2
+
+
+def pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the product-quantization codebook the way FAISS does
+    (Jegou et al. 2011 sec. III): ``PQ_M`` INDEPENDENT k-means
+    problems, one per subspace, each clustering the corpus's
+    ``PQ_DSUB``-dim subvectors into ``PQ_K`` codewords.  The shipped
+    PQ search ops use a fixed convention codebook (first ``PQ_K``
+    vectors); this op closes the training leg, so the family is
+    train -> encode -> search.
+
+    Same integer-exact Lloyd discipline as ``emb_kmeans`` (the gate-
+    proved recipe): vectors and codewords live on the EMB_QUANT
+    lattice, assignment is an exact int64 argmin (tie -> smallest
+    code id), updates are floor division via the pmod identity --
+    bit-identical trajectory on any partitioning and in the DuckDB
+    oracle, which unrolls the same ``PQ_TRAIN_ITERS`` rounds in SQL
+    with the subspace as one more key.
+
+    Scale shape: each round is ONE Arrow pass; every partition reduces
+    all M subproblems to an (M x K x DSUB) int64 partial (three numpy
+    scatter-adds per subspace -- no per-row Python), and the
+    M*K*DSUB = 8*16*8 = 1024 model values are the only thing the
+    driver holds.  Re-scans the pruned 2-column parquet per round,
+    exactly like emb_kmeans."""
+    import numpy as np
+    import pandas as pd
+
+    q = _quantized_vectors(spark, sf_dir)
+    init_rows = sorted(
+        q.filter(F.col("vec_id") < PQ_K).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents: dict[int, dict[int, np.ndarray]] = {s: {} for s in range(PQ_M)}
+    for r in init_rows:
+        v = np.array(r["qv"], dtype=np.int64).reshape(PQ_M, PQ_DSUB)
+        for s in range(PQ_M):
+            cents[s][int(r["vec_id"])] = v[s]
+
+    def make_partials(cent_state):
+        packed = []
+        for s in range(PQ_M):
+            cids = np.array(sorted(cent_state[s]), dtype=np.int64)
+            C = np.stack([cent_state[s][c] for c in cids])
+            packed.append((cids, C))
+
+        def partials(batches):
+            S = [np.zeros((len(p[0]), PQ_DSUB), np.int64) for p in packed]
+            N = [np.zeros(len(p[0]), np.int64) for p in packed]
+            inert = [np.zeros(len(p[0]), np.int64) for p in packed]
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                seen = True
+                Q = np.array(
+                    pdf["qv"].tolist(), dtype=np.int64
+                ).reshape(-1, PQ_M, PQ_DSUB)
+                for s in range(PQ_M):
+                    cids, C = packed[s]
+                    Qs = Q[:, s, :]
+                    d2 = (
+                        (Qs * Qs).sum(1)[:, None]
+                        - 2 * (Qs @ C.T)
+                        + (C * C).sum(1)[None, :]
+                    )
+                    a = d2.argmin(1)  # first min -> smallest cid
+                    np.add.at(S[s], a, Qs)
+                    np.add.at(N[s], a, 1)
+                    np.add.at(inert[s], a, d2[np.arange(len(a)), a])
+            if seen:
+                frames = []
+                for s in range(PQ_M):
+                    cids, _ = packed[s]
+                    k = len(cids)
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "s_idx": np.full(
+                                    k * PQ_DSUB, s, dtype=np.int32
+                                ),
+                                "cid": np.repeat(cids, PQ_DSUB),
+                                "i": np.tile(
+                                    np.arange(PQ_DSUB), k
+                                ).astype("int32"),
+                                "sm": S[s].reshape(-1),
+                                "n": np.repeat(N[s], PQ_DSUB),
+                                "inertia": np.repeat(inert[s], PQ_DSUB),
+                            }
+                        )
+                    )
+                yield pd.concat(frames, ignore_index=True)
+
+        return partials
+
+    schema = "s_idx int, cid long, i int, sm long, n long, inertia long"
+    for _ in range(1, PQ_TRAIN_ITERS):
+        parts = q.mapInPandas(make_partials(cents), schema)
+        agg = (
+            parts.groupBy("s_idx", "cid", "i")
+            .agg(
+                F.sum(F.col("sm").cast("decimal(38,0)")).alias("sm"),
+                F.sum("n").alias("n"),
+            )
+            .collect()
+        )  # M*K*DSUB model-state rows, NOT data
+        sums: dict[tuple[int, int], list] = {}
+        ns: dict[tuple[int, int], int] = {}
+        for r in agg:
+            key = (int(r["s_idx"]), int(r["cid"]))
+            sums.setdefault(key, [0] * PQ_DSUB)[r["i"]] = int(r["sm"])
+            ns[key] = int(r["n"])
+        cents = {s: {} for s in range(PQ_M)}
+        for (s, c), v in sums.items():
+            if ns[(s, c)] > 0:  # empty codewords drop (oracle agrees)
+                cents[s][c] = np.array(
+                    [x // ns[(s, c)] for x in v], dtype=np.int64
+                )
+
+    parts = q.mapInPandas(make_partials(cents), schema)
+    per_dim = (
+        parts.groupBy("s_idx", "cid", "i")
+        .agg(
+            F.sum(F.col("sm").cast("decimal(38,0)")).alias("sm"),
+            F.sum("n").alias("n"),
+        )
+        .filter("n > 0")
+        .withColumn("c", F.expr("cast((sm - pmod(sm, n)) / n as bigint)"))
+    )
+    stats = per_dim.groupBy("s_idx", "cid").agg(
+        F.expr("cast(any_value(n) as int)").alias("n"),
+        F.sum("c").cast("long").alias("c_sum"),
+        F.min("c").cast("long").alias("c_min"),
+        F.max("c").cast("long").alias("c_max"),
+    )
+    inert = (
+        parts.filter(F.col("i") == 0)
+        .groupBy("s_idx", "cid")
+        .agg(
+            F.sum(F.col("inertia").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("inertia")
+        )
+    )
+    return stats.join(inert, ["s_idx", "cid"]).select(
+        F.col("s_idx").cast("int").alias("s"),
+        F.col("cid").cast("int"),
+        "n",
+        "inertia",
+        "c_sum",
+        "c_min",
+        "c_max",
+    )
+
+
+def _pq_assign_cte(t: int, prev_c: str) -> str:
+    return f"""
+        d{t} AS (
+            SELECT q.vec_id, q.s, q.sv, c.cid,
+                   list_sum([ (z[1]-z[2])*(z[1]-z[2])
+                              for z in list_zip(q.sv, c.cv) ]) AS dist
+            FROM qs q JOIN {prev_c} c ON c.s = q.s
+        ),
+        a{t} AS (
+            SELECT vec_id, s, sv, cid, dist
+            FROM d{t}
+            QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                       ORDER BY dist, cid) = 1
+        )"""
+
+
+def _pq_update_cte(t: int) -> str:
+    return f"""
+        c{t} AS (
+            SELECT s, cid,
+                   list(CAST((sm - ((sm % n) + n) % n) // n AS BIGINT)
+                        ORDER BY i) AS cv
+            FROM (
+                SELECT s, cid, i, sum(v) AS sm, count(*) AS n
+                FROM (SELECT s, cid, unnest(sv) AS v,
+                             unnest(range({PQ_DSUB})) AS i
+                      FROM a{t})
+                GROUP BY s, cid, i
+            ) GROUP BY s, cid
+        )"""
+
+
+def pq_train_oracle() -> str:
+    rounds = []
+    for t in range(1, PQ_TRAIN_ITERS + 1):
+        rounds.append(_pq_assign_cte(t, f"c{t - 1}"))
+        rounds.append(_pq_update_cte(t))
+    body = ",".join(rounds)
+    last = PQ_TRAIN_ITERS
+    return f"""
+        WITH q AS (
+            SELECT vec_id,
+                   [round(x::DOUBLE * {EMB_QUANT})::BIGINT for x in embedding]
+                   AS qv
+            FROM embeddings
+        ),
+        subs AS (SELECT unnest(range({PQ_M})) AS s),
+        qs AS (
+            SELECT q.vec_id, subs.s,
+                   list_slice(q.qv, subs.s * {PQ_DSUB} + 1,
+                              subs.s * {PQ_DSUB} + {PQ_DSUB}) AS sv
+            FROM q, subs
+        ),
+        c0 AS (SELECT s, vec_id AS cid, sv AS cv FROM qs
+               WHERE vec_id < {PQ_K}),
+        {body}
+        SELECT CAST(a.s AS INT) AS s, CAST(a.cid AS INT) AS cid,
+               CAST(count(*) AS INT) AS n,
+               CAST(CAST(sum(a.dist) AS DECIMAL(38,0)) AS VARCHAR) AS inertia,
+               CAST(list_sum(any_value(c.cv)) AS BIGINT) AS c_sum,
+               CAST(list_min(any_value(c.cv)) AS BIGINT) AS c_min,
+               CAST(list_max(any_value(c.cv)) AS BIGINT) AS c_max
+        FROM a{last} a JOIN c{last} c ON c.s = a.s AND c.cid = a.cid
+        GROUP BY a.s, a.cid
+    """

@@ -38,3 +38,38 @@ def test_partition_invariance(name, spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert h1 == h2, f"{name} output depends on partition count"
+
+
+def test_fixture_aggregates_are_summation_order_safe(duck):
+    """r10 float-flake rule: a PLANNER-path fixture may SUM/AVG only
+    integer-typed columns -- partial sums of integers < 2^53 are exact
+    doubles under ANY summation order, so every join order (and every
+    shuffle merge order) hashes identically.  A SUM/AVG over a plain
+    DOUBLE column accumulates representation error in plan-dependent
+    order: runtime_test r10 caught left_deep/ikkbz hashing
+    join_group_3's AVG(c_acctbal) differently from the other eight
+    planners.  MIN/MAX/COUNT are order-safe on any type."""
+    from query_optimizer_spark.sqlparse import parse
+    from query_optimizer_spark.workload import FIXTURES
+
+    sf = "/root/testdata/sf0.001"
+    col_types: dict[tuple[str, str], str] = {}
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        for name, typ, *_ in duck.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        ).fetchall():
+            col_types[(t, name)] = typ.upper()
+    ok_types = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "HUGEINT"}
+    for fixture, sql in FIXTURES.items():
+        q = parse(sql)
+        table_of = dict((a, t) for t, a in q.tables)
+        for it in q.select:
+            if it.agg not in ("sum", "avg"):
+                continue
+            typ = col_types[(table_of[it.col.alias], it.col.column)]
+            assert typ in ok_types, (
+                f"{fixture}: {it.agg}({it.col.alias}.{it.col.column}) "
+                f"aggregates a {typ} column -- summation-order-dependent "
+                "across planners; use an integer column or MIN/MAX/COUNT"
+            )
