@@ -317,6 +317,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # emb_pq_train: PQ codebook training, M independent per-subspace
     # integer-exact k-means -- completes train -> encode -> search
     out["emb_pq_train"] = pipeline["emb_pq_train"][0]
+    # evt_session_window_native: gap sessions via the BUILT-IN
+    # session_window operator (boundary semantics proved by a
+    # window-scan oracle) -- the idiomatic twin of evt_sessionize
+    out["evt_session_window_native"] = pipeline[
+        "evt_session_window_native"
+    ][0]
 
     # --- past the 50-row window from here on (fresh r7/r8 evidence,
     # re-verified by the full local gate + pytest every round) ---

@@ -155,6 +155,8 @@ headline = [
     # PQ codebook training (per-subspace integer Lloyd, one Arrow
     # pass per round)
     "emb_pq_train",
+    # native session_window (one merged-session aggregation)
+    "evt_session_window_native",
 ]
 
 

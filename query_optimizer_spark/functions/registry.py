@@ -357,6 +357,13 @@ PIPELINE_OPS: dict[str, tuple] = {
     # r9: the bounded-state variant -- <= QSK_BITS power-of-two buckets
     # per key (320 B of mergeable state), est <= 2x exact by
     # construction, ratio columns measure the bound
+    # r10: gap sessions via the BUILT-IN session_window operator (one
+    # merged-session aggregation, no window pass; streaming-ready) --
+    # the idiomatic twin of evt_sessionize, boundary semantics per spec
+    "evt_session_window_native": (
+        temporal.session_window_native,
+        temporal.session_window_native_oracle(),
+    ),
     # r10: the sketch's rollup proof -- full-range quantiles computed
     # ONLY from stored per-day histograms (count addition), oracle
     # recomputes both scopes from raw values (VERDICT r9 #4)

@@ -1308,3 +1308,72 @@ def quantile_rollup_oracle() -> str:
         SELECT event_type, scope, CAST(max(n) AS INT) AS n_events, {sk_cols}
         FROM cum GROUP BY event_type, scope
     """
+
+
+# --- native session windows ------------------------------------------------------
+
+
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via Spark's BUILT-IN ``session_window``
+    operator -- the idiomatic twin of the hand-rolled
+    ``evt_sessionize`` (lag -> flag -> running sum).  Catalyst plans
+    this as a single UpdatingSessionsExec-backed aggregation: one
+    shuffle on the user key, sessions merged inside the aggregate --
+    no window-function pass at all, and the same code runs unchanged
+    under Structured Streaming with a watermark.  Keeping both
+    variants is deliberate: the custom one is the portable recipe, the
+    native one is what a Spark-first pipeline should actually deploy.
+
+    Boundary semantics differ from ``evt_sessionize`` BY SPEC and the
+    oracle encodes it: a session window is [start, last + gap), so an
+    event arriving exactly ``gap`` after the previous one starts a NEW
+    session (strict <), where the custom op's ``diff > gap`` test
+    keeps it.  The DuckDB oracle therefore flags ``diff >= gap`` and
+    reconstructs end = max(ts) + gap -- a different algorithm
+    (window-function scan) proving the native operator's exact
+    semantics."""
+    df = events_df(spark, sf_dir).select("user_id", "ts", "value")
+    return (
+        df.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").cast("int").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def session_window_native_oracle() -> str:
+    return f"""
+        WITH e AS (
+            SELECT user_id, ts, value, epoch_ms(ts) AS ms FROM events
+        ),
+        flagged AS (
+            SELECT *, CASE WHEN ms - lag(ms) OVER w >= {SESSION_GAP_MS}
+                           THEN 1 ELSE 0 END AS new_session
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ms)
+        ),
+        numbered AS (
+            SELECT *, sum(new_session) OVER
+                (PARTITION BY user_id ORDER BY ms
+                 ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts)::TIMESTAMP AS session_start,
+               (max(ts) + INTERVAL {SESSION_GAP_MS // 60000} MINUTE)
+                   ::TIMESTAMP AS session_end,
+               CAST(count(*) AS INT) AS n_events,
+               round(sum(value), 3) AS session_value
+        FROM numbered
+        GROUP BY user_id, session_seq
+    """
