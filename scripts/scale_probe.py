@@ -347,6 +347,38 @@ def main() -> None:
         probe("sim_ivfpq_pruned", "disjoint", k,
               lambda sf=sfd: similarity.ivfpq_pruned_topk(spark, sf),
               n_vecs0 * k, post=_pruned_post)
+        # --- residual IVF-PQ (r10): per-(query, list) LUTs are
+        # corpus-independent model state, so growth must track the
+        # non-residual variant's (one linear codes pass)
+        probe("sim_ivfpq_residual", "replica", k,
+              lambda sf=sf: similarity.ivfpq_residual_topk(spark, sf),
+              n_vecs0 * k)
+        probe("sim_ivfpq_residual", "disjoint", k,
+              lambda sf=sfd: similarity.ivfpq_residual_topk(spark, sf),
+              n_vecs0 * k)
+        # --- PQ codebook training (r10): M subspace k-means in one
+        # Arrow pass per round -- linear in corpus like emb_kmeans,
+        # driver holds only the M*K*DSUB model values
+        probe("emb_pq_train", "replica", k,
+              lambda sf=sf: similarity.pq_train(spark, sf),
+              n_vecs0 * k)
+        # --- end-to-end curation funnel (r10) on the realistic
+        # corpus-growth model: every stage is linear except the LSH
+        # near-dup candidates, whose disjoint-mode growth is linear by
+        # construction (constant dup rate per replica)
+        probe("corpus_train_pipeline", "disjoint", k,
+              lambda sf=sfd: corpus.train_pipeline(spark, sf),
+              n_docs0 * k)
+        # --- native session_window (r10): replica mode multiplies
+        # per-user event volume (denser sessions to merge), disjoint
+        # grows the user count -- both must stay ~linear, like the
+        # hand-rolled sessionize they twin
+        probe("evt_session_window_native", "replica", k,
+              lambda sf=sf: temporal.session_window_native(spark, sf),
+              n_events0 * k)
+        probe("evt_session_window_native", "disjoint", k,
+              lambda sf=sfd: temporal.session_window_native(spark, sf),
+              n_events0 * k)
         # --- distributed k-means: O(n*k*d) per round by spec -- the
         # probe verifies the measured exponent is ~1 in n and that the
         # driver's per-round collect stays at the k*d model-state size
