@@ -225,24 +225,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this is the query-history statistics service surviving a session
     # restart.  Feedback may change the ORDER, never the answer.
     def _feedback_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
-        import hashlib as _hashlib
         import os as _os
 
         from query_optimizer_spark.oracle import FeedbackStore
-        from query_optimizer_spark.sources import DEFAULT_WAREHOUSE
+        from query_optimizer_spark.sources import session_state_path
 
         configure_runtime(spark)
         # one deterministic sidecar per (session, sf_dir), overwritten
         # per run -- bench reps*cohorts re-invoke this query, so a
-        # fresh mkdtemp per call would leak directories (r8 ADVICE);
-        # the applicationId component keeps concurrent sessions from
-        # racing on the same sidecar (r9 ADVICE)
-        tag = _hashlib.md5(
-            f"{sf_dir.rstrip('/')}|{spark.sparkContext.applicationId}"
-            .encode()
-        ).hexdigest()[:12]
-        _os.makedirs(DEFAULT_WAREHOUSE, exist_ok=True)
-        path = _os.path.join(DEFAULT_WAREHOUSE, f"fbstore_{tag}.json")
+        # fresh mkdtemp per call would leak files (r8 ADVICE); the
+        # applicationId component keeps concurrent sessions from
+        # racing (r9 ADVICE), and the helper TTL-GCs dead sessions'
+        # sidecars (r10 review)
+        path = session_state_path(spark, sf_dir, "fbstore") + ".json"
         if _os.path.exists(path):  # cold start: never seed from a
             _os.remove(path)       # previous invocation's sidecar
         rec = FeedbackStore(path=path, tag=sf_dir)
@@ -323,6 +318,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["evt_session_window_native"] = pipeline[
         "evt_session_window_native"
     ][0]
+    # evt_quantile_sketch, touched late-r10: its CDF walk moved to the
+    # shared _qsk_est_cols helper the rollup/stream ops also use (one
+    # definition for the mergeability proofs); re-gated locally, r11
+    # window should re-gate it under the driver too
+    out["evt_quantile_sketch"] = pipeline["evt_quantile_sketch"][0]
 
     # --- past the 50-row window from here on (fresh r7/r8 evidence,
     # re-verified by the full local gate + pytest every round) ---

@@ -354,9 +354,6 @@ PIPELINE_OPS: dict[str, tuple] = {
         temporal.value_quantiles,
         temporal.value_quantiles_oracle(),
     ),
-    # r9: the bounded-state variant -- <= QSK_BITS power-of-two buckets
-    # per key (320 B of mergeable state), est <= 2x exact by
-    # construction, ratio columns measure the bound
     # r10: gap sessions via the BUILT-IN session_window operator (one
     # merged-session aggregation, no window pass; streaming-ready) --
     # the idiomatic twin of evt_sessionize, boundary semantics per spec
@@ -371,6 +368,9 @@ PIPELINE_OPS: dict[str, tuple] = {
         temporal.quantile_rollup,
         temporal.quantile_rollup_oracle(),
     ),
+    # r9: the bounded-state variant -- <= QSK_BITS power-of-two buckets
+    # per key (320 B of mergeable state), est <= 2x exact by
+    # construction, ratio columns measure the bound
     "evt_quantile_sketch": (
         temporal.quantile_sketch,
         temporal.quantile_sketch_oracle(),

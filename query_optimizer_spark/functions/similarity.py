@@ -1367,7 +1367,7 @@ def _ivfpq_model(emb: DataFrame):
             (np.arange(IVF_N_CENTROIDS), qdist[qi])
         )[:IVF_NPROBE]
         probe_mask[qi, order] = True
-    return qids, lut, cb, cents, cn2, probe_mask
+    return qids, qvecs, lut, cb, cents, cn2, probe_mask
 
 
 def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1403,7 +1403,7 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = _quantized(spark, sf_dir)
-    qids, lut, cb, cents, cn2, probe_mask = _ivfpq_model(emb)
+    qids, _, lut, cb, cents, cn2, probe_mask = _ivfpq_model(emb)
     bc = spark.sparkContext.broadcast(
         (qids, lut, cb, cents, cn2, probe_mask)
     )
@@ -1624,18 +1624,15 @@ def ivfpq_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan's numFiles/numPartitions metrics equal the probed subset.
     The index path is session-scoped (applicationId in the tag), like
     every warehouse state path."""
-    import hashlib
-
     from pathlib import Path
 
     import numpy as np
     import pandas as pd
 
     from ..executor import physical_plan
-    from ..sources import DEFAULT_WAREHOUSE
 
     emb = _quantized(spark, sf_dir)
-    qids, lut, cb, cents, cn2, probe_mask = _ivfpq_model(emb)
+    qids, _, lut, cb, cents, cn2, probe_mask = _ivfpq_model(emb)
 
     # ---- build: encode once, one directory per inverted list
     bc_enc = spark.sparkContext.broadcast((cb, cents, cn2))
@@ -1662,12 +1659,10 @@ def ivfpq_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import time as _time
 
+    from ..sources import session_state_path
+
     t0 = _time.monotonic()
-    tag = hashlib.md5(
-        f"{sf_dir.rstrip('/')}|{spark.sparkContext.applicationId}".encode()
-    ).hexdigest()[:12]
-    idx_path = f"{DEFAULT_WAREHOUSE}/ivfpq_lists_{tag}"
-    Path(DEFAULT_WAREHOUSE).mkdir(exist_ok=True)
+    idx_path = session_state_path(spark, sf_dir, "ivfpq_lists")
     (
         emb.select("vec_id", "q")
         .mapInPandas(_encode, "vec_id long, cent_id int, codes array<int>")
@@ -1704,7 +1699,13 @@ def ivfpq_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (metadata-only pruning), never a post-scan data filter
     plan = physical_plan(lists)
     seg = plan.split("PartitionFilters", 1)
-    assert len(seg) == 2 and "cent_id" in seg[1][:200], plan
+    if len(seg) != 2 or "cent_id" not in seg[1][:200]:
+        # a raise, not an assert: the op's core guarantee must survive
+        # python -O (r10 review)
+        raise RuntimeError(
+            "IVF-PQ probe predicate did not reach the scan as a"
+            f" PartitionFilter; plan:\n{plan}"
+        )
 
     bc = spark.sparkContext.broadcast((qids, lut, probe_mask))
 
@@ -1779,14 +1780,8 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = _quantized(spark, sf_dir)
-    qids, _, cb, cents, cn2, probe_mask = _ivfpq_model(emb)
+    qids, qvecs, _, cb, cents, cn2, probe_mask = _ivfpq_model(emb)
     # per-(query, list) residual LUT: |(q - c_L)_sub - cb|^2
-    q_rows = sorted(
-        emb.filter(F.col("vec_id") < ANN_N_QUERIES)
-        .select("vec_id", "q")
-        .collect()
-    )
-    qvecs = np.array([r.q for r in q_rows], dtype=np.int64)
     qres = qvecs[:, None, :] - cents[None, :, :]  # (nq, nlist, D)
     qres_sub = qres.reshape(len(qids), IVF_N_CENTROIDS, PQ_M, PQ_DSUB)
     lut = (

@@ -1002,12 +1002,9 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_dir races under two concurrent sessions -- one overwrites the
     state the other's lazy merge is about to read).
     """
-    import hashlib
     import time as _time
 
     from pathlib import Path
-
-    from ..sources import DEFAULT_WAREHOUSE
 
     t0 = _time.monotonic()
     ev = events_df(spark, sf_dir).select(
@@ -1025,10 +1022,9 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
         )
 
-    tag = hashlib.md5(
-        f"{sf_dir.rstrip('/')}|{spark.sparkContext.applicationId}".encode()
-    ).hexdigest()[:12]
-    stored = Path(f"{DEFAULT_WAREHOUSE}/rollup_state_{tag}")
+    from ..sources import session_state_path
+
+    stored = Path(session_state_path(spark, sf_dir, "rollup_state"))
     # the materialized state: partial aggregates for every CLOSED day
     partial(ev.filter(F.col("day") < newest)).write.mode(
         "overwrite"
@@ -1081,6 +1077,38 @@ _QSK_BUCKET = " + ".join(
     f"(case when c >= {1 << k} then 1 else 0 end)" for k in range(QSK_BITS)
 )
 
+# the CDF walk shared by every histogram-sketch op (batch sketch,
+# rollup, streaming) and their oracles: the q-th percentile estimate is
+# the top of the first bucket whose cumulative count reaches q% of n --
+# ONE definition, so the mergeability proofs can never drift apart
+# (r10 review: three copy-pasted sites)
+_QSK_EST_SPARK = (
+    "(shiftleft(cast(1 as bigint),"
+    " min(CASE WHEN cum * 100 >= {q} * n THEN b END)) - 1)"
+    " / cast(100 as double)"
+)
+_QSK_EST_DUCK = (
+    "((1::BIGINT << min(CASE WHEN cum * 100 >= {q} * n THEN b END))"
+    " - 1) / 100.0"
+)
+QSK_QUANTILES = (50, 90, 99)
+
+
+def _qsk_est_cols() -> list:
+    """Spark aggregate columns p50_est/p90_est/p99_est over a cum/n/b
+    frame (see _QSK_EST_SPARK)."""
+    return [
+        F.expr(_QSK_EST_SPARK.format(q=q)).alias(f"p{q}_est")
+        for q in QSK_QUANTILES
+    ]
+
+
+def _qsk_est_sql() -> str:
+    """The oracle twin: 'expr AS p50_est, ...' select-list fragment."""
+    return ", ".join(
+        f"{_QSK_EST_DUCK.format(q=q)} AS p{q}_est" for q in QSK_QUANTILES
+    )
+
 
 def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantiles from a BOUNDED-state histogram sketch -- the third leg
@@ -1114,14 +1142,7 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum",
         F.sum("cnt").over(wb.rowsBetween(Window.unboundedPreceding, 0)),
     ).withColumn("n", F.sum("cnt").over(Window.partitionBy("event_type")))
-    sk_cols = [
-        F.expr(
-            f"(shiftleft(cast(1 as bigint),"
-            f" min(CASE WHEN cum * 100 >= {q} * n THEN b END)) - 1)"
-            " / cast(100 as double)"
-        ).alias(f"p{q}_est")
-        for q in (50, 90, 99)
-    ]
+    sk_cols = _qsk_est_cols()
     sk = sk_cum.groupBy("event_type").agg(
         F.max("n").cast("int").alias("n_events"), *sk_cols
     )
@@ -1160,11 +1181,7 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def quantile_sketch_oracle() -> str:
-    sk_cols = ", ".join(
-        f"((1::BIGINT << min(CASE WHEN cum * 100 >= {q} * n THEN b END))"
-        f" - 1) / 100.0 AS p{q}_est"
-        for q in (50, 90, 99)
-    )
+    sk_cols = _qsk_est_sql()
     ex_cols = ", ".join(
         f"min(CASE WHEN cum * 100 >= {q} * n THEN c END) / 100.0"
         f" AS p{q}_exact"
@@ -1251,16 +1268,8 @@ def quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum",
             F.sum("cnt").over(wb.rowsBetween(Window.unboundedPreceding, 0)),
         ).withColumn("n", F.sum("cnt").over(Window.partitionBy(*keys)))
-        cols = [
-            F.expr(
-                f"(shiftleft(cast(1 as bigint),"
-                f" min(CASE WHEN cum * 100 >= {q} * n THEN b END)) - 1)"
-                " / cast(100 as double)"
-            ).alias(f"p{q}_est")
-            for q in (50, 90, 99)
-        ]
         return cum.groupBy(*keys).agg(
-            F.max("n").cast("int").alias("n_events"), *cols
+            F.max("n").cast("int").alias("n_events"), *_qsk_est_cols()
         )
 
     out_cols = ["n_events", "p50_est", "p90_est", "p99_est"]
@@ -1278,11 +1287,7 @@ def quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def quantile_rollup_oracle() -> str:
-    sk_cols = ", ".join(
-        f"((1::BIGINT << min(CASE WHEN cum * 100 >= {q} * n THEN b END))"
-        f" - 1) / 100.0 AS p{q}_est"
-        for q in (50, 90, 99)
-    )
+    sk_cols = _qsk_est_sql()
     return f"""
         WITH cents AS (
             SELECT event_type,
@@ -1332,14 +1337,27 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstructs end = max(ts) + gap -- a different algorithm
     (window-function scan) proving the native operator's exact
     semantics."""
-    df = events_df(spark, sf_dir).select("user_id", "ts", "value")
+    df = events_df(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        # integer cents (the r10 float rule): a session's value sum is
+        # exact under any partial-agg merge order
+        F.expr("cast(round(value * 100, 0) as bigint)").alias("c"),
+    )
     return (
         df.groupBy(
-            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            # the gap string derives from THE constant, so op and
+            # oracle cannot silently desync (r10 review)
+            F.session_window(
+                "ts", f"{SESSION_GAP_MS} milliseconds"
+            ).alias("w"),
+            "user_id",
         )
         .agg(
             F.count("*").cast("int").alias("n_events"),
-            F.round(F.sum("value"), 3).alias("session_value"),
+            F.expr(
+                "round(cast(sum(c) as double) / 100.0, 3)"
+            ).alias("session_value"),
         )
         .select(
             "user_id",
@@ -1370,10 +1388,11 @@ def session_window_native_oracle() -> str:
         )
         SELECT user_id,
                min(ts)::TIMESTAMP AS session_start,
-               (max(ts) + INTERVAL {SESSION_GAP_MS // 60000} MINUTE)
+               (max(ts) + INTERVAL {SESSION_GAP_MS} MILLISECOND)
                    ::TIMESTAMP AS session_end,
                CAST(count(*) AS INT) AS n_events,
-               round(sum(value), 3) AS session_value
+               round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 3)
+                   AS session_value
         FROM numbered
         GROUP BY user_id, session_seq
     """

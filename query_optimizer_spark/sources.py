@@ -20,6 +20,44 @@ from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_WAREHOUSE = "/root/repo/.warehouse"
 
+# dead-session state older than this is garbage-collected by
+# session_state_path; every session-scoped op writes AND reads its
+# state within one invocation (seconds), so hours of slack cannot
+# race a live session
+STATE_TTL_SEC = 3 * 3600
+
+
+def session_state_path(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    """Session-scoped warehouse path ``<prefix>_<md5(sf_dir|appId)>``.
+
+    Session scoping exists so CONCURRENT sessions never overwrite each
+    other's state before the returned lazy DataFrame's action reads it
+    back (r9 ADVICE) -- but it also means every stopped session leaves
+    its state behind (r10 review: 254 entries / 340 MB accumulated
+    from bench's fresh-session cohorts + gates).  So this helper also
+    garbage-collects SIBLING ``<prefix>_*`` entries untouched for
+    ``STATE_TTL_SEC``: old enough to belong to a dead session, never a
+    live one (all callers write-then-read within a single call)."""
+    import hashlib
+    import shutil
+    import time
+
+    tag = hashlib.md5(
+        f"{sf_dir.rstrip('/')}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
+    root = Path(DEFAULT_WAREHOUSE)
+    root.mkdir(exist_ok=True)
+    now = time.time()
+    for p in root.glob(f"{prefix}_*"):
+        if tag in p.name:
+            continue
+        try:
+            if now - p.stat().st_mtime > STATE_TTL_SEC:
+                shutil.rmtree(p) if p.is_dir() else p.unlink()
+        except OSError:
+            pass  # a concurrent GC won the race; nothing to do
+    return str(root / f"{prefix}_{tag}")
+
 
 def read_any(spark: SparkSession, path: str, fmt: str, schema=None) -> DataFrame:
     """Schema-explicit multi-format reader (csv/json/parquet/orc).
@@ -530,14 +568,10 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
     )
     cut = F.expr(f"timestamp'{MERGE_CUTOFF} 00:00:00'")
-    # session-scoped state path (r9 ADVICE): keyed only by sf_dir, two
-    # concurrent sessions would overwrite each other's snapshot before
-    # the returned lazy DataFrame's action reads it back
-    tag = hashlib.md5(
-        f"{sf_dir.rstrip('/')}|{spark.sparkContext.applicationId}".encode()
-    ).hexdigest()[:12]
-    v1 = Path(f"{DEFAULT_WAREHOUSE}/cust_snapshot_{tag}_v1")
-    v2 = Path(f"{DEFAULT_WAREHOUSE}/cust_snapshot_{tag}_v2")
+    # session-scoped + TTL-GC'd state path (r9 ADVICE + r10 review)
+    base = session_state_path(spark, sf_dir, "cust_snapshot")
+    v1 = Path(f"{base}_v1")
+    v2 = Path(f"{base}_v2")
     summarize(orders.filter(F.col("o_orderdate") < cut)).write.mode(
         "overwrite"
     ).parquet(str(v1))
@@ -629,12 +663,9 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
-    # session-scoped like merge_upsert's snapshots (r9 ADVICE)
-    tag = hashlib.md5(
-        f"{sf_dir.rstrip('/')}|{spark.sparkContext.applicationId}".encode()
-    ).hexdigest()[:12]
-    frag = Path(f"{DEFAULT_WAREHOUSE}/frag_{tag}")
-    compacted = Path(f"{DEFAULT_WAREHOUSE}/compacted_{tag}")
+    # session-scoped + TTL-GC'd like merge_upsert's snapshots
+    frag = Path(session_state_path(spark, sf_dir, "frag"))
+    compacted = Path(session_state_path(spark, sf_dir, "compacted"))
     li.repartition(COMPACT_SMALL_N).write.mode("overwrite").parquet(str(frag))
 
     files = sorted(str(p) for p in frag.glob("*.parquet"))

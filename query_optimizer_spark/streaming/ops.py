@@ -1057,27 +1057,17 @@ def quantile_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum",
         F.sum("cnt").over(wb.rowsBetween(Window.unboundedPreceding, 0)),
     ).withColumn("n", F.sum("cnt").over(Window.partitionBy("event_type")))
-    cols = [
-        F.expr(
-            f"(shiftleft(cast(1 as bigint),"
-            f" min(CASE WHEN cum * 100 >= {q} * n THEN b END)) - 1)"
-            " / cast(100 as double)"
-        ).alias(f"p{q}_est")
-        for q in (50, 90, 99)
-    ]
+    from ..functions.temporal import _qsk_est_cols
+
     return cum.groupBy("event_type").agg(
-        F.max("n").cast("int").alias("n_events"), *cols
+        F.max("n").cast("int").alias("n_events"), *_qsk_est_cols()
     )
 
 
 def quantile_sketch_stream_oracle() -> str:
-    from ..functions.temporal import _QSK_BUCKET
+    from ..functions.temporal import _QSK_BUCKET, _qsk_est_sql
 
-    sk_cols = ", ".join(
-        f"((1::BIGINT << min(CASE WHEN cum * 100 >= {q} * n THEN b END))"
-        f" - 1) / 100.0 AS p{q}_est"
-        for q in (50, 90, 99)
-    )
+    sk_cols = _qsk_est_sql()
     return f"""
         WITH cents AS (
             SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c

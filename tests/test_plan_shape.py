@@ -231,13 +231,11 @@ def test_ivfpq_pruned_layout_reads_only_probed_lists(spark, duck):
     PartitionFilter (the op asserts that inline); and the executed
     scan's numFiles / numPartitions METRICS equal exactly the probed
     subset -- bytes of non-probed lists were never opened."""
-    import hashlib
-
     import numpy as np
 
     from query_optimizer_spark.functions import similarity as sim
     from query_optimizer_spark.harness import result_hash
-    from query_optimizer_spark.sources import DEFAULT_WAREHOUSE
+    from query_optimizer_spark.sources import session_state_path
 
     df = sim.ivfpq_pruned_topk(spark, SF_DIR)
     assert result_hash(df) == duck_hash(duck, sim.ivfpq_pruned_topk_oracle())
@@ -247,17 +245,13 @@ def test_ivfpq_pruned_layout_reads_only_probed_lists(spark, duck):
     # independent re-read of the same layout with the same partition
     # filter: the executed scan must touch exactly the probed subset
     emb = sim._quantized(spark, SF_DIR)
-    qids, _, _, _, _, mask = sim._ivfpq_model(emb)
+    qids, _, _, _, _, _, mask = sim._ivfpq_model(emb)
     probed = sorted(
         {int(c) for qi in range(len(qids)) for c in np.nonzero(mask[qi])[0]}
     )
     assert len(probed) == info["n_probed"]
-    tag = hashlib.md5(
-        f"{SF_DIR.rstrip('/')}|{spark.sparkContext.applicationId}".encode()
-    ).hexdigest()[:12]
-    rd = spark.read.parquet(f"{DEFAULT_WAREHOUSE}/ivfpq_lists_{tag}").filter(
-        F.col("cent_id").isin(probed)
-    )
+    idx_path = session_state_path(spark, SF_DIR, "ivfpq_lists")
+    rd = spark.read.parquet(idx_path).filter(F.col("cent_id").isin(probed))
     rd.collect()
     leaf = rd._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
     metrics = leaf.metrics()
