@@ -965,18 +965,16 @@ def test_merge_upsert_copy_on_write(spark, duck):
     """io_merge_upsert (r9): the MERGE writes a NEW snapshot version;
     the old version must survive the merge untouched (copy-on-write
     isolation) and the batch must have actually changed rows."""
-    import hashlib
-
     from query_optimizer_spark import sources
 
     df = PIPELINE_OPS["io_merge_upsert"][0](spark, SF_DIR)
     got = result_hash(df)
     expected = duck_hash(duck, PIPELINE_OPS["io_merge_upsert"][1])
     assert got == expected
-    tag = hashlib.md5(SF_DIR.rstrip("/").encode()).hexdigest()[:12]
-    v1 = spark.read.parquet(
-        f"{sources.DEFAULT_WAREHOUSE}/cust_snapshot_{tag}_v1"
-    )
+    # the state path is session-scoped + TTL-GC'd (r10); derive it the
+    # same way the op does instead of recomputing a tag by hand
+    base = sources.session_state_path(spark, SF_DIR, "cust_snapshot")
+    v1 = spark.read.parquet(f"{base}_v1")
     # v1 is the pre-cutoff summary: every customer with an early order,
     # none of the post-cutoff counts
     assert v1.count() == sources.MERGE_LAST["v1_rows"] > 0
@@ -1008,17 +1006,15 @@ def test_incremental_rollup_state_is_partial(spark, duck):
     every day EXCEPT the newest (the incremental claim -- the refresh
     reads one day of raw events plus the compact state), and the merge
     must equal the full recompute."""
-    import hashlib
-
     from query_optimizer_spark import sources
 
     df = PIPELINE_OPS["evt_incremental_rollup"][0](spark, SF_DIR)
     got = result_hash(df)
     expected = duck_hash(duck, PIPELINE_OPS["evt_incremental_rollup"][1])
     assert got == expected
-    tag = hashlib.md5(SF_DIR.rstrip("/").encode()).hexdigest()[:12]
+    # session-scoped + TTL-GC'd path (r10): derive it like the op does
     state = spark.read.parquet(
-        f"{sources.DEFAULT_WAREHOUSE}/rollup_state_{tag}"
+        sources.session_state_path(spark, SF_DIR, "rollup_state")
     )
     full_days = duck.execute(
         "SELECT count(DISTINCT date_trunc('day', ts)) FROM events"
