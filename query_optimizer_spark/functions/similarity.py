@@ -1588,11 +1588,20 @@ def ivfpq_topk_oracle() -> str:
     """
 
 
-# evidence of the last pruned probe -- list/file counts recorded by the
-# op (it inline-asserts the partition filter reached the scan; the
-# pytest additionally asserts the executed scan's numFiles/numPartitions
-# METRICS equal the probed subset, i.e. non-probed lists were never read)
-IVFPQ_PRUNED_LAST: dict[str, float] = {}
+# evidence of pruned probes, keyed by (applicationId, sf_dir) so
+# concurrent sessions in one process never clobber each other's entry
+# (r10 ADVICE; read through ivfpq_pruned_evidence).  The op
+# inline-raises if the partition filter missed the scan; the pytest
+# additionally asserts the executed scan's numFiles/numPartitions
+# METRICS equal the probed subset, i.e. non-probed lists were never read
+_IVFPQ_PRUNED_EVIDENCE: dict[tuple[str, str], dict[str, float]] = {}
+
+
+def ivfpq_pruned_evidence(spark: SparkSession, sf_dir: str) -> dict:
+    """Build/probe evidence of this session's last ``ivfpq_pruned_topk``
+    call over ``sf_dir`` (empty dict if it has not run)."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    return dict(_IVFPQ_PRUNED_EVIDENCE.get(key, {}))
 
 
 def ivfpq_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1618,12 +1627,13 @@ def ivfpq_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
        DuckDB oracle -- must agree bit-exactly.
 
     Scale shape: probe IO is files(probed lists), not files(corpus) --
-    cost scales with nprobe/nlist, not corpus size.  The op records
-    list/file counts in ``IVFPQ_PRUNED_LAST`` and asserts the plan
-    carries the partition filter; the pytest asserts the executed
-    scan's numFiles/numPartitions metrics equal the probed subset.
-    The index path is session-scoped (applicationId in the tag), like
-    every warehouse state path."""
+    cost scales with nprobe/nlist, not corpus size.  The build runs
+    ONCE per (session, corpus) and is reused from the session-scoped
+    path on later calls (``build_cached`` in the evidence; r10
+    ADVICE).  The op records list/file counts per (applicationId,
+    sf_dir) -- read via ``ivfpq_pruned_evidence`` -- and raises if the
+    probe predicate missed the scan; the pytest asserts the executed
+    scan's numFiles/numPartitions metrics equal the probed subset."""
     from pathlib import Path
 
     import numpy as np
@@ -1661,15 +1671,23 @@ def ivfpq_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources import session_state_path
 
-    t0 = _time.monotonic()
     idx_path = session_state_path(spark, sf_dir, "ivfpq_lists")
-    (
-        emb.select("vec_id", "q")
-        .mapInPandas(_encode, "vec_id long, cent_id int, codes array<int>")
-        .write.mode("overwrite")
-        .partitionBy("cent_id")
-        .parquet(idx_path)
-    )
+    # build once per (session, corpus): the encode + partitioned write
+    # is deterministic in (sf_dir, model), so a completed index --
+    # parquet's _SUCCESS marker under the session-scoped path -- is
+    # simply reused and bench reps stop paying the build per rep
+    # (r10 ADVICE).  session_state_path refreshes the path's mtime per
+    # call, so a live session's cached index can never be TTL-GC'd.
+    build_cached = (Path(idx_path) / "_SUCCESS").exists()
+    t0 = _time.monotonic()
+    if not build_cached:
+        (
+            emb.select("vec_id", "q")
+            .mapInPandas(_encode, "vec_id long, cent_id int, codes array<int>")
+            .write.mode("overwrite")
+            .partitionBy("cent_id")
+            .parquet(idx_path)
+        )
     build_sec = round(_time.monotonic() - t0, 4)
 
     probed = sorted(
@@ -1677,8 +1695,9 @@ def ivfpq_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
          for c in np.nonzero(probe_mask[qi])[0]}
     )
     list_dirs = sorted(Path(idx_path).glob("cent_id=*"))
-    IVFPQ_PRUNED_LAST.clear()
-    IVFPQ_PRUNED_LAST.update(
+    _IVFPQ_PRUNED_EVIDENCE[
+        (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    ] = dict(
         n_lists=len(list_dirs),
         n_probed=len(probed),
         files_total=len(list(Path(idx_path).glob("cent_id=*/*.parquet"))),
@@ -1688,8 +1707,11 @@ def ivfpq_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         # build (encode + partitioned write) is the one-time linear
         # index cost; the scale probe subtracts it so the PROBE phase's
-        # growth -- nprobe/nlist of the corpus -- is measured alone
+        # growth -- nprobe/nlist of the corpus -- is measured alone.
+        # 0.0-ish with build_cached=1: this call reused the session's
+        # existing index
         build_sec=build_sec,
+        build_cached=float(build_cached),
     )
 
     lists = spark.read.parquet(idx_path).filter(

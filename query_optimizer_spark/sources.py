@@ -37,8 +37,16 @@ def session_state_path(spark: SparkSession, sf_dir: str, prefix: str) -> str:
     from bench's fresh-session cohorts + gates).  So this helper also
     garbage-collects SIBLING ``<prefix>_*`` entries untouched for
     ``STATE_TTL_SEC``: old enough to belong to a dead session, never a
-    live one (all callers write-then-read within a single call)."""
+    live one.  Callers write-then-read within one invocation, but the
+    returned DataFrame is LAZY -- a result held longer than the TTL
+    (long bench session, debugger pause) could otherwise look dead to
+    a sibling session's GC and be rmtree'd mid-plan (r10 ADVICE).  So
+    the caller's OWN path gets its mtime refreshed here on every
+    return: as long as a session keeps re-invoking its ops, its state
+    can never age past the TTL, and liveness is enforced rather than
+    assumed."""
     import hashlib
+    import os
     import shutil
     import time
 
@@ -56,7 +64,12 @@ def session_state_path(spark: SparkSession, sf_dir: str, prefix: str) -> str:
                 shutil.rmtree(p) if p.is_dir() else p.unlink()
         except OSError:
             pass  # a concurrent GC won the race; nothing to do
-    return str(root / f"{prefix}_{tag}")
+    own = root / f"{prefix}_{tag}"
+    try:
+        os.utime(own)  # refresh liveness for a sibling session's GC
+    except OSError:
+        pass  # not created yet (first call) -- the write stamps it
+    return str(own)
 
 
 def read_any(spark: SparkSession, path: str, fmt: str, schema=None) -> DataFrame:

@@ -336,17 +336,20 @@ def main() -> None:
         # cost, reported separately via build_sec; probe_sec = total -
         # build must scale with nprobe/nlist of the corpus, and the
         # files_probed/files_total evidence rides along per scale
-        def _pruned_post():
-            info = dict(similarity.IVFPQ_PRUNED_LAST)
-            build = info.pop("build_sec", 0.0)
-            return {"build_sec": round(build, 2), **info}
+        def _pruned_post(sf_of):
+            def post():
+                info = similarity.ivfpq_pruned_evidence(spark, sf_of)
+                build = info.pop("build_sec", 0.0)
+                return {"build_sec": round(build, 2), **info}
+
+            return post
 
         probe("sim_ivfpq_pruned", "replica", k,
               lambda sf=sf: similarity.ivfpq_pruned_topk(spark, sf),
-              n_vecs0 * k, post=_pruned_post)
+              n_vecs0 * k, post=_pruned_post(sf))
         probe("sim_ivfpq_pruned", "disjoint", k,
               lambda sf=sfd: similarity.ivfpq_pruned_topk(spark, sf),
-              n_vecs0 * k, post=_pruned_post)
+              n_vecs0 * k, post=_pruned_post(sfd))
         # --- residual IVF-PQ (r10): per-(query, list) LUTs are
         # corpus-independent model state, so growth must track the
         # non-residual variant's (one linear codes pass)

@@ -70,6 +70,38 @@ def test_multiformat_roundtrip(spark, tmp_path_factory):
         }
 
 
+def test_session_state_path_refreshes_own_liveness(spark):
+    """r10 ADVICE: a live session's state must never look dead to a
+    sibling's TTL-GC.  session_state_path refreshes the caller's OWN
+    mtime on every return (liveness enforced, not assumed), while a
+    backdated sibling from a dead session is still collected."""
+    import os
+    import time
+    from pathlib import Path
+
+    from query_optimizer_spark.sources import (
+        STATE_TTL_SEC,
+        session_state_path,
+    )
+
+    own = Path(session_state_path(spark, SF_DIR, "ttlprobe"))
+    own.mkdir(parents=True, exist_ok=True)
+    sibling = own.parent / "ttlprobe_deadbeefdead"
+    sibling.mkdir(exist_ok=True)
+    stale = time.time() - STATE_TTL_SEC - 60
+    os.utime(own, (stale, stale))
+    os.utime(sibling, (stale, stale))
+    # re-request the path: the sibling (dead session) is GC'd, the
+    # caller's own dir survives with a refreshed mtime
+    again = Path(session_state_path(spark, SF_DIR, "ttlprobe"))
+    assert again == own and own.exists()
+    assert not sibling.exists()
+    assert time.time() - own.stat().st_mtime < STATE_TTL_SEC / 2
+    # a third call must not collect the just-refreshed own dir either
+    session_state_path(spark, SF_DIR, "ttlprobe")
+    assert own.exists()
+
+
 def test_partitioned_sink_prunes(spark):
     path = "/root/repo/.warehouse/orders_by_status"
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
