@@ -29,6 +29,15 @@ MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(MINHASH_K)]
 MINHASH_SHINGLE = 3          # 3-word shingles
 MINHASH_THRESHOLD = 0.5      # emit candidate pairs with est jaccard >= t
 
+# incremental dedup (new batch vs stored band index): the batch is the
+# deterministic FIXED-SIZE doc_id < INC_BATCH_N slice (both engines
+# split identically), so probe cost is bounded by the batch at every
+# corpus scale -- the incremental regime.  The stored index is laid out
+# in INC_NSHARDS hash partitions of the band key so a probe reads only
+# the batch's shards.
+INC_BATCH_N = 50
+INC_NSHARDS = 1024
+
 # n-gram (shingle) exact-jaccard dedup
 JACCARD_THRESHOLD = 0.5
 

@@ -30,6 +30,8 @@ from .constants import (
     COSINE_DUP_THRESHOLD,
     EMB_QUANT,
     HASH_HEX_CHARS,
+    INC_BATCH_N,
+    INC_NSHARDS,
     JACCARD_THRESHOLD,
     MINHASH_A,
     MINHASH_B,
@@ -112,8 +114,8 @@ def _sql_shingles_cte() -> str:
 # --- minhash + LSH -----------------------------------------------------------
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, m0..m15) minhash signature matrix.
+def _signatures_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m15) minhash signature matrix of the given docs.
 
     Map-side (Arrow-batched UDF, no explode/groupBy shuffle): shingling,
     md5 hashing (hashlib == Spark md5 == DuckDB md5) and the 16
@@ -156,14 +158,18 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sig_udf = pandas_udf(_sig, returnType="array<long>")
     sig = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.expr(TOKS).alias("toks"))
+        docs.select("doc_id", F.expr(TOKS).alias("toks"))
         .filter(F.expr(f"size(toks) >= {MINHASH_SHINGLE}"))
         .select("doc_id", sig_udf(F.col("toks")).alias("sig"))
     )
     return sig.select(
         "doc_id", *[F.col("sig")[i].alias(f"m{i}") for i in range(MINHASH_K)]
     )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, m0..m15) minhash signatures of the full corpus."""
+    return _signatures_of(_docs(spark, sf_dir))
 
 
 def _band_candidates(sig: DataFrame) -> DataFrame:
@@ -390,6 +396,227 @@ def edit_distance_oracle() -> str:
         )
         SELECT doc_a, doc_b, CAST(edit_dist AS INT) AS edit_dist, ned
         FROM scored WHERE ned <= {EDIT_NED_MAX}
+    """
+
+
+# --- incremental dedup against a STORED band index ---------------------------
+
+# probe evidence keyed by (applicationId, sf_dir) -- same discipline as
+# similarity._IVFPQ_PRUNED_EVIDENCE (concurrent sessions never clobber)
+_INC_EVIDENCE: dict[tuple[str, str], dict[str, float]] = {}
+
+
+def incremental_evidence(spark: SparkSession, sf_dir: str) -> dict:
+    """Build/probe evidence of this session's last
+    ``incremental_minhash_pairs`` call (empty dict if it has not run)."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    return dict(_INC_EVIDENCE.get(key, {}))
+
+
+def _band_rows(sig: DataFrame, keep_sig: bool) -> DataFrame:
+    """Explode a signature frame to (doc_id[, m0..m15], band, key, shard)
+    rows -- one per LSH band.  ``shard`` is the md5-derived 32-bit hash
+    of the band key mod ``INC_NSHARDS``: the unit of physical layout
+    (index writes partition by it; probes prune by it)."""
+    band_keys = [
+        F.concat_ws(
+            ",", *[F.col(f"m{b * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)]
+        ).alias(f"bk{b}")
+        for b in range(MINHASH_BANDS)
+    ]
+    carry = ["doc_id"] + (
+        [f"m{i}" for i in range(MINHASH_K)] if keep_sig else []
+    )
+    rows = sig.select(*carry, *band_keys).select(
+        *carry,
+        F.posexplode(
+            F.array(*[F.col(f"bk{b}") for b in range(MINHASH_BANDS)])
+        ).alias("band", "key"),
+    )
+    shard = HASH32_SPARK.format(e="key")
+    return rows.withColumn(
+        "shard", F.expr(f"cast({shard} % {INC_NSHARDS} as int)")
+    )
+
+
+def incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a NEW BATCH against the STORED MinHash band index -- the
+    production 100 TB pattern (r10 VERDICT #4): a daily ingest must not
+    recompute the corpus's signatures (the expensive shingle+hash pass
+    over all text), and must not read the whole stored index either.
+    This is ``sim_ivfpq_pruned``'s partition-pruning move applied to
+    dedup.
+
+    Layout + probe:
+
+    1. BUILD (once per corpus; cached per session like the IVF-PQ
+       index): the corpus slice's signatures are computed in ONE Arrow
+       pass, exploded to (doc_id, m0..m15, band, key) rows, and written
+       ``partitionBy(shard)`` where shard = hash32(key) % INC_NSHARDS
+       -- after a ``repartition("shard")`` so each shard directory
+       holds ONE file, not one per writing task (the small-files
+       trap at 1000 executors).
+    2. PROBE: only the BATCH's signatures are computed (the
+       deterministic FIXED-SIZE doc_id < INC_BATCH_N slice, so probe
+       cost is bounded by the batch, not the corpus, at every scale --
+       the incremental regime).  The union of the batch's shards -- at
+       most 4 * INC_BATCH_N band keys, far fewer than INC_NSHARDS
+       ints, collected driver-side as model-state like the IVF-PQ
+       probe list -- is pushed as ``shard IN (...)``, which must reach
+       the index scan as a PartitionFilter (the op RAISES otherwise):
+       non-probed shards are NEVER read.  Probe IO is
+       files(batch's shards), not files(corpus index), and raw corpus
+       TEXT is read zero times.
+    3. SCORE: collisions join the batch's band rows (broadcast -- the
+       batch is small by definition; Spark falls back to a shuffle
+       join automatically if it is not) on (band, key), then the
+       batch's signatures (broadcast) score est_jaccard from the
+       stored corpus signature carried IN the index row -- one
+       aggregation dedups multi-band collisions.
+
+    Returns (doc_a = existing corpus doc, doc_b = new batch doc,
+    est_jaccard) for signature-estimated jaccard >= MINHASH_THRESHOLD.
+    The DuckDB oracle recomputes both sides from raw text -- agreement
+    proves the stored index is equivalent to recomputation."""
+    import time as _time
+    from pathlib import Path
+
+    from ..executor import physical_plan
+    from ..sources import session_state_path
+
+    docs = _docs(spark, sf_dir)
+    batch_pred = f"doc_id < {INC_BATCH_N}"
+
+    idx_path = session_state_path(spark, sf_dir, "inc_band_index")
+    build_cached = (Path(idx_path) / "_SUCCESS").exists()
+    t0 = _time.monotonic()
+    if not build_cached:
+        corpus_sig = _signatures_of(docs.filter(F.expr(f"NOT ({batch_pred})")))
+        (
+            _band_rows(corpus_sig, keep_sig=True)
+            .repartition("shard")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(idx_path)
+        )
+    build_sec = round(_time.monotonic() - t0, 4)
+
+    batch_sig = _signatures_of(docs.filter(F.expr(batch_pred)))
+    batch_bands = _band_rows(batch_sig, keep_sig=False)
+    # the batch's shard union: bounded by INC_NSHARDS ints -- model
+    # state, not data (the IVF-PQ probed-list precedent)
+    probed = sorted(
+        r.shard for r in batch_bands.select("shard").distinct().collect()
+    )
+
+    shard_dirs = list(Path(idx_path).glob("shard=*"))
+    probed_set = {f"shard={s}" for s in probed}
+    _INC_EVIDENCE[
+        (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    ] = dict(
+        n_shards=len(shard_dirs),
+        n_probed=sum(1 for d in shard_dirs if d.name in probed_set),
+        files_total=len(list(Path(idx_path).glob("shard=*/*.parquet"))),
+        files_probed=sum(
+            len(list(d.glob("*.parquet")))
+            for d in shard_dirs
+            if d.name in probed_set
+        ),
+        build_sec=build_sec,
+        build_cached=float(build_cached),
+    )
+
+    idx = spark.read.parquet(idx_path).filter(F.col("shard").isin(probed))
+    # the probe predicate must prune at the scan (metadata-only), never
+    # post-scan -- a raise, not an assert, so it survives python -O
+    plan = physical_plan(idx)
+    seg = plan.split("PartitionFilters", 1)
+    if len(seg) != 2 or "shard" not in seg[1][:200]:
+        raise RuntimeError(
+            "incremental-dedup probe predicate did not reach the index"
+            f" scan as a PartitionFilter; plan:\n{plan}"
+        )
+
+    cand = idx.join(
+        F.broadcast(
+            batch_bands.select(
+                F.col("doc_id").alias("doc_b"), "band", "key"
+            )
+        ),
+        ["band", "key"],
+    ).select(
+        F.col("doc_id").alias("doc_a"),
+        "doc_b",
+        *[f"m{i}" for i in range(MINHASH_K)],
+    )
+    bsig = F.broadcast(
+        batch_sig.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"m{i}").alias(f"b{i}") for i in range(MINHASH_K)],
+        )
+    )
+    matches = sum(
+        F.when(F.col(f"m{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    )
+    return (
+        cand.join(bsig, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(float(MINHASH_K)), 6).alias("est"),
+        )
+        # one aggregation collapses multi-band collisions of a pair
+        # (est is identical per pair by construction)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("est").alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= MINHASH_THRESHOLD)
+    )
+
+
+def incremental_minhash_oracle() -> str:
+    """Recomputes BOTH sides from raw text (no stored state): candidate
+    pairs are corpus-side x batch-side band collisions, scored by the
+    same signature-match ratio.  Agreement with the op proves the
+    stored band index is equivalent to recomputation."""
+    perms = ", ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_keys = ", ".join(
+        "concat_ws(','," + ", ".join(
+            f"m{bnd * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)
+        ) + f") AS bk{bnd}"
+        for bnd in range(MINHASH_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bnd} AS band, bk{bnd} AS key FROM band_keys"
+        for bnd in range(MINHASH_BANDS)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+        WITH {_sql_shingles_cte()},
+        hashed AS (SELECT doc_id, {sql_hash32('sh')} AS h FROM shingles),
+        sig AS (SELECT doc_id, {perms} FROM hashed GROUP BY doc_id),
+        band_keys AS (SELECT doc_id, {band_keys} FROM sig),
+        bands AS ({band_rows}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a, bands b
+            WHERE a.band = b.band AND a.key = b.key
+              AND a.doc_id >= {INC_BATCH_N}
+              AND b.doc_id < {INC_BATCH_N}
+        )
+        SELECT doc_a, doc_b,
+               round(({match_sum}) / {float(MINHASH_K)}, 6) AS est_jaccard
+        FROM cand
+        JOIN sig sa ON sa.doc_id = doc_a
+        JOIN sig sb ON sb.doc_id = doc_b
+        WHERE round(({match_sum}) / {float(MINHASH_K)}, 6)
+              >= {MINHASH_THRESHOLD}
     """
 
 

@@ -34,6 +34,13 @@ PIPELINE_OPS: dict[str, tuple] = {
         dedup.embedding_cosine_pairs,
         dedup.embedding_cosine_oracle(),
     ),
+    # r11 (VERDICT r10 #4): a new batch deduped against the STORED
+    # partitioned band index -- corpus signatures never recomputed,
+    # non-probed shards never read (PartitionFilter enforced by raise)
+    "dedup_incremental": (
+        dedup.incremental_minhash_pairs,
+        dedup.incremental_minhash_oracle(),
+    ),
     "dedup_semdedup": (dedup.semdedup, dedup.semdedup_oracle()),
     "dedup_clusters": (
         clustering.duplicate_clusters,
