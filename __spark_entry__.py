@@ -94,6 +94,97 @@ def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return workload.run_fixture_via_env_agent(spark, sf_dir, "join_cycle_7")
 
 
+# =========================================================================
+# r11 gate window (VERDICT r10 #1): the driver records the FIRST 50
+# declared queries.  Positions 1-3 are the two never-driver-verified
+# late-r10 ops plus evt_quantile_sketch (touched late-r10 after its r9
+# row); 4-5 are the ops ADDED in r11 (incremental dedup against the
+# stored partitioned band index; the park-API cardinality-surface
+# session); 6-12 are everything r11 TOUCHED (the Levenshtein
+# single-evaluation fence; the session-state liveness refresh touches
+# every session_state_path caller -- sim_ivfpq_pruned also gained build
+# caching + per-call evidence; Q21's flagged relation materialized
+# once).  Q2/Q11/Q16/Q20 also pass through the renamed _ensure_derived
+# helper but their SQL and plans are byte-identical and their driver
+# rows are r10-fresh, so they stay out of the window.  13-50 drain the
+# oldest (r7) evidence block: all 24 join fixtures / planner / env /
+# wire paths, the 4 r7 pipeline ops, and 10 of the 19 r7 SQL-surface
+# queries.  The 9 remaining r7 SQL queries (_R12_FIRST) are pinned at
+# positions 51-59, first in line for the r12 window -- 47 r7 + 12
+# lead cannot fit a 50-row cap, so the window takes the engine-core
+# queries and the SQL variants whose siblings are in-window wait one
+# round (each is still local-gated + pytest-checked every round).
+# =========================================================================
+_R11_WINDOW = [
+    "emb_pq_train",
+    "evt_session_window_native",
+    "evt_quantile_sketch",
+    "dedup_incremental",
+    "join_park_cards",
+    "dedup_edit_distance",
+    "sim_ivfpq_pruned",
+    "evt_incremental_rollup",
+    "io_merge_upsert",
+    "io_compact_small_files",
+    "join_feedback_persist",
+    "sql_q21_waiting_supplier",
+    # --- the r7-evidence block: join fixtures + planner paths ---
+    "join_chain_3",
+    "join_star_4",
+    "join_cycle_7",
+    "join_cross_2",
+    "join_selfjoin_4",
+    "join_preds_3",
+    "join_events_8",
+    "join_galaxy_10",
+    "join_outer_3",
+    "join_outer_mixed_5",
+    "join_outer_removed",
+    "join_outer_full",
+    "join_selfjoin_removed",
+    "join_selfjoin_removed_composite",
+    "join_adaptive_outer",
+    "join_adaptive_reopt",
+    "join_adaptive_full",
+    "join_env_agent",
+    "join_env_wire",
+    "join_env_learned",
+    "join_sketch_card",
+    "join_semi_prefilter",
+    "join_ikkbz_events",
+    "join_sampled_card",
+    # --- r7 pipeline ops ---
+    "evt_range_join",
+    "text_countmin_freq",
+    "evt_markov_stationary",
+    "emb_kmeans",
+    # --- 10 of the 19 r7 SQL-surface queries ---
+    "sql_agg_pricing",
+    "sql_window_rank",
+    "sql_topk_orders",
+    "sql_setops_nations",
+    "sql_exists_semijoin",
+    "sql_notexists_antijoin",
+    "sql_rollup",
+    "sql_having",
+    "sql_scalar_subquery",
+    "sql_in_subquery",
+]
+
+# positions 51-59: the r7 SQL remainder, first in line for r12
+_R12_FIRST = [
+    "sql_window_navigation",
+    "sql_window_distribution",
+    "sql_setops_except_union",
+    "sql_scalar_funcs",
+    "sql_cte_distinct",
+    "sql_cube",
+    "sql_grouping_sets",
+    "sql_pivot",
+    "sql_explode_tokens",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries/operators, keyed by SURVEY §2 name.
 
@@ -151,7 +242,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     join_group_3 whose AVG moved to an integer-valued column after
     runtime_test caught last-ulp cross-planner float flakiness), then
     the ENTIRE 33-query r6-freshness block -- after this round no
-    driver evidence predates r7.
+    driver evidence predates r7.  Round 11's window is the explicit
+    ``_R11_WINDOW`` list above (never-verified late-r10 ops, the two
+    r11 additions, everything r11 touched, then 38 of the 47-query
+    r7-freshness block; the 9 deferred r7 SQL queries are pinned right
+    after the window as r12's lead).
     ALL declared queries are
     checked against their DuckDB oracles by scripts/local_gate.py
     (checked-in: CORRECTNESS_LOCAL_FULL.json) and pytest every round
@@ -491,8 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["join_sampled_card"] = _sampled
 
-    # --- block C: SQL surface (driver evidence from r05, two rounds
-    # stale -- as much as fits in the window) ---
+    # --- block C: SQL surface ---
     for name in sqlsurface.SURFACE:
         if name not in out:
             out[name] = _surface_runner(name)
@@ -502,7 +596,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, (runner, _) in pipeline.items():
         if name not in out:
             out[name] = runner
-    return out
+
+    # the park-API cardinality-surface session (new r11, VERDICT r10
+    # #5): setQueries/test/setCardinalities/reset/step/isDone/
+    # getJoinsCost/getOptPlan/startTestCardinalities all run against
+    # one session, its episode's plan executes engine-side
+    def _park_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+        configure_runtime(spark)
+        return workload.run_fixture_via_park_cards(
+            spark, sf_dir, "join_star_4"
+        )
+
+    out["join_park_cards"] = _park_cards
+
+    # final declaration order = the r11 gate window (see _R11_WINDOW),
+    # then the pinned r12 lead block, then everything else in build
+    # order.  A missing name here is a rotation bug -- fail loudly.
+    missing = [n for n in _R11_WINDOW + _R12_FIRST if n not in out]
+    if missing or len(_R11_WINDOW) != 50:
+        raise RuntimeError(
+            f"gate-window rotation broken: len={len(_R11_WINDOW)}"
+            f" missing={missing}"
+        )
+    head = _R11_WINDOW + _R12_FIRST
+    return {n: out[n] for n in head} | {
+        n: r for n, r in out.items() if n not in set(head)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -523,6 +642,7 @@ def oracle_sql() -> dict[str, str]:
     out["join_ikkbz_events"] = workload.fixture_oracle_sql("join_events_8")
     out["join_sampled_card"] = workload.fixture_oracle_sql("join_cycle_7")
     out["join_sketch_card"] = workload.fixture_oracle_sql("join_cycle_7")
+    out["join_park_cards"] = workload.fixture_oracle_sql("join_star_4")
     # the SQL surface is shared ANSI text (or a DuckDB-dialect twin where
     # the engines' syntax diverges)
     for name in sqlsurface.SURFACE:

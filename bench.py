@@ -157,6 +157,12 @@ headline = [
     "emb_pq_train",
     # native session_window (one merged-session aggregation)
     "evt_session_window_native",
+    # r11 additions: incremental dedup against the stored
+    # partition-pruned band index (build once per session, probe reads
+    # only the batch's shards), and the park-API cardinality-surface
+    # session (setCardinalities-injected planning, episode plan
+    # executed engine-side)
+    "dedup_incremental", "join_park_cards",
 ]
 
 

@@ -37,23 +37,46 @@ _PARTSUPP_SQL = """
     GROUP BY l_partkey, l_suppkey
 """
 
-PARTSUPP_QUERIES = {
-    "sql_q2_min_cost_supplier",
-    "sql_q11_important_stock",
-    "sql_q16_supplier_cnt",
-    "sql_q20_promotion_stock",
+# Q21's late-shipment flags: lineitem joined to finished orders with an
+# is_late flag, referenced THREE times in the query (the driving scan
+# plus one EXISTS and one NOT EXISTS).  Spark inlines WITH CTEs, so the
+# textual CTE form triple-scanned lineitem and orders (measured: 3
+# scans each, zero ReusedExchange) -- the r11 fix gives it the same
+# materialize-once treatment as partsupp (r10 VERDICT #6).
+_FLAGGED_SQL = """
+    SELECT l.l_orderkey, l.l_suppkey,
+           CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL '100' DAY
+                THEN 1 ELSE 0 END AS is_late
+    FROM lineitem l, orders o
+    WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+"""
+
+# derived relations materialized ONCE per (session, sf_dir) and shared
+# by every consumer -- the warehouse staging-table pattern
+_DERIVED_SQL = {
+    "partsupp": _PARTSUPP_SQL,
+    "flagged_lineitems": _FLAGGED_SQL,
 }
 
-# (id(spark), sf_dir) -> cached derived-partsupp DataFrame; each entry
+# query -> derived views it consumes
+DERIVED_VIEWS_OF = {
+    "sql_q2_min_cost_supplier": ("partsupp",),
+    "sql_q11_important_stock": ("partsupp",),
+    "sql_q16_supplier_cnt": ("partsupp",),
+    "sql_q20_promotion_stock": ("partsupp",),
+    "sql_q21_waiting_supplier": ("flagged_lineitems",),
+}
+
+# (id(spark), sf_dir, view) -> cached derived DataFrame; each entry
 # holds its DataFrame (and through it the session) strongly, so a dead
 # session's recycled id() can never alias a live key
-_PARTSUPP_CACHE: dict[tuple[int, str], DataFrame] = {}
+_DERIVED_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def _partsupp_pair(body: str) -> tuple[str, str]:
     """(spark_sql, duck_sql) for a query over the derived partsupp:
     DuckDB gets the full inline CTE; Spark reads the shared cached
-    ``partsupp`` temp view registered by ``_ensure_partsupp``."""
+    ``partsupp`` temp view registered by ``_ensure_derived``."""
     duck = f"WITH partsupp AS ({_PARTSUPP_SQL}){body}"
     spark_body = body.lstrip()
     if spark_body.startswith(","):  # body continues a WITH chain
@@ -61,35 +84,40 @@ def _partsupp_pair(body: str) -> tuple[str, str]:
     return (spark_body, duck)
 
 
-def _ensure_partsupp(spark: SparkSession, sf_dir: str) -> None:
-    """Materialize the derived partsupp once per (session, sf_dir) and
-    expose it as the ``partsupp`` temp view.  Scoped like
-    workload.PERSISTED_BLOCKS: lives for the session, evicted when the
-    same session switches sf_dir (the gate and tests reuse one session
-    across scale factors)."""
-    key = (id(spark), sf_dir.rstrip("/"))
-    df = _PARTSUPP_CACHE.get(key)
+def _ensure_derived(spark: SparkSession, sf_dir: str, view: str) -> None:
+    """Materialize a derived relation once per (session, sf_dir) and
+    expose it as a temp view.  Scoped like workload.PERSISTED_BLOCKS:
+    lives for the session, evicted when the same session switches
+    sf_dir (the gate and tests reuse one session across scale
+    factors)."""
+    key = (id(spark), sf_dir.rstrip("/"), view)
+    df = _DERIVED_CACHE.get(key)
     if df is None:
-        for stale in [k for k in _PARTSUPP_CACHE if k[0] == id(spark)]:
+        for stale in [
+            k
+            for k in _DERIVED_CACHE
+            if k[0] == id(spark) and k[1] != key[1]
+        ]:
             try:
-                _PARTSUPP_CACHE.pop(stale).unpersist(blocking=True)
+                _DERIVED_CACHE.pop(stale).unpersist(blocking=True)
             except Exception:
-                _PARTSUPP_CACHE.pop(stale, None)
+                _DERIVED_CACHE.pop(stale, None)
         # FIFO bound (r9 ADVICE): entries for STOPPED sessions are
         # unreachable by the same-session eviction above and each one
         # pins its dead session's plans through the persisted
         # DataFrame -- bench's fresh-session-per-cohort pattern would
         # otherwise grow this module global forever.  8 mirrors
-        # oracle.py's snapshot cache bound.
-        while len(_PARTSUPP_CACHE) >= 8:
-            oldest = next(iter(_PARTSUPP_CACHE))
+        # oracle.py's snapshot cache bound (two views per session fit
+        # four sessions).
+        while len(_DERIVED_CACHE) >= 8:
+            oldest = next(iter(_DERIVED_CACHE))
             try:
-                _PARTSUPP_CACHE.pop(oldest).unpersist(blocking=False)
+                _DERIVED_CACHE.pop(oldest).unpersist(blocking=False)
             except Exception:
-                _PARTSUPP_CACHE.pop(oldest, None)
-        df = spark.sql(_PARTSUPP_SQL).persist()
-        _PARTSUPP_CACHE[key] = df
-    df.createOrReplaceTempView("partsupp")
+                _DERIVED_CACHE.pop(oldest, None)
+        df = spark.sql(_DERIVED_SQL[view]).persist()
+        _DERIVED_CACHE[key] = df
+    df.createOrReplaceTempView(view)
 
 
 # name -> SQL valid for BOTH Spark and DuckDB, or a (spark_sql, duck_sql)
@@ -584,32 +612,51 @@ SURFACE: dict[str, str | tuple[str, str]] = {
             OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
                 AND l.l_quantity BETWEEN 20 AND 40))
     """,
-    # Q21: suppliers who kept orders waiting (adapted lateness; decorrelated
-    # through a late-flag CTE so both EXISTS stay single-level correlations)
-    "sql_q21_waiting_supplier": """
-        WITH flagged AS (
-            SELECT l.l_orderkey, l.l_suppkey,
-                   CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL '100' DAY
-                        THEN 1 ELSE 0 END AS is_late
-            FROM lineitem l, orders o
-            WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
-        )
+    # Q21: suppliers who kept orders waiting (adapted lateness;
+    # decorrelated through a late-flag relation so both EXISTS stay
+    # single-level correlations).  The flag relation is referenced 3x,
+    # so Spark reads the MATERIALIZED flagged_lineitems view (one
+    # lineitem+orders pass shared by all three references -- Spark
+    # inlines textual CTEs and would triple-scan otherwise); DuckDB
+    # keeps the inline CTE (fresh single-query engine; sharing there
+    # would prove nothing).
+    "sql_q21_waiting_supplier": (
+        """
         SELECT s.s_name, COUNT(*) AS numwait
-        FROM supplier s, flagged l1
+        FROM supplier s, flagged_lineitems l1
         WHERE s.s_suppkey = l1.l_suppkey AND l1.is_late = 1
           AND EXISTS (
-              SELECT 1 FROM flagged l2
+              SELECT 1 FROM flagged_lineitems l2
               WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
           )
           AND NOT EXISTS (
-              SELECT 1 FROM flagged l3
+              SELECT 1 FROM flagged_lineitems l3
               WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
                 AND l3.is_late = 1
           )
         GROUP BY s.s_name
         ORDER BY numwait DESC, s.s_name
         LIMIT 20
-    """,
+        """,
+        f"""
+        WITH flagged_lineitems AS ({_FLAGGED_SQL})
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier s, flagged_lineitems l1
+        WHERE s.s_suppkey = l1.l_suppkey AND l1.is_late = 1
+          AND EXISTS (
+              SELECT 1 FROM flagged_lineitems l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM flagged_lineitems l3
+              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.is_late = 1
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 20
+        """,
+    ),
     # Q22: sales opportunity (adapted: nationkey buckets stand in for phone
     # country codes; "no urgent order" stands in for "no order")
     "sql_q22_sales_opportunity": """
@@ -791,6 +838,6 @@ def oracle_sql_of(name: str) -> str:
 
 def run_surface(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     register_views(spark, sf_dir)
-    if name in PARTSUPP_QUERIES:
-        _ensure_partsupp(spark, sf_dir)
+    for view in DERIVED_VIEWS_OF.get(name, ()):
+        _ensure_derived(spark, sf_dir, view)
     return spark.sql(spark_sql_of(name))

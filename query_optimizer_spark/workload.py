@@ -380,6 +380,58 @@ def run_fixture_via_wire(spark, sf_dir: str, name: str = "join_cycle_7"):
     return renderer.run(plan)
 
 
+def run_fixture_via_park_cards(spark, sf_dir: str, name: str = "join_star_4"):
+    """Plan a fixture through the park API's CARDINALITY command surface
+    (§2.8 beyond env stepping; r10 VERDICT #5's gate-visible park-API
+    session): the session ingests the workload (setQueries/test), the
+    agent INJECTS the cardinality file (setCardinalities -- the
+    reference's agent-supplied-cards mode, ZeroMQServer.java
+    setCardinalities / QueryOptExperiment.java:205 pg.json), walks the
+    episode to completion under those injected counts (any miss raises
+    CardinalityMissError -- C2 is live in this path), and the episode's
+    final plan is executed engine-side.  En route the planner-comparison
+    and est-vs-true commands run against the same session --
+    getJoinsCost / getOptPlan / startTestCardinalities /
+    getEstCardinalityCosts / getOptCardinalityCosts -- with their
+    invariants enforced by raise (est cost of a perturbed oracle can
+    never beat the optimum under the same true counts), so the gate row
+    proves the whole command vocabulary, not just reset/step/isDone."""
+    import json as _json
+
+    from .park_api import ParkSession
+
+    sql = FIXTURES[name]
+    graph = JoinGraph.from_query(parse(sql))
+    tr = TrueCountOracle(sf_dir)
+    tr.precompute_all_connected(graph)
+    cards = tr.snapshot()
+
+    session = ParkSession(sf_dir=sf_dir, cost_model="cm1", true_oracle=tr)
+    session.setQueries("test", _json.dumps({name: sql}))
+    session.test()
+    session.setCardinalities(cards.to_json())
+    session.reset()
+    while not session.isDone():
+        session.step(session.getActions()[0])
+    if not session.joinOrderSeq():
+        raise RuntimeError("park episode finished without a join order")
+    per_join = session.getJoinsCost("dp_ccp")
+    if not per_join or any(v < 0 for v in per_join.values()):
+        raise RuntimeError(f"getJoinsCost(dp_ccp) malformed: {per_join}")
+    if not session.getOptPlan().startswith("JOIN("):
+        raise RuntimeError("getOptPlan did not return a plan string")
+    session.startTestCardinalities(cards.perturbed(seed=7), tr)
+    est = session.getEstCardinalityCosts()[name]
+    opt = session.getOptCardinalityCosts()[name]
+    if est < opt - 1e-6:
+        raise RuntimeError(
+            f"perturbed-card cost {est} beat the true-card optimum {opt}"
+        )
+    session.END()
+    renderer = Renderer(spark, sf_dir, graph, session.oracle)
+    return renderer.run(session._env.final_plan())
+
+
 def true_oracle(sf_dir: str) -> TrueCountOracle:
     return TrueCountOracle(sf_dir)
 

@@ -559,3 +559,21 @@ def test_zmtp_replay_recorded_libzmq_transcript():
     assert bytes(sock.out) == s2c, "server bytes diverge from recording"
     n_pongs = bytes(sock.out).count(b"\x04PONG")
     assert n_pongs == rec["meta"]["n_pings_consumed"] == 15
+
+
+def test_park_cards_runner_matches_dpccp(spark, duck):
+    """The gate-visible park-API session (r10 VERDICT #5): a fixture
+    planned entirely through the park command vocabulary with INJECTED
+    cardinalities must answer exactly like the engine's own dp_ccp run
+    (and, through the gate, the DuckDB oracle)."""
+    from query_optimizer_spark import workload
+    from query_optimizer_spark.harness import result_hash
+
+    from .test_spark_exec import duck_hash
+
+    df = workload.run_fixture_via_park_cards(spark, SF_DIR, "join_star_4")
+    assert result_hash(df) == duck_hash(
+        duck, workload.fixture_oracle_sql("join_star_4")
+    )
+    direct = workload.run_fixture(spark, SF_DIR, "join_star_4", planner="dp_ccp")
+    assert result_hash(df) == result_hash(direct)
