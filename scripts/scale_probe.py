@@ -286,6 +286,32 @@ def main() -> None:
         probe("dedup_containment", "disjoint", k,
               lambda sf=sf: dedup.containment_pairs(spark, sf),
               n_docs0 * k, {"band_candidates": n_cand})
+        # --- incremental dedup against the stored band index (r11,
+        # VERDICT r10 #4): the batch is the FIXED 50 lowest doc_ids
+        # (replica/disjoint growth appends ids at +i*ID_STRIDE, so the
+        # batch never grows).  build_sec is the one-time linear index
+        # cost; the PROBE phase (total - build) must stay ~flat in
+        # corpus size -- files_probed is pinned by the batch's shard
+        # union while files_total grows with the corpus.  Disjoint
+        # replicas share no shingles (constant collision structure);
+        # replica mode is the adversarial case where every batch doc
+        # gains k exact twins and out_rows grows ~k.
+        def _inc_post(sf_of):
+            def post():
+                info = dedup.incremental_evidence(spark, sf_of)
+                build = info.pop("build_sec", 0.0)
+                return {"build_sec": round(build, 2), **info}
+
+            return post
+
+        sf = f"{WORK}/replica_x{k}"
+        probe("dedup_incremental", "replica", k,
+              lambda sf=sf: dedup.incremental_minhash_pairs(spark, sf),
+              n_docs0 * k, post=_inc_post(sf))
+        sf = f"{WORK}/disjoint_x{k}"
+        probe("dedup_incremental", "disjoint", k,
+              lambda sf=sf: dedup.incremental_minhash_pairs(spark, sf),
+              n_docs0 * k, post=_inc_post(sf))
         # --- tfidf on the realistic growth model
         probe("corpus_tfidf_topk", "disjoint", k,
               lambda sf=sf: corpus.tfidf_topk(spark, sf), n_docs0 * k)
@@ -460,6 +486,18 @@ def main() -> None:
               lambda sf=f"{WORK}/disjoint_x{k}":
                   streaming_mod.asof_stream(spark, sf),
               n_events0 * k, post=_state_rows)
+        # --- streaming quantile sketch (r10; VERDICT r10 #3): state is
+        # one <=41-slot count vector per event_type FOREVER, so
+        # state_rows must stay flat (= #types) as events grow; runtime
+        # is the one availableNow pass over the grown stream
+        probe("stream_quantile_sketch", "replica", k,
+              lambda sf=f"{WORK}/replica_x{k}":
+                  streaming_mod.quantile_sketch_stream(spark, sf),
+              n_events0 * k, post=_state_rows)
+        probe("stream_quantile_sketch", "disjoint", k,
+              lambda sf=f"{WORK}/disjoint_x{k}":
+                  streaming_mod.quantile_sketch_stream(spark, sf),
+              n_events0 * k, post=_state_rows)
         # --- bucketed range join (r7): replica mode is the hot-user
         # adversarial case (per-user view AND purchase volume both x k,
         # so matched pairs inside a bucket grow ~k^2); disjoint grows
@@ -509,6 +547,44 @@ def main() -> None:
               lambda sf=f"{WORK}/disjoint_x{k}":
                   temporal.incremental_rollup(spark, sf),
               n_events0 * k, post=_rollup_post)
+        # --- quantile rollup (r10; VERDICT r10 #3): the stored state is
+        # one <=41-bucket histogram per (type, day), so sketch_rows must
+        # stay FLAT as events grow -- the 'any date range from stored
+        # sketches, never the events' claim is a state-size bound.  The
+        # total runtime is scan-bound by construction (one pass builds
+        # the per-day sketches); the rollup's own cost is
+        # sketch_rows-shaped, i.e. constant
+        def _qrollup_state(sf):
+            def post():
+                from pyspark.sql import functions as FF
+
+                n = (
+                    temporal.events_df(spark, sf)
+                    .select(
+                        "event_type",
+                        FF.date_trunc("day", "ts").alias("day"),
+                        FF.expr(
+                            "cast(round(value * 100, 0) as bigint)"
+                        ).alias("c"),
+                    )
+                    .select("event_type", "day",
+                            FF.expr(temporal._QSK_BUCKET).alias("b"))
+                    .groupBy("event_type", "day", "b")
+                    .count()
+                    .count()
+                )
+                return {"sketch_rows": n}
+
+            return post
+
+        probe("evt_quantile_rollup", "replica", k,
+              lambda sf=f"{WORK}/replica_x{k}":
+                  temporal.quantile_rollup(spark, sf),
+              n_events0 * k, post=_qrollup_state(f"{WORK}/replica_x{k}"))
+        probe("evt_quantile_rollup", "disjoint", k,
+              lambda sf=f"{WORK}/disjoint_x{k}":
+                  temporal.quantile_rollup(spark, sf),
+              n_events0 * k, post=_qrollup_state(f"{WORK}/disjoint_x{k}"))
         # --- range join under ONE-hot-user skew (VERDICT r7 #7): a
         # single user's views replicate x (k * HOT_BASE) against an
         # otherwise constant table, so ALL the growth lands on one
@@ -771,6 +847,24 @@ def main() -> None:
         "observed count crosses threshold/80B (~131k rows) and the",
         "decision flips from broadcast to shuffle, measured, not",
         "estimated.",
+        "evt_quantile_rollup (r11 rows; the op is r10): sketch_rows is",
+        "the STORED state -- one <=41-bucket histogram per (type, day)",
+        "-- and must stay flat as events grow; the ALL row is computed",
+        "only by summing those rows, so its cost is sketch_rows-shaped",
+        "(constant) while the total runtime is the one scan that",
+        "builds the per-day sketches (linear by construction).",
+        "stream_quantile_sketch (r11 rows): state_rows = #event_types",
+        "forever (one <=41-slot count vector per key); flat state",
+        "against growing event volume is the bounded-state claim,",
+        "runtime is the single availableNow pass.",
+        "dedup_incremental (r11): the batch is FIXED (50 lowest",
+        "doc_ids; growth appends ids above ID_STRIDE), so probe_sec =",
+        "total - build_sec must stay ~flat while files_total grows",
+        "with the corpus and files_probed stays pinned by the batch's",
+        "shard union -- never recompute corpus signatures, never read",
+        "non-probed shards.  replica mode is adversarial (every batch",
+        "doc gains k exact twins, out_rows ~k); disjoint replicas",
+        "share no shingles so collision structure is constant.",
     ]
     Path(args.out).write_text("\n".join(lines) + "\n")
     print(f"wrote {args.out}")
