@@ -163,6 +163,9 @@ headline = [
     # session (setCardinalities-injected planning, episode plan
     # executed engine-side)
     "dedup_incremental", "join_park_cards",
+    # the ingest loop's write half: accepted batch docs committed via
+    # dynamic partition overwrite of only the batch's shards
+    "dedup_index_commit",
 ]
 
 

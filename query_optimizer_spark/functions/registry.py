@@ -41,6 +41,14 @@ PIPELINE_OPS: dict[str, tuple] = {
         dedup.incremental_minhash_pairs,
         dedup.incremental_minhash_oracle(),
     ),
+    # r11: the write half of the ingest loop -- accepted batch docs
+    # committed into the stored index via dynamic partition overwrite
+    # (only the batch's shards rewritten; untouched dirs byte-identical,
+    # pytest-asserted); oracle rebuilds the post-commit index from raw
+    "dedup_index_commit": (
+        dedup.index_commit_stats,
+        dedup.index_commit_oracle(),
+    ),
     "dedup_semdedup": (dedup.semdedup, dedup.semdedup_oracle()),
     "dedup_clusters": (
         clustering.duplicate_clusters,

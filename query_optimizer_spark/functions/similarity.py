@@ -1695,6 +1695,11 @@ def ivfpq_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
          for c in np.nonzero(probe_mask[qi])[0]}
     )
     list_dirs = sorted(Path(idx_path).glob("cent_id=*"))
+    # FIFO bound: dead sessions' entries are unreachable by key and the
+    # registry would otherwise grow one (tiny) dict per bench cohort
+    # forever -- same discipline as sqlsurface's derived-view cache
+    while len(_IVFPQ_PRUNED_EVIDENCE) >= 8:
+        _IVFPQ_PRUNED_EVIDENCE.pop(next(iter(_IVFPQ_PRUNED_EVIDENCE)))
     _IVFPQ_PRUNED_EVIDENCE[
         (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     ] = dict(
