@@ -737,6 +737,9 @@ def index_commit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     skipped = bool(touched) and n_committed == n_accepted
+    import time as _time
+
+    t_commit = _time.monotonic()
     if touched and not skipped:
         to_write = (
             existing.localCheckpoint(eager=True)
@@ -765,6 +768,9 @@ def index_commit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_accepted=n_accepted,
         n_rejected=len(rejected),
         commit_skipped=float(skipped),
+        # the write phase alone (read-back of touched shards + dynamic
+        # partition overwrite); the flat-in-corpus claim under test
+        commit_sec=round(_time.monotonic() - t_commit, 4),
         touched=touched,
     )
 

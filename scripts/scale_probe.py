@@ -312,6 +312,27 @@ def main() -> None:
         probe("dedup_incremental", "disjoint", k,
               lambda sf=sf: dedup.incremental_minhash_pairs(spark, sf),
               n_docs0 * k, post=_inc_post(sf))
+        # --- index commit (r11): the write half.  commit_sec (touched
+        # read-back + dynamic partition overwrite) must stay ~flat in
+        # corpus size; the op's TOTAL grows linearly because its output
+        # is a full-index per-shard aggregate (the verification view,
+        # not the commit).  The index was just built by the probe above;
+        # the commit is real on the first call per scale point.
+        def _commit_post(sf_of):
+            def post():
+                ev = dedup.index_commit_evidence(spark, sf_of)
+                return {
+                    "commit_sec": ev.get("commit_sec"),
+                    "n_touched": ev.get("n_touched"),
+                    "n_accepted": ev.get("n_accepted"),
+                    "commit_skipped": ev.get("commit_skipped"),
+                }
+
+            return post
+
+        probe("dedup_index_commit", "disjoint", k,
+              lambda sf=sf: dedup.index_commit_stats(spark, sf),
+              n_docs0 * k, post=_commit_post(sf))
         # --- tfidf on the realistic growth model
         probe("corpus_tfidf_topk", "disjoint", k,
               lambda sf=sf: corpus.tfidf_topk(spark, sf), n_docs0 * k)
@@ -865,6 +886,12 @@ def main() -> None:
         "non-probed shards.  replica mode is adversarial (every batch",
         "doc gains k exact twins, out_rows ~k); disjoint replicas",
         "share no shingles so collision structure is constant.",
+        "dedup_index_commit (r11): commit_sec is the write phase alone",
+        "(touched-shard read-back + dynamic partition overwrite) and",
+        "must stay ~flat as the corpus grows -- n_touched is pinned by",
+        "the fixed batch; the op's TOTAL time grows linearly only",
+        "because its returned verification view aggregates the whole",
+        "index (out_rows tracks occupied shards).",
     ]
     Path(args.out).write_text("\n".join(lines) + "\n")
     print(f"wrote {args.out}")
