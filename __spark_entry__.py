@@ -98,21 +98,23 @@ def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r11 gate window (VERDICT r10 #1): the driver records the FIRST 50
 # declared queries.  Positions 1-3 are the two never-driver-verified
 # late-r10 ops plus evt_quantile_sketch (touched late-r10 after its r9
-# row); 4-6 are the ops ADDED in r11 (incremental dedup against the
+# row); 4-7 are the ops ADDED in r11 (incremental dedup against the
 # stored partitioned band index; its commit half -- accepted batch
 # docs merged via dynamic partition overwrite of only the batch's
-# shards; the park-API cardinality-surface session); 7-13 are
+# shards; its streaming leg -- arriving docs probe the stored index
+# via a stateless stream-static join; the park-API
+# cardinality-surface session); 8-14 are
 # everything r11 TOUCHED (the Levenshtein
 # single-evaluation fence; the session-state liveness refresh touches
 # every session_state_path caller -- sim_ivfpq_pruned also gained build
 # caching + per-call evidence; Q21's flagged relation materialized
 # once).  Q2/Q11/Q16/Q20 also pass through the renamed _ensure_derived
 # helper but their SQL and plans are byte-identical and their driver
-# rows are r10-fresh, so they stay out of the window.  14-50 drain the
+# rows are r10-fresh, so they stay out of the window.  15-50 drain the
 # oldest (r7) evidence block: all 24 join fixtures / planner / env /
-# wire paths, the 4 r7 pipeline ops, and 9 of the 19 r7 SQL-surface
-# queries.  The 10 remaining r7 SQL queries (_R12_FIRST) are pinned at
-# positions 51-60, first in line for the r12 window -- 47 r7 + 13
+# wire paths, the 4 r7 pipeline ops, and 8 of the 19 r7 SQL-surface
+# queries.  The 11 remaining r7 SQL queries (_R12_FIRST) are pinned at
+# positions 51-61, first in line for the r12 window -- 47 r7 + 14
 # lead cannot fit a 50-row cap, so the window takes the engine-core
 # queries and the SQL variants whose siblings are in-window wait one
 # round (each is still local-gated + pytest-checked every round).
@@ -123,6 +125,7 @@ _R11_WINDOW = [
     "evt_quantile_sketch",
     "dedup_incremental",
     "dedup_index_commit",
+    "stream_incremental_dedup",
     "join_park_cards",
     "dedup_edit_distance",
     "sim_ivfpq_pruned",
@@ -170,11 +173,11 @@ _R11_WINDOW = [
     "sql_notexists_antijoin",
     "sql_rollup",
     "sql_having",
-    "sql_scalar_subquery",
 ]
 
-# positions 51-60: the r7 SQL remainder, first in line for r12
+# positions 51-61: the r7 SQL remainder, first in line for r12
 _R12_FIRST = [
+    "sql_scalar_subquery",
     "sql_in_subquery",
     "sql_window_navigation",
     "sql_window_distribution",

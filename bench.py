@@ -166,6 +166,9 @@ headline = [
     # the ingest loop's write half: accepted batch docs committed via
     # dynamic partition overwrite of only the batch's shards
     "dedup_index_commit",
+    # the ingest loop's streaming leg: arriving docs probe the stored
+    # index via a stateless stream-static join
+    "stream_incremental_dedup",
 ]
 
 

@@ -173,6 +173,13 @@ PIPELINE_OPS: dict[str, tuple] = {
         streaming.hll_users_stream,
         streaming.hll_users_stream_oracle(),
     ),
+    # r11: the streaming leg of the incremental-ingest dedup loop --
+    # arriving docs probe the STORED band index via a stateless
+    # stream-static join; same answer (and oracle) as the batch probe
+    "stream_incremental_dedup": (
+        streaming.incremental_dedup_stream,
+        streaming.incremental_dedup_stream_oracle(),
+    ),
     "stream_feedback_join": (
         streaming.feedback_broadcast_join,
         streaming.feedback_broadcast_join_oracle(),

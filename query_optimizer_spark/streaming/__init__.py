@@ -13,6 +13,8 @@ same code tails a directory/Kafka source continuously.
 from .ops import (
     asof_stream,
     asof_stream_oracle,
+    incremental_dedup_stream,
+    incremental_dedup_stream_oracle,
     dedup_stream,
     feedback_broadcast_join,
     feedback_broadcast_join_oracle,
@@ -40,6 +42,8 @@ __all__ = [
     "stream_events",
     "asof_stream",
     "asof_stream_oracle",
+    "incremental_dedup_stream",
+    "incremental_dedup_stream_oracle",
     "feedback_broadcast_join",
     "feedback_broadcast_join_oracle",
     "join_stream",

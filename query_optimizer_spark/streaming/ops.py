@@ -1087,3 +1087,92 @@ def quantile_sketch_stream_oracle() -> str:
         SELECT event_type, CAST(max(n) AS INT) AS n_events, {sk_cols}
         FROM cum GROUP BY event_type
     """
+
+
+def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING leg of the incremental-ingest dedup loop (r11;
+    batch legs: ``dedup.incremental_minhash_pairs`` probe +
+    ``dedup.index_commit_stats`` commit): newly arriving documents are
+    near-dup-checked against the STORED corpus band index as they
+    land, corpus signatures never recomputed.
+
+    Shape: file-source readStream over the batch slice (doc_id <
+    INC_BATCH_N -- the same deterministic split the batch legs use) ->
+    the shared Arrow signature UDF + band explode run PER MICRO-BATCH
+    (map-side, stateless) -> STREAM-STATIC inner join against the
+    stored index on (band, key) -- stateless by construction, the
+    static side re-resolved per micro-batch exactly as a production
+    enrichment join re-reads its dimension (at 100 TB the index side
+    is the bucketed/broadcast table; the per-batch shard-pruned read
+    of the batch leg trades off against continuous arrival here) ->
+    the signature-match score -> one streaming aggregation collapsing
+    multi-band collisions (state is bounded by the LIVE near-dup pair
+    count, not the corpus).
+
+    Emits exactly ``incremental_minhash_pairs``'s answer -- (doc_a
+    existing, doc_b new, est_jaccard >= threshold) -- and shares its
+    DuckDB oracle: the stream, the batch probe, and the raw-text
+    recompute must all agree hash-exactly."""
+    from ..functions.constants import (
+        INC_BATCH_N,
+        MINHASH_K,
+        MINHASH_THRESHOLD,
+    )
+    from ..functions.dedup import (
+        _band_rows,
+        _ensure_inc_index,
+        _signatures_of,
+    )
+
+    configure_runtime(spark)
+    idx_path, _, _ = _ensure_inc_index(spark, sf_dir)
+
+    stored_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = (
+        spark.readStream.schema(stored_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .option("recursiveFileLookup", "false")
+        .load(sf_dir)
+        .filter(F.col("doc_id") < INC_BATCH_N)
+    )
+    batch_bands = _band_rows(_signatures_of(docs), keep_sig=True).select(
+        F.col("doc_id").alias("doc_b"),
+        "band",
+        "key",
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(MINHASH_K)],
+    )
+    idx = (
+        spark.read.parquet(idx_path)
+        # corpus-side rows only: commit-invariant, like the batch probe
+        .filter(F.col("doc_id") >= INC_BATCH_N)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "band",
+            "key",
+            *[f"m{i}" for i in range(MINHASH_K)],
+        )
+    )
+    matches = sum(
+        F.when(F.col(f"m{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    )
+    scored = (
+        batch_bands.join(idx, ["band", "key"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(float(MINHASH_K)), 6).alias("est"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("est").alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= MINHASH_THRESHOLD)
+    )
+    return _run_to_memory(scored, "complete")
+
+
+def incremental_dedup_stream_oracle() -> str:
+    """Identical answer to the batch probe by construction."""
+    from ..functions.dedup import incremental_minhash_oracle
+
+    return incremental_minhash_oracle()

@@ -400,3 +400,21 @@ def test_scd2_intervals_tile_each_user(spark):
                 # open the next interval at an equal timestamp
                 a.valid_from_ms == a.valid_to_ms
             )
+
+
+def test_stream_incremental_dedup_matches_batch_probe(spark, duck):
+    """The ingest loop's streaming leg must emit EXACTLY the batch
+    probe's answer (same split, same stored index, same threshold) and
+    hash-match the shared raw-text oracle -- stream, batch, and
+    recompute all agree."""
+    from query_optimizer_spark.functions import dedup
+
+    sdf = streaming.incremental_dedup_stream(spark, SF_DIR)
+    got = sorted(map(tuple, sdf.collect()))
+    batch = sorted(
+        map(tuple, dedup.incremental_minhash_pairs(spark, SF_DIR).collect())
+    )
+    assert got == batch and got
+    assert result_hash(sdf) == duck_hash(
+        duck, streaming.incremental_dedup_stream_oracle()
+    )
