@@ -95,88 +95,28 @@ def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
-# r11 gate window (VERDICT r10 #1): the driver records the FIRST 50
-# declared queries.  Positions 1-3 are the two never-driver-verified
-# late-r10 ops plus evt_quantile_sketch (touched late-r10 after its r9
-# row); 4-7 are the ops ADDED in r11 (incremental dedup against the
-# stored partitioned band index; its commit half -- accepted batch
-# docs merged via dynamic partition overwrite of only the batch's
-# shards; its streaming leg -- arriving docs probe the stored index
-# via a stateless stream-static join; the park-API
-# cardinality-surface session); 8-14 are
-# everything r11 TOUCHED (the Levenshtein
-# single-evaluation fence; the session-state liveness refresh touches
-# every session_state_path caller -- sim_ivfpq_pruned also gained build
-# caching + per-call evidence; Q21's flagged relation materialized
-# once).  Q2/Q11/Q16/Q20 also pass through the renamed _ensure_derived
-# helper but their SQL and plans are byte-identical and their driver
-# rows are r10-fresh, so they stay out of the window.  15-50 drain the
-# oldest (r7) evidence block: all 24 join fixtures / planner / env /
-# wire paths, the 4 r7 pipeline ops, and 8 of the 19 r7 SQL-surface
-# queries.  The 11 remaining r7 SQL queries (_R12_FIRST) are pinned at
-# positions 51-61, first in line for the r12 window -- 47 r7 + 14
-# lead cannot fit a 50-row cap, so the window takes the engine-core
-# queries and the SQL variants whose siblings are in-window wait one
-# round (each is still local-gated + pytest-checked every round).
+# r12 gate window (VERDICT r11 #1): the driver records the FIRST 50
+# declared queries.  Positions 1-11 are EXACTLY the 11 SQL variants the
+# r11 round pinned as _R12_FIRST (their freshest driver evidence was
+# r7 -- the oldest stratum; the r11 verdict made leading with them the
+# round's first punch item).  Position 12 is the op ADDED in r12
+# (dedup_multibatch -- the two-day ingest loop: batch1 probe -> accept
+# -> commit, then batch2 probes the GROWN index and must see accepted
+# batch1 docs as corpus).  13-15 are the ops r12 TOUCHED: the
+# incremental trio now shares _probe_band_index/_commit_band_index
+# with the multibatch loop, the commit's already-committed skip check
+# is PER-BAND (r11 ADVICE: a crash mid-overwrite could previously pass
+# the per-doc equality and never heal), and the commit's verification
+# aggregate is BOUNDED to the touched shards (VERDICT r11 #4 -- the
+# full-index groupBy was the loop's only linear-in-corpus piece; the
+# oracle bounds its rebuild identically).  16-50 rotate 35 of the
+# 42-query r8-freshness stratum (VERDICT r11 #6), prioritizing the
+# streaming family and the io/skew rows never re-gated since r8; the
+# 7 deferred TPC-H rows (_R13_FIRST) are pinned at positions 51-57,
+# first in line for r13.
 # =========================================================================
-_R11_WINDOW = [
-    "emb_pq_train",
-    "evt_session_window_native",
-    "evt_quantile_sketch",
-    "dedup_incremental",
-    "dedup_index_commit",
-    "stream_incremental_dedup",
-    "join_park_cards",
-    "dedup_edit_distance",
-    "sim_ivfpq_pruned",
-    "evt_incremental_rollup",
-    "io_merge_upsert",
-    "io_compact_small_files",
-    "join_feedback_persist",
-    "sql_q21_waiting_supplier",
-    # --- the r7-evidence block: join fixtures + planner paths ---
-    "join_chain_3",
-    "join_star_4",
-    "join_cycle_7",
-    "join_cross_2",
-    "join_selfjoin_4",
-    "join_preds_3",
-    "join_events_8",
-    "join_galaxy_10",
-    "join_outer_3",
-    "join_outer_mixed_5",
-    "join_outer_removed",
-    "join_outer_full",
-    "join_selfjoin_removed",
-    "join_selfjoin_removed_composite",
-    "join_adaptive_outer",
-    "join_adaptive_reopt",
-    "join_adaptive_full",
-    "join_env_agent",
-    "join_env_wire",
-    "join_env_learned",
-    "join_sketch_card",
-    "join_semi_prefilter",
-    "join_ikkbz_events",
-    "join_sampled_card",
-    # --- r7 pipeline ops ---
-    "evt_range_join",
-    "text_countmin_freq",
-    "evt_markov_stationary",
-    "emb_kmeans",
-    # --- 10 of the 19 r7 SQL-surface queries ---
-    "sql_agg_pricing",
-    "sql_window_rank",
-    "sql_topk_orders",
-    "sql_setops_nations",
-    "sql_exists_semijoin",
-    "sql_notexists_antijoin",
-    "sql_rollup",
-    "sql_having",
-]
-
-# positions 51-61: the r7 SQL remainder, first in line for r12
-_R12_FIRST = [
+_R12_WINDOW = [
+    # --- the 11 SQL variants pinned by r11 (VERDICT r11 #1) ---
     "sql_scalar_subquery",
     "sql_in_subquery",
     "sql_window_navigation",
@@ -188,6 +128,63 @@ _R12_FIRST = [
     "sql_grouping_sets",
     "sql_pivot",
     "sql_explode_tokens",
+    # --- added in r12 ---
+    "dedup_multibatch",
+    # --- touched in r12 (shared probe/commit helpers, per-band skip
+    # check, bounded verification aggregate) ---
+    "dedup_incremental",
+    "dedup_index_commit",
+    "stream_incremental_dedup",
+    # --- the r8-evidence stratum: streaming family first ---
+    "stream_asof_join",
+    "stream_dedup",
+    "stream_enrich",
+    "stream_hourly_counts",
+    "stream_join",
+    "stream_sessionize",
+    "stream_sink_parquet",
+    "stream_sliding_counts",
+    # --- io / skew rows last re-gated r8 ---
+    "io_bucketed_join",
+    "io_csv_roundtrip",
+    "io_jsonl_roundtrip",
+    "io_runtime_bloom_prune",
+    "skew_salted_join",
+    # --- remaining r8-evidence ops ---
+    "dedup_containment",
+    "join_feedback_warm",
+    "mm_image_decode",
+    "sim_hamming_topk",
+    "text_hll_vocab",
+    # --- r8-evidence SQL surface (variants, then TPC-H) ---
+    "sql_array_agg_sorted",
+    "sql_date_arith",
+    "sql_full_outer_merge",
+    "sql_left_antijoin",
+    "sql_left_join_agg",
+    "sql_median",
+    "sql_null_funcs",
+    "sql_stddev",
+    "sql_q3_shipping_priority",
+    "sql_q5_local_revenue",
+    "sql_q7_volume_shipping",
+    "sql_q8_market_share",
+    "sql_q9_product_profit",
+    "sql_q10_returned_items",
+    "sql_q13_custdist",
+    "sql_q15_top_supplier",
+    "sql_q18_large_volume",
+]
+
+# positions 51-57: the r8 TPC-H remainder, first in line for r13
+_R13_FIRST = [
+    "sql_q4_order_priority",
+    "sql_q6_forecast_revenue",
+    "sql_q12_priority_classes",
+    "sql_q14_promo_effect",
+    "sql_q17_small_qty_revenue",
+    "sql_q19_discounted_revenue",
+    "sql_q22_sales_opportunity",
 ]
 
 
@@ -248,11 +245,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     join_group_3 whose AVG moved to an integer-valued column after
     runtime_test caught last-ulp cross-planner float flakiness), then
     the ENTIRE 33-query r6-freshness block -- after this round no
-    driver evidence predates r7.  Round 11's window is the explicit
-    ``_R11_WINDOW`` list above (never-verified late-r10 ops, the two
-    r11 additions, everything r11 touched, then 38 of the 47-query
-    r7-freshness block; the 9 deferred r7 SQL queries are pinned right
-    after the window as r12's lead).
+    driver evidence predates r7.  Round 11's window led with the
+    never-verified late-r10 ops, the 4 r11 additions, and the 7
+    queries r11 touched, then drained 36 of the 47-query r7-freshness
+    block; the 11 deferred r7 SQL variants were pinned right after the
+    window and are EXACTLY round 12's lead (VERDICT r11 #1).  Round
+    12's window is the explicit ``_R12_WINDOW`` list above: those 11,
+    the new multibatch ingest loop, the 3 ops the shared probe/commit
+    refactor + per-band skip check + bounded verification aggregate
+    touched, then 35 of the 42-query r8-freshness stratum (streaming
+    family and io/skew first); the 7 deferred r8 TPC-H rows are pinned
+    as ``_R13_FIRST`` at positions 51-57.
     ALL declared queries are
     checked against their DuckDB oracles by scripts/local_gate.py
     (checked-in: CORRECTNESS_LOCAL_FULL.json) and pytest every round
@@ -615,16 +618,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["join_park_cards"] = _park_cards
 
-    # final declaration order = the r11 gate window (see _R11_WINDOW),
-    # then the pinned r12 lead block, then everything else in build
+    # final declaration order = the r12 gate window (see _R12_WINDOW),
+    # then the pinned r13 lead block, then everything else in build
     # order.  A missing name here is a rotation bug -- fail loudly.
-    missing = [n for n in _R11_WINDOW + _R12_FIRST if n not in out]
-    if missing or len(_R11_WINDOW) != 50:
+    missing = [n for n in _R12_WINDOW + _R13_FIRST if n not in out]
+    if missing or len(_R12_WINDOW) != 50:
         raise RuntimeError(
-            f"gate-window rotation broken: len={len(_R11_WINDOW)}"
+            f"gate-window rotation broken: len={len(_R12_WINDOW)}"
             f" missing={missing}"
         )
-    head = _R11_WINDOW + _R12_FIRST
+    head = _R12_WINDOW + _R13_FIRST
     return {n: out[n] for n in head} | {
         n: r for n, r in out.items() if n not in set(head)
     }

@@ -169,6 +169,9 @@ headline = [
     # the ingest loop's streaming leg: arriving docs probe the stored
     # index via a stateless stream-static join
     "stream_incremental_dedup",
+    # r12: the two-day ingest loop -- batch1 probe -> commit, then
+    # batch2 probes the GROWN index (sees accepted batch1 docs)
+    "dedup_multibatch",
 ]
 
 
@@ -220,7 +223,9 @@ def main() -> None:
             # fixed warmup, so shuffle order can't skew phase splits.
             from query_optimizer_spark.functions.dedup import (
                 incremental_minhash_pairs,
+                index_commit_stats,
                 minhash_lsh_pairs,
+                multibatch_ingest_pairs,
             )
 
             minhash_lsh_pairs(spark, sf_dir).count()
@@ -231,6 +236,14 @@ def main() -> None:
             # single-rep cohort would otherwise charge the build to
             # every recorded value
             incremental_minhash_pairs(spark, sf_dir).count()
+            # warm the commit too (r11 ADVICE): the first
+            # index_commit_stats call pays the memo-miss probe + a real
+            # dynamic-partition write while every later call takes the
+            # skip path -- without this, one recorded rep per cohort
+            # measures a different phase than the others.  Same for the
+            # multibatch loop's index build + batch1 commit.
+            index_commit_stats(spark, sf_dir).count()
+            multibatch_ingest_pairs(spark, sf_dir).count()
             warmup_secs.append(round(time.monotonic() - t_warm, 4))
             for _ in range(cohort_reps):
                 order = headline[:]

@@ -38,6 +38,15 @@ MINHASH_THRESHOLD = 0.5      # emit candidate pairs with est jaccard >= t
 INC_BATCH_N = 50
 INC_NSHARDS = 1024
 
+# multi-batch ingest (r12, VERDICT r11 #2): two consecutive FIXED-SIZE
+# daily batches against a shared stored index -- batch1 = doc_id in
+# [0, MB_BATCH1_N), batch2 = [MB_BATCH1_N, MB_CORPUS_MIN), corpus =
+# [MB_CORPUS_MIN, inf).  Both bounds derive from INC_BATCH_N so the
+# batches stay corpus-independent at every scale (the incremental
+# regime's defining property).
+MB_BATCH1_N = 2 * INC_BATCH_N
+MB_CORPUS_MIN = 4 * INC_BATCH_N
+
 # n-gram (shingle) exact-jaccard dedup
 JACCARD_THRESHOLD = 0.5
 

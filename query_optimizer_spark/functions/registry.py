@@ -49,6 +49,15 @@ PIPELINE_OPS: dict[str, tuple] = {
         dedup.index_commit_stats,
         dedup.index_commit_oracle(),
     ),
+    # r12 (VERDICT r11 #2): TWO consecutive batches through one stored
+    # index -- batch1 probe -> accept -> commit, then batch2 probes the
+    # grown index; batch2's answer must include pairs against ACCEPTED
+    # batch1 docs and exclude pairs against REJECTED ones.  Oracle
+    # recomputes the whole two-day loop from raw text.
+    "dedup_multibatch": (
+        dedup.multibatch_ingest_pairs,
+        dedup.multibatch_oracle(),
+    ),
     "dedup_semdedup": (dedup.semdedup, dedup.semdedup_oracle()),
     "dedup_clusters": (
         clustering.duplicate_clusters,

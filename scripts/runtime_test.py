@@ -28,7 +28,9 @@ from analyze_runtimes import analyze  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    ap.add_argument("--reps", type=int, default=2)
+    # 3 reps: rep 1 pays the arm's one-time codegen compile (recorded,
+    # visible), reps 2-3 are pure execution; analyze() reads the last
+    ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default="allQueryRuntimes.json")
     ap.add_argument("--timeout-s", type=float, default=1200.0)
     args = ap.parse_args()

@@ -343,6 +343,90 @@ def test_index_commit_rewrites_only_touched_shards(spark, duck):
     assert snapshot() == after
 
 
+def test_index_commit_heals_half_written_commit(spark, duck):
+    """r11 ADVICE (medium): the already-committed skip check is
+    PER-BAND.  A crash mid dynamic-partition-overwrite leaves some
+    touched shards rewritten and others at their pre-commit content;
+    a per-doc count can still balance (a doc counts as committed if
+    ANY band row is present) and skip the heal forever.  Simulate the
+    crash by restoring ONE touched shard to its pre-commit bytes after
+    a successful commit: the next call must detect the missing band
+    rows (commit_skipped == 0), rewrite, and match the oracle again."""
+    import shutil
+    from pathlib import Path
+
+    from query_optimizer_spark.harness import result_hash
+    from query_optimizer_spark.sources import session_state_path
+
+    idx_path = Path(session_state_path(spark, SF_DIR, "inc_band_index"))
+    shutil.rmtree(idx_path, ignore_errors=True)
+    dedup._INC_COMMIT_MEMO.clear()
+    dedup._ensure_inc_index(spark, SF_DIR)
+
+    # pre-commit copy of the whole index (cheap at test scale)
+    pre = idx_path.parent / (idx_path.name + "_precommit")
+    shutil.rmtree(pre, ignore_errors=True)
+    shutil.copytree(idx_path, pre)
+
+    oracle_hash = duck_hash(duck, dedup.index_commit_oracle())
+    df = dedup.index_commit_stats(spark, SF_DIR)
+    assert result_hash(df) == oracle_hash
+    ev = dedup.index_commit_evidence(spark, SF_DIR)
+    assert ev["commit_skipped"] == 0.0 and ev["n_touched"] > 1, ev
+
+    # crash simulation: one touched shard reverts to pre-commit content
+    victim = f"shard={ev['touched'][0]}"
+    shutil.rmtree(idx_path / victim, ignore_errors=True)
+    if (pre / victim).exists():
+        shutil.copytree(pre / victim, idx_path / victim)
+    shutil.rmtree(pre)
+
+    df2 = dedup.index_commit_stats(spark, SF_DIR)
+    ev2 = dedup.index_commit_evidence(spark, SF_DIR)
+    assert ev2["commit_skipped"] == 0.0, (
+        "half-written commit was skipped, not healed",
+        ev2,
+    )
+    assert result_hash(df2) == oracle_hash
+
+
+def test_multibatch_second_batch_sees_first_commit(spark, duck):
+    """r12 (VERDICT r11 #2): the two-day ingest loop.  batch2's probe of
+    the post-commit index must (a) hash-match the raw-text oracle of the
+    WHOLE loop, (b) contain pairs whose doc_a is an ACCEPTED batch1 doc
+    (accepted docs are corpus on day 2), (c) contain NO pair against a
+    REJECTED batch1 doc, and (d) be idempotent across repeat calls with
+    the commit self-skipping."""
+    from query_optimizer_spark.functions.constants import MB_BATCH1_N
+    from query_optimizer_spark.harness import result_hash
+
+    df = dedup.multibatch_ingest_pairs(spark, SF_DIR)
+    rows = df.collect()
+    assert result_hash(df) == duck_hash(duck, dedup.multibatch_oracle())
+
+    ev = dedup.multibatch_evidence(spark, SF_DIR)
+    assert ev["n_rejected_b1"] > 0 and ev["n_accepted_b1"] > 0, ev
+    assert 0 < ev["n_probed"] < ev["n_shards"], ev
+
+    # (b) at sf0.01 accepted batch1 docs 61 and 87 near-dup batch2 docs
+    # 185 and 134 -- day 2 must see day 1's commit
+    vs_batch1 = {r.doc_a for r in rows if r.doc_a < MB_BATCH1_N}
+    assert vs_batch1, rows
+    # (c) rejected batch1 docs were never committed: no pair cites them
+    rejected = set(
+        dedup._MB_MEMO[
+            (spark.sparkContext.applicationId, SF_DIR.rstrip("/"))
+        ]["rejected"]
+    )
+    assert rejected and not (vs_batch1 & rejected), (vs_batch1, rejected)
+
+    # (d) repeat call: identical answer, commit skipped, build cached
+    df2 = dedup.multibatch_ingest_pairs(spark, SF_DIR)
+    ev2 = dedup.multibatch_evidence(spark, SF_DIR)
+    assert ev2["commit_skipped"] == 1.0 and ev2["build_cached"] == 1.0, ev2
+    assert result_hash(df2) == result_hash(df)
+
+
 def test_ivfpq_pruned_layout_reads_only_probed_lists(spark, duck):
     """r9 VERDICT #2: the partition-pruned IVF-PQ layout must make the
     'non-probed lists are never read' claim a MEASURED plan property,
