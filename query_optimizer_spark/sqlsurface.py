@@ -540,7 +540,14 @@ SURFACE: dict[str, str | tuple[str, str]] = {
           AND l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
         GROUP BY l.l_linestatus
     """,
-    # Q13: customer order-count distribution (outer join under double agg)
+    # Q13: customer order-count distribution (outer join under double agg).
+    # r12 shared-view audit (VERDICT r11 #7): the c_orders derived frame
+    # is read ONCE by ONE query -- unlike partsupp (shared by
+    # Q2/Q11/Q16/Q20) and flagged_lineitems (Q21 scanned it 3x inline),
+    # so _DERIVED_CACHE treatment would only pin executor memory for
+    # zero scan savings; the other customer-LEFT-JOIN-orders queries
+    # (sql_left_join_agg, sql_left_antijoin, sql_q22) filter orders on
+    # different predicates and cannot share this frame.  No cache.
     "sql_q13_custdist": """
         SELECT c_count, COUNT(*) AS custdist
         FROM (

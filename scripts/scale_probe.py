@@ -519,6 +519,47 @@ def main() -> None:
               lambda sf=f"{WORK}/disjoint_x{k}":
                   streaming_mod.quantile_sketch_stream(spark, sf),
               n_events0 * k, post=_state_rows)
+        # --- streaming leg of the incremental-dedup loop (r12, VERDICT
+        # r11 #5): the batch slice is FIXED (doc_id < INC_BATCH_N; id
+        # replication appends at +i*ID_STRIDE), the static index side
+        # joins pre-filtered on (band, key), and the agg state is the
+        # live near-dup pair count -- so per-run wall time and
+        # state_rows must stay ~flat as the corpus grows.  The stored
+        # index was built (and cached) by the dedup_incremental probes
+        # above, so this measures the recurring streaming pass alone.
+        probe("stream_incremental_dedup", "disjoint", k,
+              lambda sf=f"{WORK}/disjoint_x{k}":
+                  streaming_mod.incremental_dedup_stream(spark, sf),
+              n_docs0 * k, post=_state_rows)
+        # --- multibatch two-day ingest (r12, VERDICT r11 #2): batch1
+        # probe -> commit, then batch2 probes the grown index.  Both
+        # batches are FIXED id slices, so probe_sec (total minus the
+        # one-time day-1 cost: index build + commit) must stay ~flat
+        # in corpus size; files_probed is pinned by the batches' shard
+        # unions while files_total grows.
+        def _mb_post(sf_of):
+            def post():
+                ev = dedup.multibatch_evidence(spark, sf_of)
+                return {
+                    # day-1 one-time cost (linear build + flat commit),
+                    # folded into build_sec so probe_sec isolates the
+                    # two batch-bounded probe phases
+                    "build_sec": round(
+                        ev.get("build_sec", 0.0)
+                        + (ev.get("commit_sec") or 0.0), 2
+                    ),
+                    "commit_sec": ev.get("commit_sec"),
+                    "n_touched": ev.get("n_touched"),
+                    "files_probed": ev.get("files_probed"),
+                    "files_total": ev.get("files_total"),
+                }
+
+            return post
+
+        sf = f"{WORK}/disjoint_x{k}"
+        probe("dedup_multibatch", "disjoint", k,
+              lambda sf=sf: dedup.multibatch_ingest_pairs(spark, sf),
+              n_docs0 * k, post=_mb_post(sf))
         # --- bucketed range join (r7): replica mode is the hot-user
         # adversarial case (per-user view AND purchase volume both x k,
         # so matched pairs inside a bucket grow ~k^2); disjoint grows
