@@ -170,8 +170,10 @@ headline = [
     # index via a stateless stream-static join
     "stream_incremental_dedup",
     # r12: the two-day ingest loop -- batch1 probe -> commit, then
-    # batch2 probes the GROWN index (sees accepted batch1 docs)
-    "dedup_multibatch",
+    # batch2 probes the GROWN index (sees accepted batch1 docs) -- and
+    # the KMV/theta set-overlap sketch (pairwise source shingle
+    # jaccard estimated on K-int sketches, exact riding along)
+    "dedup_multibatch", "text_kmv_overlap",
 ]
 
 

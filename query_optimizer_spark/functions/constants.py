@@ -188,3 +188,10 @@ CM_SALT = "cm:v1:"
 CM_DEPTH = 4
 CM_WIDTH = 256
 CM_REPORT_TOPK = 20
+
+# KMV (k-minimum-values / theta) set sketch: per-set state is the K
+# smallest distinct 32-bit element hashes; jaccard between two sets is
+# estimated on the K smallest values of the MERGED sketches (the theta
+# intersection rule).  K=256 -> 1/256 jaccard resolution, 1 KiB of
+# state per set.
+KMV_K = 256

@@ -415,6 +415,14 @@ PIPELINE_OPS: dict[str, tuple] = {
     "text_countmin_freq": (text.countmin_freq, text.countmin_freq_oracle()),
     "text_hll_vocab": (text.hll_vocab, text.hll_vocab_oracle()),
     "text_hll_rollup": (text.hll_rollup, text.hll_rollup_oracle()),
+    # r12: KMV (theta) set sketch -- the sketch family's set-operation
+    # leg: pairwise source vocabulary overlap estimated on K-int
+    # sketches (merge -> K smallest -> in-both count / K), exact
+    # jaccard riding along as ground truth
+    "text_kmv_overlap": (
+        text.kmv_source_overlap,
+        text.kmv_source_overlap_oracle(),
+    ),
     # r6: dedup-detector cross-validation report
     "dedup_family_agreement": (
         dedup.family_agreement,

@@ -19,11 +19,13 @@ from .constants import (
     BPE_RE,
     FP_HEX_CHARS,
     FP_POWS,
+    KMV_K,
     MINHASH_P,
     STOPWORDS,
     TOKEN_CLEAN_RE,
     TOKEN_SPLIT_RE,
     sql_hash16,
+    sql_hash32,
     sql_tokens,
 )
 
@@ -1287,4 +1289,213 @@ def hll_rollup_oracle() -> str:
                round(({_HLL_CORRECTED}) / exact_vocab * 100 - 100, 2)
                    AS rel_err_pct
         FROM unioned
+    """
+
+
+# --- KMV (theta) set-overlap sketch -------------------------------------------
+
+
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-word-shingle overlap between sources via KMV (k-minimum-
+    values / theta) sketches (Bar-Yossef et al. 2002; the DataSketches
+    theta intersection rule) -- the sketch family's SET-OPERATION leg,
+    completing distinct-count (HLL), frequency (count-min) and
+    quantiles (bucket histogram): at 100 TB you estimate cross-shard /
+    train-vs-benchmark overlap from per-set sketches of K integers
+    each, never by joining the raw token sets.
+
+    The set domain is the per-source distinct 3-word-shingle set (the
+    dedup family's unit): sources share one vocabulary pool by
+    construction, so token sets are vacuously identical (jaccard 1.0
+    for every pair) while shingle overlap genuinely varies
+    (0.013-0.084 at sf0.01) -- the estimate has something to estimate.
+    Per source: the K smallest distinct 32-bit shingle hashes (one
+    distinct + one per-source top-K window -- map-side combinable, K
+    ints of state).  Per pair (a, b): merge the two sketches, keep the
+    K smallest of the union, and count members present in BOTH -- that
+    count / K estimates jaccard (the minima of a uniform hash are an
+    exchangeable sample of the union).  The exact jaccard rides along
+    as ground truth, same discipline as ``hll_vocab``.  All
+    integer arithmetic until the two final ratios of exact integers,
+    so Spark and DuckDB agree on every output bit.
+
+    Columns: (source_a, source_b, kmv_jaccard, exact_jaccard), one row
+    per unordered source pair."""
+    from .constants import HASH_HEX_CHARS
+
+    h32 = (
+        f"cast(conv(substring(md5(tok), 1, {HASH_HEX_CHARS}), 16, 10)"
+        " as bigint)"
+    )
+    from .constants import MINHASH_SHINGLE
+
+    shingles = (
+        f"array_distinct(transform(sequence(0, size(toks) - "
+        f"{MINHASH_SHINGLE}), "
+        "j -> concat(element_at(toks, j + 1), ' ', "
+        "element_at(toks, j + 2), ' ', element_at(toks, j + 3))))"
+    )
+    # cache: every downstream branch (sketch build, pair expansion,
+    # sizes, exact intersection) re-derives this frame otherwise -- the
+    # uncached plan scans documents 12x (measured); cached, the corpus
+    # is tokenized + shingled + deduped ONCE (the ngram_jaccard
+    # sig.cache() discipline)
+    toks = (
+        _docs(spark, sf_dir)
+        .select("source", F.expr(TOKS).alias("toks"))
+        .filter(F.expr(f"size(toks) >= {MINHASH_SHINGLE}"))
+        .select("source", F.explode(F.expr(shingles)).alias("tok"))
+        .distinct()
+        .cache()
+    )
+    # dedupe (source, h): a within-source hash collision must not yield
+    # two sketch rows with the same value
+    hashed = toks.select("source", F.expr(h32).alias("h")).distinct()
+    kmv = (
+        hashed.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("h")
+            ),
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+    srcs = hashed.select("source").distinct()
+    # unordered pairs of the (tiny, model-state-sized) source domain:
+    # a broadcast-NL of two aggregate frames, the correct plan here
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    merged = (
+        pairs.join(kmv.withColumnRenamed("source", "source_a"), "source_a")
+        .select("source_a", "source_b", "h",
+                F.lit(1).alias("fa"), F.lit(0).alias("fb"))
+        .unionByName(
+            pairs.join(
+                kmv.withColumnRenamed("source", "source_b"), "source_b"
+            ).select("source_a", "source_b", "h",
+                     F.lit(0).alias("fa"), F.lit(1).alias("fb"))
+        )
+        .groupBy("source_a", "source_b", "h")
+        .agg(F.max("fa").alias("fa"), F.max("fb").alias("fb"))
+    )
+    ranked = merged.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source_a", "source_b").orderBy("h")
+        ),
+    ).filter(F.col("rn") <= KMV_K)
+    est = ranked.groupBy("source_a", "source_b").agg(
+        F.round(
+            F.sum(F.expr("case when fa + fb = 2 then 1 else 0 end"))
+            / F.count("*"),
+            6,
+        ).alias("kmv_jaccard")
+    )
+    # exact leg: distinct-token set sizes + pairwise intersections
+    sizes = toks.groupBy("source").agg(F.count("*").alias("n"))
+    ta = toks.select(F.col("source").alias("source_a"), "tok")
+    tb = toks.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        ta.join(tb, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    exact = (
+        pairs.join(inter, ["source_a", "source_b"], "left")
+        .join(sizes.withColumnsRenamed({"source": "source_a", "n": "na"}),
+              "source_a")
+        .join(sizes.withColumnsRenamed({"source": "source_b", "n": "nb"}),
+              "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (F.col("na") + F.col("nb")
+                   - F.coalesce(F.col("n_inter"), F.lit(0))),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
+    return est.join(exact, ["source_a", "source_b"]).select(
+        "source_a", "source_b", "kmv_jaccard", "exact_jaccard"
+    )
+
+
+def kmv_source_overlap_oracle() -> str:
+    """Identical KMV construction and exact leg recomputed from raw
+    text (same 32-bit md5-derived hash, same shingling, same K)."""
+    from .constants import MINHASH_SHINGLE
+
+    return f"""
+        WITH words AS (
+            SELECT source, {sql_tokens('text')} AS w FROM documents
+            WHERE len({sql_tokens('text')}) >= {MINHASH_SHINGLE}
+        ),
+        toks AS (
+            SELECT DISTINCT source,
+                   unnest([w[j] || ' ' || w[j+1] || ' ' || w[j+2]
+                           for j in generate_series(1,
+                               len(w) - {MINHASH_SHINGLE - 1})]) AS tok
+            FROM words
+        ),
+        hashed AS (
+            SELECT DISTINCT source, {sql_hash32('tok')} AS h FROM toks
+        ),
+        kmv AS (
+            SELECT source, h FROM (
+                SELECT source, h,
+                       row_number() OVER (PARTITION BY source ORDER BY h)
+                       AS rn
+                FROM hashed
+            ) WHERE rn <= {KMV_K}
+        ),
+        srcs AS (SELECT DISTINCT source FROM hashed),
+        pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b
+            FROM srcs a, srcs b WHERE a.source < b.source
+        ),
+        merged AS (
+            SELECT source_a, source_b, h, max(fa) AS fa, max(fb) AS fb
+            FROM (
+                SELECT p.source_a, p.source_b, k.h, 1 AS fa, 0 AS fb
+                FROM pairs p JOIN kmv k ON k.source = p.source_a
+                UNION ALL
+                SELECT p.source_a, p.source_b, k.h, 0 AS fa, 1 AS fb
+                FROM pairs p JOIN kmv k ON k.source = p.source_b
+            ) GROUP BY 1, 2, 3
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY source_a, source_b ORDER BY h) AS rn
+            FROM merged
+        ),
+        est AS (
+            SELECT source_a, source_b,
+                   round(CAST(sum(CASE WHEN fa + fb = 2 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS kmv_jaccard
+            FROM ranked WHERE rn <= {KMV_K} GROUP BY 1, 2
+        ),
+        sizes AS (SELECT source, count(*) AS n FROM toks GROUP BY source),
+        inter AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_inter
+            FROM toks a JOIN toks b ON a.tok = b.tok
+            WHERE a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT p.source_a, p.source_b, e.kmv_jaccard,
+               round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                     / (sa.n + sb.n - COALESCE(i.n_inter, 0)), 6)
+                   AS exact_jaccard
+        FROM pairs p
+        JOIN est e USING (source_a, source_b)
+        LEFT JOIN inter i USING (source_a, source_b)
+        JOIN sizes sa ON sa.source = p.source_a
+        JOIN sizes sb ON sb.source = p.source_b
     """

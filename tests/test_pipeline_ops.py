@@ -911,6 +911,34 @@ def test_hll_vocab_estimator_quality(spark, duck):
     assert row.exact_vocab == exact
 
 
+def test_kmv_overlap_estimator_quality(spark, duck):
+    """text_kmv_overlap (r12): the KMV jaccard estimate must agree with
+    the DuckDB oracle hash-exactly (both engines build the same K
+    smallest hashes), the estimates must be NON-VACUOUS (the exact
+    shingle jaccards genuinely vary across source pairs -- token sets
+    would all be 1.0), every estimate must sit within the sketch's
+    sampling error of its exact value, and the full pair matrix must be
+    present."""
+    from query_optimizer_spark.functions.constants import KMV_K
+    from query_optimizer_spark.harness import result_hash
+
+    df = PIPELINE_OPS["text_kmv_overlap"][0](spark, SF_DIR)
+    rows = df.collect()
+    assert result_hash(df) == duck_hash(
+        duck, PIPELINE_OPS["text_kmv_overlap"][1]
+    )
+    n_src = len({r.source_a for r in rows} | {r.source_b for r in rows})
+    assert len(rows) == n_src * (n_src - 1) // 2, (len(rows), n_src)
+    exacts = sorted(r.exact_jaccard for r in rows)
+    assert exacts[0] < exacts[-1], "vacuous: all pairs identical"
+    assert exacts[-1] < 1.0, "vacuous: full overlap"
+    # 6-sigma KMV sampling bound: sigma ~ sqrt(j(1-j)/K) + resolution
+    for r in rows:
+        j = r.exact_jaccard
+        bound = 6.0 * ((j * (1 - j) / KMV_K) ** 0.5) + 1.0 / KMV_K
+        assert abs(r.kmv_jaccard - j) <= bound, (r, bound)
+
+
 def test_pq_adc_recall_against_exact(spark):
     """sim_pq_adc_topk (r8): the ADC pre-rank + exact re-rank must
     recover a solid majority of the true cosine top-k (measured 0.82
