@@ -173,7 +173,7 @@ headline = [
     # batch2 probes the GROWN index (sees accepted batch1 docs) -- and
     # the KMV/theta set-overlap sketch (pairwise source shingle
     # jaccard estimated on K-int sketches, exact riding along)
-    "dedup_multibatch", "text_kmv_overlap",
+    "dedup_multibatch", "text_kmv_overlap", "text_kmv_rollup",
 ]
 
 

@@ -423,6 +423,14 @@ PIPELINE_OPS: dict[str, tuple] = {
         text.kmv_source_overlap,
         text.kmv_source_overlap_oracle(),
     ),
+    # r12: the KMV mergeability proof -- per-(source, lang) sub-
+    # sketches merged per source; the merged sketch is provably
+    # identical to the direct build, so this op SHARES the direct op's
+    # oracle and gate agreement is the proof (the hll_rollup pattern)
+    "text_kmv_rollup": (
+        text.kmv_rollup,
+        text.kmv_source_overlap_oracle(),
+    ),
     # r6: dedup-detector cross-validation report
     "dedup_family_agreement": (
         dedup.family_agreement,

@@ -19,7 +19,9 @@ from .constants import (
     BPE_RE,
     FP_HEX_CHARS,
     FP_POWS,
+    HASH_HEX_CHARS,
     KMV_K,
+    MINHASH_SHINGLE,
     MINHASH_P,
     STOPWORDS,
     TOKEN_CLEAN_RE,
@@ -1295,73 +1297,55 @@ def hll_rollup_oracle() -> str:
 # --- KMV (theta) set-overlap sketch -------------------------------------------
 
 
-def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise 3-word-shingle overlap between sources via KMV (k-minimum-
-    values / theta) sketches (Bar-Yossef et al. 2002; the DataSketches
-    theta intersection rule) -- the sketch family's SET-OPERATION leg,
-    completing distinct-count (HLL), frequency (count-min) and
-    quantiles (bucket histogram): at 100 TB you estimate cross-shard /
-    train-vs-benchmark overlap from per-set sketches of K integers
-    each, never by joining the raw token sets.
+_KMV_H32 = (
+    f"cast(conv(substring(md5(tok), 1, {HASH_HEX_CHARS}), 16, 10)"
+    " as bigint)"
+)
 
-    The set domain is the per-source distinct 3-word-shingle set (the
-    dedup family's unit): sources share one vocabulary pool by
-    construction, so token sets are vacuously identical (jaccard 1.0
-    for every pair) while shingle overlap genuinely varies
-    (0.013-0.084 at sf0.01) -- the estimate has something to estimate.
-    Per source: the K smallest distinct 32-bit shingle hashes (one
-    distinct + one per-source top-K window -- map-side combinable, K
-    ints of state).  Per pair (a, b): merge the two sketches, keep the
-    K smallest of the union, and count members present in BOTH -- that
-    count / K estimates jaccard (the minima of a uniform hash are an
-    exchangeable sample of the union).  The exact jaccard rides along
-    as ground truth, same discipline as ``hll_vocab``.  All
-    integer arithmetic until the two final ratios of exact integers,
-    so Spark and DuckDB agree on every output bit.
+_KMV_SHINGLES = (
+    f"array_distinct(transform(sequence(0, size(toks) - "
+    f"{MINHASH_SHINGLE}), "
+    "j -> concat(element_at(toks, j + 1), ' ', "
+    "element_at(toks, j + 2), ' ', element_at(toks, j + 3))))"
+)
 
-    Columns: (source_a, source_b, kmv_jaccard, exact_jaccard), one row
-    per unordered source pair."""
-    from .constants import HASH_HEX_CHARS
 
-    h32 = (
-        f"cast(conv(substring(md5(tok), 1, {HASH_HEX_CHARS}), 16, 10)"
-        " as bigint)"
-    )
-    from .constants import MINHASH_SHINGLE
-
-    shingles = (
-        f"array_distinct(transform(sequence(0, size(toks) - "
-        f"{MINHASH_SHINGLE}), "
-        "j -> concat(element_at(toks, j + 1), ' ', "
-        "element_at(toks, j + 2), ' ', element_at(toks, j + 3))))"
-    )
-    # cache: every downstream branch (sketch build, pair expansion,
-    # sizes, exact intersection) re-derives this frame otherwise -- the
-    # uncached plan scans documents 12x (measured); cached, the corpus
-    # is tokenized + shingled + deduped ONCE (the ngram_jaccard
-    # sig.cache() discipline)
-    toks = (
+def _kmv_shingle_sets(spark, sf_dir: str, keys: list[str]) -> DataFrame:
+    """Distinct per-``keys`` 3-word-shingle rows (keys + tok), CACHED:
+    every downstream branch (sketch build, pair expansion, sizes, exact
+    intersection) re-derives the frame otherwise -- the uncached plan
+    scans documents 12x (measured); cached, the corpus is tokenized +
+    shingled + deduped ONCE (the ngram_jaccard sig.cache()
+    discipline)."""
+    return (
         _docs(spark, sf_dir)
-        .select("source", F.expr(TOKS).alias("toks"))
+        .select(*keys, F.expr(TOKS).alias("toks"))
         .filter(F.expr(f"size(toks) >= {MINHASH_SHINGLE}"))
-        .select("source", F.explode(F.expr(shingles)).alias("tok"))
+        .select(*keys, F.explode(F.expr(_KMV_SHINGLES)).alias("tok"))
         .distinct()
         .cache()
     )
-    # dedupe (source, h): a within-source hash collision must not yield
-    # two sketch rows with the same value
-    hashed = toks.select("source", F.expr(h32).alias("h")).distinct()
-    kmv = (
+
+
+def _kmv_topk(hashed: DataFrame, keys: list[str]) -> DataFrame:
+    """The K smallest distinct hash values per ``keys`` group -- the
+    KMV sketch rows (input must already be deduped on keys + h)."""
+    return (
         hashed.withColumn(
             "rn",
-            F.row_number().over(
-                Window.partitionBy("source").orderBy("h")
-            ),
+            F.row_number().over(Window.partitionBy(*keys).orderBy("h")),
         )
         .filter(F.col("rn") <= KMV_K)
         .drop("rn")
     )
-    srcs = hashed.select("source").distinct()
+
+
+def _kmv_pairwise(toks: DataFrame, kmv: DataFrame) -> DataFrame:
+    """Pairwise jaccard estimates from per-source KMV sketch rows
+    (``kmv``: source, h) plus the exact leg from the raw distinct
+    shingle rows (``toks``: source, tok).  Per pair: K smallest of the
+    merged sketches vote in-both / K (the theta intersection rule)."""
+    srcs = kmv.select("source").distinct()
     # unordered pairs of the (tiny, model-state-sized) source domain:
     # a broadcast-NL of two aggregate frames, the correct plan here
     pairs = (
@@ -1395,7 +1379,7 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kmv_jaccard")
     )
-    # exact leg: distinct-token set sizes + pairwise intersections
+    # exact leg: distinct-shingle set sizes + pairwise intersections
     sizes = toks.groupBy("source").agg(F.count("*").alias("n"))
     ta = toks.select(F.col("source").alias("source_a"), "tok")
     tb = toks.select(F.col("source").alias("source_b"), "tok")
@@ -1427,11 +1411,66 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-word-shingle overlap between sources via KMV
+    (k-minimum-values / theta) sketches (Bar-Yossef et al. 2002; the
+    DataSketches theta intersection rule) -- the sketch family's
+    SET-OPERATION leg, completing distinct-count (HLL), frequency
+    (count-min) and quantiles (bucket histogram): at 100 TB you
+    estimate cross-shard / train-vs-benchmark overlap from per-set
+    sketches of K integers each, never by joining the raw sets.
+
+    The set domain is the per-source distinct 3-word-shingle set (the
+    dedup family's unit): sources share one vocabulary pool by
+    construction, so token sets are vacuously identical (jaccard 1.0
+    for every pair) while shingle overlap genuinely varies
+    (0.013-0.084 at sf0.01) -- the estimate has something to estimate.
+    Per source: the K smallest distinct 32-bit shingle hashes (one
+    distinct + one per-source top-K window -- map-side combinable, K
+    ints of state).  Per pair (a, b): merge the two sketches, keep the
+    K smallest of the union, and count members present in BOTH -- that
+    count / K estimates jaccard (the minima of a uniform hash are an
+    exchangeable sample of the union).  The exact jaccard rides along
+    as ground truth, same discipline as ``hll_vocab``.  All integer
+    arithmetic until the two final ratios of exact integers, so Spark
+    and DuckDB agree on every output bit.
+
+    Columns: (source_a, source_b, kmv_jaccard, exact_jaccard), one row
+    per unordered source pair."""
+    toks = _kmv_shingle_sets(spark, sf_dir, ["source"])
+    # dedupe (source, h): a within-source hash collision must not yield
+    # two sketch rows with the same value
+    hashed = toks.select("source", F.expr(_KMV_H32).alias("h")).distinct()
+    return _kmv_pairwise(toks, _kmv_topk(hashed, ["source"]))
+
+
+def kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV MERGEABILITY proof (the text_hll_rollup /
+    evt_quantile_rollup discipline): per-(source, lang) SUB-sketches
+    are built independently, then merged per source -- union the
+    sub-sketches' values, dedupe, keep the K smallest.  Any of a
+    source's K globally-smallest hashes is among its part's K smallest
+    (it is smaller than everything above it), so the merged sketch is
+    IDENTICAL to the direct per-source build: this op shares
+    ``kmv_source_overlap``'s oracle, and gate agreement IS the proof.
+    At 100 TB sub-sketches are built per shard/day where the data
+    lands and merged at K integers per part -- the raw sets never
+    travel."""
+    sub_toks = _kmv_shingle_sets(spark, sf_dir, ["source", "lang"])
+    sub_hashed = sub_toks.select(
+        "source", "lang", F.expr(_KMV_H32).alias("h")
+    ).distinct()
+    # the stored per-part sketches (what a real pipeline persists)
+    sub = _kmv_topk(sub_hashed, ["source", "lang"])
+    # merge: union of part values, dedupe, trim to K per source
+    kmv = _kmv_topk(sub.select("source", "h").distinct(), ["source"])
+    toks = sub_toks.select("source", "tok").distinct()
+    return _kmv_pairwise(toks, kmv)
+
+
 def kmv_source_overlap_oracle() -> str:
     """Identical KMV construction and exact leg recomputed from raw
     text (same 32-bit md5-derived hash, same shingling, same K)."""
-    from .constants import MINHASH_SHINGLE
-
     return f"""
         WITH words AS (
             SELECT source, {sql_tokens('text')} AS w FROM documents

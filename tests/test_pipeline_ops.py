@@ -939,6 +939,36 @@ def test_kmv_overlap_estimator_quality(spark, duck):
         assert abs(r.kmv_jaccard - j) <= bound, (r, bound)
 
 
+def test_kmv_rollup_merge_equals_direct(spark, duck):
+    """text_kmv_rollup (r12): merging per-(source, lang) sub-sketches
+    must reproduce the direct per-source sketch EXACTLY -- same K
+    smallest values, so the pairwise estimates are bit-identical to
+    kmv_source_overlap's (they share one oracle).  Also asserts the
+    sub-sketch layer is real: more (source, lang) groups than sources,
+    every group capped at K rows."""
+    from query_optimizer_spark.functions import text
+    from query_optimizer_spark.functions.constants import KMV_K
+    from query_optimizer_spark.harness import result_hash
+
+    direct = PIPELINE_OPS["text_kmv_overlap"][0](spark, SF_DIR)
+    rolled = PIPELINE_OPS["text_kmv_rollup"][0](spark, SF_DIR)
+    h = result_hash(rolled)
+    assert h == result_hash(direct)
+    assert h == duck_hash(duck, PIPELINE_OPS["text_kmv_rollup"][1])
+
+    sub_toks = text._kmv_shingle_sets(spark, SF_DIR, ["source", "lang"])
+    from pyspark.sql import functions as F
+
+    sub_hashed = sub_toks.select(
+        "source", "lang", F.expr(text._KMV_H32).alias("h")
+    ).distinct()
+    sub = text._kmv_topk(sub_hashed, ["source", "lang"])
+    groups = sub.groupBy("source", "lang").count().collect()
+    n_sources = len({g.source for g in groups})
+    assert len(groups) > n_sources, "sub-sketch layer is vacuous"
+    assert all(g["count"] <= KMV_K for g in groups)
+
+
 def test_pq_adc_recall_against_exact(spark):
     """sim_pq_adc_topk (r8): the ADC pre-rank + exact re-rank must
     recover a solid majority of the true cosine top-k (measured 0.82
