@@ -560,6 +560,24 @@ def main() -> None:
         probe("dedup_multibatch", "disjoint", k,
               lambda sf=sf: dedup.multibatch_ingest_pairs(spark, sf),
               n_docs0 * k, post=_mb_post(sf))
+        # --- KMV set-overlap sketch (r12): replica growth adds exact
+        # copies, so every per-source distinct shingle set -- and hence
+        # the whole 190-row answer -- must be IDENTICAL at every k
+        # (the sketch build's distinct absorbs duplication); disjoint
+        # growth suffixes tokens, so per-source sets grow ~k while the
+        # pairwise estimation stays K ints per source (out_rows pinned
+        # at the pair count either way).  Time should track the
+        # distinct+window sketch build, ~linear in the shingle volume.
+        from query_optimizer_spark.functions import text as text_ops
+
+        probe("text_kmv_overlap", "replica", k,
+              lambda sf=f"{WORK}/replica_x{k}":
+                  text_ops.kmv_source_overlap(spark, sf),
+              n_docs0 * k)
+        probe("text_kmv_overlap", "disjoint", k,
+              lambda sf=f"{WORK}/disjoint_x{k}":
+                  text_ops.kmv_source_overlap(spark, sf),
+              n_docs0 * k)
         # --- bucketed range join (r7): replica mode is the hot-user
         # adversarial case (per-user view AND purchase volume both x k,
         # so matched pairs inside a bucket grow ~k^2); disjoint grows
