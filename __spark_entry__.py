@@ -99,26 +99,28 @@ def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # declared queries.  Positions 1-11 are EXACTLY the 11 SQL variants the
 # r11 round pinned as _R12_FIRST (their freshest driver evidence was
 # r7 -- the oldest stratum; the r11 verdict made leading with them the
-# round's first punch item).  Positions 12-14 are the ops ADDED in r12
+# round's first punch item).  Positions 12-15 are the ops ADDED in r12
 # (dedup_multibatch -- the two-day ingest loop: batch1 probe -> accept
 # -> commit, then batch2 probes the GROWN index and must see accepted
 # batch1 docs as corpus; text_kmv_overlap -- the KMV/theta set sketch,
 # pairwise source shingle overlap estimated on K-int sketches with the
 # exact jaccard riding along; text_kmv_rollup -- its mergeability
 # proof, per-(source, lang) sub-sketches merged per source, sharing
-# the direct op's oracle).  15-17 are the ops r12 TOUCHED: the
+# the direct op's oracle; stream_kmv_distinct -- the family's
+# streaming leg, K-int64 state per source, theta distinct read-out).
+# 16-18 are the ops r12 TOUCHED: the
 # incremental trio now shares _probe_band_index/_commit_band_index
 # with the multibatch loop, the commit's already-committed skip check
 # is PER-BAND (r11 ADVICE: a crash mid-overwrite could previously pass
 # the per-doc equality and never heal), and the commit's verification
 # aggregate is BOUNDED to the touched shards (VERDICT r11 #4 -- the
 # full-index groupBy was the loop's only linear-in-corpus piece; the
-# oracle bounds its rebuild identically).  18-50 rotate 33 of the
+# oracle bounds its rebuild identically).  19-50 rotate 32 of the
 # 42-query r8-freshness stratum (VERDICT r11 #6), prioritizing the
 # streaming family and the io/skew rows never re-gated since r8; the
-# 9 deferred TPC-H rows (_R13_FIRST) are pinned at positions 51-59,
-# first in line for r13 (sql_q15/sql_q18 joined them when the late-r12
-# KMV additions took their window slots).
+# 10 deferred TPC-H rows (_R13_FIRST) are pinned at positions 51-60,
+# first in line for r13 (sql_q10/sql_q15/sql_q18 joined them when the
+# late-r12 KMV additions took their window slots).
 # =========================================================================
 _R12_WINDOW = [
     # --- the 11 SQL variants pinned by r11 (VERDICT r11 #1) ---
@@ -137,6 +139,7 @@ _R12_WINDOW = [
     "dedup_multibatch",
     "text_kmv_overlap",
     "text_kmv_rollup",
+    "stream_kmv_distinct",
     # --- touched in r12 (shared probe/commit helpers, per-band skip
     # check, bounded verification aggregate) ---
     "dedup_incremental",
@@ -177,12 +180,12 @@ _R12_WINDOW = [
     "sql_q7_volume_shipping",
     "sql_q8_market_share",
     "sql_q9_product_profit",
-    "sql_q10_returned_items",
     "sql_q13_custdist",
 ]
 
 # positions 51-58: the r8 TPC-H remainder, first in line for r13
 _R13_FIRST = [
+    "sql_q10_returned_items",
     "sql_q15_top_supplier",
     "sql_q18_large_volume",
     "sql_q4_order_priority",
@@ -258,12 +261,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     block; the 11 deferred r7 SQL variants were pinned right after the
     window and are EXACTLY round 12's lead (VERDICT r11 #1).  Round
     12's window is the explicit ``_R12_WINDOW`` list above: those 11,
-    the three r12 additions (multibatch ingest loop, KMV overlap
-    sketch + its mergeability rollup), the 3 ops the shared probe/commit
+    the four r12 additions (multibatch ingest loop; KMV overlap
+    sketch + its mergeability rollup + its streaming leg), the 3 ops the shared probe/commit
     refactor + per-band skip check + bounded verification aggregate
-    touched, then 33 of the 42-query r8-freshness stratum (streaming
-    family and io/skew first); the 9 deferred r8 TPC-H rows are pinned
-    as ``_R13_FIRST`` at positions 51-59.
+    touched, then 32 of the 42-query r8-freshness stratum (streaming
+    family and io/skew first); the 10 deferred r8 TPC-H rows are
+    pinned as ``_R13_FIRST`` at positions 51-60.
     ALL declared queries are
     checked against their DuckDB oracles by scripts/local_gate.py
     (checked-in: CORRECTNESS_LOCAL_FULL.json) and pytest every round

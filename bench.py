@@ -174,6 +174,7 @@ headline = [
     # the KMV/theta set-overlap sketch (pairwise source shingle
     # jaccard estimated on K-int sketches, exact riding along)
     "dedup_multibatch", "text_kmv_overlap", "text_kmv_rollup",
+    "stream_kmv_distinct",
 ]
 
 

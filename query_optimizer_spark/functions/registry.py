@@ -431,6 +431,14 @@ PIPELINE_OPS: dict[str, tuple] = {
         text.kmv_rollup,
         text.kmv_source_overlap_oracle(),
     ),
+    # r12: the KMV family's streaming leg -- per-source K-minimum state
+    # (K int64s forever) merged per micro-batch, distinct count read
+    # out via the theta estimator; oracle recomputes the sketch from
+    # raw text relationally
+    "stream_kmv_distinct": (
+        streaming.kmv_distinct_stream,
+        streaming.kmv_distinct_stream_oracle(),
+    ),
     # r6: dedup-detector cross-validation report
     "dedup_family_agreement": (
         dedup.family_agreement,

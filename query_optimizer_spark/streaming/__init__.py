@@ -15,6 +15,8 @@ from .ops import (
     asof_stream_oracle,
     incremental_dedup_stream,
     incremental_dedup_stream_oracle,
+    kmv_distinct_stream,
+    kmv_distinct_stream_oracle,
     dedup_stream,
     feedback_broadcast_join,
     feedback_broadcast_join_oracle,
@@ -44,6 +46,8 @@ __all__ = [
     "asof_stream_oracle",
     "incremental_dedup_stream",
     "incremental_dedup_stream_oracle",
+    "kmv_distinct_stream",
+    "kmv_distinct_stream_oracle",
     "feedback_broadcast_join",
     "feedback_broadcast_join_oracle",
     "join_stream",

@@ -1176,3 +1176,170 @@ def incremental_dedup_stream_oracle() -> str:
     from ..functions.dedup import incremental_minhash_oracle
 
     return incremental_minhash_oracle()
+
+
+# --- streaming KMV distinct sketch -------------------------------------------
+
+_KMV_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("h", T.LongType()),
+    ]
+)
+# the whole per-key state is the K smallest distinct hashes: K int64s
+_KMV_STATE_SCHEMA = T.StructType(
+    [T.StructField("mins", T.ArrayType(T.LongType()))]
+)
+
+
+def _kmv_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Merge this batch's hashes into the carried K-minimum set and
+    emit the CURRENT sketch values.  The K-min set is a commutative,
+    idempotent merge (sorted-unique, keep K smallest), and every value
+    that belongs to the FINAL sketch enters the state the batch it
+    arrives (it is smaller than any theta it will ever see), so the
+    K smallest over ALL emissions equal the final sketch exactly --
+    the op is batch-count- and arrival-order-agnostic."""
+    import numpy as np
+
+    from ..functions.constants import KMV_K
+
+    (source,) = key
+    parts = (
+        [np.asarray(state.get[0], dtype=np.int64)]
+        if state.exists
+        else []
+    )
+    for pdf in batches:
+        if len(pdf):
+            parts.append(pdf["h"].to_numpy(np.int64))
+    if not parts:
+        return
+    merged = np.unique(np.concatenate(parts))[:KMV_K]
+    state.update((merged.tolist(),))
+    yield pd.DataFrame({"source": source, "h": merged})
+
+
+def kmv_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous per-source distinct-SHINGLE estimate as a streaming
+    KMV (k-minimum-values / theta) sketch -- the KMV family's streaming
+    leg (direct: ``text.kmv_source_overlap``; merge proof:
+    ``text.kmv_rollup``), and KMV's other classic read-out: distinct
+    count = (K-1) * 2^32 / theta, where theta is the K-th smallest
+    32-bit hash (Bar-Yossef et al. 2002).  State per source is K int64s
+    FOREVER -- the thing COUNT(DISTINCT) over a stream cannot be.
+
+    Division of labor (the streaming-HLL discipline, gate-exact at
+    every step): shingling and the 32-bit md5-derived hash run
+    JVM-side BEFORE the stateful op (the same expressions as the batch
+    sketch); the Python state function only does sorted-unique
+    keep-K-smallest integer merges; the estimate is finished
+    BATCH-side on the tiny sink table with exact-integer arithmetic --
+    (K-1)*2^32 < 2^53 is float-exact and the single division is
+    correctly-rounded IEEE on both engines.  The DuckDB oracle
+    recomputes the sketch from raw text relationally.
+
+    At 100 TB: state is |sources| x K ints regardless of corpus size,
+    each micro-batch ships only its per-source hash rows, and the
+    emitted sketch rows merge across days/streams by construction
+    (``text_kmv_rollup`` measures exactly that merge)."""
+    from ..functions.constants import KMV_K, MINHASH_SHINGLE
+    from ..functions.dedup import HASH32_SPARK
+    from ..functions.text import TOKS, _KMV_SHINGLES
+    from ..functions.text import _kmv_topk
+
+    configure_runtime(spark)
+    stored_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = (
+        spark.readStream.schema(stored_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .option("recursiveFileLookup", "false")
+        .load(sf_dir)
+    )
+    h32 = HASH32_SPARK.format(e="tok")
+    rows = (
+        docs.select("source", F.expr(TOKS).alias("toks"))
+        .filter(F.expr(f"size(toks) >= {MINHASH_SHINGLE}"))
+        .select("source", F.explode(F.expr(_KMV_SHINGLES)).alias("tok"))
+        .select("source", F.expr(h32).alias("h"))
+    )
+    sketch = rows.groupBy("source").applyInPandasWithState(
+        _kmv_fn,
+        outputStructType=_KMV_OUT_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    tbl = _run_to_memory(sketch, "append")
+    # batch finish on the sink table: collapse multi-batch emissions to
+    # the K smallest per source (== the final state, see _kmv_fn), then
+    # the theta estimator.  (K-1) * 2^32 is exact in a double; when a
+    # source has fewer than K distinct shingles the sketch IS the set
+    # and the count is exact.
+    final = _kmv_topk(tbl.select("source", "h").distinct(), ["source"])
+    return (
+        final.groupBy("source")
+        .agg(
+            F.count("*").alias("k_long"),
+            F.max("h").alias("theta_h"),
+        )
+        .select(
+            "source",
+            F.col("k_long").cast("int").alias("k_used"),
+            "theta_h",
+            F.round(
+                F.when(
+                    F.col("k_long") < KMV_K,
+                    F.col("k_long").cast("double"),
+                ).otherwise(
+                    F.lit(float((KMV_K - 1) * 4294967296))
+                    / F.col("theta_h")
+                ),
+                2,
+            ).alias("kmv_distinct_est"),
+        )
+    )
+
+
+def kmv_distinct_stream_oracle() -> str:
+    """Relational recompute of the per-source KMV sketch from raw text
+    (same shingling, same 32-bit hash, same K, same theta read-out)."""
+    from ..functions.constants import KMV_K, MINHASH_SHINGLE, sql_hash32, sql_tokens
+
+    return f"""
+        WITH words AS (
+            SELECT source, {sql_tokens('text')} AS w FROM documents
+            WHERE len({sql_tokens('text')}) >= {MINHASH_SHINGLE}
+        ),
+        toks AS (
+            SELECT DISTINCT source,
+                   unnest([w[j] || ' ' || w[j+1] || ' ' || w[j+2]
+                           for j in generate_series(1,
+                               len(w) - {MINHASH_SHINGLE - 1})]) AS tok
+            FROM words
+        ),
+        hashed AS (
+            SELECT DISTINCT source, {sql_hash32('tok')} AS h FROM toks
+        ),
+        kmv AS (
+            SELECT source, h FROM (
+                SELECT source, h,
+                       row_number() OVER (PARTITION BY source ORDER BY h)
+                       AS rn
+                FROM hashed
+            ) WHERE rn <= {KMV_K}
+        )
+        SELECT source,
+               CAST(count(*) AS INT) AS k_used,
+               CAST(max(h) AS BIGINT) AS theta_h,
+               round(CASE WHEN count(*) < {KMV_K}
+                          THEN CAST(count(*) AS DOUBLE)
+                          ELSE {float((KMV_K - 1) * 4294967296)} / max(h)
+                     END, 2) AS kmv_distinct_est
+        FROM kmv GROUP BY source
+    """

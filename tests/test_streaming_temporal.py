@@ -418,3 +418,40 @@ def test_stream_incremental_dedup_matches_batch_probe(spark, duck):
     assert result_hash(sdf) == duck_hash(
         duck, streaming.incremental_dedup_stream_oracle()
     )
+
+
+def test_stream_kmv_distinct_matches_batch_sketch(spark, duck):
+    """stream_kmv_distinct (r12): the streaming K-minimum state must
+    reproduce the batch-built sketch EXACTLY -- same K smallest hashes
+    per source (the K-min merge is order/batching-agnostic), so the
+    theta distinct estimates are bit-identical to the relational
+    oracle; and the estimate must sit within the KMV sampling error of
+    the true per-source distinct shingle count."""
+    from query_optimizer_spark import streaming
+    from query_optimizer_spark.functions import text
+    from query_optimizer_spark.functions.constants import KMV_K
+    from query_optimizer_spark.harness import result_hash
+    from pyspark.sql import functions as F
+
+    df = streaming.kmv_distinct_stream(spark, SF_DIR)
+    rows = df.collect()
+    assert result_hash(df) == duck_hash(
+        duck, streaming.kmv_distinct_stream_oracle()
+    )
+
+    # exact per-source distinct shingle counts (batch side)
+    toks = text._kmv_shingle_sets(spark, SF_DIR, ["source"])
+    exact = {
+        r.source: r.n
+        for r in toks.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(rows) == len(exact)
+    for r in rows:
+        n = exact[r.source]
+        if n <= KMV_K:
+            assert r.kmv_distinct_est == float(n), r
+        else:
+            # 6-sigma relative bound ~ 6/sqrt(K)
+            assert abs(r.kmv_distinct_est / n - 1) <= 6.0 / KMV_K ** 0.5, (
+                r, n,
+            )
