@@ -99,7 +99,7 @@ def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # declared queries.  Positions 1-11 are EXACTLY the 11 SQL variants the
 # r11 round pinned as _R12_FIRST (their freshest driver evidence was
 # r7 -- the oldest stratum; the r11 verdict made leading with them the
-# round's first punch item).  Positions 12-15 are the ops ADDED in r12
+# round's first punch item).  Positions 12-22 are the ops ADDED in r12
 # (dedup_multibatch -- the two-day ingest loop: batch1 probe -> accept
 # -> commit, then batch2 probes the GROWN index and must see accepted
 # batch1 docs as corpus; text_kmv_overlap -- the KMV/theta set sketch,
@@ -107,20 +107,30 @@ def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact jaccard riding along; text_kmv_rollup -- its mergeability
 # proof, per-(source, lang) sub-sketches merged per source, sharing
 # the direct op's oracle; stream_kmv_distinct -- the family's
-# streaming leg, K-int64 state per source, theta distinct read-out).
-# 16-18 are the ops r12 TOUCHED: the
+# streaming leg, K-int64 state per source, theta distinct read-out;
+# dedup_substring -- Lee-et-al exact duplicate-span detection, per-doc
+# duplicated K-gram fraction; evt_gapfill_locf -- hypertable-style
+# hourly gap fill + LOCF, oracle cross-validates via native ASOF JOIN;
+# sim_range_search -- FAISS range_search parity, threshold not top-k;
+# skew_hotkey_hybrid -- hot-key-isolation join, the non-salting skew
+# remedy; evt_window_funnel -- ClickHouse windowFunnel parity, max
+# level over every anchor view; text_bm25_topk -- transcendental-free
+# Okapi BM25 ranked retrieval; io_schema_evolution -- mergeSchema
+# generational read across a schema change).  23-25 are the ops r12
+# TOUCHED: the
 # incremental trio now shares _probe_band_index/_commit_band_index
 # with the multibatch loop, the commit's already-committed skip check
 # is PER-BAND (r11 ADVICE: a crash mid-overwrite could previously pass
 # the per-doc equality and never heal), and the commit's verification
 # aggregate is BOUNDED to the touched shards (VERDICT r11 #4 -- the
 # full-index groupBy was the loop's only linear-in-corpus piece; the
-# oracle bounds its rebuild identically).  19-50 rotate 32 of the
+# oracle bounds its rebuild identically).  26-50 rotate 25 of the
 # 42-query r8-freshness stratum (VERDICT r11 #6), prioritizing the
 # streaming family and the io/skew rows never re-gated since r8; the
-# 10 deferred TPC-H rows (_R13_FIRST) are pinned at positions 51-60,
-# first in line for r13 (sql_q10/sql_q15/sql_q18 joined them when the
-# late-r12 KMV additions took their window slots).
+# 17 deferred r8 rows (_R13_FIRST: sql_median/null_funcs/stddev +
+# TPC-H) are pinned at positions 51-67, first in line for r13
+# (they joined sql_q10/sql_q15/sql_q18 there as the r12 additions
+# took their window slots).
 # =========================================================================
 _R12_WINDOW = [
     # --- the 11 SQL variants pinned by r11 (VERDICT r11 #1) ---
@@ -140,6 +150,13 @@ _R12_WINDOW = [
     "text_kmv_overlap",
     "text_kmv_rollup",
     "stream_kmv_distinct",
+    "dedup_substring",
+    "evt_gapfill_locf",
+    "sim_range_search",
+    "skew_hotkey_hybrid",
+    "evt_window_funnel",
+    "text_bm25_topk",
+    "io_schema_evolution",
     # --- touched in r12 (shared probe/commit helpers, per-band skip
     # check, bounded verification aggregate) ---
     "dedup_incremental",
@@ -172,19 +189,20 @@ _R12_WINDOW = [
     "sql_full_outer_merge",
     "sql_left_antijoin",
     "sql_left_join_agg",
+    "sql_q3_shipping_priority",
+    "sql_q13_custdist",
+]
+
+# positions 51-67: the r8 remainder (3 SQL variants + TPC-H), first in
+# line for r13
+_R13_FIRST = [
     "sql_median",
     "sql_null_funcs",
     "sql_stddev",
-    "sql_q3_shipping_priority",
     "sql_q5_local_revenue",
     "sql_q7_volume_shipping",
     "sql_q8_market_share",
     "sql_q9_product_profit",
-    "sql_q13_custdist",
-]
-
-# positions 51-58: the r8 TPC-H remainder, first in line for r13
-_R13_FIRST = [
     "sql_q10_returned_items",
     "sql_q15_top_supplier",
     "sql_q18_large_volume",

@@ -175,6 +175,13 @@ headline = [
     # jaccard estimated on K-int sketches, exact riding along)
     "dedup_multibatch", "text_kmv_overlap", "text_kmv_rollup",
     "stream_kmv_distinct",
+    # r12 (cont.): exact duplicate-span detection, hypertable gap-fill
+    # + LOCF, FAISS-parity cosine range search, hot-key-isolation join
+    "dedup_substring", "evt_gapfill_locf", "sim_range_search",
+    "skew_hotkey_hybrid",
+    # r12 (cont.): sliding-window funnel, transcendental-free BM25
+    # retrieval, mergeSchema generational read
+    "evt_window_funnel", "text_bm25_topk", "io_schema_evolution",
 ]
 
 

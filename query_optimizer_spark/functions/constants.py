@@ -63,6 +63,7 @@ EMB_QUANT = 1000
 COSINE_DUP_THRESHOLD = 0.4   # near-dup pair threshold (data max ~0.51)
 ANN_TOP_K = 5
 ANN_N_QUERIES = 8            # first N vec_ids serve as the query set
+RANGE_TAU = 0.2              # cosine threshold for range search
 IVF_N_CENTROIDS = 32         # coarse quantizer size (vec_id < N as centroids)
 IVF_NPROBE = 4               # probed inverted lists per query
 
@@ -112,6 +113,20 @@ SAMPLE_DEFAULT_RATE = 10
 # A BOILER_NGRAM-token shingle present in >= BOILER_DF_MIN distinct docs
 # is "boilerplate" (C4/CCNet-style template detection).
 BOILER_NGRAM = 4
+# duplicate-span detection (Lee et al. 2022 exact-substring dedup): a
+# SUBSTR_NGRAM-token span occurring >= 2 times corpus-wide is a dup span
+SUBSTR_NGRAM = 8
+
+# BM25 ranked retrieval: fixed keyword queries (terms from the corpus
+# vocabulary), k1 = 1.2, b = 0.75 -- carried as exact integer factors
+# (22/10, 3, 9 -- see text.bm25_topk) so scoring stays rational
+BM25_QUERIES: list[tuple[int, tuple[str, ...]]] = [
+    (0, ("hash", "join", "table")),
+    (1, ("stream", "window", "agg")),
+    (2, ("fast", "scan", "filter")),
+]
+BM25_TOP_K = 10
+BM25_QUANT = 1_000_000  # per-term contribution -> integer micro-score
 BOILER_DF_MIN = 2
 
 # --- weighted source mixing --------------------------------------------------

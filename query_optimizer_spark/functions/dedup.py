@@ -46,6 +46,7 @@ from .constants import (
     SIMHASH_BANDS,
     SIMHASH_BITS,
     SIMHASH_HAMMING,
+    SUBSTR_NGRAM,
     sql_hash32,
     sql_tokens,
 )
@@ -1845,4 +1846,90 @@ def semdedup_oracle() -> str:
         SELECT s.vec_id, s.cent_id, d.dup_of IS NOT NULL AS is_dup,
                d.dup_of
         FROM assign s LEFT JOIN dups d ON d.vec_id = s.vec_id
+    """
+
+
+# --- exact duplicate-span detection (substring dedup) ------------------------
+
+
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicate-span statistics -- exact-substring dedup core.
+
+    The Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better") training-data pattern at n-gram granularity: a
+    SUBSTR_NGRAM-token span that occurs >= 2 times anywhere in the
+    corpus (another doc OR a repeat inside the same doc) is a duplicate
+    span.  For each doc: how many spans it has, how many of those are
+    corpus-duplicated, and the duplicated fraction -- the signal an
+    exact-substring trimmer cuts on.
+
+    Scale shape: one explode builds (doc_id, gram) positions
+    distributed; the occurrence count is a single map-side-combining
+    aggregation on gram; the count joins back to the SAME
+    gram-partitioned frame (Catalyst reuses the exchange -- the join is
+    co-partitioned, no third shuffle); the per-doc rollup shuffles by
+    doc_id.  Nothing is ever collected.  At 100 TB the gram STRING
+    would be xxhash64-ed to 8 bytes before the shuffle (pure shuffle-
+    width optimization, zero semantic change); the string key is kept
+    here so the DuckDB oracle is bit-exact without a shared hash.  Lee
+    et al. use a suffix array for arbitrary-length matches; fixed-K
+    spans are the standard distributed approximation (every duplicate
+    substring of length >= K contains a duplicated K-gram, so K-gram
+    recall is complete at span granularity K).
+    """
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.expr(TOKS).alias("toks"))
+        .filter(F.size("toks") >= SUBSTR_NGRAM)
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {SUBSTR_NGRAM} + 1), "
+                f"i -> array_join(slice(toks, i, {SUBSTR_NGRAM}), ' '))"
+            )
+        ).alias("gram"),
+    )
+    occ = grams.groupBy("gram").agg(F.count("*").alias("n_occ"))
+    return (
+        grams.join(occ, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_grams"),
+            F.sum(F.when(F.col("n_occ") >= 2, 1).otherwise(0))
+            .cast("int")
+            .alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6),
+        )
+    )
+
+
+def substring_dup_spans_oracle() -> str:
+    toks = sql_tokens("text")
+    k = SUBSTR_NGRAM
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {toks} AS w FROM documents
+            WHERE len({toks}) >= {k}
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest([array_to_string(w[i:i + {k - 1}], ' ')
+                           for i in generate_series(1, len(w) - {k} + 1)])
+                       AS gram
+            FROM toks
+        ),
+        occ AS (SELECT gram, count(*) AS n_occ FROM grams GROUP BY 1)
+        SELECT g.doc_id,
+               CAST(count(*) AS INT) AS n_grams,
+               CAST(sum(CASE WHEN o.n_occ >= 2 THEN 1 ELSE 0 END) AS INT)
+                   AS n_dup_grams,
+               round(sum(CASE WHEN o.n_occ >= 2 THEN 1 ELSE 0 END)
+                     / count(*), 6) AS dup_ratio
+        FROM grams g JOIN occ o USING (gram)
+        GROUP BY g.doc_id
     """

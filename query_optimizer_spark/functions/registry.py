@@ -59,6 +59,13 @@ PIPELINE_OPS: dict[str, tuple] = {
         dedup.multibatch_oracle(),
     ),
     "dedup_semdedup": (dedup.semdedup, dedup.semdedup_oracle()),
+    # r12: exact duplicate-span detection (Lee et al. 2022 substring
+    # dedup at K-gram granularity): per-doc duplicated-span fraction,
+    # one gram-count shuffle + co-partitioned join back
+    "dedup_substring": (
+        dedup.substring_dup_spans,
+        dedup.substring_dup_spans_oracle(),
+    ),
     "dedup_clusters": (
         clustering.duplicate_clusters,
         clustering.duplicate_clusters_oracle(),
@@ -231,6 +238,13 @@ PIPELINE_OPS: dict[str, tuple] = {
     ),
     # skew-aware execution (salted join; result-invariant vs plain SQL)
     "skew_salted_join": (skew.skew_demo, skew.skew_demo_oracle()),
+    # r12: the OTHER skew remedy -- hot-key isolation: hot slice joins
+    # a broadcast of just the hot keys' dim rows (no shuffle), cold
+    # slice takes the now-skew-free shuffle join; union == plain join
+    "skew_hotkey_hybrid": (
+        skew.hotkey_hybrid_join,
+        skew.hotkey_hybrid_join_oracle(),
+    ),
     # corpus preparation
     "corpus_clean": (corpus.clean_text, corpus.clean_text_oracle()),
     "corpus_redact_pii": (corpus.redact_pii, corpus.redact_pii_oracle()),
@@ -463,5 +477,41 @@ PIPELINE_OPS: dict[str, tuple] = {
     "corpus_dataset_card": (
         corpus.dataset_card,
         corpus.dataset_card_oracle(),
+    ),
+    # r12: hypertable-style hourly gap-fill + LOCF per event_type;
+    # oracle implements the carry-forward via DuckDB's native ASOF
+    # LEFT JOIN, cross-validating the semantics
+    "evt_gapfill_locf": (
+        temporal.gapfill_locf,
+        temporal.gapfill_locf_oracle(),
+    ),
+    # r12: FAISS range_search parity -- every neighbor with cosine >=
+    # RANGE_TAU (data-dependent output cardinality, the exact baseline
+    # for the IVF-pruned scale path), per-query hit count riding along
+    "sim_range_search": (
+        similarity.range_search,
+        similarity.range_search_oracle(),
+    ),
+    # r12: ClickHouse windowFunnel parity -- max funnel level whose
+    # WHOLE chain fits one window, max over every anchor view (greedy
+    # first-match funnels can miss chains a later anchor completes)
+    "evt_window_funnel": (
+        temporal.window_funnel,
+        temporal.window_funnel_oracle(),
+    ),
+    # r12: Okapi BM25 ranked retrieval over fixed keyword queries --
+    # transcendental-free (rational RSJ idf, integer micro-score sums)
+    # so both engines agree bit-exactly; broadcast term-prune first
+    "text_bm25_topk": (
+        text.bm25_topk,
+        text.bm25_topk_oracle(),
+    ),
+    # r12: generational parquet read across a schema change
+    # (mergeSchema): pre-evolution files null exactly the added column,
+    # gen=N dirs stay partition-prunable; oracle recomputes from the
+    # original table with the same cutoff
+    "io_schema_evolution": (
+        sources.schema_evolution,
+        sources.schema_evolution_oracle(),
     ),
 }

@@ -33,6 +33,7 @@ from .constants import (
     LSH_LCG_C,
     LSH_LCG_M,
     LSH_PLANES,
+    RANGE_TAU,
 )
 from .dedup import DOT_SPARK, QUANT_SPARK
 
@@ -2204,4 +2205,69 @@ def pq_train_oracle() -> str:
                CAST(list_max(any_value(c.cv)) AS BIGINT) AS c_max
         FROM a{last} a JOIN c{last} c ON c.s = a.s AND c.cid = a.cid
         GROUP BY a.s, a.cid
+    """
+
+
+# --- range search (threshold, not top-k) -------------------------------------
+
+
+def range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search: every neighbor with cosine >= RANGE_TAU.
+
+    FAISS ``range_search`` parity: unlike top-k, the per-query output
+    cardinality is data-dependent (the radius decides, not k), which is
+    the shape retrieval-augmented dedup actually wants ("everything
+    closer than tau", not "the 5 closest whatever their distance").
+    Each hit also carries ``n_in_range`` -- the query's total hit count
+    -- via one window pass, so downstream consumers can spot queries
+    sitting in dense neighborhoods without a second aggregation.
+
+    Scale shape: the scoring join broadcasts the (tiny) query set and
+    scans the corpus once -- embarrassingly parallel, no shuffle until
+    the per-query count window (keyed by query_id, |queries| partitions).
+    At 100 TB the scan side routes through the IVF-partitioned layout
+    exactly like ``sim_ivfpq_pruned`` (probe only the lists whose
+    centroid can still reach tau); this operator is the exact baseline
+    that path is measured against, same as brute_force_topk is for the
+    top-k family.  Integer-quantized dot products keep the score
+    bit-identical across engines.
+    """
+    emb = _quantized(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+    )
+    dot = DOT_SPARK.format(a="qq", b="q")
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                f"round({dot} / (sqrt(cast(qn2 as double)) * sqrt(cast(n2 as double))), 6)"
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= RANGE_TAU)
+    )
+    w = Window.partitionBy("query_id")
+    return scored.withColumn(
+        "n_in_range", F.count("*").over(w).cast("int")
+    ).select("query_id", "neighbor_id", "cosine", "n_in_range")
+
+
+def range_search_oracle() -> str:
+    return f"""
+        WITH {_SQL_QUANT},
+        scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   round(list_sum([a.q[i] * b.q[i] for i in generate_series(1, len(a.q))])
+                         / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)), 6) AS cosine
+            FROM qn a, qn b
+            WHERE a.vec_id < {ANN_N_QUERIES} AND b.vec_id <> a.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine,
+               CAST(count(*) OVER (PARTITION BY query_id) AS INT) AS n_in_range
+        FROM scored
+        WHERE cosine >= {RANGE_TAU}
     """

@@ -1396,3 +1396,200 @@ def session_window_native_oracle() -> str:
         FROM numbered
         GROUP BY user_id, session_seq
     """
+
+
+# --- gap fill + LOCF (hypertable-style) --------------------------------------
+
+
+def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill + last-observation-carried-forward per event_type.
+
+    The hypertable pattern (TimescaleDB ``time_bucket_gapfill`` +
+    ``locf``; absent from the reference, which has no temporal surface
+    at all -- SURVEY.md §2.3): aggregate to an hourly series per
+    event_type, then materialize EVERY hour between the series' own
+    first and last observation, flagging gaps and carrying the last
+    observed value forward into them.
+
+    Scale shape: the dense grid is built distributed --
+    ``sequence(min_hour, max_hour, interval 1 hour)`` exploded per
+    series key, so grid construction parallelizes over series, never
+    the driver.  The left join grid<-observed is co-partitioned on
+    (series, hour); LOCF is one window pass partitioned by series.  At
+    100 TB the series key is (entity, metric) with millions of small
+    partitions -- every step here scales horizontally with the number
+    of series, and nothing is proportional to the gap count on the
+    driver.
+
+    The DuckDB oracle deliberately implements LOCF a DIFFERENT way --
+    a native ASOF LEFT JOIN from the grid back to the observations
+    (greatest observed hour <= grid hour) -- so a hash match
+    cross-validates the carry-forward semantics rather than the
+    transcription.
+    """
+    df = events_df(spark, sf_dir)
+    obs = df.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("window_start")
+    ).agg(
+        F.count("*").cast("int").alias("n_events"),
+        F.round(F.sum("value"), 3).alias("total_value"),
+    )
+    ext = obs.groupBy("event_type").agg(
+        F.min("window_start").alias("h0"), F.max("window_start").alias("h1")
+    )
+    grid = ext.select(
+        "event_type",
+        F.explode(
+            F.expr("sequence(h0, h1, interval 1 hour)")
+        ).alias("window_start"),
+    )
+    g = grid.join(obs, ["event_type", "window_start"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return g.select(
+        "event_type",
+        "window_start",
+        F.when(F.col("n_events").isNull(), 1).otherwise(0).cast("int").alias("gap"),
+        F.coalesce("n_events", F.lit(0)).cast("int").alias("n_events"),
+        F.last("total_value", ignorenulls=True).over(w).alias("locf_value"),
+    )
+
+
+def gapfill_locf_oracle() -> str:
+    return """
+        WITH obs AS (
+            SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS h,
+                   CAST(count(*) AS INT) AS n_events,
+                   round(sum(value), 3) AS total_value
+            FROM events GROUP BY 1, 2
+        ),
+        ext AS (
+            SELECT event_type, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY 1
+        ),
+        grid AS (
+            SELECT event_type,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                       ::TIMESTAMP AS window_start
+            FROM ext
+        )
+        SELECT g.event_type, g.window_start,
+               CAST(CASE WHEN o.n_events IS NULL THEN 1 ELSE 0 END AS INT)
+                   AS gap,
+               CAST(coalesce(o.n_events, 0) AS INT) AS n_events,
+               l.total_value AS locf_value
+        FROM grid g
+        LEFT JOIN obs o
+          ON o.event_type = g.event_type AND o.h = g.window_start
+        ASOF LEFT JOIN obs l
+          ON l.event_type = g.event_type AND l.h <= g.window_start
+    """
+
+
+# --- sliding-window funnel (ClickHouse windowFunnel parity) -------------------
+
+WF_WINDOW_MS = 21_600_000  # 6 h: the WHOLE chain must fit in one window
+
+
+def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window funnel: per-level user counts where the ENTIRE
+    view -> click -> purchase chain must fit inside one WF_WINDOW_MS
+    window anchored at the view.
+
+    ClickHouse ``windowFunnel`` semantics, genuinely different from
+    ``evt_funnel``: that op is greedy first-match with a fresh window
+    per step -- it can MISS a complete chain that a later view would
+    anchor (first view's window empty, second view's window full).
+    Here the level is the MAX over every candidate anchor view, so the
+    answer is anchor-order independent.
+
+    Implementation is one aggregation plus array expressions -- no
+    per-user window sort, no UDF: per user, the three stages' epoch-ms
+    lists are collected (state bounded by that user's own event counts,
+    the same bound every sessionizer carries), then
+    ``max over views v of: 1 + [earliest click in (v, v+W]] + [any
+    purchase after that click, still <= v+W]`` evaluates entirely in
+    whole-stage codegen via transform/filter/array_min/array_max.
+    Greedy-earliest click is optimal for a fixed anchor (it maximizes
+    the purchase's remaining budget), so the nested expression computes
+    the true max level, not a heuristic.  Exact integer milliseconds
+    throughout; the DuckDB oracle evaluates the same max with list
+    comprehensions.
+
+    Scale shape: one user_id-partitioned aggregation over only the
+    three stage types (filter pushed to the scan), then a tiny
+    level-count rollup.  Per-user array work is O(V * C) worst case --
+    bounded by per-user activity, embarrassingly parallel across users.
+    """
+    e = events_df(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_type", F.expr("unix_millis(ts)").alias("ms"))
+    per_user = e.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "view", F.col("ms")))
+        ).alias("vs"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "click", F.col("ms")))
+        ).alias("cs"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ms"))
+            )
+        ).alias("ps"),
+    )
+    w = WF_WINDOW_MS
+    level_expr = f"""
+        CASE WHEN size(vs) = 0 THEN 0 ELSE
+            array_max(transform(vs, v ->
+                CASE WHEN size(filter(cs, c -> c > v AND c <= v + {w}L)) = 0
+                     THEN 1
+                     ELSE CASE WHEN size(filter(ps, p ->
+                                p > array_min(filter(cs,
+                                    c -> c > v AND c <= v + {w}L))
+                                AND p <= v + {w}L)) = 0
+                          THEN 2 ELSE 3 END
+                END))
+        END
+    """
+    return (
+        per_user.select(F.expr(level_expr).cast("int").alias("level"))
+        .groupBy("level")
+        .agg(F.count("*").cast("int").alias("n_users"))
+    )
+
+
+def window_funnel_oracle() -> str:
+    w = WF_WINDOW_MS
+    return f"""
+        WITH e AS (
+            SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+        ),
+        per_user AS (
+            SELECT user_id,
+                   list_sort(coalesce(list(ms) FILTER (WHERE event_type = 'view'), [])) AS vs,
+                   list_sort(coalesce(list(ms) FILTER (WHERE event_type = 'click'), [])) AS cs,
+                   list_sort(coalesce(list(ms) FILTER (WHERE event_type = 'purchase'), [])) AS ps
+            FROM e GROUP BY user_id
+        ),
+        levels AS (
+            SELECT CAST(CASE WHEN len(vs) = 0 THEN 0 ELSE
+                list_max([
+                    CASE WHEN len(list_filter(cs,
+                             c -> c > v AND c <= v + {w})) = 0
+                         THEN 1
+                         ELSE CASE WHEN len(list_filter(ps,
+                                    p -> p > list_min(list_filter(cs,
+                                        c -> c > v AND c <= v + {w}))
+                                    AND p <= v + {w})) = 0
+                              THEN 2 ELSE 3 END
+                    END
+                    for v in vs])
+            END AS INT) AS level
+            FROM per_user
+        )
+        SELECT level, CAST(count(*) AS INT) AS n_users
+        FROM levels GROUP BY level
+    """

@@ -1538,3 +1538,146 @@ def kmv_source_overlap_oracle() -> str:
         JOIN sizes sa ON sa.source = p.source_a
         JOIN sizes sb ON sb.source = p.source_b
     """
+
+
+# --- BM25 ranked retrieval ----------------------------------------------------
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-K documents for the fixed BM25_QUERIES keyword queries.
+
+    The retrieval primitive a RAG / decontamination pipeline runs
+    against the corpus.  Okapi BM25 with k1 = 1.2, b = 0.75, kept
+    TRANSCENDENTAL-FREE so both engines agree bit-exactly (the repo's
+    standing rule -- libm's log is not correctly-rounded across
+    runtimes): the idf is the raw Robertson-Sparck-Jones ratio
+    (N - df + 0.5)/(df + 0.5) = (2N - 2df + 1)/(2df + 1), i.e.
+    Lucene's idf WITHOUT the final monotone ln(1 + .) squash.  Every
+    per-term contribution is two exact-integer ratios multiplied in
+    IEEE doubles (each +,-,*,/ is correctly rounded, so the doubles are
+    bit-identical cross-engine), quantized to integer micro-scores, and
+    SUMMED AS INT64 -- the document score is therefore independent of
+    term order, partitioning, and engine.  With L = total corpus tokens
+    and dl the doc length, the tf part
+        tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    clears to  22*tf*L / (10*tf*L + 3*L + 9*dl*N)  exactly (avgdl =
+    L/N).  Integer products stay under 2^53 for corpora to ~10^12
+    tokens; decimal beyond.
+
+    Scale shape: the exploded token stream is pruned FIRST by a
+    broadcast hash join against the (tiny, constant) query-term list --
+    the corpus-sized stage carries only matching tokens; df comes from
+    a vocabulary-sized agg over that pruned tf table; doc lengths are a
+    pure projection; N and L ride a 1-row cross join.  Final ranking is
+    a row_number window over |queries| partitions of candidate docs --
+    never a global sort of the corpus.
+    """
+    from .constants import BM25_QUANT, BM25_QUERIES, BM25_TOP_K
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(TOKS).alias("toks")
+    )
+    lens = docs.select("doc_id", F.size("toks").alias("dl"))
+    stats = lens.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    term_rows = [
+        (qid, tok) for qid, terms in BM25_QUERIES for tok in terms
+    ]
+    terms = spark.createDataFrame(term_rows, ["query_id", "tok"])
+    uniq_terms = terms.select("tok").distinct()
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .join(F.broadcast(uniq_terms), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    contrib = (
+        tf.join(dfreq, "tok")
+        .join(lens, "doc_id")
+        .crossJoin(stats)
+        .join(F.broadcast(terms), "tok")
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                f"""cast(round(
+                    ((2 * n_docs - 2 * df + 1) / (2 * df + 1))
+                    * ((22 * tf * total_len) /
+                       (10 * tf * total_len + 3 * total_len
+                        + 9 * dl * n_docs))
+                    * {BM25_QUANT}, 0) as bigint)"""
+            ).alias("contrib_q"),
+        )
+    )
+    scores = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib_q").alias("score_q")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col("doc_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            "doc_id",
+            "rank",
+            F.round(F.col("score_q") / BM25_QUANT, 6).alias("score"),
+        )
+    )
+
+
+def bm25_topk_oracle() -> str:
+    from .constants import BM25_QUANT, BM25_QUERIES, BM25_TOP_K
+
+    toks = sql_tokens("text")
+    values = ", ".join(
+        f"({qid}, '{tok}')"
+        for qid, terms in BM25_QUERIES
+        for tok in terms
+    )
+    return f"""
+        WITH terms(query_id, tok) AS (VALUES {values}),
+        lens AS (
+            SELECT doc_id, len({toks}) AS dl FROM documents
+        ),
+        stats AS (
+            SELECT count(*) AS n_docs, sum(dl) AS total_len FROM lens
+        ),
+        tf AS (
+            SELECT doc_id, tok, count(*) AS tf
+            FROM (SELECT doc_id, unnest({toks}) AS tok FROM documents)
+            WHERE tok IN (SELECT DISTINCT tok FROM terms)
+            GROUP BY doc_id, tok
+        ),
+        dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        contrib AS (
+            SELECT t.query_id, f.doc_id,
+                   CAST(round(
+                       ((2 * s.n_docs - 2 * d.df + 1)::DOUBLE
+                        / (2 * d.df + 1))
+                       * ((22 * f.tf * s.total_len)::DOUBLE /
+                          (10 * f.tf * s.total_len + 3 * s.total_len
+                           + 9 * l.dl * s.n_docs))
+                       * {BM25_QUANT}, 0) AS BIGINT) AS contrib_q
+            FROM tf f
+            JOIN dfreq d USING (tok)
+            JOIN lens l USING (doc_id)
+            CROSS JOIN stats s
+            JOIN terms t USING (tok)
+        ),
+        scores AS (
+            SELECT query_id, doc_id, sum(contrib_q) AS score_q
+            FROM contrib GROUP BY query_id, doc_id
+        )
+        SELECT CAST(query_id AS INT) AS query_id, doc_id,
+               CAST(rank AS INT) AS rank,
+               round(score_q / {BM25_QUANT}, 6) AS score
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score_q DESC, doc_id) AS rank
+            FROM scores
+        ) WHERE rank <= {BM25_TOP_K}
+    """

@@ -78,3 +78,94 @@ def skew_demo_oracle() -> str:
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY 1
     """
+
+
+HOT_FACTOR = 1.2  # a key is hot when its row count > HOT_FACTOR * mean
+# (the synthetic events table is near-uniform per user; 1.2x the mean
+#  isolates the top ~6% tail so the hot path is actually exercised --
+#  in production this is an absolute rows-per-task bound instead)
+
+
+def hotkey_hybrid_join(spark, sf_dir: str | None = None) -> DataFrame:
+    """Hot-key-isolation hybrid join -- the OTHER classic skew remedy.
+
+    Where ``salted_join`` spreads every key across salt replicas,
+    hot-key isolation splits the probe side into a hot slice (the few
+    keys whose row count exceeds HOT_FACTOR x the mean) and a cold
+    remainder.  The hot slice joins a BROADCAST of the dimension rows
+    for exactly those keys (tiny by definition: few hot keys), so the
+    hot keys never shuffle at all; the cold slice takes the normal
+    shuffle join, which is skew-free by construction.  Union, then
+    aggregate.
+
+    Result-invariant: hot ∪ cold partitions the probe side exactly, so
+    the union equals the plain inner join -- the DuckDB oracle runs the
+    unsalted, unsplit SQL (with the same hot definition recomputed
+    independently for the n_hot_events column) and must hash-match.
+
+    Scale notes: the hot-key list is driver state by definition of
+    'hot' (a handful of keys; here it is kept as a broadcast DataFrame,
+    never collected); the dimension stays un-broadcast for the cold
+    path, which is the regime where salting/isolation matters at all
+    (a dimension small enough to broadcast wholesale needs neither).
+    """
+    from .session import configure_runtime, events_df
+
+    spark_ = spark
+    configure_runtime(spark_)
+    probe = events_df(spark_, sf_dir).select("user_id", "value")
+    dim = (
+        spark_.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+    )
+
+    per_key = probe.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    # one scalar of model state: the mean per-key count
+    mean_cnt = per_key.agg(F.avg("cnt").alias("m")).collect()[0]["m"]
+    hot_keys = per_key.filter(
+        F.col("cnt") > HOT_FACTOR * float(mean_cnt)
+    ).select("user_id")
+
+    flagged = probe.join(
+        F.broadcast(hot_keys.withColumn("is_hot", F.lit(1))),
+        on="user_id",
+        how="left",
+    )
+    hot_probe = flagged.filter(F.col("is_hot") == 1)
+    cold_probe = flagged.filter(F.col("is_hot").isNull()).withColumn(
+        "is_hot", F.lit(0)
+    )
+
+    dim_hot = dim.join(F.broadcast(hot_keys), on="user_id")
+    hot_joined = hot_probe.join(F.broadcast(dim_hot), on="user_id")
+    cold_joined = cold_probe.join(dim, on="user_id")
+
+    return (
+        hot_joined.unionByName(cold_joined)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+            F.sum("is_hot").cast("bigint").alias("n_hot_events"),
+        )
+    )
+
+
+def hotkey_hybrid_join_oracle() -> str:
+    return f"""
+        WITH per_key AS (
+            SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+        ),
+        hot AS (
+            SELECT user_id FROM per_key
+            WHERE cnt > {HOT_FACTOR} * (SELECT avg(cnt) FROM per_key)
+        )
+        SELECT c.c_nationkey, count(*) AS n_events,
+               round(sum(e.value), 3) AS total_value,
+               CAST(sum(CASE WHEN h.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hot_events
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        LEFT JOIN hot h ON h.user_id = e.user_id
+        GROUP BY 1
+    """

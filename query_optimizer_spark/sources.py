@@ -711,3 +711,90 @@ def compact_small_files_oracle() -> str:
         FROM lineitem
         WHERE l_linenumber <= 2
     """
+
+
+# --- schema evolution (mergeSchema generational read) --------------------------
+
+# orders strictly before this date were written BEFORE the schema added
+# o_orderpriority; later files carry the evolved 4-column schema
+EVOLVE_CUTOFF = "1996-01-01"
+
+
+def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generational parquet read across a schema change (mergeSchema).
+
+    The table-format reality at 100 TB: files written before a column
+    existed sit next to files written after, forever -- rewriting
+    petabytes to backfill one column is not an option.  Gen-1 files
+    (orders before EVOLVE_CUTOFF) are written WITHOUT o_orderpriority;
+    gen-2 files carry it.  One ``mergeSchema`` read unions the
+    schemas: the evolved column is NULL exactly on pre-evolution rows,
+    and the ``gen=N`` directory names surface as a partition column,
+    so generation-scoped queries still prune directories.
+
+    The aggregate proves both halves: per (gen, priority-or-sentinel)
+    counts and exact integer-cent totals must match the oracle's
+    recompute from the ORIGINAL table with the generation derived from
+    the same cutoff -- i.e. the evolved read lost nothing, invented
+    nothing, and nulled exactly the right rows.
+
+    Scale shape: two narrow projection writes; the read is one scan
+    whose footer-schema union Spark computes distributed (mergeSchema
+    is a file-footer operation, not a data rewrite); the aggregate
+    shuffles a handful of (gen, priority) groups.
+    """
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    out = f"{DEFAULT_WAREHOUSE}/orders_evolved_{tag}"
+    done = Path(out) / "_DONE"
+    if not done.exists():
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        gen1 = orders.filter(
+            F.col("o_orderdate") < EVOLVE_CUTOFF
+        ).select("o_orderkey", "o_custkey", "o_totalprice")
+        gen2 = orders.filter(
+            F.col("o_orderdate") >= EVOLVE_CUTOFF
+        ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        gen1.write.mode("overwrite").parquet(f"{out}/gen=1")
+        gen2.write.mode("overwrite").parquet(f"{out}/gen=2")
+        done.touch()
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.groupBy(
+        F.col("gen").cast("int").alias("gen"),
+        F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias(
+            "priority"
+        ),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(
+            F.sum(
+                F.expr(
+                    "cast(round(o_totalprice * 100, 0) as bigint)"
+                )
+            )
+            / 100.0,
+            2,
+        ).alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+def schema_evolution_oracle() -> str:
+    return f"""
+        SELECT CAST(CASE WHEN o_orderdate < TIMESTAMP '{EVOLVE_CUTOFF}'
+                    THEN 1 ELSE 2 END AS INT) AS gen,
+               CASE WHEN o_orderdate < TIMESTAMP '{EVOLVE_CUTOFF}'
+                    THEN '<pre-evolution>' ELSE o_orderpriority
+               END AS priority,
+               count(*) AS n_orders,
+               round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                     / 100.0, 2) AS total_price,
+               min(o_orderkey) AS min_key,
+               max(o_orderkey) AS max_key
+        FROM orders
+        GROUP BY 1, 2
+    """

@@ -336,6 +336,31 @@ def main() -> None:
         # --- tfidf on the realistic growth model
         probe("corpus_tfidf_topk", "disjoint", k,
               lambda sf=sf: corpus.tfidf_topk(spark, sf), n_docs0 * k)
+        # --- duplicate-span detection (r12): replica mode is the
+        # adversarial case -- every K-gram's occurrence count scales
+        # x k, so EVERY span goes duplicate and the gram join fans out
+        # maximally; the map-side-combining count + co-partitioned
+        # join-back must absorb that without a hot task.  Disjoint
+        # replicas share no grams (suffixed tokens): constant dup
+        # structure, time ~linear in corpus
+        probe("dedup_substring", "replica", k,
+              lambda sf=f"{WORK}/replica_x{k}":
+                  dedup.substring_dup_spans(spark, sf),
+              n_docs0 * k)
+        probe("dedup_substring", "disjoint", k,
+              lambda sf=f"{WORK}/disjoint_x{k}":
+                  dedup.substring_dup_spans(spark, sf),
+              n_docs0 * k)
+        # --- BM25 retrieval (r12): the corpus-sized stage is the token
+        # explode pruned by the broadcast term join.  Disjoint replicas
+        # suffix every token, so query terms match ONLY the original
+        # replica: the candidate tf table stays CONSTANT while the
+        # corpus grows -- wall time must track the linear scan, and
+        # out_rows stays pinned at |queries| * K
+        probe("text_bm25_topk", "disjoint", k,
+              lambda sf=f"{WORK}/disjoint_x{k}":
+                  text.bm25_topk(spark, sf),
+              n_docs0 * k)
         # --- exact blocked cosine (block_rows=2000 so every scale is
         # multi-block / genuinely distributed)
         sf = f"{WORK}/replica_x{k}"

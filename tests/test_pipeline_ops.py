@@ -1203,3 +1203,191 @@ def test_train_pipeline_funnel_monotone_and_consistent(spark, duck):
     ).fetchone()[0]
     assert rows[1].n_docs == n_groups
     assert 0 < rows[4].n_docs < n_docs
+
+
+def test_gapfill_locf_dense_grid_and_carry(spark, duck):
+    """evt_gapfill_locf (r12): the grid must be DENSE per event_type
+    (every hour between the series' first and last observation), gaps
+    flagged, and the carried value must equal the most recent observed
+    hour's total."""
+    rows = PIPELINE_OPS["evt_gapfill_locf"][0](spark, SF_DIR).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert by_type
+    n_gaps = 0
+    for series in by_type.values():
+        series.sort(key=lambda r: r.window_start)
+        # dense: consecutive rows exactly one hour apart
+        for a, b in zip(series, series[1:]):
+            assert (b.window_start - a.window_start).total_seconds() == 3600
+        # endpoints are observed by construction
+        assert series[0].gap == 0 and series[-1].gap == 0
+        last_obs = None
+        for r in series:
+            if r.gap == 0:
+                assert r.n_events > 0
+                last_obs = r.locf_value
+            else:
+                n_gaps += 1
+                assert r.n_events == 0
+                # carried value equals the last observed hour's total
+                assert r.locf_value == last_obs
+    assert n_gaps > 0, "no gaps in testdata -- the LOCF path never ran"
+
+
+def test_substring_dup_spans_bounds_and_planted_dups(spark, duck):
+    """dedup_substring (r12): per-doc dup counts are bounded by the span
+    count, and the planted near-dup docs (jaccard ~0.99 pairs) must
+    show up with high duplicated-span fractions."""
+    df = PIPELINE_OPS["dedup_substring"][0](spark, SF_DIR)
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows
+    for r in rows.values():
+        assert 0 <= r.n_dup_grams <= r.n_grams
+        assert abs(r.dup_ratio - round(r.n_dup_grams / r.n_grams, 6)) < 1e-12
+    planted = duck.execute(
+        PIPELINE_OPS["dedup_ngram_jaccard"][1]
+    ).fetchall()
+    assert planted, "no planted duplicates in testdata"
+    for a, b, _ in planted:
+        # near-identical docs share almost all K-gram spans
+        assert rows[a].dup_ratio >= 0.5, (a, rows[a])
+        assert rows[b].dup_ratio >= 0.5, (b, rows[b])
+
+
+def test_range_search_consistent_with_topk(spark):
+    """sim_range_search (r12): range results at tau must contain every
+    brute-force top-k neighbor whose cosine >= tau (same scoring), and
+    n_in_range must equal the per-query group size."""
+    from query_optimizer_spark.functions.constants import RANGE_TAU
+
+    rng = PIPELINE_OPS["sim_range_search"][0](spark, SF_DIR).collect()
+    topk = PIPELINE_OPS["sim_bruteforce_topk"][0](spark, SF_DIR).collect()
+    in_range = {(r.query_id, r.neighbor_id): r for r in rng}
+    counts: dict[int, int] = {}
+    for r in rng:
+        counts[r.query_id] = counts.get(r.query_id, 0) + 1
+    for r in rng:
+        assert r.cosine >= RANGE_TAU
+        assert r.n_in_range == counts[r.query_id]
+    hits = 0
+    for t in topk:
+        if t.cosine >= RANGE_TAU:
+            hits += 1
+            got = in_range[(t.query_id, t.neighbor_id)]
+            assert got.cosine == t.cosine
+    assert hits > 0, "tau above every top-k cosine -- test is vacuous"
+
+
+def test_hotkey_hybrid_exercises_both_paths(spark, duck):
+    """skew_hotkey_hybrid (r12): the hot/cold split must partition the
+    probe side exactly (totals equal the plain join) and BOTH paths
+    must be non-empty at the gate SF, else the demo demonstrates
+    nothing."""
+    df = PIPELINE_OPS["skew_hotkey_hybrid"][0](spark, SF_DIR)
+    rows = df.collect()
+    n_events = sum(r.n_events for r in rows)
+    n_hot = sum(r.n_hot_events for r in rows)
+    plain = duck.execute(
+        "SELECT count(*) FROM events e JOIN customer c "
+        "ON e.user_id = c.c_custkey"
+    ).fetchone()[0]
+    assert n_events == plain
+    assert 0 < n_hot < n_events, (n_hot, n_events)
+
+
+def test_window_funnel_max_anchor_semantics(spark, duck):
+    """evt_window_funnel (r12): the level histogram must cover every
+    user with a funnel-stage event, and the max-over-anchors semantics
+    must differ from greedy first-anchor on this data (else the op
+    degenerates to evt_funnel and the test is vacuous)."""
+    from query_optimizer_spark.functions.temporal import WF_WINDOW_MS
+
+    rows = PIPELINE_OPS["evt_window_funnel"][0](spark, SF_DIR).collect()
+    hist = {r.level: r.n_users for r in rows}
+    n_users = duck.execute(
+        "SELECT count(DISTINCT user_id) FROM events "
+        "WHERE event_type IN ('view','click','purchase')"
+    ).fetchone()[0]
+    assert sum(hist.values()) == n_users
+    assert hist.get(3, 0) > 0, "no full conversions -- weak data"
+    w = WF_WINDOW_MS
+    lvl = (
+        "CASE WHEN len(list_filter(cs, c -> c > v AND c <= v + {w})) = 0 "
+        "THEN 1 ELSE CASE WHEN len(list_filter(ps, p -> p > "
+        "list_min(list_filter(cs, c -> c > v AND c <= v + {w})) "
+        "AND p <= v + {w})) = 0 THEN 2 ELSE 3 END END"
+    ).format(w=w)
+    n_beats = duck.execute(f"""
+        WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms
+                   FROM events
+                   WHERE event_type IN ('view','click','purchase')),
+        pu AS (SELECT user_id,
+            list_sort(coalesce(list(ms) FILTER (WHERE event_type='view'), [])) vs,
+            list_sort(coalesce(list(ms) FILTER (WHERE event_type='click'), [])) cs,
+            list_sort(coalesce(list(ms) FILTER (WHERE event_type='purchase'), [])) ps
+          FROM e GROUP BY user_id)
+        SELECT count(*) FROM pu WHERE len(vs) > 0
+          AND list_max([{lvl} for v in vs]) > [{lvl} for v in vs][1]
+    """).fetchone()[0]
+    assert n_beats > 0, "first anchor always optimal -- sliding scan untested"
+
+
+def test_bm25_scores_positive_and_term_grounded(spark, duck):
+    """text_bm25_topk (r12): ranks dense 1..K per query, scores
+    non-increasing and positive, and every returned doc actually
+    contains at least one query term."""
+    from query_optimizer_spark.functions.constants import (
+        BM25_QUERIES,
+        BM25_TOP_K,
+    )
+
+    rows = PIPELINE_OPS["text_bm25_topk"][0](spark, SF_DIR).collect()
+    terms = dict(BM25_QUERIES)
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {qid for qid, _ in BM25_QUERIES}
+    for qid, got in by_q.items():
+        got.sort(key=lambda r: r.rank)
+        assert [r.rank for r in got] == list(range(1, BM25_TOP_K + 1))
+        assert all(r.score > 0 for r in got)
+        assert all(a.score >= b.score for a, b in zip(got, got[1:]))
+        pat = "|".join(terms[qid])
+        grounded = {
+            d
+            for (d,) in duck.execute(
+                "SELECT doc_id FROM documents WHERE "
+                f"regexp_matches(lower(text), '\\b({pat})\\b')"
+            ).fetchall()
+        }
+        for r in got:
+            assert r.doc_id in grounded, (qid, r.doc_id)
+
+
+def test_schema_evolution_nulls_and_partition_prune(spark, duck):
+    """io_schema_evolution (r12): the mergeSchema read nulls the evolved
+    column exactly on pre-evolution rows, and a generation-scoped query
+    still prunes directories (PartitionFilters on gen)."""
+    import hashlib
+
+    from query_optimizer_spark.executor import physical_plan
+    from query_optimizer_spark.sources import DEFAULT_WAREHOUSE
+
+    # materialize via the op itself
+    PIPELINE_OPS["io_schema_evolution"][0](spark, SF_DIR).collect()
+    tag = hashlib.md5(SF_DIR.rstrip("/").encode()).hexdigest()[:12]
+    out = f"{DEFAULT_WAREHOUSE}/orders_evolved_{tag}"
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    assert "o_orderpriority" in back.columns
+    n_bad = back.filter(
+        "(gen = 1 AND o_orderpriority IS NOT NULL) OR "
+        "(gen = 2 AND o_orderpriority IS NULL)"
+    ).count()
+    assert n_bad == 0
+    pruned = back.filter("gen = 2")
+    plan = physical_plan(pruned)
+    assert "PartitionFilters" in plan and "gen" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200], plan[:800]
