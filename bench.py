@@ -180,8 +180,9 @@ headline = [
     "dedup_substring", "evt_gapfill_locf", "sim_range_search",
     "skew_hotkey_hybrid",
     # r12 (cont.): sliding-window funnel, transcendental-free BM25
-    # retrieval, mergeSchema generational read
+    # retrieval, mergeSchema generational read, incremental ANN ingest
     "evt_window_funnel", "text_bm25_topk", "io_schema_evolution",
+    "sim_ivf_append",
 ]
 
 

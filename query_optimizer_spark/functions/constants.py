@@ -127,6 +127,12 @@ BM25_QUERIES: list[tuple[int, tuple[str, ...]]] = [
 ]
 BM25_TOP_K = 10
 BM25_QUANT = 1_000_000  # per-term contribution -> integer micro-score
+
+# incremental ANN ingest: vec_ids [LO, LO+N) arrive as the new batch;
+# the slice sits above every model row (centroids vec_id < 32, PQ
+# codebook < 16, queries < 8), so the frozen model never sees the batch
+IVF_APPEND_LO = 64
+IVF_APPEND_N = 64
 BOILER_DF_MIN = 2
 
 # --- weighted source mixing --------------------------------------------------

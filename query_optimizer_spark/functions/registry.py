@@ -514,4 +514,13 @@ PIPELINE_OPS: dict[str, tuple] = {
         sources.schema_evolution,
         sources.schema_evolution_oracle(),
     ),
+    # r12: incremental ANN ingest -- the IVF twin of the dedup ingest
+    # loop: base index built WITHOUT the batch, batch encoded under the
+    # frozen model and dynamic-partition-overwritten into ONLY its
+    # lists; the grown index must answer exactly like single-shot
+    # IVFADC over everything (shares ivfpq_topk's oracle)
+    "sim_ivf_append": (
+        similarity.ivf_append_topk,
+        similarity.ivf_append_topk_oracle(),
+    ),
 }

@@ -23,6 +23,8 @@ from .constants import (
     ANN_N_QUERIES,
     ANN_TOP_K,
     EMB_QUANT,
+    IVF_APPEND_LO,
+    IVF_APPEND_N,
     IVF_N_CENTROIDS,
     IVF_NPROBE,
     KMEANS_ITERS,
@@ -2271,3 +2273,237 @@ def range_search_oracle() -> str:
         FROM scored
         WHERE cosine >= {RANGE_TAU}
     """
+
+
+# --- incremental ANN ingest (IVF list append) ---------------------------------
+
+_IVF_APPEND_EVIDENCE: dict[tuple[str, str], dict[str, float]] = {}
+
+
+def ivf_append_evidence(spark: SparkSession, sf_dir: str) -> dict:
+    """Evidence dict of the last ivf_append_topk run in this session for
+    the given sf_dir (files probed/total, touched lists, phase times)."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    return dict(_IVF_APPEND_EVIDENCE.get(key, {}))
+
+
+def ivf_append_topk(
+    spark: SparkSession, sf_dir: str, base_only: bool = False
+) -> DataFrame:
+    """Incremental ANN ingest -- the IVF twin of the dedup ingest loop
+    (``dedup_incremental`` -> ``dedup_index_commit``), closing the same
+    production gap for the similarity family: vectors arrive DAILY, the
+    index must grow WITHOUT re-encoding the corpus or rewriting the
+    store.
+
+    1. BASE BUILD (one-time): every vector EXCEPT the arriving batch
+       (vec_ids [IVF_APPEND_LO, LO+N) -- above all model rows, so the
+       coarse centroids / PQ codebook / query set are identical with or
+       without the batch) is encoded and written
+       ``partitionBy(cent_id)``, one directory per inverted list.
+    2. APPEND: the batch alone is encoded under the FROZEN model (the
+       production regime -- FAISS's ``add`` after ``train``), its
+       touched lists are read back partition-pruned (raise if the
+       predicate misses the scan) and localCheckpoint-ed, and a dynamic
+       partition overwrite rewrites ONLY those lists -- untouched list
+       directories stay byte-identical (pytest snapshots them, same as
+       the dedup commit).  Append cost scales with the batch's lists,
+       never the corpus.
+    3. PROBE: queries probe the GROWN index through the same
+       PartitionFilter-enforced scan as ``sim_ivfpq_pruned``, then the
+       shared exact re-rank.
+
+    Because the model is frozen AND the base+batch rows union to the
+    full corpus, the grown index must answer EXACTLY like single-shot
+    IVFADC over everything: the op shares ``ivfpq_topk_oracle()``
+    bit-for-bit.  That identity is the whole point -- ingest changed
+    WHEN bytes were written, never the answer.
+
+    Scale shape: base build is the one-time linear cost (build_sec in
+    evidence; cached per session); the recurring append touches
+    |batch lists| directories; probe IO is files(probed lists).  The
+    only collects are model state and the touched-list id set
+    (<= IVF_N_CENTROIDS ints)."""
+    import time as _time
+    from pathlib import Path
+
+    import numpy as np
+    import pandas as pd
+
+    from ..executor import physical_plan
+    from ..sources import session_state_path
+
+    emb = _quantized(spark, sf_dir)
+    qids, _, lut, cb, cents, cn2, probe_mask = _ivfpq_model(emb)
+    batch_cond = (F.col("vec_id") >= IVF_APPEND_LO) & (
+        F.col("vec_id") < IVF_APPEND_LO + IVF_APPEND_N
+    )
+
+    bc_enc = spark.sparkContext.broadcast((cb, cents, cn2))
+
+    def _encode(batches):
+        b_cb, b_cents, b_cn2 = bc_enc.value
+        cb_norm = (b_cb * b_cb).sum(-1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vids = pdf["vec_id"].to_numpy(np.int64)
+            vecs = np.array(pdf["q"].tolist(), dtype=np.int64)
+            assign = (b_cn2[None] - 2 * (vecs @ b_cents.T)).argmin(-1)
+            sub = vecs.reshape(len(vids), PQ_M, PQ_DSUB)
+            dots = np.einsum("bmd,mkd->bmk", sub, b_cb)
+            codes = (cb_norm[None] - 2 * dots).argmin(-1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": vids,
+                    "cent_id": assign.astype("int32"),
+                    "codes": [c.tolist() for c in codes.astype("int32")],
+                }
+            )
+
+    enc_schema = "vec_id long, cent_id int, codes array<int>"
+    idx_path = session_state_path(spark, sf_dir, "ivf_append_lists")
+    appended_marker = Path(idx_path) / "_APPENDED"
+    cached = appended_marker.exists()
+    build_sec = append_sec = 0.0
+    n_touched = -1
+    if not cached:
+        # base: the corpus WITHOUT the batch (separately callable so
+        # the byte-identity pytest can snapshot between the phases)
+        t0 = _time.monotonic()
+        if not (Path(idx_path) / "_SUCCESS").exists():
+            (
+                emb.filter(~batch_cond)
+                .select("vec_id", "q")
+                .mapInPandas(_encode, enc_schema)
+                .write.mode("overwrite")
+                .partitionBy("cent_id")
+                .parquet(idx_path)
+            )
+        build_sec = round(_time.monotonic() - t0, 4)
+        if base_only:
+            # test hook: stop after the base phase (per-list summary)
+            return (
+                spark.read.parquet(idx_path)
+                .groupBy("cent_id")
+                .count()
+            )
+        # append: encode the batch under the frozen model; materialize
+        # (localCheckpoint) so nothing re-reads idx_path mid-overwrite
+        t1 = _time.monotonic()
+        batch_rows = (
+            emb.filter(batch_cond)
+            .select("vec_id", "q")
+            .mapInPandas(_encode, enc_schema)
+            .localCheckpoint()
+        )
+        touched = sorted(
+            int(r.cent_id)
+            for r in batch_rows.select("cent_id").distinct().collect()
+        )
+        n_touched = len(touched)
+        existing = spark.read.parquet(idx_path).filter(
+            F.col("cent_id").isin(touched)
+        )
+        plan = physical_plan(existing)
+        seg = plan.split("PartitionFilters", 1)
+        if len(seg) != 2 or "cent_id" not in seg[1][:200]:
+            raise RuntimeError(
+                "ivf-append read-back did not prune to the touched"
+                f" lists; plan:\n{plan}"
+            )
+        existing = existing.localCheckpoint()
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(mode_key, "static")
+        spark.conf.set(mode_key, "dynamic")
+        try:
+            (
+                existing.unionByName(batch_rows)
+                .repartition("cent_id")
+                .write.mode("overwrite")
+                .partitionBy("cent_id")
+                .parquet(idx_path)
+            )
+        finally:
+            spark.conf.set(mode_key, prev)
+        appended_marker.touch()
+        append_sec = round(_time.monotonic() - t1, 4)
+
+    probed = sorted(
+        {int(c) for qi in range(len(qids))
+         for c in np.nonzero(probe_mask[qi])[0]}
+    )
+    while len(_IVF_APPEND_EVIDENCE) >= 8:
+        _IVF_APPEND_EVIDENCE.pop(next(iter(_IVF_APPEND_EVIDENCE)))
+    _IVF_APPEND_EVIDENCE[
+        (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    ] = dict(
+        n_lists=len(list(Path(idx_path).glob("cent_id=*"))),
+        n_probed=len(probed),
+        n_touched=n_touched,
+        files_total=len(list(Path(idx_path).glob("cent_id=*/*.parquet"))),
+        files_probed=sum(
+            len(list(Path(idx_path).glob(f"cent_id={c}/*.parquet")))
+            for c in probed
+        ),
+        build_sec=build_sec,
+        append_sec=append_sec,
+        build_cached=float(cached),
+    )
+
+    lists = spark.read.parquet(idx_path).filter(
+        F.col("cent_id").isin([int(c) for c in probed])
+    )
+    plan = physical_plan(lists)
+    seg = plan.split("PartitionFilters", 1)
+    if len(seg) != 2 or "cent_id" not in seg[1][:200]:
+        raise RuntimeError(
+            "ivf-append probe predicate did not reach the scan as a"
+            f" PartitionFilter; plan:\n{plan}"
+        )
+
+    bc = spark.sparkContext.broadcast((qids, lut, probe_mask))
+
+    def _adc(batches):
+        b_qids, b_lut, b_mask = bc.value
+        nq = len(b_qids)
+        s_idx = np.arange(PQ_M)[None, :]
+        acc_n = [np.empty(0, np.int64) for _ in range(nq)]
+        acc_d = [np.empty(0, np.int64) for _ in range(nq)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vids = pdf["vec_id"].to_numpy(np.int64)
+            cent = pdf["cent_id"].to_numpy(np.int64)
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            adc = b_lut[:, s_idx, codes].sum(-1)
+            for qi in range(nq):
+                keep = (vids != b_qids[qi]) & b_mask[qi][cent]
+                nn = np.concatenate([acc_n[qi], vids[keep]])
+                dd = np.concatenate([acc_d[qi], adc[qi][keep]])
+                if len(nn) > PQ_CANDIDATES:
+                    order = np.lexsort((nn, dd))[:PQ_CANDIDATES]
+                    nn, dd = nn[order], dd[order]
+                acc_n[qi], acc_d[qi] = nn, dd
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(b_qids, [len(a) for a in acc_n]),
+                "neighbor_id": np.concatenate(acc_n),
+                "adc_dist": np.concatenate(acc_d),
+            }
+        )
+        if len(out):
+            yield out
+
+    adc = lists.mapInPandas(
+        _adc, "query_id long, neighbor_id long, adc_dist long"
+    )
+    return _ivfpq_rerank(emb, adc)
+
+
+def ivf_append_topk_oracle() -> str:
+    """The grown index must answer exactly like single-shot IVFADC over
+    the full corpus (frozen model + base∪batch == everything), so the
+    append op SHARES the relational oracle -- the agreement IS the
+    ingest-correctness proof."""
+    return ivfpq_topk_oracle()

@@ -422,6 +422,27 @@ def main() -> None:
         probe("sim_ivfpq_pruned", "disjoint", k,
               lambda sf=sfd: similarity.ivfpq_pruned_topk(spark, sf),
               n_vecs0 * k, post=_pruned_post(sfd))
+        # --- incremental ANN ingest (r12): the batch is a FIXED vec_id
+        # slice, so append_sec (frozen-model encode + dynamic partition
+        # overwrite of the batch's lists) must stay ~flat while the
+        # corpus -- and the one-time base build_sec -- grows linearly;
+        # files_probed tracks the probe-list subset, never the corpus
+        def _append_post(sf_of):
+            def post():
+                ev = similarity.ivf_append_evidence(spark, sf_of)
+                return {
+                    "build_sec": round(ev.get("build_sec", 0.0), 2),
+                    "append_sec": ev.get("append_sec"),
+                    "n_touched": ev.get("n_touched"),
+                    "files_probed": ev.get("files_probed"),
+                    "files_total": ev.get("files_total"),
+                }
+
+            return post
+
+        probe("sim_ivf_append", "disjoint", k,
+              lambda sf=sfd: similarity.ivf_append_topk(spark, sf),
+              n_vecs0 * k, post=_append_post(sfd))
         # --- residual IVF-PQ (r10): per-(query, list) LUTs are
         # corpus-independent model state, so growth must track the
         # non-residual variant's (one linear codes pass)

@@ -473,3 +473,59 @@ def test_ivfpq_pruned_layout_reads_only_probed_lists(spark, duck):
 
     assert metric("numFiles") == info["files_probed"] < info["files_total"]
     assert metric("numPartitions") == info["n_probed"] < info["n_lists"]
+
+
+def test_ivf_append_rewrites_only_touched_lists(spark, duck):
+    """Incremental ANN ingest (r12): the append must (a) answer exactly
+    like single-shot IVFADC over the full corpus (shared oracle),
+    (b) rewrite ONLY the list directories the batch lands in -- every
+    untouched list's files byte-identical by (size, mtime) snapshot --
+    and (c) reuse the grown index on a repeat call."""
+    import shutil
+    from pathlib import Path
+
+    from query_optimizer_spark.functions import similarity
+    from query_optimizer_spark.harness import result_hash
+    from query_optimizer_spark.sources import session_state_path
+
+    idx_path = Path(session_state_path(spark, SF_DIR, "ivf_append_lists"))
+    shutil.rmtree(idx_path, ignore_errors=True)
+    similarity.ivf_append_topk(spark, SF_DIR, base_only=True).count()
+
+    def snapshot():
+        return {
+            str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+            for p in idx_path.rglob("*.parquet")
+        }
+
+    before = snapshot()
+    df = similarity.ivf_append_topk(spark, SF_DIR)
+    got = result_hash(df)
+    assert got == duck_hash(duck, similarity.ivf_append_topk_oracle())
+    # the grown index == single-shot IVFADC over everything
+    assert got == result_hash(similarity.ivfpq_topk(spark, SF_DIR))
+    ev = similarity.ivf_append_evidence(spark, SF_DIR)
+    assert ev["n_touched"] > 0 and ev["build_cached"] == 0.0, ev
+    assert 0 < ev["files_probed"] <= ev["files_total"], ev
+
+    after = snapshot()
+    changed = {
+        p
+        for p in set(before) | set(after)
+        if before.get(p) != after.get(p)
+    }
+    assert changed, "the append must have rewritten something"
+    changed_lists = {Path(p).parent.name for p in changed}
+    assert len(changed_lists) == ev["n_touched"], (
+        sorted(changed_lists), ev["n_touched"])
+    # every untouched list dir byte-identical
+    for p, v in before.items():
+        if Path(p).parent.name not in changed_lists:
+            assert after.get(p) == v, p
+
+    # repeat call: cached index reused, same answer, no rewrite
+    df2 = similarity.ivf_append_topk(spark, SF_DIR)
+    ev2 = similarity.ivf_append_evidence(spark, SF_DIR)
+    assert ev2["build_cached"] == 1.0, ev2
+    assert result_hash(df2) == got
+    assert snapshot() == after
