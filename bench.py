@@ -255,6 +255,16 @@ def main() -> None:
             # multibatch loop's index build + batch1 commit.
             index_commit_stats(spark, sf_dir).count()
             multibatch_ingest_pairs(spark, sf_dir).count()
+            # same discipline for the ANN ingest loop (r12): the first
+            # ivf_append_topk call pays the base build + the real
+            # dynamic-partition append; warming it here means every
+            # recorded rep measures the recurring probe-the-grown-index
+            # phase
+            from query_optimizer_spark.functions.similarity import (
+                ivf_append_topk,
+            )
+
+            ivf_append_topk(spark, sf_dir).count()
             warmup_secs.append(round(time.monotonic() - t_warm, 4))
             for _ in range(cohort_reps):
                 order = headline[:]
