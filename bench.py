@@ -182,7 +182,7 @@ headline = [
     # r12 (cont.): sliding-window funnel, transcendental-free BM25
     # retrieval, mergeSchema generational read, incremental ANN ingest
     "evt_window_funnel", "text_bm25_topk", "io_schema_evolution",
-    "sim_ivf_append",
+    "sim_ivf_append", "emb_matryoshka_recall", "stream_window_funnel",
 ]
 
 

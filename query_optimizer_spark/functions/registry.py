@@ -523,4 +523,19 @@ PIPELINE_OPS: dict[str, tuple] = {
         similarity.ivf_append_topk,
         similarity.ivf_append_topk_oracle(),
     ),
+    # r12: Matryoshka prefix-dimension recall -- recall@k of 8/16/32-dim
+    # truncated indexes vs the full-dim brute-force truth, the
+    # acceptance gate before shipping a cheaper truncated index
+    "emb_matryoshka_recall": (
+        similarity.matryoshka_recall,
+        similarity.matryoshka_recall_oracle(),
+    ),
+    # r12: streaming leg of the sliding-window funnel -- per-user
+    # levels maintained live (state = the user's own stage timestamp
+    # lists), monotone re-emissions finished batch-side with max();
+    # shares the batch op's oracle, agreement is the proof
+    "stream_window_funnel": (
+        streaming.window_funnel_stream,
+        streaming.window_funnel_stream_oracle(),
+    ),
 }

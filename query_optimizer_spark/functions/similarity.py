@@ -2507,3 +2507,152 @@ def ivf_append_topk_oracle() -> str:
     append op SHARES the relational oracle -- the agreement IS the
     ingest-correctness proof."""
     return ivfpq_topk_oracle()
+
+
+# --- Matryoshka prefix-dimension recall ----------------------------------------
+
+MRL_PREFIX_DIMS = (8, 16, 32)  # evaluated against the full 64-dim truth
+
+
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-dimension retrieval quality -- the Matryoshka (MRL)
+    evaluation: how much of the full-dimension top-k survives when the
+    index stores only the first d dimensions of every embedding.
+
+    The modern embedding-pipeline question (Kusupati et al. 2022:
+    nested representations let one model serve 8/16/32-dim indexes at
+    graded cost): before shipping a truncated index, measure
+    recall@k(d) against the full-dim brute-force truth.  For each
+    query and each d in MRL_PREFIX_DIMS, the top-k by prefix-cosine
+    (exact integer dots on the sliced quantized vectors, ties ->
+    smallest neighbor_id) is intersected with the full-dim top-k; the
+    output is per-(query, d) hit counts and recall.
+
+    Scale shape: one corpus scan scores ALL prefix dims at once (the
+    dims ride a 3-element literal explode against the broadcast query
+    set -- the slice/dot stays in whole-stage codegen); the per-(query,
+    d) ranking windows partition on |queries| x |dims| keys; the truth
+    side is the same brute-force scan ``sim_bruteforce_topk`` runs.
+    At 100 TB the prefix index IS the cheap path (d/64 of the scan
+    bytes) -- this op is the acceptance gate that says which d is safe.
+    """
+    emb = _quantized(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+    )
+    dot_full = DOT_SPARK.format(a="qq", b="q")
+    scored_full = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                f"round({dot_full} / (sqrt(cast(qn2 as double))"
+                " * sqrt(cast(n2 as double))), 6)"
+            ).alias("cosine"),
+        )
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    truth = (
+        scored_full.withColumn("r", F.row_number().over(w_full))
+        .filter(F.col("r") <= ANN_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    dims = ", ".join(str(d) for d in MRL_PREFIX_DIMS)
+    dot_pre = DOT_SPARK.format(a="slice(qq, 1, d)", b="slice(q, 1, d)")
+    n2_pre_q = DOT_SPARK.format(a="slice(qq, 1, d)", b="slice(qq, 1, d)")
+    n2_pre_v = DOT_SPARK.format(a="slice(q, 1, d)", b="slice(q, 1, d)")
+    scored_pre = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "qq",
+            "q",
+            F.explode(F.expr(f"array({dims})")).alias("d"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "d",
+            F.expr(
+                f"round({dot_pre} / (sqrt(cast({n2_pre_q} as double))"
+                f" * sqrt(cast({n2_pre_v} as double))), 6)"
+            ).alias("cosine"),
+        )
+    )
+    w_pre = Window.partitionBy("query_id", "d").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    pre_topk = (
+        scored_pre.withColumn("r", F.row_number().over(w_pre))
+        .filter(F.col("r") <= ANN_TOP_K)
+        .select("query_id", "d", "neighbor_id")
+    )
+    return (
+        pre_topk.join(
+            truth.withColumn("hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id", F.col("d").cast("int").alias("prefix_dim"))
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("int").alias("n_hits"))
+        .withColumn("recall", F.round(F.col("n_hits") / ANN_TOP_K, 6))
+    )
+
+
+def matryoshka_recall_oracle() -> str:
+    dims_values = ", ".join(f"({d})" for d in MRL_PREFIX_DIMS)
+    return f"""
+        WITH {_SQL_QUANT},
+        dims(d) AS (VALUES {dims_values}),
+        scored_full AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   round(list_sum([a.q[i] * b.q[i]
+                                   for i in generate_series(1, len(a.q))])
+                         / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)), 6)
+                       AS cosine
+            FROM qn a, qn b
+            WHERE a.vec_id < {ANN_N_QUERIES} AND b.vec_id <> a.vec_id
+        ),
+        truth AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS r
+                FROM scored_full
+            ) WHERE r <= {ANN_TOP_K}
+        ),
+        scored_pre AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, dims.d,
+                   round(list_sum([a.q[i] * b.q[i]
+                                   for i in generate_series(1, dims.d)])
+                         / (sqrt(list_sum([a.q[i] * a.q[i]
+                                for i in generate_series(1, dims.d)])::DOUBLE)
+                          * sqrt(list_sum([b.q[i] * b.q[i]
+                                for i in generate_series(1, dims.d)])::DOUBLE)),
+                         6) AS cosine
+            FROM qn a, qn b, dims
+            WHERE a.vec_id < {ANN_N_QUERIES} AND b.vec_id <> a.vec_id
+        ),
+        pre_topk AS (
+            SELECT query_id, d, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, d
+                           ORDER BY cosine DESC, neighbor_id) AS r
+                FROM scored_pre
+            ) WHERE r <= {ANN_TOP_K}
+        )
+        SELECT p.query_id, CAST(p.d AS INT) AS prefix_dim,
+               CAST(sum(CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END)
+                    AS INT) AS n_hits,
+               round(sum(CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END)
+                     / {ANN_TOP_K}, 6) AS recall
+        FROM pre_topk p
+        LEFT JOIN truth t
+          ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id
+        GROUP BY p.query_id, p.d
+    """

@@ -17,6 +17,8 @@ from .ops import (
     incremental_dedup_stream_oracle,
     kmv_distinct_stream,
     kmv_distinct_stream_oracle,
+    window_funnel_stream,
+    window_funnel_stream_oracle,
     dedup_stream,
     feedback_broadcast_join,
     feedback_broadcast_join_oracle,
@@ -47,6 +49,8 @@ __all__ = [
     "incremental_dedup_stream",
     "incremental_dedup_stream_oracle",
     "kmv_distinct_stream",
+    "window_funnel_stream",
+    "window_funnel_stream_oracle",
     "kmv_distinct_stream_oracle",
     "feedback_broadcast_join",
     "feedback_broadcast_join_oracle",

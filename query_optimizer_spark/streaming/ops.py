@@ -1343,3 +1343,90 @@ def kmv_distinct_stream_oracle() -> str:
                      END, 2) AS kmv_distinct_est
         FROM kmv GROUP BY source
     """
+
+
+# --- streaming sliding-window funnel -------------------------------------------
+
+_WF_STATE_SCHEMA = "vs array<long>, cs array<long>, ps array<long>"
+_WF_OUT_SCHEMA = "user_id long, level int"
+
+
+def _wf_level(vs, cs, ps, w):
+    """Max funnel level over every anchor view -- the same integer-ms
+    arithmetic as the batch expression and the DuckDB oracle (exact,
+    no floats, so the three implementations cannot disagree)."""
+    best = 0 if len(vs) == 0 else 1
+    for v in vs:
+        lvl = 1
+        cand = [c for c in cs if v < c <= v + w]
+        if cand:
+            c0 = min(cand)
+            lvl = 2
+            if any(c0 < p <= v + w for p in ps):
+                lvl = 3
+        if lvl > best:
+            best = lvl
+        if best == 3:
+            break
+    return best
+
+
+def _wf_fn(key, pdfs, state):
+    import pandas as pd
+
+    from ..functions.temporal import WF_WINDOW_MS
+
+    vs, cs, ps = state.get if state.exists else ([], [], [])
+    vs, cs, ps = list(vs), list(cs), list(ps)
+    for pdf in pdfs:
+        for t, m in zip(pdf["event_type"], pdf["ms"]):
+            (vs if t == "view" else cs if t == "click" else ps).append(
+                int(m)
+            )
+    state.update((vs, cs, ps))
+    yield pd.DataFrame(
+        {"user_id": [key[0]],
+         "level": [_wf_level(vs, cs, ps, WF_WINDOW_MS)]}
+    )
+
+
+def window_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING leg of the sliding-window funnel: per-user funnel
+    levels maintained live as events arrive, final histogram equal to
+    the batch ``evt_window_funnel`` (it shares that op's oracle -- the
+    agreement is the proof).
+
+    State per user is the three stage-timestamp lists -- bounded by
+    that user's OWN funnel-stage activity, the exact bound the batch
+    twin's ``collect_list`` carries (a production deployment adds a
+    state TTL once a user's newest possible window closes; the
+    level math is unchanged).  The level is MONOTONE in the event set
+    (new events only ever add candidate chains), so re-emissions
+    across micro-batches finish batch-side with ``max(level)`` per
+    user -- the same monotone-sink pattern ``stream_quantile_sketch``
+    gate-proved.  Level arithmetic is exact integer milliseconds in
+    all three implementations (python state fn, batch array
+    expression, DuckDB list comprehension)."""
+    sdf = stream_events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id", "event_type", F.expr("unix_millis(ts)").alias("ms")
+    )
+    levels = sdf.groupBy("user_id").applyInPandasWithState(
+        _wf_fn,
+        outputStructType=_WF_OUT_SCHEMA,
+        stateStructType=_WF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    tbl = _run_to_memory(levels, "append")
+    final = tbl.groupBy("user_id").agg(F.max("level").alias("level"))
+    return final.groupBy("level").agg(
+        F.count("*").cast("int").alias("n_users")
+    )
+
+
+def window_funnel_stream_oracle() -> str:
+    from ..functions.temporal import window_funnel_oracle
+
+    return window_funnel_oracle()

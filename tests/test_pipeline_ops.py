@@ -1391,3 +1391,39 @@ def test_schema_evolution_nulls_and_partition_prune(spark, duck):
     assert "PartitionFilters" in plan and "gen" in plan.split(
         "PartitionFilters", 1
     )[1][:200], plan[:800]
+
+
+def test_matryoshka_recall_bounds_and_gradient(spark):
+    """emb_matryoshka_recall (r12): recalls bounded in [0,1] with
+    n_hits <= k, every (query, prefix_dim) cell present, and the mean
+    recall at the largest prefix must beat the smallest (more dims ->
+    better retrieval, on average)."""
+    from query_optimizer_spark.functions.constants import (
+        ANN_N_QUERIES,
+        ANN_TOP_K,
+    )
+    from query_optimizer_spark.functions.similarity import MRL_PREFIX_DIMS
+
+    rows = PIPELINE_OPS["emb_matryoshka_recall"][0](spark, SF_DIR).collect()
+    assert len(rows) == ANN_N_QUERIES * len(MRL_PREFIX_DIMS)
+    by_dim: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.n_hits <= ANN_TOP_K
+        assert abs(r.recall - round(r.n_hits / ANN_TOP_K, 6)) < 1e-12
+        by_dim.setdefault(r.prefix_dim, []).append(r.recall)
+    assert set(by_dim) == set(MRL_PREFIX_DIMS)
+    lo, hi = min(MRL_PREFIX_DIMS), max(MRL_PREFIX_DIMS)
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    assert mean(by_dim[hi]) > mean(by_dim[lo]), (
+        mean(by_dim[lo]), mean(by_dim[hi]))
+
+
+def test_stream_window_funnel_equals_batch(spark):
+    """stream_window_funnel (r12): the live per-user levels, finished
+    with the monotone max, must reproduce the batch evt_window_funnel
+    histogram exactly."""
+    from query_optimizer_spark.harness import result_hash
+
+    got = result_hash(PIPELINE_OPS["stream_window_funnel"][0](spark, SF_DIR))
+    want = result_hash(PIPELINE_OPS["evt_window_funnel"][0](spark, SF_DIR))
+    assert got == want
