@@ -99,7 +99,7 @@ def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # declared queries.  Positions 1-11 are EXACTLY the 11 SQL variants the
 # r11 round pinned as _R12_FIRST (their freshest driver evidence was
 # r7 -- the oldest stratum; the r11 verdict made leading with them the
-# round's first punch item).  Positions 12-25 are the ops ADDED in r12
+# round's first punch item).  Positions 12-26 are the ops ADDED in r12
 # (dedup_multibatch -- the two-day ingest loop: batch1 probe -> accept
 # -> commit, then batch2 probes the GROWN index and must see accepted
 # batch1 docs as corpus; text_kmv_overlap -- the KMV/theta set sketch,
@@ -123,7 +123,9 @@ def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recall -- prefix-dimension recall@k vs the full-dim truth, the MRL
 # truncated-index acceptance gate; stream_window_funnel -- the
 # funnel's streaming leg, per-user levels maintained live, monotone
-# re-emissions finished with max, shares the batch oracle).  26-28 are
+# re-emissions finished with max, shares the batch oracle;
+# text_novelty_curve -- per-doc first-seen K-gram fraction, the
+# data-accumulation dual of dedup_substring).  27-29 are
 # the ops r12 TOUCHED: the
 # incremental trio now shares _probe_band_index/_commit_band_index
 # with the multibatch loop, the commit's already-committed skip check
@@ -131,12 +133,12 @@ def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the per-doc equality and never heal), and the commit's verification
 # aggregate is BOUNDED to the touched shards (VERDICT r11 #4 -- the
 # full-index groupBy was the loop's only linear-in-corpus piece; the
-# oracle bounds its rebuild identically).  29-50 rotate 22 of the
+# oracle bounds its rebuild identically).  30-50 rotate 21 of the
 # 42-query r8-freshness stratum (VERDICT r11 #6), prioritizing the
 # streaming family and the io/skew rows never re-gated since r8; the
-# 20 deferred r8 rows (_R13_FIRST: sql_full_outer_merge/left_antijoin/
-# left_join_agg/median/null_funcs/stddev + TPC-H) are pinned at
-# positions 51-70, first in line for r13
+# 21 deferred r8 rows (_R13_FIRST: sql_date_arith/full_outer_merge/
+# left_antijoin/left_join_agg/median/null_funcs/stddev + TPC-H) are
+# pinned at positions 51-71, first in line for r13
 # (they joined sql_q10/sql_q15/sql_q18 there as the r12 additions
 # took their window slots).
 # =========================================================================
@@ -168,6 +170,7 @@ _R12_WINDOW = [
     "sim_ivf_append",
     "emb_matryoshka_recall",
     "stream_window_funnel",
+    "text_novelty_curve",
     # --- touched in r12 (shared probe/commit helpers, per-band skip
     # check, bounded verification aggregate) ---
     "dedup_incremental",
@@ -196,7 +199,6 @@ _R12_WINDOW = [
     "text_hll_vocab",
     # --- r8-evidence SQL surface (variants, then TPC-H) ---
     "sql_array_agg_sorted",
-    "sql_date_arith",
     "sql_q3_shipping_priority",
     "sql_q13_custdist",
 ]
@@ -204,6 +206,7 @@ _R12_WINDOW = [
 # positions 51-67: the r8 remainder (3 SQL variants + TPC-H), first in
 # line for r13
 _R13_FIRST = [
+    "sql_date_arith",
     "sql_full_outer_merge",
     "sql_left_antijoin",
     "sql_left_join_agg",

@@ -183,6 +183,7 @@ headline = [
     # retrieval, mergeSchema generational read, incremental ANN ingest
     "evt_window_funnel", "text_bm25_topk", "io_schema_evolution",
     "sim_ivf_append", "emb_matryoshka_recall", "stream_window_funnel",
+    "text_novelty_curve",
 ]
 
 

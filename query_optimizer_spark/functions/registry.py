@@ -538,4 +538,11 @@ PIPELINE_OPS: dict[str, tuple] = {
         streaming.window_funnel_stream,
         streaming.window_funnel_stream_oracle(),
     ),
+    # r12: per-doc novelty -- fraction of a doc's distinct K-gram spans
+    # FIRST seen in it (the data-accumulation dual of dedup_substring's
+    # copied fraction; same gram machinery)
+    "text_novelty_curve": (
+        text.novelty_curve,
+        text.novelty_curve_oracle(),
+    ),
 }

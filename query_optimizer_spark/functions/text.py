@@ -1681,3 +1681,95 @@ def bm25_topk_oracle() -> str:
             FROM scores
         ) WHERE rank <= {BM25_TOP_K}
     """
+
+
+# --- novelty curve (first-seen gram fraction) ----------------------------------
+
+
+def novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's DISTINCT
+    SUBSTR_NGRAM-token spans whose FIRST occurrence (smallest doc_id)
+    is this doc.
+
+    The data-accumulation question a corpus curator asks before paying
+    for another crawl increment: ordered by doc_id, how much genuinely
+    new content does each document add?  Saturating novelty means the
+    source is mined out; it is the corpus-level dual of
+    ``dedup_substring`` (which flags the COPIED fraction, this flags
+    the ORIGINAL fraction -- both ride the same K-gram machinery and
+    constants).
+
+    Scale shape: per-doc gram DEDUP happens map-side
+    (``array_distinct`` before the explode), so a doc's internal
+    repetitions never reach the shuffle; first-seen is one map-side-
+    combining ``min(doc_id)`` aggregation on the gram; the join back is
+    co-partitioned with that aggregation's exchange; the per-doc rollup
+    shuffles by doc_id.  Same 100 TB note as dedup_substring: the gram
+    string would be hashed to 8 bytes before the shuffle in production;
+    kept as text here for oracle bit-exactness.
+    """
+    from .constants import SUBSTR_NGRAM
+
+    k = SUBSTR_NGRAM
+    grams = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(TOKS).alias("toks"))
+        .filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, size(toks) - {k} + 1), "
+                    f"i -> array_join(slice(toks, i, {k}), ' ')))"
+                )
+            ).alias("gram"),
+        )
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_distinct_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_distinct_grams"), 6)
+        )
+    )
+
+
+def novelty_curve_oracle() -> str:
+    from .constants import SUBSTR_NGRAM
+
+    toks = sql_tokens("text")
+    k = SUBSTR_NGRAM
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {toks} AS w FROM documents
+            WHERE len({toks}) >= {k}
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       [array_to_string(w[i:i + {k - 1}], ' ')
+                        for i in generate_series(1, len(w) - {k} + 1)]
+                   )) AS gram
+            FROM t
+        ),
+        first_seen AS (
+            SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY 1
+        )
+        SELECT g.doc_id,
+               CAST(count(*) AS INT) AS n_distinct_grams,
+               CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                    AS INT) AS n_novel,
+               round(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                     / count(*), 6) AS novelty
+        FROM grams g JOIN first_seen f USING (gram)
+        GROUP BY g.doc_id
+    """

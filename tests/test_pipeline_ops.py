@@ -1427,3 +1427,24 @@ def test_stream_window_funnel_equals_batch(spark):
     got = result_hash(PIPELINE_OPS["stream_window_funnel"][0](spark, SF_DIR))
     want = result_hash(PIPELINE_OPS["evt_window_funnel"][0](spark, SF_DIR))
     assert got == want
+
+
+def test_novelty_curve_duals_substring_dedup(spark, duck):
+    """text_novelty_curve (r12): novelty bounded in (0,1]; doc_id 0's
+    grams are all first-seen there (novelty == 1 for the smallest
+    doc_id); and the planted near-dup pairs' HIGHER doc_id must show
+    low novelty (its content was first seen in the lower one)."""
+    rows = {
+        r.doc_id: r
+        for r in PIPELINE_OPS["text_novelty_curve"][0](spark, SF_DIR).collect()
+    }
+    assert rows
+    for r in rows.values():
+        assert 0 < r.n_distinct_grams
+        assert 0 <= r.n_novel <= r.n_distinct_grams
+    assert rows[min(rows)].novelty == 1.0
+    planted = duck.execute(PIPELINE_OPS["dedup_ngram_jaccard"][1]).fetchall()
+    assert planted
+    for a, b, _ in planted:
+        hi = max(a, b)
+        assert rows[hi].novelty <= 0.5, (hi, rows[hi])
