@@ -351,6 +351,14 @@ def main() -> None:
               lambda sf=f"{WORK}/disjoint_x{k}":
                   dedup.substring_dup_spans(spark, sf),
               n_docs0 * k)
+        # --- novelty curve (r12): same gram machinery as
+        # dedup_substring (per-doc distinct grams -> min(doc_id) agg ->
+        # co-partitioned join back), so disjoint growth must track its
+        # ~linear exponent
+        probe("text_novelty_curve", "disjoint", k,
+              lambda sf=f"{WORK}/disjoint_x{k}":
+                  text.novelty_curve(spark, sf),
+              n_docs0 * k)
         # --- BM25 retrieval (r12): the corpus-sized stage is the token
         # explode pruned by the broadcast term join.  Disjoint replicas
         # suffix every token, so query terms match ONLY the original
