@@ -1597,6 +1597,77 @@ def ivfpq_topk_oracle() -> str:
 # inline-raises if the partition filter missed the scan; the pytest
 # additionally asserts the executed scan's numFiles/numPartitions
 # METRICS equal the probed subset, i.e. non-probed lists were never read
+def _ivfpq_encode_fn(bc_enc):
+    """mapInPandas closure factory: coarse-assign + PQ-encode a
+    (vec_id, q) batch under the broadcast (codebook, centroids, |c|^2)
+    model -- shared by the pruned-layout build and the append op."""
+    import numpy as np
+    import pandas as pd
+
+    def _encode(batches):
+        b_cb, b_cents, b_cn2 = bc_enc.value
+        cb_norm = (b_cb * b_cb).sum(-1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vids = pdf["vec_id"].to_numpy(np.int64)
+            vecs = np.array(pdf["q"].tolist(), dtype=np.int64)
+            assign = (b_cn2[None] - 2 * (vecs @ b_cents.T)).argmin(-1)
+            sub = vecs.reshape(len(vids), PQ_M, PQ_DSUB)
+            dots = np.einsum("bmd,mkd->bmk", sub, b_cb)
+            codes = (cb_norm[None] - 2 * dots).argmin(-1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": vids,
+                    "cent_id": assign.astype("int32"),
+                    "codes": [c.tolist() for c in codes.astype("int32")],
+                }
+            )
+
+    return _encode
+
+
+def _ivfpq_adc_fn(bc):
+    """mapInPandas closure factory: per-partition ADC scan over stored
+    (vec_id, cent_id, codes) lists under the broadcast (query ids, LUT,
+    probe mask) -- shared by the pruned-layout probe and the append op."""
+    import numpy as np
+    import pandas as pd
+
+    def _adc(batches):
+        b_qids, b_lut, b_mask = bc.value
+        nq = len(b_qids)
+        s_idx = np.arange(PQ_M)[None, :]
+        acc_n = [np.empty(0, np.int64) for _ in range(nq)]
+        acc_d = [np.empty(0, np.int64) for _ in range(nq)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vids = pdf["vec_id"].to_numpy(np.int64)
+            cent = pdf["cent_id"].to_numpy(np.int64)
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            adc = b_lut[:, s_idx, codes].sum(-1)
+            for qi in range(nq):
+                keep = (vids != b_qids[qi]) & b_mask[qi][cent]
+                nn = np.concatenate([acc_n[qi], vids[keep]])
+                dd = np.concatenate([acc_d[qi], adc[qi][keep]])
+                if len(nn) > PQ_CANDIDATES:
+                    order = np.lexsort((nn, dd))[:PQ_CANDIDATES]
+                    nn, dd = nn[order], dd[order]
+                acc_n[qi], acc_d[qi] = nn, dd
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(b_qids, [len(a) for a in acc_n]),
+                "neighbor_id": np.concatenate(acc_n),
+                "adc_dist": np.concatenate(acc_d),
+            }
+        )
+        if len(out):
+            yield out
+
+    return _adc
+
+
 _IVFPQ_PRUNED_EVIDENCE: dict[tuple[str, str], dict[str, float]] = {}
 
 
@@ -1649,26 +1720,7 @@ def ivfpq_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ---- build: encode once, one directory per inverted list
     bc_enc = spark.sparkContext.broadcast((cb, cents, cn2))
-
-    def _encode(batches):
-        b_cb, b_cents, b_cn2 = bc_enc.value
-        cb_norm = (b_cb * b_cb).sum(-1)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            vids = pdf["vec_id"].to_numpy(np.int64)
-            vecs = np.array(pdf["q"].tolist(), dtype=np.int64)
-            assign = (b_cn2[None] - 2 * (vecs @ b_cents.T)).argmin(-1)
-            sub = vecs.reshape(len(vids), PQ_M, PQ_DSUB)
-            dots = np.einsum("bmd,mkd->bmk", sub, b_cb)
-            codes = (cb_norm[None] - 2 * dots).argmin(-1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": vids,
-                    "cent_id": assign.astype("int32"),
-                    "codes": [c.tolist() for c in codes.astype("int32")],
-                }
-            )
+    _encode = _ivfpq_encode_fn(bc_enc)
 
     import time as _time
 
@@ -1738,37 +1790,7 @@ def ivfpq_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     bc = spark.sparkContext.broadcast((qids, lut, probe_mask))
-
-    def _adc(batches):
-        b_qids, b_lut, b_mask = bc.value
-        nq = len(b_qids)
-        s_idx = np.arange(PQ_M)[None, :]
-        acc_n = [np.empty(0, np.int64) for _ in range(nq)]
-        acc_d = [np.empty(0, np.int64) for _ in range(nq)]
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            vids = pdf["vec_id"].to_numpy(np.int64)
-            cent = pdf["cent_id"].to_numpy(np.int64)
-            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
-            adc = b_lut[:, s_idx, codes].sum(-1)  # (nq, batch)
-            for qi in range(nq):
-                keep = (vids != b_qids[qi]) & b_mask[qi][cent]
-                nn = np.concatenate([acc_n[qi], vids[keep]])
-                dd = np.concatenate([acc_d[qi], adc[qi][keep]])
-                if len(nn) > PQ_CANDIDATES:
-                    order = np.lexsort((nn, dd))[:PQ_CANDIDATES]
-                    nn, dd = nn[order], dd[order]
-                acc_n[qi], acc_d[qi] = nn, dd
-        out = pd.DataFrame(
-            {
-                "query_id": np.repeat(b_qids, [len(a) for a in acc_n]),
-                "neighbor_id": np.concatenate(acc_n),
-                "adc_dist": np.concatenate(acc_d),
-            }
-        )
-        if len(out):
-            yield out
+    _adc = _ivfpq_adc_fn(bc)
 
     adc = lists.mapInPandas(
         _adc, "query_id long, neighbor_id long, adc_dist long"
@@ -2340,26 +2362,7 @@ def ivf_append_topk(
     )
 
     bc_enc = spark.sparkContext.broadcast((cb, cents, cn2))
-
-    def _encode(batches):
-        b_cb, b_cents, b_cn2 = bc_enc.value
-        cb_norm = (b_cb * b_cb).sum(-1)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            vids = pdf["vec_id"].to_numpy(np.int64)
-            vecs = np.array(pdf["q"].tolist(), dtype=np.int64)
-            assign = (b_cn2[None] - 2 * (vecs @ b_cents.T)).argmin(-1)
-            sub = vecs.reshape(len(vids), PQ_M, PQ_DSUB)
-            dots = np.einsum("bmd,mkd->bmk", sub, b_cb)
-            codes = (cb_norm[None] - 2 * dots).argmin(-1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": vids,
-                    "cent_id": assign.astype("int32"),
-                    "codes": [c.tolist() for c in codes.astype("int32")],
-                }
-            )
+    _encode = _ivfpq_encode_fn(bc_enc)
 
     enc_schema = "vec_id long, cent_id int, codes array<int>"
     idx_path = session_state_path(spark, sf_dir, "ivf_append_lists")
@@ -2463,37 +2466,7 @@ def ivf_append_topk(
         )
 
     bc = spark.sparkContext.broadcast((qids, lut, probe_mask))
-
-    def _adc(batches):
-        b_qids, b_lut, b_mask = bc.value
-        nq = len(b_qids)
-        s_idx = np.arange(PQ_M)[None, :]
-        acc_n = [np.empty(0, np.int64) for _ in range(nq)]
-        acc_d = [np.empty(0, np.int64) for _ in range(nq)]
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            vids = pdf["vec_id"].to_numpy(np.int64)
-            cent = pdf["cent_id"].to_numpy(np.int64)
-            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
-            adc = b_lut[:, s_idx, codes].sum(-1)
-            for qi in range(nq):
-                keep = (vids != b_qids[qi]) & b_mask[qi][cent]
-                nn = np.concatenate([acc_n[qi], vids[keep]])
-                dd = np.concatenate([acc_d[qi], adc[qi][keep]])
-                if len(nn) > PQ_CANDIDATES:
-                    order = np.lexsort((nn, dd))[:PQ_CANDIDATES]
-                    nn, dd = nn[order], dd[order]
-                acc_n[qi], acc_d[qi] = nn, dd
-        out = pd.DataFrame(
-            {
-                "query_id": np.repeat(b_qids, [len(a) for a in acc_n]),
-                "neighbor_id": np.concatenate(acc_n),
-                "adc_dist": np.concatenate(acc_d),
-            }
-        )
-        if len(out):
-            yield out
+    _adc = _ivfpq_adc_fn(bc)
 
     adc = lists.mapInPandas(
         _adc, "query_id long, neighbor_id long, adc_dist long"
