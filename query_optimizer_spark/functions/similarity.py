@@ -2405,8 +2405,15 @@ def ivf_append_topk(
             for r in batch_rows.select("cent_id").distinct().collect()
         )
         n_touched = len(touched)
+        # crash-heal (r12 ADVICE): a crash between the dynamic
+        # overwrite below and appended_marker.touch() leaves touched
+        # lists already holding batch rows; excluding batch vec_ids
+        # from the read-back makes the rewrite idempotent -- the rerun
+        # unions the batch exactly once no matter how far the previous
+        # attempt got (the per-band skip check's ANN twin,
+        # dedup.py:725-744)
         existing = spark.read.parquet(idx_path).filter(
-            F.col("cent_id").isin(touched)
+            F.col("cent_id").isin(touched) & ~batch_cond
         )
         plan = physical_plan(existing)
         seg = plan.split("PartitionFilters", 1)

@@ -1310,20 +1310,94 @@ _KMV_SHINGLES = (
 )
 
 
-def _kmv_shingle_sets(spark, sf_dir: str, keys: list[str]) -> DataFrame:
-    """Distinct per-``keys`` 3-word-shingle rows (keys + tok), CACHED:
-    every downstream branch (sketch build, pair expansion, sizes, exact
-    intersection) re-derives the frame otherwise -- the uncached plan
-    scans documents 12x (measured); cached, the corpus is tokenized +
-    shingled + deduped ONCE (the ngram_jaccard sig.cache()
-    discipline)."""
+# one shingle scan + one exact proof leg feed BOTH kmv ops (r12 VERDICT
+# "what's wrong" #2: each op used to build its own cached shingle frame
+# AND recompute the corpus-sized exact-intersection join -- the two
+# heaviest gate rows, paying the linear ground-truth leg twice for one
+# identical answer).  Keyed (id(spark), sf_dir) like sqlsurface's
+# _DERIVED_CACHE; FIFO-bounded so bench's fresh-session cohorts can't
+# grow it forever, and eviction unpersists (the old per-invocation
+# .cache() never did).
+_KMV_SHARED: dict = {}
+
+
+def _kmv_shared(spark, sf_dir: str) -> dict:
+    """The KMV family's shared frames, built once per (session, sf_dir):
+
+    - ``sub_toks``: distinct (source, lang, tok) 3-word-shingle rows --
+      THE corpus scan (tokenize + shingle + dedupe once; the
+      ngram_jaccard sig.cache() discipline)
+    - ``toks``: the source-level projection derived FROM sub_toks
+      (``select(source, tok).distinct()`` -- a shingle distinct within
+      a source across langs, never a rescan)
+    - ``exact``: the exact pairwise-jaccard ground-truth leg (sizes +
+      self-join intersection), computed ONCE -- both ops' sketches are
+      judged against this same tiny (source_a, source_b) frame
+    """
+    key = (id(spark), sf_dir.rstrip("/"))
+    ent = _KMV_SHARED.get(key)
+    if ent is None:
+        while len(_KMV_SHARED) >= 4:
+            old = _KMV_SHARED.pop(next(iter(_KMV_SHARED)))
+            for df in old.values():
+                try:
+                    df.unpersist(blocking=False)
+                except Exception:
+                    pass
+        sub_toks = (
+            _docs(spark, sf_dir)
+            .select("source", "lang", F.expr(TOKS).alias("toks"))
+            .filter(F.expr(f"size(toks) >= {MINHASH_SHINGLE}"))
+            .select(
+                "source", "lang", F.explode(F.expr(_KMV_SHINGLES)).alias("tok")
+            )
+            .distinct()
+            .cache()
+        )
+        toks = sub_toks.select("source", "tok").distinct().cache()
+        exact = _kmv_exact_leg(toks).cache()
+        _KMV_SHARED[key] = dict(sub_toks=sub_toks, toks=toks, exact=exact)
+        ent = _KMV_SHARED[key]
+    return ent
+
+
+def _kmv_exact_leg(toks: DataFrame) -> DataFrame:
+    """Exact pairwise jaccard from the raw distinct shingle rows
+    (``toks``: source, tok): per-source set sizes + the pairwise
+    intersection self-join.  The deliberately-linear ground-truth leg
+    (the hll_vocab discipline) -- shared by both KMV ops via
+    ``_kmv_shared``, so the corpus-sized join runs once per session."""
+    srcs = toks.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    sizes = toks.groupBy("source").agg(F.count("*").alias("n"))
+    ta = toks.select(F.col("source").alias("source_a"), "tok")
+    tb = toks.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        ta.join(tb, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
     return (
-        _docs(spark, sf_dir)
-        .select(*keys, F.expr(TOKS).alias("toks"))
-        .filter(F.expr(f"size(toks) >= {MINHASH_SHINGLE}"))
-        .select(*keys, F.explode(F.expr(_KMV_SHINGLES)).alias("tok"))
-        .distinct()
-        .cache()
+        pairs.join(inter, ["source_a", "source_b"], "left")
+        .join(sizes.withColumnsRenamed({"source": "source_a", "n": "na"}),
+              "source_a")
+        .join(sizes.withColumnsRenamed({"source": "source_b", "n": "nb"}),
+              "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (F.col("na") + F.col("nb")
+                   - F.coalesce(F.col("n_inter"), F.lit(0))),
+                6,
+            ).alias("exact_jaccard"),
+        )
     )
 
 
@@ -1340,11 +1414,12 @@ def _kmv_topk(hashed: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
-def _kmv_pairwise(toks: DataFrame, kmv: DataFrame) -> DataFrame:
+def _kmv_pairwise(exact: DataFrame, kmv: DataFrame) -> DataFrame:
     """Pairwise jaccard estimates from per-source KMV sketch rows
-    (``kmv``: source, h) plus the exact leg from the raw distinct
-    shingle rows (``toks``: source, tok).  Per pair: K smallest of the
-    merged sketches vote in-both / K (the theta intersection rule)."""
+    (``kmv``: source, h) joined with the SHARED exact ground-truth leg
+    (``exact``: source_a, source_b, exact_jaccard -- from
+    ``_kmv_shared``).  Per pair: K smallest of the merged sketches
+    vote in-both / K (the theta intersection rule)."""
     srcs = kmv.select("source").distinct()
     # unordered pairs of the (tiny, model-state-sized) source domain:
     # a broadcast-NL of two aggregate frames, the correct plan here
@@ -1379,33 +1454,6 @@ def _kmv_pairwise(toks: DataFrame, kmv: DataFrame) -> DataFrame:
             6,
         ).alias("kmv_jaccard")
     )
-    # exact leg: distinct-shingle set sizes + pairwise intersections
-    sizes = toks.groupBy("source").agg(F.count("*").alias("n"))
-    ta = toks.select(F.col("source").alias("source_a"), "tok")
-    tb = toks.select(F.col("source").alias("source_b"), "tok")
-    inter = (
-        ta.join(tb, "tok")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    exact = (
-        pairs.join(inter, ["source_a", "source_b"], "left")
-        .join(sizes.withColumnsRenamed({"source": "source_a", "n": "na"}),
-              "source_a")
-        .join(sizes.withColumnsRenamed({"source": "source_b", "n": "nb"}),
-              "source_b")
-        .select(
-            "source_a",
-            "source_b",
-            F.round(
-                F.coalesce(F.col("n_inter"), F.lit(0))
-                / (F.col("na") + F.col("nb")
-                   - F.coalesce(F.col("n_inter"), F.lit(0))),
-                6,
-            ).alias("exact_jaccard"),
-        )
-    )
     return est.join(exact, ["source_a", "source_b"]).select(
         "source_a", "source_b", "kmv_jaccard", "exact_jaccard"
     )
@@ -1437,11 +1485,15 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Columns: (source_a, source_b, kmv_jaccard, exact_jaccard), one row
     per unordered source pair."""
-    toks = _kmv_shingle_sets(spark, sf_dir, ["source"])
+    shared = _kmv_shared(spark, sf_dir)
     # dedupe (source, h): a within-source hash collision must not yield
     # two sketch rows with the same value
-    hashed = toks.select("source", F.expr(_KMV_H32).alias("h")).distinct()
-    return _kmv_pairwise(toks, _kmv_topk(hashed, ["source"]))
+    hashed = (
+        shared["toks"]
+        .select("source", F.expr(_KMV_H32).alias("h"))
+        .distinct()
+    )
+    return _kmv_pairwise(shared["exact"], _kmv_topk(hashed, ["source"]))
 
 
 def kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1456,16 +1508,17 @@ def kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB sub-sketches are built per shard/day where the data
     lands and merged at K integers per part -- the raw sets never
     travel."""
-    sub_toks = _kmv_shingle_sets(spark, sf_dir, ["source", "lang"])
-    sub_hashed = sub_toks.select(
-        "source", "lang", F.expr(_KMV_H32).alias("h")
-    ).distinct()
+    shared = _kmv_shared(spark, sf_dir)
+    sub_hashed = (
+        shared["sub_toks"]
+        .select("source", "lang", F.expr(_KMV_H32).alias("h"))
+        .distinct()
+    )
     # the stored per-part sketches (what a real pipeline persists)
     sub = _kmv_topk(sub_hashed, ["source", "lang"])
     # merge: union of part values, dedupe, trim to K per source
     kmv = _kmv_topk(sub.select("source", "h").distinct(), ["source"])
-    toks = sub_toks.select("source", "tok").distinct()
-    return _kmv_pairwise(toks, kmv)
+    return _kmv_pairwise(shared["exact"], kmv)
 
 
 def kmv_source_overlap_oracle() -> str:

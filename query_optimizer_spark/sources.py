@@ -743,12 +743,15 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a file-footer operation, not a data rewrite); the aggregate
     shuffles a handful of (gen, priority) groups.
     """
-    import hashlib
-
     from pyspark.sql import functions as F
 
-    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
-    out = f"{DEFAULT_WAREHOUSE}/orders_evolved_{tag}"
+    # appId-scoped + TTL-GC'd (r12 ADVICE): a path keyed only on
+    # sf_dir let two concurrent sessions (bench's fresh-session
+    # cohorts) both miss _DONE and interleave mode=overwrite writes --
+    # a mix of both writers' part files could persist behind a _DONE;
+    # a stale _DONE also survived testdata regeneration, and nothing
+    # GC'd the directory.  session_state_path solves all three.
+    out = session_state_path(spark, sf_dir, "orders_evolved")
     done = Path(out) / "_DONE"
     if not done.exists():
         orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
