@@ -95,117 +95,38 @@ def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
-# r12 gate window (VERDICT r11 #1): the driver records the FIRST 50
-# declared queries.  Positions 1-11 are EXACTLY the 11 SQL variants the
-# r11 round pinned as _R12_FIRST (their freshest driver evidence was
-# r7 -- the oldest stratum; the r11 verdict made leading with them the
-# round's first punch item).  Positions 12-26 are the ops ADDED in r12
-# (dedup_multibatch -- the two-day ingest loop: batch1 probe -> accept
-# -> commit, then batch2 probes the GROWN index and must see accepted
-# batch1 docs as corpus; text_kmv_overlap -- the KMV/theta set sketch,
-# pairwise source shingle overlap estimated on K-int sketches with the
-# exact jaccard riding along; text_kmv_rollup -- its mergeability
-# proof, per-(source, lang) sub-sketches merged per source, sharing
-# the direct op's oracle; stream_kmv_distinct -- the family's
-# streaming leg, K-int64 state per source, theta distinct read-out;
-# dedup_substring -- Lee-et-al exact duplicate-span detection, per-doc
-# duplicated K-gram fraction; evt_gapfill_locf -- hypertable-style
-# hourly gap fill + LOCF, oracle cross-validates via native ASOF JOIN;
-# sim_range_search -- FAISS range_search parity, threshold not top-k;
-# skew_hotkey_hybrid -- hot-key-isolation join, the non-salting skew
-# remedy; evt_window_funnel -- ClickHouse windowFunnel parity, max
-# level over every anchor view; text_bm25_topk -- transcendental-free
-# Okapi BM25 ranked retrieval; io_schema_evolution -- mergeSchema
-# generational read across a schema change; sim_ivf_append --
-# incremental ANN ingest, the IVF twin of the dedup ingest loop:
-# frozen-model batch encode + dynamic partition overwrite of only its
-# lists, grown index must equal single-shot IVFADC; emb_matryoshka_
-# recall -- prefix-dimension recall@k vs the full-dim truth, the MRL
-# truncated-index acceptance gate; stream_window_funnel -- the
-# funnel's streaming leg, per-user levels maintained live, monotone
-# re-emissions finished with max, shares the batch oracle;
-# text_novelty_curve -- per-doc first-seen K-gram fraction, the
-# data-accumulation dual of dedup_substring).  27-29 are
-# the ops r12 TOUCHED: the
-# incremental trio now shares _probe_band_index/_commit_band_index
-# with the multibatch loop, the commit's already-committed skip check
-# is PER-BAND (r11 ADVICE: a crash mid-overwrite could previously pass
-# the per-doc equality and never heal), and the commit's verification
-# aggregate is BOUNDED to the touched shards (VERDICT r11 #4 -- the
-# full-index groupBy was the loop's only linear-in-corpus piece; the
-# oracle bounds its rebuild identically).  30-50 rotate 21 of the
-# 42-query r8-freshness stratum (VERDICT r11 #6), prioritizing the
-# streaming family and the io/skew rows never re-gated since r8; the
-# 21 deferred r8 rows (_R13_FIRST: sql_date_arith/full_outer_merge/
-# left_antijoin/left_join_agg/median/null_funcs/stddev + TPC-H) are
-# pinned at positions 51-71, first in line for r13
-# (they joined sql_q10/sql_q15/sql_q18 there as the r12 additions
-# took their window slots).
+# r13 gate window (VERDICT r12 #2): the driver records the FIRST 50
+# declared queries.  Positions 1-21 are EXACTLY the 21 rows r12 pinned
+# as _R13_FIRST -- the last of the r8-freshness stratum (7 SQL variants
+# + 14 TPC-H); after this round the freshness floor rises to r9.
+# Positions 22-23 are the ops ADDED in r13 (sim_ivf_multibatch -- the
+# TWO-DAY leg of the IVF ingest loop, the dedup_multibatch twin: day 2
+# appends onto the index day 1 grew and its probe must rank day 1's
+# vectors as corpus, still sharing the single-shot IVFADC oracle;
+# dedup_substring_removal -- the ExactSubstr curation ACTION: every
+# token covered by a corpus-duplicated K-gram excised, per-doc
+# span/kept/removed counts plus the cleaned text's md5, oracle
+# recomputing from raw).  Positions 24-27 are the ops r13 TOUCHED:
+# sim_ivf_append's batch append is now the shared _ivf_append_batch
+# helper with an IDEMPOTENT read-back (r12 ADVICE: a crash between the
+# dynamic overwrite and the _APPENDED marker could double-union the
+# batch on re-run), io_schema_evolution's derived table moved to the
+# appId-scoped TTL-GC'd session_state_path (r12 ADVICE: concurrent
+# sessions could interleave overwrites behind a stale _DONE), and the
+# two KMV ops now share ONE cached shingle scan + ONE exact-jaccard
+# proof leg via _kmv_shared (r12 VERDICT "what's wrong" #2 -- the
+# ground-truth join used to run twice for one identical answer).
+# Positions 28-50 rotate 23 of the 38-query r9-freshness stratum
+# (VERDICT r12 #7), prioritizing the three r9-only singletons
+# (semdedup / scd2 / pq_adc), the two cohort-bench outliers
+# (stream_feedback_join, dedup_survivors -- re-gated while r13
+# re-measures the +12.6%% drift), then the dedup / sim / text / evt
+# families; the 15 deferred r9 rows (the 13 corpus_* ops +
+# evt_retention_cohorts + io_zorder_skipping) are pinned as _R14_FIRST
+# at positions 51-65, first in line for r14.
 # =========================================================================
-_R12_WINDOW = [
-    # --- the 11 SQL variants pinned by r11 (VERDICT r11 #1) ---
-    "sql_scalar_subquery",
-    "sql_in_subquery",
-    "sql_window_navigation",
-    "sql_window_distribution",
-    "sql_setops_except_union",
-    "sql_scalar_funcs",
-    "sql_cte_distinct",
-    "sql_cube",
-    "sql_grouping_sets",
-    "sql_pivot",
-    "sql_explode_tokens",
-    # --- added in r12 ---
-    "dedup_multibatch",
-    "text_kmv_overlap",
-    "text_kmv_rollup",
-    "stream_kmv_distinct",
-    "dedup_substring",
-    "evt_gapfill_locf",
-    "sim_range_search",
-    "skew_hotkey_hybrid",
-    "evt_window_funnel",
-    "text_bm25_topk",
-    "io_schema_evolution",
-    "sim_ivf_append",
-    "emb_matryoshka_recall",
-    "stream_window_funnel",
-    "text_novelty_curve",
-    # --- touched in r12 (shared probe/commit helpers, per-band skip
-    # check, bounded verification aggregate) ---
-    "dedup_incremental",
-    "dedup_index_commit",
-    "stream_incremental_dedup",
-    # --- the r8-evidence stratum: streaming family first ---
-    "stream_asof_join",
-    "stream_dedup",
-    "stream_enrich",
-    "stream_hourly_counts",
-    "stream_join",
-    "stream_sessionize",
-    "stream_sink_parquet",
-    "stream_sliding_counts",
-    # --- io / skew rows last re-gated r8 ---
-    "io_bucketed_join",
-    "io_csv_roundtrip",
-    "io_jsonl_roundtrip",
-    "io_runtime_bloom_prune",
-    "skew_salted_join",
-    # --- remaining r8-evidence ops ---
-    "dedup_containment",
-    "join_feedback_warm",
-    "mm_image_decode",
-    "sim_hamming_topk",
-    "text_hll_vocab",
-    # --- r8-evidence SQL surface (variants, then TPC-H) ---
-    "sql_array_agg_sorted",
-    "sql_q3_shipping_priority",
-    "sql_q13_custdist",
-]
-
-# positions 51-67: the r8 remainder (3 SQL variants + TPC-H), first in
-# line for r13
-_R13_FIRST = [
+_R13_WINDOW = [
+    # --- the 21 r8-evidence rows pinned by r12 (VERDICT r12 #2) ---
     "sql_date_arith",
     "sql_full_outer_merge",
     "sql_left_antijoin",
@@ -227,6 +148,62 @@ _R13_FIRST = [
     "sql_q17_small_qty_revenue",
     "sql_q19_discounted_revenue",
     "sql_q22_sales_opportunity",
+    # --- added in r13 ---
+    "sim_ivf_multibatch",
+    "dedup_substring_removal",
+    # --- touched in r13 (idempotent append helper, session-scoped
+    # evolved-orders state, shared KMV shingle cache + exact leg) ---
+    "sim_ivf_append",
+    "io_schema_evolution",
+    "text_kmv_overlap",
+    "text_kmv_rollup",
+    # --- the r9-evidence stratum: singletons + bench outliers first ---
+    "dedup_semdedup",
+    "evt_scd2_intervals",
+    "sim_pq_adc_topk",
+    "join_pipeline_5",
+    "stream_feedback_join",
+    "dedup_survivors",
+    "stream_hll_users",
+    # --- r9-evidence dedup family ---
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_family_agreement",
+    # --- r9-evidence similarity family ---
+    "sim_bruteforce_topk",
+    "sim_ivf_topk",
+    "sim_lsh_ann_topk",
+    # --- r9-evidence text / event rows ---
+    "text_hll_rollup",
+    "text_oov_bigram_rate",
+    "text_repetition_stats",
+    "evt_anomaly_hours",
+    "evt_asof_tolerance",
+    "evt_hourly_topk",
+]
+
+# positions 51-65: the r9 remainder (13 corpus_* ops +
+# evt_retention_cohorts + io_zorder_skipping), first in line for r14
+_R14_FIRST = [
+    "corpus_chunk_overlap",
+    "corpus_clean",
+    "corpus_curate",
+    "corpus_dataset_split",
+    "corpus_decontaminate",
+    "corpus_decontaminate_bloom",
+    "corpus_filter_funnel",
+    "corpus_pack_sequences",
+    "corpus_redact_pii",
+    "corpus_sample_stratified",
+    "corpus_score_model",
+    "corpus_tfidf_topk",
+    "corpus_vocab_topk",
+    "evt_retention_cohorts",
+    "io_zorder_skipping",
 ]
 
 
@@ -292,13 +269,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries r11 touched, then drained 36 of the 47-query r7-freshness
     block; the 11 deferred r7 SQL variants were pinned right after the
     window and are EXACTLY round 12's lead (VERDICT r11 #1).  Round
-    12's window is the explicit ``_R12_WINDOW`` list above: those 11,
-    the four r12 additions (multibatch ingest loop; KMV overlap
-    sketch + its mergeability rollup + its streaming leg), the 3 ops the shared probe/commit
-    refactor + per-band skip check + bounded verification aggregate
-    touched, then 32 of the 42-query r8-freshness stratum (streaming
-    family and io/skew first); the 10 deferred r8 TPC-H rows are
-    pinned as ``_R13_FIRST`` at positions 51-60.
+    12 led with those 11, its 15 additions, and the 3 ops its shared
+    probe/commit refactor touched, then rotated 21 of the 42-query
+    r8-freshness stratum, pinning the 21-row remainder.  Round 13's
+    window is the explicit ``_R13_WINDOW`` list above: those 21
+    pinned r8 rows first (after this round the freshness floor is
+    r9), the two r13 additions (the two-day IVF ingest leg; the
+    ExactSubstr removal action), the 4 ops r13 touched (idempotent
+    append helper, session-scoped evolved-orders state, shared KMV
+    cache + proof leg), then 23 of the 38-query r9-freshness stratum;
+    the 15 deferred r9 rows are pinned as ``_R14_FIRST`` at positions
+    51-65.
     ALL declared queries are
     checked against their DuckDB oracles by scripts/local_gate.py
     (checked-in: CORRECTNESS_LOCAL_FULL.json) and pytest every round
@@ -661,16 +642,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["join_park_cards"] = _park_cards
 
-    # final declaration order = the r12 gate window (see _R12_WINDOW),
+    # final declaration order = the r13 gate window (see _R13_WINDOW),
     # then the pinned r13 lead block, then everything else in build
     # order.  A missing name here is a rotation bug -- fail loudly.
-    missing = [n for n in _R12_WINDOW + _R13_FIRST if n not in out]
-    if missing or len(_R12_WINDOW) != 50:
+    missing = [n for n in _R13_WINDOW + _R14_FIRST if n not in out]
+    if missing or len(_R13_WINDOW) != 50:
         raise RuntimeError(
-            f"gate-window rotation broken: len={len(_R12_WINDOW)}"
+            f"gate-window rotation broken: len={len(_R13_WINDOW)}"
             f" missing={missing}"
         )
-    head = _R12_WINDOW + _R13_FIRST
+    head = _R13_WINDOW + _R14_FIRST
     return {n: out[n] for n in head} | {
         n: r for n, r in out.items() if n not in set(head)
     }

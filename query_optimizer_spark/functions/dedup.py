@@ -1908,6 +1908,167 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL -- the curation ACTION ``substring_dup_spans``
+    only diagnoses (r12 VERDICT next-round #6): emit the cleaned
+    corpus, with every token covered by a corpus-duplicated
+    SUBSTR_NGRAM-gram excised (the Lee et al. 2022 ExactSubstr cut at
+    fixed-K granularity -- every duplicated substring of length >= K
+    contains a duplicated K-gram, so covered-token excision removes at
+    least every such span).
+
+    Per doc: ``n_spans`` (maximal merged runs of removed positions --
+    overlapping duplicated grams coalesce into one span),
+    ``removed_tokens`` / ``kept_tokens``, and ``cleaned_hash`` -- the
+    md5 of the kept tokens joined in order, so the gate proves the
+    actual emitted TEXT, not just the counts; the oracle recomputes
+    everything from raw.  Docs shorter than K tokens pass through
+    whole (they cannot contain a K-gram); docs removed entirely hash
+    the empty string.
+
+    Scale shape: the same gram explode + map-side-combining occurrence
+    count as ``substring_dup_spans`` (see its 100 TB note) (one gram-keyed shuffle, exchange
+    reused by the co-partitioned join back); covered positions explode
+    K rows per duplicated gram start and dedupe doc-locally (shuffle
+    keyed doc_id); the span count is one lag window and the cleaned
+    text one ordered rollup, both over the SAME doc_id partitioning
+    (no extra shuffle); final assembly is three doc_id-co-partitioned
+    left joins.  Nothing collects.  At 100 TB the cleaned corpus
+    would be written back partitioned as it arrived; the hash column
+    here stands in for the rewrite payload."""
+    from pyspark.sql import Window
+
+    k = SUBSTR_NGRAM
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.expr(TOKS).alias("toks"))
+    )
+    grams = docs.filter(F.size("toks") >= k).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {k} + 1), "
+                f"i -> struct(i as pos, "
+                f"array_join(slice(toks, i, {k}), ' ') as gram))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.pos", "g.gram")
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .drop("n_occ")
+    )
+    covered = (
+        grams.join(dup_grams, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {k - 1})")).alias("p"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    span_stats = (
+        covered.withColumn(
+            "new_span",
+            F.when(F.col("p") - F.lag("p").over(w) == 1, 0).otherwise(1),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("new_span").cast("int").alias("n_spans"),
+            F.count("*").cast("int").alias("removed_tokens"),
+        )
+    )
+    tokpos = docs.selectExpr("doc_id", "posexplode(toks) as (i, tok)").select(
+        "doc_id", (F.col("i") + 1).alias("p"), "tok"
+    )
+    cleaned = (
+        tokpos.join(covered, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("kept_tokens"),
+            F.expr(
+                "md5(array_join(transform("
+                "array_sort(collect_list(struct(p, tok))), s -> s.tok),"
+                " ' '))"
+            ).alias("cleaned_hash"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(span_stats, "doc_id", "left")
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("removed_tokens", F.lit(0)).alias("removed_tokens"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+            F.coalesce("cleaned_hash", F.md5(F.lit(""))).alias(
+                "cleaned_hash"
+            ),
+        )
+    )
+
+
+def substring_removal_oracle() -> str:
+    toks = sql_tokens("text")
+    k = SUBSTR_NGRAM
+    return f"""
+        WITH toks AS (SELECT doc_id, {toks} AS w FROM documents),
+        tp AS (
+            SELECT doc_id, unnest(w) AS tok,
+                   unnest(generate_series(1, len(w))) AS pos
+            FROM toks
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, len(w) - {k} + 1)) AS pos,
+                   unnest([array_to_string(w[i:i + {k - 1}], ' ')
+                           for i in generate_series(1, len(w) - {k} + 1)])
+                       AS gram
+            FROM toks WHERE len(w) >= {k}
+        ),
+        dup_grams AS (
+            SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+        ),
+        cov AS (
+            SELECT DISTINCT doc_id, p FROM (
+                SELECT g.doc_id,
+                       unnest(generate_series(g.pos, g.pos + {k - 1})) AS p
+                FROM grams g JOIN dup_grams d USING (gram)
+            )
+        ),
+        span_stats AS (
+            SELECT doc_id, CAST(sum(new_span) AS INT) AS n_spans,
+                   CAST(count(*) AS INT) AS removed_tokens
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN p - lag(p) OVER (
+                                PARTITION BY doc_id ORDER BY p) = 1
+                            THEN 0 ELSE 1 END AS new_span
+                FROM cov
+            ) GROUP BY doc_id
+        ),
+        cleaned AS (
+            SELECT t.doc_id, CAST(count(*) AS INT) AS kept_tokens,
+                   md5(string_agg(t.tok, ' ' ORDER BY t.pos))
+                       AS cleaned_hash
+            FROM tp t LEFT JOIN cov c
+              ON c.doc_id = t.doc_id AND c.p = t.pos
+            WHERE c.p IS NULL
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(s.n_spans, 0) AS n_spans,
+               COALESCE(s.removed_tokens, 0) AS removed_tokens,
+               COALESCE(c.kept_tokens, 0) AS kept_tokens,
+               COALESCE(c.cleaned_hash, md5('')) AS cleaned_hash
+        FROM toks d
+        LEFT JOIN span_stats s USING (doc_id)
+        LEFT JOIN cleaned c USING (doc_id)
+    """
+
+
 def substring_dup_spans_oracle() -> str:
     toks = sql_tokens("text")
     k = SUBSTR_NGRAM

@@ -66,6 +66,13 @@ PIPELINE_OPS: dict[str, tuple] = {
         dedup.substring_dup_spans,
         dedup.substring_dup_spans_oracle(),
     ),
+    # r13: the removal twin -- excise every token covered by a
+    # duplicated K-gram and emit per-doc span/kept/removed counts plus
+    # the cleaned text's md5, the diagnostic turned curation action
+    "dedup_substring_removal": (
+        dedup.substring_removal,
+        dedup.substring_removal_oracle(),
+    ),
     "dedup_clusters": (
         clustering.duplicate_clusters,
         clustering.duplicate_clusters_oracle(),
@@ -522,6 +529,14 @@ PIPELINE_OPS: dict[str, tuple] = {
     "sim_ivf_append": (
         similarity.ivf_append_topk,
         similarity.ivf_append_topk_oracle(),
+    ),
+    # r13: the TWO-DAY leg of the IVF ingest loop (the
+    # dedup_multibatch twin): day 2 appends onto the index day 1 grew
+    # and must carry day 1's vectors through its co-touched-list
+    # rewrites; still shares the single-shot IVFADC oracle
+    "sim_ivf_multibatch": (
+        similarity.ivf_multibatch_topk,
+        similarity.ivf_multibatch_topk_oracle(),
     ),
     # r12: Matryoshka prefix-dimension recall -- recall@k of 8/16/32-dim
     # truncated indexes vs the full-dim brute-force truth, the

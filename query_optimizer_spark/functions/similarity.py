@@ -2309,6 +2309,61 @@ def ivf_append_evidence(spark: SparkSession, sf_dir: str) -> dict:
     return dict(_IVF_APPEND_EVIDENCE.get(key, {}))
 
 
+def _ivf_append_batch(spark, idx_path: str, emb, batch_cond, _encode) -> int:
+    """One frozen-model batch append onto an on-disk IVF list store --
+    THE append phase, shared by the single-append op and the multi-day
+    loop (the dedup family's _probe_band_index/_commit_band_index
+    discipline): encode the batch under the frozen model, materialize
+    it (localCheckpoint -- nothing may re-read ``idx_path`` mid-
+    overwrite), read back ONLY the touched lists partition-pruned
+    (raise if the predicate misses the scan) and WITHOUT any batch
+    rows a crashed earlier attempt already landed (idempotent rewrite,
+    r12 ADVICE), then dynamic-partition-overwrite exactly those lists.
+    Returns the touched-list count; the caller owns marker files and
+    timing."""
+    from pathlib import Path
+
+    from ..executor import physical_plan
+
+    enc_schema = "vec_id long, cent_id int, codes array<int>"
+    batch_rows = (
+        emb.filter(batch_cond)
+        .select("vec_id", "q")
+        .mapInPandas(_encode, enc_schema)
+        .localCheckpoint()
+    )
+    touched = sorted(
+        int(r.cent_id)
+        for r in batch_rows.select("cent_id").distinct().collect()
+    )
+    existing = spark.read.parquet(idx_path).filter(
+        F.col("cent_id").isin(touched) & ~batch_cond
+    )
+    plan = physical_plan(existing)
+    seg = plan.split("PartitionFilters", 1)
+    if len(seg) != 2 or "cent_id" not in seg[1][:200]:
+        raise RuntimeError(
+            "ivf-append read-back did not prune to the touched"
+            f" lists; plan:\n{plan}"
+        )
+    existing = existing.localCheckpoint()
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        (
+            existing.unionByName(batch_rows)
+            .repartition("cent_id")
+            .write.mode("overwrite")
+            .partitionBy("cent_id")
+            .parquet(idx_path)
+        )
+    finally:
+        spark.conf.set(mode_key, prev)
+    assert Path(idx_path).exists()
+    return len(touched)
+
+
 def ivf_append_topk(
     spark: SparkSession, sf_dir: str, base_only: bool = False
 ) -> DataFrame:
@@ -2391,51 +2446,13 @@ def ivf_append_topk(
                 .groupBy("cent_id")
                 .count()
             )
-        # append: encode the batch under the frozen model; materialize
-        # (localCheckpoint) so nothing re-reads idx_path mid-overwrite
+        # append: the shared frozen-model batch append (idempotent
+        # rewrite -- a crash between the overwrite and the marker
+        # cannot duplicate the batch on re-run, r12 ADVICE)
         t1 = _time.monotonic()
-        batch_rows = (
-            emb.filter(batch_cond)
-            .select("vec_id", "q")
-            .mapInPandas(_encode, enc_schema)
-            .localCheckpoint()
+        n_touched = _ivf_append_batch(
+            spark, idx_path, emb, batch_cond, _encode
         )
-        touched = sorted(
-            int(r.cent_id)
-            for r in batch_rows.select("cent_id").distinct().collect()
-        )
-        n_touched = len(touched)
-        # crash-heal (r12 ADVICE): a crash between the dynamic
-        # overwrite below and appended_marker.touch() leaves touched
-        # lists already holding batch rows; excluding batch vec_ids
-        # from the read-back makes the rewrite idempotent -- the rerun
-        # unions the batch exactly once no matter how far the previous
-        # attempt got (the per-band skip check's ANN twin,
-        # dedup.py:725-744)
-        existing = spark.read.parquet(idx_path).filter(
-            F.col("cent_id").isin(touched) & ~batch_cond
-        )
-        plan = physical_plan(existing)
-        seg = plan.split("PartitionFilters", 1)
-        if len(seg) != 2 or "cent_id" not in seg[1][:200]:
-            raise RuntimeError(
-                "ivf-append read-back did not prune to the touched"
-                f" lists; plan:\n{plan}"
-            )
-        existing = existing.localCheckpoint()
-        mode_key = "spark.sql.sources.partitionOverwriteMode"
-        prev = spark.conf.get(mode_key, "static")
-        spark.conf.set(mode_key, "dynamic")
-        try:
-            (
-                existing.unionByName(batch_rows)
-                .repartition("cent_id")
-                .write.mode("overwrite")
-                .partitionBy("cent_id")
-                .parquet(idx_path)
-            )
-        finally:
-            spark.conf.set(mode_key, prev)
         appended_marker.touch()
         append_sec = round(_time.monotonic() - t1, 4)
 
@@ -2486,6 +2503,160 @@ def ivf_append_topk_oracle() -> str:
     the full corpus (frozen model + base∪batch == everything), so the
     append op SHARES the relational oracle -- the agreement IS the
     ingest-correctness proof."""
+    return ivfpq_topk_oracle()
+
+
+_IVF_MB_EVIDENCE: dict[tuple[str, str], dict[str, float]] = {}
+
+
+def ivf_multibatch_evidence(spark: SparkSession, sf_dir: str) -> dict:
+    """Evidence dict of the last ivf_multibatch_topk run in this
+    session for the given sf_dir (per-day touched-list counts, phase
+    times, cache state)."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    return dict(_IVF_MB_EVIDENCE.get(key, {}))
+
+
+def ivf_multibatch_topk(
+    spark: SparkSession, sf_dir: str, stop_after: int = 0
+) -> DataFrame:
+    """TWO-DAY incremental ANN ingest -- the IVF twin of
+    ``dedup_multibatch`` (r12 VERDICT "what's missing" #3), closing the
+    loop ``sim_ivf_append`` opened: vectors arrive daily FOREVER, so
+    one append proving itself is not enough -- day 2 must append onto
+    the GROWN index, and its probe must rank day 1's vectors as
+    corpus.
+
+    1. BASE BUILD (one-time): the corpus minus BOTH batches
+       (vec_ids [IVF_APPEND_LO, LO+2N) -- still above every model row,
+       so centroids / codebook / query set are unchanged), written
+       ``partitionBy(cent_id)``.
+    2. DAY 1: batch1 ([LO, LO+N)) appends via the shared
+       ``_ivf_append_batch`` -- frozen-model encode, partition-pruned
+       touched-list read-back, dynamic overwrite of only those lists.
+    3. DAY 2: batch2 ([LO+N, LO+2N)) appends THE SAME WAY onto the
+       index day 1 grew -- its touched-list read-back now contains
+       batch1 rows, which must survive the rewrite as corpus (the
+       day-2 probe below proves they did).
+    4. PROBE: the twice-grown index answers through the shared
+       PartitionFilter-enforced scan + ADC + exact re-rank.
+
+    The model is frozen and base ∪ batch1 ∪ batch2 == everything, so
+    the result must be bit-identical to single-shot IVFADC over the
+    full corpus: the op SHARES ``ivfpq_topk_oracle()``.  Day 2 is the
+    part single-append cannot test -- if the day-2 rewrite dropped or
+    duplicated any day-1 row in a co-touched list, the shared oracle
+    hash breaks.  Crash-heal: each day's marker (_APPENDED_B1/_B2) is
+    set only after its overwrite, and the append helper's read-back
+    excludes that day's batch rows, so a rerun after ANY crash point
+    converges to the same bytes.
+
+    Scale shape: each day's cost is |that batch's lists| directories
+    -- never the corpus (the single-append SCALING exponent 0.08
+    applies per day); the only collects are model state and the two
+    touched-list id sets (<= IVF_N_CENTROIDS ints each)."""
+    import time as _time
+    from pathlib import Path
+
+    import numpy as np
+
+    from ..executor import physical_plan
+    from ..sources import session_state_path
+
+    emb = _quantized(spark, sf_dir)
+    qids, _, lut, cb, cents, cn2, probe_mask = _ivfpq_model(emb)
+    b1_cond = (F.col("vec_id") >= IVF_APPEND_LO) & (
+        F.col("vec_id") < IVF_APPEND_LO + IVF_APPEND_N
+    )
+    b2_cond = (F.col("vec_id") >= IVF_APPEND_LO + IVF_APPEND_N) & (
+        F.col("vec_id") < IVF_APPEND_LO + 2 * IVF_APPEND_N
+    )
+
+    bc_enc = spark.sparkContext.broadcast((cb, cents, cn2))
+    _encode = _ivfpq_encode_fn(bc_enc)
+    idx_path = session_state_path(spark, sf_dir, "ivf_mb_lists")
+    m1 = Path(idx_path) / "_APPENDED_B1"
+    m2 = Path(idx_path) / "_APPENDED_B2"
+    cached = m2.exists()
+    build_sec = day1_sec = day2_sec = 0.0
+    n_touched_b1 = n_touched_b2 = -1
+    if not cached:
+        t0 = _time.monotonic()
+        if not (Path(idx_path) / "_SUCCESS").exists():
+            (
+                emb.filter(~b1_cond & ~b2_cond)
+                .select("vec_id", "q")
+                .mapInPandas(
+                    _encode, "vec_id long, cent_id int, codes array<int>"
+                )
+                .write.mode("overwrite")
+                .partitionBy("cent_id")
+                .parquet(idx_path)
+            )
+        build_sec = round(_time.monotonic() - t0, 4)
+        if not m1.exists():
+            t1 = _time.monotonic()
+            n_touched_b1 = _ivf_append_batch(
+                spark, idx_path, emb, b1_cond, _encode
+            )
+            m1.touch()
+            day1_sec = round(_time.monotonic() - t1, 4)
+        if stop_after == 1:
+            # test hook: stop between the days (per-list summary) so
+            # the byte-identity snapshot can bracket day 2 alone
+            return (
+                spark.read.parquet(idx_path).groupBy("cent_id").count()
+            )
+        t2 = _time.monotonic()
+        n_touched_b2 = _ivf_append_batch(
+            spark, idx_path, emb, b2_cond, _encode
+        )
+        m2.touch()
+        day2_sec = round(_time.monotonic() - t2, 4)
+
+    probed = sorted(
+        {int(c) for qi in range(len(qids))
+         for c in np.nonzero(probe_mask[qi])[0]}
+    )
+    while len(_IVF_MB_EVIDENCE) >= 8:
+        _IVF_MB_EVIDENCE.pop(next(iter(_IVF_MB_EVIDENCE)))
+    _IVF_MB_EVIDENCE[
+        (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    ] = dict(
+        n_lists=len(list(Path(idx_path).glob("cent_id=*"))),
+        n_probed=len(probed),
+        n_touched_b1=n_touched_b1,
+        n_touched_b2=n_touched_b2,
+        build_sec=build_sec,
+        day1_sec=day1_sec,
+        day2_sec=day2_sec,
+        build_cached=float(cached),
+    )
+
+    lists = spark.read.parquet(idx_path).filter(
+        F.col("cent_id").isin([int(c) for c in probed])
+    )
+    plan = physical_plan(lists)
+    seg = plan.split("PartitionFilters", 1)
+    if len(seg) != 2 or "cent_id" not in seg[1][:200]:
+        raise RuntimeError(
+            "ivf-multibatch probe predicate did not reach the scan as"
+            f" a PartitionFilter; plan:\n{plan}"
+        )
+
+    bc = spark.sparkContext.broadcast((qids, lut, probe_mask))
+    _adc = _ivfpq_adc_fn(bc)
+    adc = lists.mapInPandas(
+        _adc, "query_id long, neighbor_id long, adc_dist long"
+    )
+    return _ivfpq_rerank(emb, adc)
+
+
+def ivf_multibatch_topk_oracle() -> str:
+    """Two frozen-model appends over base = corpus minus both batches
+    still union to the full corpus, so the twice-grown index shares
+    the single-shot IVFADC oracle -- day 2's agreement proves day 1's
+    rows survived the co-touched-list rewrites."""
     return ivfpq_topk_oracle()
 
 

@@ -359,6 +359,21 @@ def main() -> None:
               lambda sf=f"{WORK}/disjoint_x{k}":
                   text.novelty_curve(spark, sf),
               n_docs0 * k)
+        # --- ExactSubstr removal (r13): the diagnostic's gram
+        # machinery plus the covered-position explode (K rows per
+        # duplicated gram start), the span lag window, and the
+        # ordered cleaned-text rollup -- all doc_id-keyed, so disjoint
+        # growth must stay ~linear like dedup_substring; replica mode
+        # is again the adversarial case (every gram duplicated -> every
+        # doc fully excised, maximal covered-explode fan-out)
+        probe("dedup_substring_removal", "replica", k,
+              lambda sf=f"{WORK}/replica_x{k}":
+                  dedup.substring_removal(spark, sf),
+              n_docs0 * k)
+        probe("dedup_substring_removal", "disjoint", k,
+              lambda sf=f"{WORK}/disjoint_x{k}":
+                  dedup.substring_removal(spark, sf),
+              n_docs0 * k)
         # --- BM25 retrieval (r12): the corpus-sized stage is the token
         # explode pruned by the broadcast term join.  Disjoint replicas
         # suffix every token, so query terms match ONLY the original
@@ -451,6 +466,25 @@ def main() -> None:
         probe("sim_ivf_append", "disjoint", k,
               lambda sf=sfd: similarity.ivf_append_topk(spark, sf),
               n_vecs0 * k, post=_append_post(sfd))
+        # --- two-day ANN ingest (r13): each day's append touches only
+        # that batch's lists, so BOTH day1_sec and day2_sec must stay
+        # ~flat while the corpus (and the one-time base build) grows
+        def _mb_post(sf_of):
+            def post():
+                ev = similarity.ivf_multibatch_evidence(spark, sf_of)
+                return {
+                    "build_sec": round(ev.get("build_sec", 0.0), 2),
+                    "day1_sec": ev.get("day1_sec"),
+                    "day2_sec": ev.get("day2_sec"),
+                    "n_touched_b1": ev.get("n_touched_b1"),
+                    "n_touched_b2": ev.get("n_touched_b2"),
+                }
+
+            return post
+
+        probe("sim_ivf_multibatch", "disjoint", k,
+              lambda sf=sfd: similarity.ivf_multibatch_topk(spark, sf),
+              n_vecs0 * k, post=_mb_post(sfd))
         # --- residual IVF-PQ (r10): per-(query, list) LUTs are
         # corpus-independent model state, so growth must track the
         # non-residual variant's (one linear codes pass)

@@ -1448,3 +1448,51 @@ def test_novelty_curve_duals_substring_dedup(spark, duck):
     for a, b, _ in planted:
         hi = max(a, b)
         assert rows[hi].novelty <= 0.5, (hi, rows[hi])
+
+
+def test_substring_removal_conserves_and_cuts_dups(spark):
+    """dedup_substring_removal (r13): token conservation (kept + removed
+    == the doc's token count), span bounds (each merged span covers at
+    least K tokens, so n_spans * K <= ... removed can be shorter only
+    never -- spans are maximal runs of covered positions, each at least
+    K long), untouched docs hash to their full tokenization, and every
+    doc dedup_substring flags at full dup_ratio ~1 loses (nearly) all
+    its tokens."""
+    from pyspark.sql import functions as F
+
+    from query_optimizer_spark.functions.constants import SUBSTR_NGRAM
+    from query_optimizer_spark.functions.text import TOKS
+
+    df = PIPELINE_OPS["dedup_substring_removal"][0](spark, SF_DIR)
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows
+    ntoks = {
+        r.doc_id: (r.n, r.h)
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            "doc_id",
+            F.expr(f"size({TOKS})").alias("n"),
+            F.expr(f"md5(array_join({TOKS}, ' '))").alias("h"),
+        )
+        .collect()
+    }
+    cut = 0
+    for r in rows.values():
+        n, full_hash = ntoks[r.doc_id]
+        assert r.kept_tokens + r.removed_tokens == n, r
+        if r.n_spans:
+            cut += 1
+            # every maximal covered run contains >= K positions
+            assert r.removed_tokens >= r.n_spans * SUBSTR_NGRAM, r
+        else:
+            assert r.removed_tokens == 0
+            assert r.cleaned_hash == full_hash, r
+    assert cut > 0, "no doc lost a span -- test is vacuous"
+    spans = {
+        r.doc_id: r
+        for r in PIPELINE_OPS["dedup_substring"][0](spark, SF_DIR).collect()
+    }
+    for doc_id, s in spans.items():
+        # a doc is trimmed iff the diagnostic flags at least one
+        # duplicated gram (same K, same corpus-wide occurrence rule)
+        assert (rows[doc_id].removed_tokens > 0) == (s.n_dup_grams > 0)

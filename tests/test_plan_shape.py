@@ -529,3 +529,69 @@ def test_ivf_append_rewrites_only_touched_lists(spark, duck):
     assert ev2["build_cached"] == 1.0, ev2
     assert result_hash(df2) == got
     assert snapshot() == after
+
+
+def test_ivf_multibatch_day2_and_crash_heal(spark, duck):
+    """Two-day IVF ingest (r13): (a) the twice-grown index answers
+    exactly like single-shot IVFADC (shared oracle -- day 2's rewrite
+    must carry day 1's rows through every co-touched list), (b) day 2
+    alone rewrites ONLY its batch's list directories (byte-identity
+    snapshot bracketed between the days), and (c) deleting the day-2
+    marker and re-running -- the crash-just-before-marker scenario --
+    converges to the same answer instead of duplicating batch 2."""
+    import shutil
+    from pathlib import Path
+
+    from query_optimizer_spark.functions import similarity
+    from query_optimizer_spark.harness import result_hash
+    from query_optimizer_spark.sources import session_state_path
+
+    idx_path = Path(session_state_path(spark, SF_DIR, "ivf_mb_lists"))
+    shutil.rmtree(idx_path, ignore_errors=True)
+    # base + day 1 only
+    similarity.ivf_multibatch_topk(spark, SF_DIR, stop_after=1).count()
+
+    def snapshot():
+        return {
+            str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+            for p in idx_path.rglob("*.parquet")
+        }
+
+    after_day1 = snapshot()
+    df = similarity.ivf_multibatch_topk(spark, SF_DIR)
+    got = result_hash(df)
+    assert got == duck_hash(duck, similarity.ivf_multibatch_topk_oracle())
+    assert got == result_hash(similarity.ivfpq_topk(spark, SF_DIR))
+    ev = similarity.ivf_multibatch_evidence(spark, SF_DIR)
+    assert ev["n_touched_b2"] > 0 and ev["build_cached"] == 0.0, ev
+
+    after_day2 = snapshot()
+    changed = {
+        p
+        for p in set(after_day1) | set(after_day2)
+        if after_day1.get(p) != after_day2.get(p)
+    }
+    changed_lists = {Path(p).parent.name for p in changed}
+    assert len(changed_lists) == ev["n_touched_b2"], (
+        sorted(changed_lists), ev["n_touched_b2"])
+    # every list day 2's batch missed is byte-identical across day 2
+    for p, v in after_day1.items():
+        if Path(p).parent.name not in changed_lists:
+            assert after_day2.get(p) == v, p
+
+    # crash heal: the marker was never set but the overwrite landed --
+    # the re-run must re-append batch 2 idempotently (its rows are
+    # excluded from the read-back), not union it a second time
+    (idx_path / "_APPENDED_B2").unlink()
+    df3 = similarity.ivf_multibatch_topk(spark, SF_DIR)
+    assert result_hash(df3) == got
+    ev3 = similarity.ivf_multibatch_evidence(spark, SF_DIR)
+    assert ev3["build_cached"] == 0.0 and ev3["n_touched_b2"] > 0, ev3
+
+    # warm repeat: both markers present, nothing rewritten
+    before_warm = snapshot()
+    df4 = similarity.ivf_multibatch_topk(spark, SF_DIR)
+    assert result_hash(df4) == got
+    assert similarity.ivf_multibatch_evidence(
+        spark, SF_DIR)["build_cached"] == 1.0
+    assert snapshot() == before_warm
