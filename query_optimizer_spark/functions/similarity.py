@@ -2405,7 +2405,6 @@ def ivf_append_topk(
     from pathlib import Path
 
     import numpy as np
-    import pandas as pd
 
     from ..executor import physical_plan
     from ..sources import session_state_path
