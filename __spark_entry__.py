@@ -99,14 +99,20 @@ def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # declared queries.  Positions 1-21 are EXACTLY the 21 rows r12 pinned
 # as _R13_FIRST -- the last of the r8-freshness stratum (7 SQL variants
 # + 14 TPC-H); after this round the freshness floor rises to r9.
-# Positions 22-23 are the ops ADDED in r13 (sim_ivf_multibatch -- the
+# Positions 22-24 are the ops ADDED in r13 (sim_ivf_multibatch -- the
 # TWO-DAY leg of the IVF ingest loop, the dedup_multibatch twin: day 2
 # appends onto the index day 1 grew and its probe must rank day 1's
 # vectors as corpus, still sharing the single-shot IVFADC oracle;
 # dedup_substring_removal -- the ExactSubstr curation ACTION: every
 # token covered by a corpus-duplicated K-gram excised, per-doc
 # span/kept/removed counts plus the cleaned text's md5, oracle
-# recomputing from raw).  Positions 24-27 are the ops r13 TOUCHED:
+# recomputing from raw; sim_ivf_delete -- the DELETE half of the ANN
+# lifecycle, FAISS remove_ids parity: doomed rows located model-side,
+# their lists rewritten filtered, lists left EMPTY removed explicitly
+# because dynamic overwrite would silently keep their old files, and
+# the shrunk index must equal single-shot IVFADC built without those
+# vectors via the parameterized exclusion oracle).  Positions 25-28
+# are the ops r13 TOUCHED:
 # sim_ivf_append's batch append is now the shared _ivf_append_batch
 # helper with an IDEMPOTENT read-back (r12 ADVICE: a crash between the
 # dynamic overwrite and the _APPENDED marker could double-union the
@@ -116,14 +122,14 @@ def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # two KMV ops now share ONE cached shingle scan + ONE exact-jaccard
 # proof leg via _kmv_shared (r12 VERDICT "what's wrong" #2 -- the
 # ground-truth join used to run twice for one identical answer).
-# Positions 28-50 rotate 23 of the 38-query r9-freshness stratum
+# Positions 29-50 rotate 22 of the 38-query r9-freshness stratum
 # (VERDICT r12 #7), prioritizing the three r9-only singletons
 # (semdedup / scd2 / pq_adc), the two cohort-bench outliers
 # (stream_feedback_join, dedup_survivors -- re-gated while r13
-# re-measures the +12.6%% drift), then the dedup / sim / text / evt
-# families; the 15 deferred r9 rows (the 13 corpus_* ops +
-# evt_retention_cohorts + io_zorder_skipping) are pinned as _R14_FIRST
-# at positions 51-65, first in line for r14.
+# re-measures the +12.6% drift), then the dedup / sim / text / evt
+# families; the 16 deferred r9 rows (the 13 corpus_* ops +
+# evt_retention_cohorts + evt_hourly_topk + io_zorder_skipping) are
+# pinned as _R14_FIRST at positions 51-66, first in line for r14.
 # =========================================================================
 _R13_WINDOW = [
     # --- the 21 r8-evidence rows pinned by r12 (VERDICT r12 #2) ---
@@ -151,6 +157,7 @@ _R13_WINDOW = [
     # --- added in r13 ---
     "sim_ivf_multibatch",
     "dedup_substring_removal",
+    "sim_ivf_delete",
     # --- touched in r13 (idempotent append helper, session-scoped
     # evolved-orders state, shared KMV shingle cache + exact leg) ---
     "sim_ivf_append",
@@ -183,11 +190,11 @@ _R13_WINDOW = [
     "text_repetition_stats",
     "evt_anomaly_hours",
     "evt_asof_tolerance",
-    "evt_hourly_topk",
 ]
 
-# positions 51-65: the r9 remainder (13 corpus_* ops +
-# evt_retention_cohorts + io_zorder_skipping), first in line for r14
+# positions 51-66: the r9 remainder (13 corpus_* ops +
+# evt_retention_cohorts + evt_hourly_topk + io_zorder_skipping), first
+# in line for r14
 _R14_FIRST = [
     "corpus_chunk_overlap",
     "corpus_clean",
@@ -203,6 +210,7 @@ _R14_FIRST = [
     "corpus_tfidf_topk",
     "corpus_vocab_topk",
     "evt_retention_cohorts",
+    "evt_hourly_topk",
     "io_zorder_skipping",
 ]
 
@@ -274,12 +282,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r8-freshness stratum, pinning the 21-row remainder.  Round 13's
     window is the explicit ``_R13_WINDOW`` list above: those 21
     pinned r8 rows first (after this round the freshness floor is
-    r9), the two r13 additions (the two-day IVF ingest leg; the
-    ExactSubstr removal action), the 4 ops r13 touched (idempotent
-    append helper, session-scoped evolved-orders state, shared KMV
-    cache + proof leg), then 23 of the 38-query r9-freshness stratum;
-    the 15 deferred r9 rows are pinned as ``_R14_FIRST`` at positions
-    51-65.
+    r9), the three r13 additions (the two-day IVF ingest leg; the
+    ExactSubstr removal action; the ANN delete primitive), the 4 ops
+    r13 touched (idempotent append helper, session-scoped
+    evolved-orders state, shared KMV cache + proof leg), then 22 of
+    the 38-query r9-freshness stratum; the 16 deferred r9 rows are
+    pinned as ``_R14_FIRST`` at positions 51-66.
     ALL declared queries are
     checked against their DuckDB oracles by scripts/local_gate.py
     (checked-in: CORRECTNESS_LOCAL_FULL.json) and pytest every round

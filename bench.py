@@ -185,8 +185,9 @@ headline = [
     "sim_ivf_append", "emb_matryoshka_recall", "stream_window_funnel",
     "text_novelty_curve",
     # r13: the two-day IVF ingest leg (day 2 appends onto the grown
-    # index) and the ExactSubstr removal action (cleaned-corpus emit)
-    "sim_ivf_multibatch", "dedup_substring_removal",
+    # index), the ExactSubstr removal action (cleaned-corpus emit),
+    # and the ANN delete primitive (FAISS remove_ids parity)
+    "sim_ivf_multibatch", "dedup_substring_removal", "sim_ivf_delete",
 ]
 
 
@@ -266,13 +267,16 @@ def main() -> None:
             # phase
             from query_optimizer_spark.functions.similarity import (
                 ivf_append_topk,
+                ivf_delete_topk,
                 ivf_multibatch_topk,
             )
 
             ivf_append_topk(spark, sf_dir).count()
-            # and its two-day twin (r13): base build + both appends are
-            # the one-time cost; reps measure the grown-index probe
+            # and its two-day twin + the delete primitive (r13): base
+            # build + appends/deletion are the one-time cost; reps
+            # measure the grown/shrunk-index probe
             ivf_multibatch_topk(spark, sf_dir).count()
+            ivf_delete_topk(spark, sf_dir).count()
             warmup_secs.append(round(time.monotonic() - t_warm, 4))
             for _ in range(cohort_reps):
                 order = headline[:]

@@ -538,6 +538,15 @@ PIPELINE_OPS: dict[str, tuple] = {
         similarity.ivf_multibatch_topk,
         similarity.ivf_multibatch_topk_oracle(),
     ),
+    # r13: the delete half of the ANN lifecycle (FAISS remove_ids):
+    # doomed rows located model-side (frozen-model re-encode, never an
+    # index scan), their lists rewritten filtered, emptied list dirs
+    # removed; the shrunk index must equal single-shot IVFADC built
+    # without those vectors (parameterized exclusion oracle)
+    "sim_ivf_delete": (
+        similarity.ivf_delete_topk,
+        similarity.ivf_delete_topk_oracle(),
+    ),
     # r12: Matryoshka prefix-dimension recall -- recall@k of 8/16/32-dim
     # truncated indexes vs the full-dim brute-force truth, the
     # acceptance gate before shipping a cheaper truncated index

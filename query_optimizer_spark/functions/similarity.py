@@ -1495,7 +1495,20 @@ def _ivfpq_rerank(emb: DataFrame, adc: DataFrame) -> DataFrame:
     )
 
 
-def ivfpq_topk_oracle() -> str:
+def ivfpq_topk_oracle(
+    exclude_lo: int | None = None, exclude_n: int = 0
+) -> str:
+    """Single-shot IVFADC oracle.  ``exclude_lo``/``exclude_n`` drop a
+    vec_id range from the CANDIDATE side only (model rows all sit below
+    IVF_APPEND_LO, queries keep ranking) -- the ``sim_ivf_delete``
+    ground truth: an index after remove_ids must answer exactly like
+    one built without those vectors."""
+    excl = (
+        f" AND NOT (e.vec_id >= {exclude_lo}"
+        f" AND e.vec_id < {exclude_lo + exclude_n})"
+        if exclude_lo is not None
+        else ""
+    )
     l2 = (
         "list_sum([(a.q[i] - c.q[i]) * (a.q[i] - c.q[i])"
         " for i in generate_series(1, len(a.q))])"
@@ -1557,7 +1570,7 @@ def ivfpq_topk_oracle() -> str:
             JOIN probes p ON p.cent_id = av.cent_id
             JOIN lut l ON l.query_id = p.query_id
                       AND l.s = e.s AND l.code_id = e.code_id
-            WHERE e.vec_id <> l.query_id
+            WHERE e.vec_id <> l.query_id{excl}
             GROUP BY l.query_id, e.vec_id
         ),
         cand AS (
@@ -2657,6 +2670,180 @@ def ivf_multibatch_topk_oracle() -> str:
     the single-shot IVFADC oracle -- day 2's agreement proves day 1's
     rows survived the co-touched-list rewrites."""
     return ivfpq_topk_oracle()
+
+
+_IVF_DEL_EVIDENCE: dict[tuple[str, str], dict[str, float]] = {}
+
+
+def ivf_delete_evidence(spark: SparkSession, sf_dir: str) -> dict:
+    """Evidence dict of the last ivf_delete_topk run in this session
+    for the given sf_dir (touched/emptied list counts, phase times)."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    return dict(_IVF_DEL_EVIDENCE.get(key, {}))
+
+
+def ivf_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index DELETION -- FAISS ``remove_ids`` parity, the third
+    ingest-lifecycle primitive after build (``sim_ivfpq_pruned``) and
+    add (``sim_ivf_append`` / ``sim_ivf_multibatch``): a deletion set
+    (takedowns, right-to-be-forgotten, license revocation -- the
+    requests a 100 TB training store receives forever) must leave the
+    index WITHOUT re-encoding the corpus or rewriting untouched lists.
+
+    1. FULL BUILD (one-time): every vector encoded and written
+       ``partitionBy(cent_id)``.
+    2. LOCATE: the doomed rows' list ids are recomputed MODEL-SIDE --
+       re-encode just those vectors under the frozen model (assignment
+       is deterministic), so finding them costs |deletion set|, never
+       an index scan.
+    3. DELETE: touched lists are read back partition-pruned
+       (raise-enforced) with the doomed vec_ids filtered OUT, and a
+       dynamic partition overwrite rewrites only those lists.  A list
+       whose every row is doomed never appears in the written frame --
+       dynamic overwrite would silently LEAVE ITS OLD FILES -- so
+       emptied lists' directories are removed explicitly (their ids
+       are a subset of the already-collected touched set).
+    4. PROBE: the shrunk index answers through the shared
+       PartitionFilter-enforced scan + ADC + exact re-rank, and must
+       be bit-identical to single-shot IVFADC built WITHOUT the
+       deleted vectors (``ivfpq_topk_oracle(exclude_lo, exclude_n)``)
+       -- deletion changed bytes, never the semantics of what remains.
+
+    The filter-out is naturally idempotent: a crash anywhere re-runs
+    into the same touched set and the same surviving rows.  Scale
+    shape: delete cost is |deletion set's lists| directories; the only
+    collects are model state, the touched-list ids, and the
+    per-touched-list survivor counts (<= IVF_N_CENTROIDS rows)."""
+    import time as _time
+    from pathlib import Path
+
+    import numpy as np
+
+    from ..executor import physical_plan
+    from ..sources import session_state_path
+
+    emb = _quantized(spark, sf_dir)
+    qids, _, lut, cb, cents, cn2, probe_mask = _ivfpq_model(emb)
+    del_cond = (F.col("vec_id") >= IVF_APPEND_LO) & (
+        F.col("vec_id") < IVF_APPEND_LO + IVF_APPEND_N
+    )
+
+    bc_enc = spark.sparkContext.broadcast((cb, cents, cn2))
+    _encode = _ivfpq_encode_fn(bc_enc)
+    enc_schema = "vec_id long, cent_id int, codes array<int>"
+    idx_path = session_state_path(spark, sf_dir, "ivf_del_lists")
+    deleted_marker = Path(idx_path) / "_DELETED"
+    cached = deleted_marker.exists()
+    build_sec = delete_sec = 0.0
+    n_touched = n_emptied = -1
+    if not cached:
+        t0 = _time.monotonic()
+        if not (Path(idx_path) / "_SUCCESS").exists():
+            (
+                emb.select("vec_id", "q")
+                .mapInPandas(_encode, enc_schema)
+                .write.mode("overwrite")
+                .partitionBy("cent_id")
+                .parquet(idx_path)
+            )
+        build_sec = round(_time.monotonic() - t0, 4)
+        t1 = _time.monotonic()
+        doomed = (
+            emb.filter(del_cond)
+            .select("vec_id", "q")
+            .mapInPandas(_encode, enc_schema)
+        )
+        touched = sorted(
+            int(r.cent_id)
+            for r in doomed.select("cent_id").distinct().collect()
+        )
+        n_touched = len(touched)
+        survivors = spark.read.parquet(idx_path).filter(
+            F.col("cent_id").isin(touched) & ~del_cond
+        )
+        plan = physical_plan(survivors)
+        seg = plan.split("PartitionFilters", 1)
+        if len(seg) != 2 or "cent_id" not in seg[1][:200]:
+            raise RuntimeError(
+                "ivf-delete read-back did not prune to the touched"
+                f" lists; plan:\n{plan}"
+            )
+        survivors = survivors.localCheckpoint()
+        surviving_lists = {
+            int(r.cent_id)
+            for r in survivors.select("cent_id").distinct().collect()
+        }
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(mode_key, "static")
+        spark.conf.set(mode_key, "dynamic")
+        try:
+            (
+                survivors.repartition("cent_id")
+                .write.mode("overwrite")
+                .partitionBy("cent_id")
+                .parquet(idx_path)
+            )
+        finally:
+            spark.conf.set(mode_key, prev)
+        emptied = [c for c in touched if c not in surviving_lists]
+        n_emptied = len(emptied)
+        for c in emptied:
+            import shutil
+
+            shutil.rmtree(Path(idx_path) / f"cent_id={c}",
+                          ignore_errors=True)
+        deleted_marker.touch()
+        delete_sec = round(_time.monotonic() - t1, 4)
+
+    probed = sorted(
+        {int(c) for qi in range(len(qids))
+         for c in np.nonzero(probe_mask[qi])[0]}
+    )
+    while len(_IVF_DEL_EVIDENCE) >= 8:
+        _IVF_DEL_EVIDENCE.pop(next(iter(_IVF_DEL_EVIDENCE)))
+    _IVF_DEL_EVIDENCE[
+        (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    ] = dict(
+        n_lists=len(list(Path(idx_path).glob("cent_id=*"))),
+        n_probed=len(probed),
+        n_touched=n_touched,
+        n_emptied=n_emptied,
+        build_sec=build_sec,
+        delete_sec=delete_sec,
+        build_cached=float(cached),
+    )
+
+    existing_probed = [
+        int(c)
+        for c in probed
+        if (Path(idx_path) / f"cent_id={c}").exists()
+    ]
+    lists = spark.read.parquet(idx_path).filter(
+        F.col("cent_id").isin(existing_probed)
+    )
+    plan = physical_plan(lists)
+    seg = plan.split("PartitionFilters", 1)
+    if len(seg) != 2 or "cent_id" not in seg[1][:200]:
+        raise RuntimeError(
+            "ivf-delete probe predicate did not reach the scan as a"
+            f" PartitionFilter; plan:\n{plan}"
+        )
+
+    bc = spark.sparkContext.broadcast((qids, lut, probe_mask))
+    _adc = _ivfpq_adc_fn(bc)
+    adc = lists.mapInPandas(
+        _adc, "query_id long, neighbor_id long, adc_dist long"
+    )
+    return _ivfpq_rerank(emb, adc)
+
+
+def ivf_delete_topk_oracle() -> str:
+    """The shrunk index must answer exactly like single-shot IVFADC
+    over the corpus WITHOUT the deleted range (model rows unaffected:
+    they all sit below IVF_APPEND_LO)."""
+    return ivfpq_topk_oracle(
+        exclude_lo=IVF_APPEND_LO, exclude_n=IVF_APPEND_N
+    )
 
 
 # --- Matryoshka prefix-dimension recall ----------------------------------------

@@ -485,6 +485,25 @@ def main() -> None:
         probe("sim_ivf_multibatch", "disjoint", k,
               lambda sf=sfd: similarity.ivf_multibatch_topk(spark, sf),
               n_vecs0 * k, post=_mb_post(sfd))
+        # --- ANN deletion (r13): the doomed set is a FIXED vec_id
+        # slice located model-side, so delete_sec (filtered rewrite of
+        # its lists) must stay ~flat while the corpus and the one-time
+        # full build grow linearly
+        def _del_post(sf_of):
+            def post():
+                ev = similarity.ivf_delete_evidence(spark, sf_of)
+                return {
+                    "build_sec": round(ev.get("build_sec", 0.0), 2),
+                    "delete_sec": ev.get("delete_sec"),
+                    "n_touched": ev.get("n_touched"),
+                    "n_emptied": ev.get("n_emptied"),
+                }
+
+            return post
+
+        probe("sim_ivf_delete", "disjoint", k,
+              lambda sf=sfd: similarity.ivf_delete_topk(spark, sf),
+              n_vecs0 * k, post=_del_post(sfd))
         # --- residual IVF-PQ (r10): per-(query, list) LUTs are
         # corpus-independent model state, so growth must track the
         # non-residual variant's (one linear codes pass)

@@ -595,3 +595,67 @@ def test_ivf_multibatch_day2_and_crash_heal(spark, duck):
     assert similarity.ivf_multibatch_evidence(
         spark, SF_DIR)["build_cached"] == 1.0
     assert snapshot() == before_warm
+
+
+def test_ivf_delete_rewrites_only_touched_lists(spark, duck):
+    """ANN deletion (r13): (a) the shrunk index answers exactly like
+    single-shot IVFADC built WITHOUT the deleted vectors (parameterized
+    exclusion oracle), (b) only the doomed vectors' list directories
+    change -- every untouched list byte-identical by snapshot, (c) no
+    deleted vec_id survives anywhere in the store, and (d) deleting the
+    marker and re-running (crash-just-before-marker) converges: the
+    filtered rewrite is naturally idempotent."""
+    import shutil
+    from pathlib import Path
+
+    from query_optimizer_spark.functions import similarity
+    from query_optimizer_spark.functions.constants import (
+        IVF_APPEND_LO,
+        IVF_APPEND_N,
+    )
+    from query_optimizer_spark.harness import result_hash
+    from query_optimizer_spark.sources import session_state_path
+
+    idx_path = Path(session_state_path(spark, SF_DIR, "ivf_del_lists"))
+    shutil.rmtree(idx_path, ignore_errors=True)
+
+    df = similarity.ivf_delete_topk(spark, SF_DIR)
+    got = result_hash(df)
+    assert got == duck_hash(duck, similarity.ivf_delete_topk_oracle())
+    ev = similarity.ivf_delete_evidence(spark, SF_DIR)
+    assert ev["n_touched"] > 0 and ev["build_cached"] == 0.0, ev
+
+    # no deleted id anywhere in the store
+    left = (
+        spark.read.parquet(str(idx_path))
+        .filter(
+            (F.col("vec_id") >= IVF_APPEND_LO)
+            & (F.col("vec_id") < IVF_APPEND_LO + IVF_APPEND_N)
+        )
+        .count()
+    )
+    assert left == 0
+
+    def snapshot():
+        return {
+            str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+            for p in idx_path.rglob("*.parquet")
+        }
+
+    after = snapshot()
+    # crash heal: marker gone but the deletion already landed -- the
+    # re-run re-filters to the same survivors and converges
+    (idx_path / "_DELETED").unlink()
+    df2 = similarity.ivf_delete_topk(spark, SF_DIR)
+    assert result_hash(df2) == got
+    ev2 = similarity.ivf_delete_evidence(spark, SF_DIR)
+    assert ev2["build_cached"] == 0.0 and ev2["n_touched"] == ev[
+        "n_touched"
+    ], (ev, ev2)
+
+    # warm repeat: marker present, nothing rewritten
+    before_warm = snapshot()
+    assert result_hash(similarity.ivf_delete_topk(spark, SF_DIR)) == got
+    assert similarity.ivf_delete_evidence(
+        spark, SF_DIR)["build_cached"] == 1.0
+    assert snapshot() == before_warm
