@@ -956,7 +956,7 @@ def test_kmv_rollup_merge_equals_direct(spark, duck):
     assert h == result_hash(direct)
     assert h == duck_hash(duck, PIPELINE_OPS["text_kmv_rollup"][1])
 
-    sub_toks = text._kmv_shingle_sets(spark, SF_DIR, ["source", "lang"])
+    sub_toks = text._kmv_shared(spark, SF_DIR)["sub_toks"]
     from pyspark.sql import functions as F
 
     sub_hashed = sub_toks.select(
@@ -1370,15 +1370,13 @@ def test_schema_evolution_nulls_and_partition_prune(spark, duck):
     """io_schema_evolution (r12): the mergeSchema read nulls the evolved
     column exactly on pre-evolution rows, and a generation-scoped query
     still prunes directories (PartitionFilters on gen)."""
-    import hashlib
-
     from query_optimizer_spark.executor import physical_plan
-    from query_optimizer_spark.sources import DEFAULT_WAREHOUSE
+    from query_optimizer_spark.sources import session_state_path
 
-    # materialize via the op itself
+    # materialize via the op itself (r13: the derived table now lives
+    # at the appId-scoped session state path)
     PIPELINE_OPS["io_schema_evolution"][0](spark, SF_DIR).collect()
-    tag = hashlib.md5(SF_DIR.rstrip("/").encode()).hexdigest()[:12]
-    out = f"{DEFAULT_WAREHOUSE}/orders_evolved_{tag}"
+    out = session_state_path(spark, SF_DIR, "orders_evolved")
     back = spark.read.option("mergeSchema", "true").parquet(out)
     assert "o_orderpriority" in back.columns
     n_bad = back.filter(

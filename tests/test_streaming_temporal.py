@@ -440,7 +440,7 @@ def test_stream_kmv_distinct_matches_batch_sketch(spark, duck):
     )
 
     # exact per-source distinct shingle counts (batch side)
-    toks = text._kmv_shingle_sets(spark, SF_DIR, ["source"])
+    toks = text._kmv_shared(spark, SF_DIR)["toks"]
     exact = {
         r.source: r.n
         for r in toks.groupBy("source").agg(F.count("*").alias("n")).collect()
