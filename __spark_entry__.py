@@ -121,15 +121,22 @@ def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sessions could interleave overwrites behind a stale _DONE), and the
 # two KMV ops now share ONE cached shingle scan + ONE exact-jaccard
 # proof leg via _kmv_shared (r12 VERDICT "what's wrong" #2 -- the
-# ground-truth join used to run twice for one identical answer).
-# Positions 29-50 rotate 22 of the 38-query r9-freshness stratum
+# ground-truth join used to run twice for one identical answer);
+# and evt_gapfill_locf, which (like the new removal op) gained a
+# row-level invariant filter that is also load-bearing for
+# measurement -- its obs side is unique on the join key, so a bare
+# count() let Catalyst eliminate the grid<-obs left join AND the LOCF
+# window, timing only grid generation (r13 audit: 1 join -> 0 under
+# count(); bench/probe consumers now pay the true cost).
+# Positions 30-50 rotate 21 of the 38-query r9-freshness stratum
 # (VERDICT r12 #7), prioritizing the three r9-only singletons
 # (semdedup / scd2 / pq_adc), the two cohort-bench outliers
 # (stream_feedback_join, dedup_survivors -- re-gated while r13
 # re-measures the +12.6% drift), then the dedup / sim / text / evt
-# families; the 16 deferred r9 rows (the 13 corpus_* ops +
-# evt_retention_cohorts + evt_hourly_topk + io_zorder_skipping) are
-# pinned as _R14_FIRST at positions 51-66, first in line for r14.
+# families; the 17 deferred r9 rows (the 13 corpus_* ops +
+# evt_retention_cohorts + evt_asof_tolerance + evt_hourly_topk +
+# io_zorder_skipping) are pinned as _R14_FIRST at positions 51-67,
+# first in line for r14.
 # =========================================================================
 _R13_WINDOW = [
     # --- the 21 r8-evidence rows pinned by r12 (VERDICT r12 #2) ---
@@ -164,6 +171,7 @@ _R13_WINDOW = [
     "io_schema_evolution",
     "text_kmv_overlap",
     "text_kmv_rollup",
+    "evt_gapfill_locf",
     # --- the r9-evidence stratum: singletons + bench outliers first ---
     "dedup_semdedup",
     "evt_scd2_intervals",
@@ -189,12 +197,11 @@ _R13_WINDOW = [
     "text_oov_bigram_rate",
     "text_repetition_stats",
     "evt_anomaly_hours",
-    "evt_asof_tolerance",
 ]
 
-# positions 51-66: the r9 remainder (13 corpus_* ops +
-# evt_retention_cohorts + evt_hourly_topk + io_zorder_skipping), first
-# in line for r14
+# positions 51-67: the r9 remainder (13 corpus_* ops +
+# evt_retention_cohorts + evt_asof_tolerance + evt_hourly_topk +
+# io_zorder_skipping), first in line for r14
 _R14_FIRST = [
     "corpus_chunk_overlap",
     "corpus_clean",
@@ -210,6 +217,7 @@ _R14_FIRST = [
     "corpus_tfidf_topk",
     "corpus_vocab_topk",
     "evt_retention_cohorts",
+    "evt_asof_tolerance",
     "evt_hourly_topk",
     "io_zorder_skipping",
 ]
@@ -283,11 +291,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window is the explicit ``_R13_WINDOW`` list above: those 21
     pinned r8 rows first (after this round the freshness floor is
     r9), the three r13 additions (the two-day IVF ingest leg; the
-    ExactSubstr removal action; the ANN delete primitive), the 4 ops
+    ExactSubstr removal action; the ANN delete primitive), the 5 ops
     r13 touched (idempotent append helper, session-scoped
-    evolved-orders state, shared KMV cache + proof leg), then 22 of
-    the 38-query r9-freshness stratum; the 16 deferred r9 rows are
-    pinned as ``_R14_FIRST`` at positions 51-66.
+    evolved-orders state, shared KMV cache + proof leg, the two
+    count()-join-elimination measurement guards), then 21 of the
+    38-query r9-freshness stratum; the 17 deferred r9 rows are pinned
+    as ``_R14_FIRST`` at positions 51-67.
     ALL declared queries are
     checked against their DuckDB oracles by scripts/local_gate.py
     (checked-in: CORRECTNESS_LOCAL_FULL.json) and pytest every round

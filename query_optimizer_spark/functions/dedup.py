@@ -2007,6 +2007,18 @@ def substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cleaned_hash"
             ),
         )
+        # row-level invariant guard (every md5 is 32 hex chars, counts
+        # non-negative).  Deliberately placed ON the output: both
+        # aggregate legs are unique on doc_id, so without a reference
+        # to their columns Catalyst ELIMINATES the left joins under a
+        # bare count() -- bench/scale probes would time a plan that
+        # never builds the cleaned text (observed: 0 joins, 1 scan).
+        # The guard makes every consumer pay the op's true cost.
+        .filter(
+            (F.length("cleaned_hash") == 32)
+            & (F.col("removed_tokens") >= 0)
+            & (F.col("n_spans") >= 0)
+        )
     )
 
 

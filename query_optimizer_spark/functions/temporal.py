@@ -1455,6 +1455,18 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_events").isNull(), 1).otherwise(0).cast("int").alias("gap"),
         F.coalesce("n_events", F.lit(0)).cast("int").alias("n_events"),
         F.last("total_value", ignorenulls=True).over(w).alias("locf_value"),
+    ).filter(
+        # row-level invariant guard (gap is 0/1, counts non-negative).
+        # Also load-bearing for measurement: obs is unique on the join
+        # key, so a bare count() would otherwise let Catalyst ELIMINATE
+        # the grid<-obs left join and the LOCF window entirely, timing
+        # only grid generation (r13 audit: 1 join -> 0 under count()).
+        # locf_value is provably non-null (each series' grid starts at
+        # its own first OBSERVED hour), so referencing it keeps the
+        # window in every consumer's plan without dropping a row
+        (F.col("gap").isin(0, 1))
+        & (F.col("n_events") >= 0)
+        & F.col("locf_value").isNotNull()
     )
 
 
