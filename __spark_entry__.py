@@ -99,7 +99,7 @@ def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # declared queries.  Positions 1-21 are EXACTLY the 21 rows r12 pinned
 # as _R13_FIRST -- the last of the r8-freshness stratum (7 SQL variants
 # + 14 TPC-H); after this round the freshness floor rises to r9.
-# Positions 22-24 are the ops ADDED in r13 (sim_ivf_multibatch -- the
+# Positions 22-25 are the ops ADDED in r13 (sim_ivf_multibatch -- the
 # TWO-DAY leg of the IVF ingest loop, the dedup_multibatch twin: day 2
 # appends onto the index day 1 grew and its probe must rank day 1's
 # vectors as corpus, still sharing the single-shot IVFADC oracle;
@@ -128,15 +128,15 @@ def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count() let Catalyst eliminate the grid<-obs left join AND the LOCF
 # window, timing only grid generation (r13 audit: 1 join -> 0 under
 # count(); bench/probe consumers now pay the true cost).
-# Positions 30-50 rotate 21 of the 38-query r9-freshness stratum
+# Positions 31-50 rotate 20 of the 38-query r9-freshness stratum
 # (VERDICT r12 #7), prioritizing the three r9-only singletons
 # (semdedup / scd2 / pq_adc), the two cohort-bench outliers
 # (stream_feedback_join, dedup_survivors -- re-gated while r13
 # re-measures the +12.6% drift), then the dedup / sim / text / evt
-# families; the 17 deferred r9 rows (the 13 corpus_* ops +
-# evt_retention_cohorts + evt_asof_tolerance + evt_hourly_topk +
-# io_zorder_skipping) are pinned as _R14_FIRST at positions 51-67,
-# first in line for r14.
+# families; the 18 deferred r9 rows (the 13 corpus_* ops +
+# evt_retention_cohorts + evt_asof_tolerance + evt_anomaly_hours +
+# evt_hourly_topk + io_zorder_skipping) are pinned as _R14_FIRST at
+# positions 51-68, first in line for r14.
 # =========================================================================
 _R13_WINDOW = [
     # --- the 21 r8-evidence rows pinned by r12 (VERDICT r12 #2) ---
@@ -165,6 +165,7 @@ _R13_WINDOW = [
     "sim_ivf_multibatch",
     "dedup_substring_removal",
     "sim_ivf_delete",
+    "io_snapshot_time_travel",
     # --- touched in r13 (idempotent append helper, session-scoped
     # evolved-orders state, shared KMV shingle cache + exact leg) ---
     "sim_ivf_append",
@@ -196,12 +197,11 @@ _R13_WINDOW = [
     "text_hll_rollup",
     "text_oov_bigram_rate",
     "text_repetition_stats",
-    "evt_anomaly_hours",
 ]
 
-# positions 51-67: the r9 remainder (13 corpus_* ops +
-# evt_retention_cohorts + evt_asof_tolerance + evt_hourly_topk +
-# io_zorder_skipping), first in line for r14
+# positions 51-68: the r9 remainder (13 corpus_* ops +
+# evt_retention_cohorts + evt_asof_tolerance + evt_anomaly_hours +
+# evt_hourly_topk + io_zorder_skipping), first in line for r14
 _R14_FIRST = [
     "corpus_chunk_overlap",
     "corpus_clean",
@@ -218,6 +218,7 @@ _R14_FIRST = [
     "corpus_vocab_topk",
     "evt_retention_cohorts",
     "evt_asof_tolerance",
+    "evt_anomaly_hours",
     "evt_hourly_topk",
     "io_zorder_skipping",
 ]
@@ -290,13 +291,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r8-freshness stratum, pinning the 21-row remainder.  Round 13's
     window is the explicit ``_R13_WINDOW`` list above: those 21
     pinned r8 rows first (after this round the freshness floor is
-    r9), the three r13 additions (the two-day IVF ingest leg; the
-    ExactSubstr removal action; the ANN delete primitive), the 5 ops
+    r9), the four r13 additions (the two-day IVF ingest leg; the
+    ExactSubstr removal action; the ANN delete primitive; manifest
+    snapshots + time travel), the 5 ops
     r13 touched (idempotent append helper, session-scoped
     evolved-orders state, shared KMV cache + proof leg, the two
-    count()-join-elimination measurement guards), then 21 of the
-    38-query r9-freshness stratum; the 17 deferred r9 rows are pinned
-    as ``_R14_FIRST`` at positions 51-67.
+    count()-join-elimination measurement guards), then 20 of the
+    38-query r9-freshness stratum; the 18 deferred r9 rows are pinned
+    as ``_R14_FIRST`` at positions 51-68.
     ALL declared queries are
     checked against their DuckDB oracles by scripts/local_gate.py
     (checked-in: CORRECTNESS_LOCAL_FULL.json) and pytest every round

@@ -186,8 +186,10 @@ headline = [
     "text_novelty_curve",
     # r13: the two-day IVF ingest leg (day 2 appends onto the grown
     # index), the ExactSubstr removal action (cleaned-corpus emit),
-    # and the ANN delete primitive (FAISS remove_ids parity)
+    # the ANN delete primitive (FAISS remove_ids parity), and
+    # manifest snapshots + time travel (Iceberg-lite)
     "sim_ivf_multibatch", "dedup_substring_removal", "sim_ivf_delete",
+    "io_snapshot_time_travel",
 ]
 
 
@@ -277,6 +279,13 @@ def main() -> None:
             # measure the grown/shrunk-index probe
             ivf_multibatch_topk(spark, sf_dir).count()
             ivf_delete_topk(spark, sf_dir).count()
+            # manifest snapshots (r13): the three commits are the
+            # one-time cost; reps measure the AS-OF manifest reads
+            from query_optimizer_spark.sources import (
+                snapshot_time_travel,
+            )
+
+            snapshot_time_travel(spark, sf_dir).count()
             warmup_secs.append(round(time.monotonic() - t_warm, 4))
             for _ in range(cohort_reps):
                 order = headline[:]

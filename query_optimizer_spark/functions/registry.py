@@ -521,6 +521,16 @@ PIPELINE_OPS: dict[str, tuple] = {
         sources.schema_evolution,
         sources.schema_evolution_oracle(),
     ),
+    # r13: manifest snapshots + time travel (Iceberg-lite): immutable
+    # data files + per-commit JSON manifests; append = manifest swap,
+    # delete = copy-on-write of only the affected files (located via
+    # input_file_name), AS-OF reads reproduce every version from its
+    # manifest's exact file list; oracle recomputes each version from
+    # raw with the version predicates
+    "io_snapshot_time_travel": (
+        sources.snapshot_time_travel,
+        sources.snapshot_time_travel_oracle(),
+    ),
     # r12: incremental ANN ingest -- the IVF twin of the dedup ingest
     # loop: base index built WITHOUT the batch, batch encoded under the
     # frozen model and dynamic-partition-overwritten into ONLY its

@@ -801,3 +801,185 @@ def schema_evolution_oracle() -> str:
         FROM orders
         GROUP BY 1, 2
     """
+
+
+# --- manifest snapshots + time travel (Iceberg-lite) ----------------------------
+
+# commits are range-clustered on doc_id into this many files (the
+# sorted-table layout), so the keyed delete below overlaps only a
+# strict subset of them -- copy-on-write stays file-bounded
+SNAPSHOT_FILES_PER_COMMIT = 4
+
+
+def _snapshot_stats(df: "DataFrame", version: int) -> "DataFrame":
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy()
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .select(
+            F.lit(version).cast("int").alias("version"),
+            "n_docs",
+            "total_chars",
+            "min_doc",
+            "max_doc",
+        )
+    )
+
+
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-based snapshots + time travel over plain parquet -- the
+    Iceberg/Delta table-format primitive, reduced to its two moving
+    parts: IMMUTABLE data files and a tiny per-commit MANIFEST (the
+    JSON list of files that ARE the table at that version).
+
+    Three commits over the documents table:
+
+    1. ``v1`` -- initial load: the first half of the corpus
+       (doc_id below the median split) written once; manifest v1
+       lists its files.
+    2. ``v2`` -- APPEND: the second half lands as NEW files only;
+       manifest v2 = manifest v1 + the new files.  Zero bytes of v1
+       data move -- at 100 TB an append commit is a manifest swap,
+       which is the entire point of the format.
+    3. ``v3`` -- COPY-ON-WRITE DELETE: the doc_id range
+       [floor(max/8), floor(max/4)) is removed (a takedown keyed on
+       the table's cluster column).  Commits are range-clustered on
+       doc_id (``repartitionByRange`` -- the sorted-table layout), so
+       the doomed rows live in the few files overlapping that range:
+       ``input_file_name()`` finds WHICH (a file-count-bounded
+       collect -- model state); only those files are rewritten
+       without their doomed rows; manifest v3 = untouched v2 files +
+       the rewrites.  Files without a doomed row are never read
+       again, never rewritten -- a strict subset, pytest-asserted.
+
+    The op then TIME-TRAVELS: it reads each manifest's exact file
+    list (``spark.read.parquet(*files)``) and aggregates -- and
+    because data files are immutable, reading manifest v1 AFTER
+    commits 2 and 3 must still reproduce the original table
+    bit-for-bit (the pytest asserts v1's files byte-identical through
+    both later commits).  The oracle recomputes every version from
+    the raw table with the version predicates -- agreement proves the
+    manifests carve exactly the right file sets.
+
+    Columns: one row per version -- (version, n_docs, total_chars,
+    min_doc, max_doc); all-integer, so Spark and DuckDB agree on
+    every bit.
+
+    Scale shape: commit 1/2 are one filtered write each; commit 3
+    reads ONLY the doomed rows' files (the input_file_name probe
+    projects doc_id alone) and rewrites that subset; time-travel
+    reads are manifest-pruned scans.  The manifests are KBs on the
+    driver -- never data."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    base = Path(session_state_path(spark, sf_dir, "doc_snapshots"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the v1/v2 split must be the SAME constant in both engines:
+    # floor(max/2) is exact integer arithmetic, no quantile-convention
+    # divergence (one scalar collect -- model state)
+    split = docs.agg(
+        F.expr("cast(floor(max(doc_id) / 2.0) as bigint)")
+    ).collect()[0][0]
+
+    def _manifest(v: int) -> Path:
+        return base / f"manifest_v{v}.json"
+
+    def _files(d: Path) -> list[str]:
+        return sorted(str(p) for p in d.glob("*.parquet"))
+
+    if not _manifest(3).exists():
+        # commit 1: initial load, range-clustered on the table key
+        c1 = base / "commit1"
+        if not (c1 / "_SUCCESS").exists():
+            (
+                docs.filter(F.col("doc_id") <= split)
+                .repartitionByRange(SNAPSHOT_FILES_PER_COMMIT, "doc_id")
+                .write.mode("overwrite")
+                .parquet(str(c1))
+            )
+        v1 = _files(c1)
+        _manifest(1).write_text(_json.dumps(v1))
+        # commit 2: append-only -- new files, v1 files untouched
+        c2 = base / "commit2"
+        if not (c2 / "_SUCCESS").exists():
+            (
+                docs.filter(F.col("doc_id") > split)
+                .repartitionByRange(SNAPSHOT_FILES_PER_COMMIT, "doc_id")
+                .write.mode("overwrite")
+                .parquet(str(c2))
+            )
+        v2 = v1 + _files(c2)
+        _manifest(2).write_text(_json.dumps(v2))
+        # commit 3: copy-on-write delete of only the affected files
+        doomed_cond = (F.col("doc_id") >= split // 4) & (
+            F.col("doc_id") < split // 2
+        )
+        snap2 = spark.read.parquet(*v2)
+        affected = sorted(
+            r.f
+            for r in snap2.filter(doomed_cond)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        affected_set = {f.replace("file://", "") for f in affected}
+        c3 = base / "commit3"
+        if not (c3 / "_SUCCESS").exists() and affected_set:
+            (
+                spark.read.parquet(*sorted(affected_set))
+                .filter(~doomed_cond)
+                .write.mode("overwrite")
+                .parquet(str(c3))
+            )
+        v3 = [f for f in v2 if f not in affected_set] + _files(c3)
+        _manifest(3).write_text(_json.dumps(v3))
+        SNAPSHOT_LAST.update(
+            n_files_v1=len(v1),
+            n_files_v2=len(v2),
+            n_affected=len(affected_set),
+            n_files_v3=len(v3),
+        )
+
+    out = None
+    for v in (1, 2, 3):
+        files = _json.loads(_manifest(v).read_text())
+        stats = _snapshot_stats(spark.read.parquet(*files), v)
+        out = stats if out is None else out.unionByName(stats)
+    return out
+
+
+SNAPSHOT_LAST: dict[str, int] = {}
+
+
+def snapshot_time_travel_oracle() -> str:
+    stats = (
+        "CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(n_chars) AS BIGINT) AS total_chars,"
+        " min(doc_id) AS min_doc, max(doc_id) AS max_doc"
+    )
+    return f"""
+        WITH split AS (
+            SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS s,
+                   CAST(floor(floor(max(doc_id) / 2.0) / 4.0) AS BIGINT)
+                       AS lo,
+                   CAST(floor(floor(max(doc_id) / 2.0) / 2.0) AS BIGINT)
+                       AS hi
+            FROM documents
+        )
+        SELECT CAST(1 AS INT) AS version, {stats}
+        FROM documents, split WHERE doc_id <= split.s
+        UNION ALL
+        SELECT CAST(2 AS INT) AS version, {stats} FROM documents
+        UNION ALL
+        SELECT CAST(3 AS INT) AS version, {stats}
+        FROM documents, split
+        WHERE NOT (doc_id >= split.lo AND doc_id < split.hi)
+    """

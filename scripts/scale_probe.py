@@ -240,6 +240,7 @@ def main() -> None:
         temporal,
         text,
     )
+    from query_optimizer_spark import sources as qsources
     from query_optimizer_spark.session import get_session
 
     spark = get_session("scale-probe", profile="default", cpus="32")
@@ -374,6 +375,19 @@ def main() -> None:
               lambda sf=f"{WORK}/disjoint_x{k}":
                   dedup.substring_removal(spark, sf),
               n_docs0 * k)
+        # --- manifest snapshots (r13): the two initial commits are the
+        # linear cost; the COW delete must stay bounded by the files
+        # overlapping the doomed doc_id range (n_affected < n_files_v2
+        # at every scale), and the AS-OF reads are manifest-pruned
+        def _snap_post():
+            return {k2: qsources.SNAPSHOT_LAST.get(k2) for k2 in
+                    ("n_files_v1", "n_files_v2", "n_affected",
+                     "n_files_v3")}
+
+        probe("io_snapshot_time_travel", "disjoint", k,
+              lambda sf=f"{WORK}/disjoint_x{k}":
+                  qsources.snapshot_time_travel(spark, sf),
+              n_docs0 * k, post=_snap_post)
         # --- BM25 retrieval (r12): the corpus-sized stage is the token
         # explode pruned by the broadcast term join.  Disjoint replicas
         # suffix every token, so query terms match ONLY the original

@@ -218,3 +218,59 @@ def test_partitioned_roundtrip_prunes(spark):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "lang" in m.group(1)  # filter actually reached pruning
+
+
+def test_snapshot_time_travel_immutability_and_cow(spark):
+    """io_snapshot_time_travel (r13): (a) the three AS-OF reads match
+    the from-raw oracle (gate re-asserted here via DuckDB), (b) the
+    copy-on-write delete touches a strict subset of v2's files and the
+    manifests carve disjoint responsibilities (v3 = v2 minus affected
+    plus rewrites), (c) data files are IMMUTABLE -- every v1/v2 file
+    still exists after the delete commit (time travel to any version
+    keeps working), and (d) a warm re-run changes nothing on disk."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    import duckdb
+
+    from query_optimizer_spark import sources
+    from query_optimizer_spark.sources import session_state_path
+    from .test_spark_exec import duck_hash
+
+    base = Path(session_state_path(spark, SF_DIR, "doc_snapshots"))
+    shutil.rmtree(base, ignore_errors=True)
+    df = sources.snapshot_time_travel(spark, SF_DIR)
+    got = result_hash(df)
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_DIR}/documents.parquet'"
+    )
+    assert got == duck_hash(duck, sources.snapshot_time_travel_oracle())
+
+    info = dict(sources.SNAPSHOT_LAST)
+    assert 0 < info["n_affected"] < info["n_files_v2"], info
+    m = {
+        v: set(json.loads((base / f"manifest_v{v}.json").read_text()))
+        for v in (1, 2, 3)
+    }
+    assert m[1] < m[2], "append must only add files"
+    rewrites = m[3] - m[2]
+    affected = m[2] - m[3]
+    assert len(affected) == info["n_affected"]
+    assert all("commit3" in f for f in rewrites)
+    # immutability: every historical file still on disk
+    for f in m[1] | m[2]:
+        assert Path(f).exists(), f
+
+    def snap():
+        return {
+            str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+            for p in base.rglob("*")
+            if p.is_file()
+        }
+
+    before = snap()
+    assert result_hash(sources.snapshot_time_travel(spark, SF_DIR)) == got
+    assert snap() == before
