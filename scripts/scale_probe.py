@@ -378,7 +378,13 @@ def main() -> None:
         # --- manifest snapshots (r13): the two initial commits are the
         # linear cost; the COW delete must stay bounded by the files
         # overlapping the doomed doc_id range (n_affected < n_files_v2
-        # at every scale), and the AS-OF reads are manifest-pruned
+        # at every scale), and the AS-OF reads are manifest-pruned.
+        # NOTE: disjoint replicas stripe doc_ids by ID_STRIDE, so the
+        # takedown range (derived from max(doc_id)) can land in an id
+        # VOID at some scales -- n_affected == 0 there is the BEST
+        # case of file-bounding (a manifest-only commit: zero files
+        # read, zero rewritten); the real-corpus gate + pytest cover
+        # the non-vacuous delete
         def _snap_post():
             return {k2: qsources.SNAPSHOT_LAST.get(k2) for k2 in
                     ("n_files_v1", "n_files_v2", "n_affected",
