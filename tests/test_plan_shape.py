@@ -659,3 +659,33 @@ def test_ivf_delete_rewrites_only_touched_lists(spark, duck):
     assert similarity.ivf_delete_evidence(
         spark, SF_DIR)["build_cached"] == 1.0
     assert snapshot() == before_warm
+
+
+def test_output_ops_survive_count_pruning(spark):
+    """Regression guard for the r13 count()-join-elimination class: ops
+    ending in left joins against aggregates unique on the join key must
+    NOT lose those joins (or trailing windows) when a consumer drives
+    them with a bare count() -- otherwise bench/scale timings measure a
+    plan that never does the op's work. The invariant filters on these
+    ops' outputs exist precisely to pin the full plan."""
+    import re
+
+    from query_optimizer_spark.functions.registry import PIPELINE_OPS
+
+    for name in ("dedup_substring_removal", "evt_gapfill_locf"):
+        df = PIPELINE_OPS[name][0](spark, SF_DIR)
+        full = df._jdf.queryExecution().executedPlan().toString()
+        cnt = (
+            df.groupBy()
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for kind in ("Join", "Window"):
+            n_full = len(re.findall(kind, full))
+            n_cnt = len(re.findall(kind, cnt))
+            assert n_cnt >= n_full > 0, (
+                f"{name}: {kind} pruned under count() "
+                f"({n_full} -> {n_cnt})"
+            )
