@@ -190,6 +190,10 @@ headline = [
     # manifest snapshots + time travel (Iceberg-lite)
     "sim_ivf_multibatch", "dedup_substring_removal", "sim_ivf_delete",
     "io_snapshot_time_travel",
+    # r14: IVF list compaction (store maintenance -- reps measure the
+    # compacted-store probe), CDC read from manifest diffs, snapshot
+    # expiry + vacuum (reps measure the retained-version read)
+    "sim_ivf_compact", "io_snapshot_changes", "io_snapshot_expiry",
 ]
 
 
@@ -269,6 +273,7 @@ def main() -> None:
             # phase
             from query_optimizer_spark.functions.similarity import (
                 ivf_append_topk,
+                ivf_compact_topk,
                 ivf_delete_topk,
                 ivf_multibatch_topk,
             )
@@ -279,13 +284,30 @@ def main() -> None:
             # measure the grown/shrunk-index probe
             ivf_multibatch_topk(spark, sf_dir).count()
             ivf_delete_topk(spark, sf_dir).count()
-            # manifest snapshots (r13): the three commits are the
-            # one-time cost; reps measure the AS-OF manifest reads
+            # ...and the maintenance quarter (r14): ingest emulation +
+            # compaction are the one-time cost; reps measure the
+            # compacted-store probe
+            ivf_compact_topk(spark, sf_dir).count()
+            # manifest snapshots (r13; expiry/CDC r14): the commits,
+            # the vacuum, and the manifest diffs are the one-time
+            # cost; reps measure the manifest-pruned reads
             from query_optimizer_spark.sources import (
+                snapshot_changes,
+                snapshot_expiry,
                 snapshot_time_travel,
             )
 
             snapshot_time_travel(spark, sf_dir).count()
+            snapshot_changes(spark, sf_dir).count()
+            snapshot_expiry(spark, sf_dir).count()
+            # shared KMV shingle scan + exact proof leg (r14, VERDICT
+            # r13 "what's wrong" #1): building it here charges the
+            # one-time cost to warmup_sec, so text_kmv_overlap /
+            # text_kmv_rollup timings no longer depend on which runs
+            # first in the rep's shuffled order
+            from query_optimizer_spark.functions.text import _kmv_shared
+
+            _kmv_shared(spark, sf_dir)
             warmup_secs.append(round(time.monotonic() - t_warm, 4))
             for _ in range(cohort_reps):
                 order = headline[:]

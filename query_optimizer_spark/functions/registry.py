@@ -531,6 +531,24 @@ PIPELINE_OPS: dict[str, tuple] = {
         sources.snapshot_time_travel,
         sources.snapshot_time_travel_oracle(),
     ),
+    # r14: CDC / incremental read between snapshot versions from the
+    # manifests' file-set difference alone -- appended files scanned as
+    # inserts, COW-rewritten files anti-joined old-minus-new as deletes
+    # (new-minus-old raise-enforced empty); oracle recomputes both
+    # deltas from raw with the same split / rank-bound predicates
+    "io_snapshot_changes": (
+        sources.snapshot_changes,
+        sources.snapshot_changes_oracle(),
+    ),
+    # r14: snapshot expiry + vacuum -- retain only the latest version,
+    # drop older manifests, unlink every data file unreachable from a
+    # retained manifest (exactly the COW-superseded files);
+    # raise-enforces no retained manifest references a deleted file;
+    # the retained version must still answer its from-raw oracle
+    "io_snapshot_expiry": (
+        sources.snapshot_expiry,
+        sources.snapshot_expiry_oracle(),
+    ),
     # r12: incremental ANN ingest -- the IVF twin of the dedup ingest
     # loop: base index built WITHOUT the batch, batch encoded under the
     # frozen model and dynamic-partition-overwritten into ONLY its
@@ -556,6 +574,15 @@ PIPELINE_OPS: dict[str, tuple] = {
     "sim_ivf_delete": (
         similarity.ivf_delete_topk,
         similarity.ivf_delete_topk_oracle(),
+    ),
+    # r14: the maintenance quarter of the ANN lifecycle -- file-level
+    # ingest appends fragment hot lists; compaction rewrites ONLY the
+    # fragmented lists (partition-pruned read-back, dynamic overwrite,
+    # one file per list), cold lists byte-identical; the compacted
+    # store shares the single-shot IVFADC oracle
+    "sim_ivf_compact": (
+        similarity.ivf_compact_topk,
+        similarity.ivf_compact_topk_oracle(),
     ),
     # r12: Matryoshka prefix-dimension recall -- recall@k of 8/16/32-dim
     # truncated indexes vs the full-dim brute-force truth, the

@@ -2590,6 +2590,14 @@ def ivf_multibatch_topk(
     m1 = Path(idx_path) / "_APPENDED_B1"
     m2 = Path(idx_path) / "_APPENDED_B2"
     cached = m2.exists()
+    if stop_after == 1 and cached:
+        # the hook means "stop BETWEEN the days"; on a warm index day 2
+        # already landed, so silently returning the full probe result
+        # (the pre-r14 behavior) would hand the caller the wrong frame
+        raise RuntimeError(
+            "stop_after=1 on an already-appended index: the between-"
+            "days summary no longer exists; rmtree the index first"
+        )
     build_sec = day1_sec = day2_sec = 0.0
     n_touched_b1 = n_touched_b2 = -1
     if not cached:
@@ -2844,6 +2852,207 @@ def ivf_delete_topk_oracle() -> str:
     return ivfpq_topk_oracle(
         exclude_lo=IVF_APPEND_LO, exclude_n=IVF_APPEND_N
     )
+
+
+# --- IVF list compaction (store maintenance) ------------------------------------
+
+# the ingest emulation writes the hot lists' rows in this many
+# file-level appends (mode=append adds files, never rewrites -- the
+# cheap daily-ingest path, and the reason stores fragment)
+IVF_COMPACT_BATCHES = 4
+
+_IVF_CMP_EVIDENCE: dict[tuple[str, str], dict[str, float]] = {}
+
+
+def ivf_compact_evidence(spark: SparkSession, sf_dir: str) -> dict:
+    """Evidence dict of the last ivf_compact_topk run in this session
+    for the given sf_dir (file counts before/after, fragmented-list
+    count, phase times)."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    return dict(_IVF_CMP_EVIDENCE.get(key, {}))
+
+
+def ivf_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF list COMPACTION -- the maintenance quarter of the ANN store
+    lifecycle (build / add / delete exist; r13 VERDICT "what's missing"
+    #1: nothing merged the small files ingest accumulates inside
+    ``cent_id=*`` directories, so a daily append regime fragments probe
+    IO forever).  FAISS-parity reference point: real stores compact.
+
+    1. INGEST EMULATION (one-time): the full corpus is encoded under
+       the frozen model and written as FILE-LEVEL APPENDS
+       (``mode("append")`` adds files into existing list directories --
+       the cheap daily-ingest path, and exactly why stores fragment):
+       COLD lists (``cent_id % 4 == 0``) land in ONE append; HOT lists
+       arrive in IVF_COMPACT_BATCHES vec_id-sliced appends, so every
+       hot list directory holds up to that many small files while cold
+       lists stay single-file.  The fragmented-list ids and the
+       pre-compaction file count are persisted to a ``_FRAG_LISTS``
+       sidecar (written after the ``_BUILT`` marker) so a crash
+       anywhere below re-runs against the same work list.
+    2. COMPACT: ONLY the sidecar's fragmented lists are read back
+       partition-pruned (raise if the predicate misses the scan),
+       localCheckpoint-ed, and dynamic-partition-overwritten --
+       ``repartition(cent_id)`` bins each list into exactly one file.
+       Cold lists never appear in the written frame: their directories
+       stay byte-identical (pytest snapshots them).  The rewrite is
+       naturally idempotent -- a crash between the overwrite and the
+       ``_COMPACTED`` marker re-runs into the same rows and the same
+       single-file layout.
+    3. PROBE: the compacted store answers through the shared
+       PartitionFilter-enforced scan + ADC + exact re-rank, and must be
+       bit-identical to single-shot IVFADC over the full corpus
+       (shares ``ivfpq_topk_oracle()``) -- compaction changes BYTES,
+       never answers.
+
+    Scale shape: compaction cost is |fragmented lists| directories --
+    cold lists are never read; the only collects are model state and
+    the sidecar's id list (<= IVF_N_CENTROIDS ints).  At 100 TB this
+    runs as the weekly maintenance pass bounded by the week's touched
+    lists."""
+    import json as _json
+    import shutil
+    import time as _time
+    from pathlib import Path
+
+    import numpy as np
+
+    from ..executor import physical_plan
+    from ..sources import session_state_path
+
+    emb = _quantized(spark, sf_dir)
+    qids, _, lut, cb, cents, cn2, probe_mask = _ivfpq_model(emb)
+    bc_enc = spark.sparkContext.broadcast((cb, cents, cn2))
+    _encode = _ivfpq_encode_fn(bc_enc)
+    enc_schema = "vec_id long, cent_id int, codes array<int>"
+
+    idx_path = session_state_path(spark, sf_dir, "ivf_cmp_lists")
+    built_marker = Path(idx_path) / "_BUILT"
+    sidecar = Path(idx_path) / "_FRAG_LISTS.json"
+    compacted_marker = Path(idx_path) / "_COMPACTED"
+    cached = compacted_marker.exists()
+    build_sec = compact_sec = 0.0
+    if not cached:
+        if not built_marker.exists():
+            # appends are not idempotent: a partial build must restart
+            shutil.rmtree(idx_path, ignore_errors=True)
+            t0 = _time.monotonic()
+            encoded = (
+                emb.select("vec_id", "q")
+                .mapInPandas(_encode, enc_schema)
+                .localCheckpoint()
+            )
+            cold = F.col("cent_id") % 4 == 0
+            encoded.filter(cold).write.mode("append").partitionBy(
+                "cent_id"
+            ).parquet(idx_path)
+            for i in range(IVF_COMPACT_BATCHES):
+                (
+                    encoded.filter(
+                        ~cold & (F.col("vec_id") % IVF_COMPACT_BATCHES == i)
+                    )
+                    .write.mode("append")
+                    .partitionBy("cent_id")
+                    .parquet(idx_path)
+                )
+            build_sec = round(_time.monotonic() - t0, 4)
+            built_marker.touch()
+        if not sidecar.exists():
+            frag = sorted(
+                int(d.name.split("=")[1])
+                for d in Path(idx_path).glob("cent_id=*")
+                if len(list(d.glob("*.parquet"))) > 1
+            )
+            if not frag:
+                raise RuntimeError(
+                    "ingest emulation produced zero fragmented lists --"
+                    " compaction would be vacuous"
+                )
+            files_before = len(
+                list(Path(idx_path).glob("cent_id=*/*.parquet"))
+            )
+            sidecar.write_text(
+                _json.dumps(dict(frag=frag, files_before=files_before))
+            )
+        work = _json.loads(sidecar.read_text())
+        t1 = _time.monotonic()
+        rows = spark.read.parquet(idx_path).filter(
+            F.col("cent_id").isin(work["frag"])
+        )
+        plan = physical_plan(rows)
+        seg = plan.split("PartitionFilters", 1)
+        if len(seg) != 2 or "cent_id" not in seg[1][:200]:
+            raise RuntimeError(
+                "compaction read-back did not prune to the fragmented"
+                f" lists; plan:\n{plan}"
+            )
+        rows = rows.localCheckpoint()
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(mode_key, "static")
+        spark.conf.set(mode_key, "dynamic")
+        try:
+            (
+                rows.repartition("cent_id")
+                .write.mode("overwrite")
+                .partitionBy("cent_id")
+                .parquet(idx_path)
+            )
+        finally:
+            spark.conf.set(mode_key, prev)
+        compacted_marker.touch()
+        compact_sec = round(_time.monotonic() - t1, 4)
+
+    work = _json.loads(sidecar.read_text())
+    files_after = len(list(Path(idx_path).glob("cent_id=*/*.parquet")))
+    if files_after >= work["files_before"]:
+        raise RuntimeError(
+            f"compaction did not shrink the store: {work['files_before']}"
+            f" -> {files_after} files"
+        )
+    probed = sorted(
+        {int(c) for qi in range(len(qids))
+         for c in np.nonzero(probe_mask[qi])[0]}
+    )
+    while len(_IVF_CMP_EVIDENCE) >= 8:
+        _IVF_CMP_EVIDENCE.pop(next(iter(_IVF_CMP_EVIDENCE)))
+    _IVF_CMP_EVIDENCE[
+        (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    ] = dict(
+        n_lists=len(list(Path(idx_path).glob("cent_id=*"))),
+        n_probed=len(probed),
+        n_fragmented=len(work["frag"]),
+        files_before=work["files_before"],
+        files_after=files_after,
+        build_sec=build_sec,
+        compact_sec=compact_sec,
+        build_cached=float(cached),
+    )
+
+    lists = spark.read.parquet(idx_path).filter(
+        F.col("cent_id").isin([int(c) for c in probed])
+    )
+    plan = physical_plan(lists)
+    seg = plan.split("PartitionFilters", 1)
+    if len(seg) != 2 or "cent_id" not in seg[1][:200]:
+        raise RuntimeError(
+            "ivf-compact probe predicate did not reach the scan as a"
+            f" PartitionFilter; plan:\n{plan}"
+        )
+
+    bc = spark.sparkContext.broadcast((qids, lut, probe_mask))
+    _adc = _ivfpq_adc_fn(bc)
+    adc = lists.mapInPandas(
+        _adc, "query_id long, neighbor_id long, adc_dist long"
+    )
+    return _ivfpq_rerank(emb, adc)
+
+
+def ivf_compact_topk_oracle() -> str:
+    """Compaction changes bytes, never answers: the compacted store
+    holds the full corpus, so the op shares the single-shot IVFADC
+    oracle -- agreement proves no row was lost or duplicated by the
+    rewrite."""
+    return ivfpq_topk_oracle()
 
 
 # --- Matryoshka prefix-dimension recall ----------------------------------------

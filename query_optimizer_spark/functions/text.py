@@ -1314,15 +1314,28 @@ _KMV_SHINGLES = (
 # "what's wrong" #2: each op used to build its own cached shingle frame
 # AND recompute the corpus-sized exact-intersection join -- the two
 # heaviest gate rows, paying the linear ground-truth leg twice for one
-# identical answer).  Keyed (id(spark), sf_dir) like sqlsurface's
-# _DERIVED_CACHE; FIFO-bounded so bench's fresh-session cohorts can't
-# grow it forever, and eviction unpersists (the old per-invocation
-# .cache() never did).
+# identical answer).  Keyed (applicationId, sf_dir) like the IVF
+# evidence dicts and session_state_path (r13 ADVICE: id(spark) was
+# safe only because the cached frames pinned the session against GC);
+# FIFO-bounded so bench's fresh-session cohorts can't grow it forever,
+# and eviction unpersists (the old per-invocation .cache() never did).
 _KMV_SHARED: dict = {}
+_KMV_SHARED_EVIDENCE: dict = {}
+
+
+def kmv_shared_evidence(spark, sf_dir: str) -> dict:
+    """Evidence for the session's shared KMV build: ``build_sec`` (the
+    one-time shingle-scan + exact-leg materialization cost, charged to
+    NEITHER kmv op -- r13 VERDICT "what's wrong" #1: per-query bench
+    attribution used to drift with declaration order because whichever
+    op ran first paid the lazy cache fill) and ``build_cached``."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    return dict(_KMV_SHARED_EVIDENCE.get(key, {}))
 
 
 def _kmv_shared(spark, sf_dir: str) -> dict:
-    """The KMV family's shared frames, built once per (session, sf_dir):
+    """The KMV family's shared frames, built + MATERIALIZED once per
+    (session, sf_dir):
 
     - ``sub_toks``: distinct (source, lang, tok) 3-word-shingle rows --
       THE corpus scan (tokenize + shingle + dedupe once; the
@@ -1333,8 +1346,14 @@ def _kmv_shared(spark, sf_dir: str) -> dict:
     - ``exact``: the exact pairwise-jaccard ground-truth leg (sizes +
       self-join intersection), computed ONCE -- both ops' sketches are
       judged against this same tiny (source_a, source_b) frame
-    """
-    key = (id(spark), sf_dir.rstrip("/"))
+
+    The frames are materialized EAGERLY here (count per frame) and the
+    wall time recorded in ``_KMV_SHARED_EVIDENCE``, so bench's warmup
+    can pay the build outside any timed rep and per-query timings stay
+    order-independent."""
+    import time as _time
+
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     ent = _KMV_SHARED.get(key)
     if ent is None:
         while len(_KMV_SHARED) >= 4:
@@ -1344,6 +1363,7 @@ def _kmv_shared(spark, sf_dir: str) -> dict:
                     df.unpersist(blocking=False)
                 except Exception:
                     pass
+        t0 = _time.monotonic()
         sub_toks = (
             _docs(spark, sf_dir)
             .select("source", "lang", F.expr(TOKS).alias("toks"))
@@ -1356,8 +1376,20 @@ def _kmv_shared(spark, sf_dir: str) -> dict:
         )
         toks = sub_toks.select("source", "tok").distinct().cache()
         exact = _kmv_exact_leg(toks).cache()
+        # fill the caches NOW: the build cost lands here, attributable
+        # to the shared state instead of whichever op executes first
+        for df in (sub_toks, toks, exact):
+            df.count()
+        while len(_KMV_SHARED_EVIDENCE) >= 8:
+            _KMV_SHARED_EVIDENCE.pop(next(iter(_KMV_SHARED_EVIDENCE)))
+        _KMV_SHARED_EVIDENCE[key] = dict(
+            build_sec=round(_time.monotonic() - t0, 4), build_cached=0.0
+        )
         _KMV_SHARED[key] = dict(sub_toks=sub_toks, toks=toks, exact=exact)
         ent = _KMV_SHARED[key]
+    else:
+        if key in _KMV_SHARED_EVIDENCE:
+            _KMV_SHARED_EVIDENCE[key]["build_cached"] = 1.0
     return ent
 
 

@@ -810,6 +810,199 @@ def schema_evolution_oracle() -> str:
 # strict subset of them -- copy-on-write stays file-bounded
 SNAPSHOT_FILES_PER_COMMIT = 4
 
+# the COW takedown deletes the doc_ids at ranks (TD_LO_RANK, TD_HI_RANK]
+# of the DISTINCT ascending doc_id order.  Rank-derived bounds come
+# from the OBSERVED id distribution (r13 VERDICT "what's wrong" #2: a
+# range derived from max(doc_id)/k arithmetic landed in id VOIDS on
+# scale_probe's striped disjoint replicas, so n_affected == 0 left the
+# COW file-bounding claim unmeasured exactly where the probe should
+# measure it); a rank window is non-empty at every corpus size
+# >= TD_HI_RANK, and each bound is an exact order statistic both
+# engines compute identically (max of the r smallest -- in Spark a
+# TakeOrderedAndProject top-K, never a global sort).  A FIXED-size
+# takedown against a growing corpus is also the realistic regime: the
+# deletion request does not grow because the table did.
+SNAPSHOT_TD_LO_RANK = 32
+SNAPSHOT_TD_HI_RANK = 96
+
+# per-(applicationId, sf_dir#store) file-count evidence, recorded on
+# EVERY _snapshot_commits call -- cached ones reload the manifests
+# (r13 ADVICE: the old module-global dict was build-path-only and not
+# session-keyed, so a warm rerun or a second sf_dir in one process
+# left scale_probe reading stale or foreign counts)
+_SNAP_EVIDENCE: dict[tuple[str, str], dict[str, int]] = {}
+
+
+def snapshot_evidence(
+    spark: SparkSession, sf_dir: str, store: str = "doc_snapshots"
+) -> dict:
+    """File-count evidence of the session's snapshot store for
+    ``sf_dir`` (n_files_v1/v2/v3, n_affected; expiry adds
+    n_orphans_deleted/n_retained)."""
+    key = (
+        spark.sparkContext.applicationId,
+        f"{sf_dir.rstrip('/')}#{store}",
+    )
+    return dict(_SNAP_EVIDENCE.get(key, {}))
+
+
+def _uri_to_path(uri: str) -> str:
+    """Normalize an ``input_file_name()`` URI to a local filesystem
+    path.  input_file_name returns percent-encoded ``file://`` URIs, so
+    a bare ``str.replace("file://", "")`` silently fails to match glob
+    paths containing URL-escapable characters (r13 ADVICE) -- decode
+    via urllib instead."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(uri)
+    return unquote(parsed.path) if parsed.scheme else uri
+
+
+def _snapshot_bounds(spark: SparkSession, docs: DataFrame):
+    """(split, lo, hi) -- the v1/v2 append split (floor(max/2): exact
+    integer arithmetic) and the takedown ranks' doc_id values.  Three
+    scalar collects -- model state, never data."""
+    from pyspark.sql import functions as F
+
+    split = docs.agg(
+        F.expr("cast(floor(max(doc_id) / 2.0) as bigint)")
+    ).collect()[0][0]
+    ids = docs.select("doc_id").distinct()
+    lo = (
+        ids.orderBy("doc_id")
+        .limit(SNAPSHOT_TD_LO_RANK)
+        .agg(F.max("doc_id"))
+        .collect()[0][0]
+    )
+    hi = (
+        ids.orderBy("doc_id")
+        .limit(SNAPSHOT_TD_HI_RANK)
+        .agg(F.max("doc_id"))
+        .collect()[0][0]
+    )
+    return split, lo, hi
+
+
+def _snapshot_bounds_sql() -> str:
+    """The bounds CTE every snapshot oracle shares -- same split and
+    same rank-order-statistic takedown bounds, recomputed by DuckDB."""
+    return f"""bounds AS (
+            SELECT (SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT)
+                    FROM documents) AS s,
+                   (SELECT max(doc_id) FROM (
+                        SELECT DISTINCT doc_id FROM documents
+                        ORDER BY doc_id LIMIT {SNAPSHOT_TD_LO_RANK})) AS lo,
+                   (SELECT max(doc_id) FROM (
+                        SELECT DISTINCT doc_id FROM documents
+                        ORDER BY doc_id LIMIT {SNAPSHOT_TD_HI_RANK})) AS hi
+        )"""
+
+
+def _snapshot_commits(
+    spark: SparkSession, sf_dir: str, store: str = "doc_snapshots"
+) -> tuple[Path, dict[int, list[str]]]:
+    """Build (idempotently) the three-commit manifest store and return
+    ``(base, {version: file list})`` for every manifest still present.
+
+    Shared by time-travel / CDC-changes / expiry (the latter on its own
+    ``store`` -- expiry MUTATES the store, and the gate's other
+    snapshot ops must keep reading an intact one).  Commit 1 = initial
+    load (doc_id <= split, range-clustered); commit 2 = append-only;
+    commit 3 = copy-on-write delete of the rank-derived takedown range
+    -- only files holding a doomed row are rewritten, located via a
+    normalized ``input_file_name()`` probe that must resolve inside the
+    v2 file set (raise otherwise).  Evidence is recorded on EVERY call,
+    keyed (applicationId, sf_dir#store)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    base = Path(session_state_path(spark, sf_dir, store))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _manifest(v: int) -> Path:
+        return base / f"manifest_v{v}.json"
+
+    def _files(d: Path) -> list[str]:
+        return sorted(str(p) for p in d.glob("*.parquet"))
+
+    if not _manifest(3).exists():
+        split, lo, hi = _snapshot_bounds(spark, docs)
+        # commit 1: initial load, range-clustered on the table key
+        c1 = base / "commit1"
+        if not (c1 / "_SUCCESS").exists():
+            (
+                docs.filter(F.col("doc_id") <= split)
+                .repartitionByRange(SNAPSHOT_FILES_PER_COMMIT, "doc_id")
+                .write.mode("overwrite")
+                .parquet(str(c1))
+            )
+        v1 = _files(c1)
+        _manifest(1).write_text(_json.dumps(v1))
+        # commit 2: append-only -- new files, v1 files untouched
+        c2 = base / "commit2"
+        if not (c2 / "_SUCCESS").exists():
+            (
+                docs.filter(F.col("doc_id") > split)
+                .repartitionByRange(SNAPSHOT_FILES_PER_COMMIT, "doc_id")
+                .write.mode("overwrite")
+                .parquet(str(c2))
+            )
+        v2 = v1 + _files(c2)
+        _manifest(2).write_text(_json.dumps(v2))
+        # commit 3: copy-on-write delete of only the affected files
+        doomed_cond = (F.col("doc_id") > lo) & (F.col("doc_id") <= hi)
+        snap2 = spark.read.parquet(*v2)
+        affected_uris = sorted(
+            r.f
+            for r in snap2.filter(doomed_cond)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        affected_set = {_uri_to_path(f) for f in affected_uris}
+        stray = affected_set - set(v2)
+        if stray:
+            raise RuntimeError(
+                "input_file_name probe resolved outside the v2 file"
+                f" set (URI normalization bug?): {sorted(stray)[:3]}"
+            )
+        if not affected_set:
+            raise RuntimeError(
+                "rank-derived takedown matched zero files -- the COW"
+                " claim would be vacuous (corpus smaller than"
+                f" {SNAPSHOT_TD_HI_RANK} docs?)"
+            )
+        c3 = base / "commit3"
+        if not (c3 / "_SUCCESS").exists():
+            (
+                spark.read.parquet(*sorted(affected_set))
+                .filter(~doomed_cond)
+                .write.mode("overwrite")
+                .parquet(str(c3))
+            )
+        v3 = [f for f in v2 if f not in affected_set] + _files(c3)
+        _manifest(3).write_text(_json.dumps(v3))
+
+    manifests = {
+        v: _json.loads(_manifest(v).read_text())
+        for v in (1, 2, 3)
+        if _manifest(v).exists()
+    }
+    ev: dict[str, int] = {
+        f"n_files_v{v}": len(fs) for v, fs in manifests.items()
+    }
+    if 2 in manifests and 3 in manifests:
+        ev["n_affected"] = len(set(manifests[2]) - set(manifests[3]))
+    key = (
+        spark.sparkContext.applicationId,
+        f"{sf_dir.rstrip('/')}#{store}",
+    )
+    while len(_SNAP_EVIDENCE) >= 8:
+        _SNAP_EVIDENCE.pop(next(iter(_SNAP_EVIDENCE)))
+    _SNAP_EVIDENCE[key] = ev
+    return base, manifests
+
 
 def _snapshot_stats(df: "DataFrame", version: int) -> "DataFrame":
     from pyspark.sql import functions as F
@@ -847,16 +1040,19 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
        manifest v2 = manifest v1 + the new files.  Zero bytes of v1
        data move -- at 100 TB an append commit is a manifest swap,
        which is the entire point of the format.
-    3. ``v3`` -- COPY-ON-WRITE DELETE: the doc_id range
-       [floor(max/8), floor(max/4)) is removed (a takedown keyed on
-       the table's cluster column).  Commits are range-clustered on
-       doc_id (``repartitionByRange`` -- the sorted-table layout), so
-       the doomed rows live in the few files overlapping that range:
-       ``input_file_name()`` finds WHICH (a file-count-bounded
-       collect -- model state); only those files are rewritten
-       without their doomed rows; manifest v3 = untouched v2 files +
-       the rewrites.  Files without a doomed row are never read
-       again, never rewritten -- a strict subset, pytest-asserted.
+    3. ``v3`` -- COPY-ON-WRITE DELETE: the doc_ids at ranks
+       (TD_LO_RANK, TD_HI_RANK] of the observed distinct-id order are
+       removed (a fixed-size takedown keyed on the table's cluster
+       column; rank-derived so it is NON-EMPTY at every corpus size --
+       r13's max/k arithmetic hit id voids on striped replicas).
+       Commits are range-clustered on doc_id (``repartitionByRange``
+       -- the sorted-table layout), so the doomed rows live in the few
+       files overlapping that range: ``input_file_name()`` finds WHICH
+       (a file-count-bounded collect -- model state); only those files
+       are rewritten without their doomed rows; manifest v3 =
+       untouched v2 files + the rewrites.  Files without a doomed row
+       are never read again, never rewritten -- a strict subset,
+       pytest-asserted.
 
     The op then TIME-TRAVELS: it reads each manifest's exact file
     list (``spark.read.parquet(*files)``) and aggregates -- and
@@ -876,110 +1072,189 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     projects doc_id alone) and rewrites that subset; time-travel
     reads are manifest-pruned scans.  The manifests are KBs on the
     driver -- never data."""
-    import json as _json
-
-    from pyspark.sql import functions as F
-
-    base = Path(session_state_path(spark, sf_dir, "doc_snapshots"))
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # the v1/v2 split must be the SAME constant in both engines:
-    # floor(max/2) is exact integer arithmetic, no quantile-convention
-    # divergence (one scalar collect -- model state)
-    split = docs.agg(
-        F.expr("cast(floor(max(doc_id) / 2.0) as bigint)")
-    ).collect()[0][0]
-
-    def _manifest(v: int) -> Path:
-        return base / f"manifest_v{v}.json"
-
-    def _files(d: Path) -> list[str]:
-        return sorted(str(p) for p in d.glob("*.parquet"))
-
-    if not _manifest(3).exists():
-        # commit 1: initial load, range-clustered on the table key
-        c1 = base / "commit1"
-        if not (c1 / "_SUCCESS").exists():
-            (
-                docs.filter(F.col("doc_id") <= split)
-                .repartitionByRange(SNAPSHOT_FILES_PER_COMMIT, "doc_id")
-                .write.mode("overwrite")
-                .parquet(str(c1))
-            )
-        v1 = _files(c1)
-        _manifest(1).write_text(_json.dumps(v1))
-        # commit 2: append-only -- new files, v1 files untouched
-        c2 = base / "commit2"
-        if not (c2 / "_SUCCESS").exists():
-            (
-                docs.filter(F.col("doc_id") > split)
-                .repartitionByRange(SNAPSHOT_FILES_PER_COMMIT, "doc_id")
-                .write.mode("overwrite")
-                .parquet(str(c2))
-            )
-        v2 = v1 + _files(c2)
-        _manifest(2).write_text(_json.dumps(v2))
-        # commit 3: copy-on-write delete of only the affected files
-        doomed_cond = (F.col("doc_id") >= split // 4) & (
-            F.col("doc_id") < split // 2
-        )
-        snap2 = spark.read.parquet(*v2)
-        affected = sorted(
-            r.f
-            for r in snap2.filter(doomed_cond)
-            .select(F.input_file_name().alias("f"))
-            .distinct()
-            .collect()
-        )
-        affected_set = {f.replace("file://", "") for f in affected}
-        c3 = base / "commit3"
-        if not (c3 / "_SUCCESS").exists() and affected_set:
-            (
-                spark.read.parquet(*sorted(affected_set))
-                .filter(~doomed_cond)
-                .write.mode("overwrite")
-                .parquet(str(c3))
-            )
-        v3 = [f for f in v2 if f not in affected_set] + _files(c3)
-        _manifest(3).write_text(_json.dumps(v3))
-        SNAPSHOT_LAST.update(
-            n_files_v1=len(v1),
-            n_files_v2=len(v2),
-            n_affected=len(affected_set),
-            n_files_v3=len(v3),
-        )
-
+    _, manifests = _snapshot_commits(spark, sf_dir)
     out = None
     for v in (1, 2, 3):
-        files = _json.loads(_manifest(v).read_text())
-        stats = _snapshot_stats(spark.read.parquet(*files), v)
+        stats = _snapshot_stats(spark.read.parquet(*manifests[v]), v)
         out = stats if out is None else out.unionByName(stats)
     return out
 
 
-SNAPSHOT_LAST: dict[str, int] = {}
+_SNAP_STATS_SQL = (
+    "CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(sum(n_chars) AS BIGINT) AS total_chars,"
+    " min(doc_id) AS min_doc, max(doc_id) AS max_doc"
+)
 
 
 def snapshot_time_travel_oracle() -> str:
-    stats = (
-        "CAST(count(*) AS BIGINT) AS n_docs,"
-        " CAST(sum(n_chars) AS BIGINT) AS total_chars,"
-        " min(doc_id) AS min_doc, max(doc_id) AS max_doc"
-    )
     return f"""
-        WITH split AS (
-            SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS s,
-                   CAST(floor(floor(max(doc_id) / 2.0) / 4.0) AS BIGINT)
-                       AS lo,
-                   CAST(floor(floor(max(doc_id) / 2.0) / 2.0) AS BIGINT)
-                       AS hi
-            FROM documents
+        WITH {_snapshot_bounds_sql()}
+        SELECT CAST(1 AS INT) AS version, {_SNAP_STATS_SQL}
+        FROM documents, bounds WHERE doc_id <= bounds.s
+        UNION ALL
+        SELECT CAST(2 AS INT) AS version, {_SNAP_STATS_SQL} FROM documents
+        UNION ALL
+        SELECT CAST(3 AS INT) AS version, {_SNAP_STATS_SQL}
+        FROM documents, bounds
+        WHERE NOT (doc_id > bounds.lo AND doc_id <= bounds.hi)
+    """
+
+
+def snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental / CDC read between snapshot versions -- "what
+    changed from v_from to v_to", answered from the MANIFESTS' file-set
+    difference alone (Iceberg's incremental scan / Delta's CDF, the
+    batch analog of a streaming table source): the weekly 100 TB regime
+    is "process what changed", never "rescan the table".
+
+    - v1 -> v2 (the append commit): changed files = manifest2 minus
+      manifest1; every row in them is an INSERT.  The scan reads ONLY
+      those files -- zero bytes of v1.
+    - v2 -> v3 (the copy-on-write delete): removed = m2 - m3 (the
+      affected files), added = m3 - m2 (their rewrites).  DELETEs =
+      rows of the removed files anti-joined against the added files'
+      doc_ids (old minus new); the rewrite may never INVENT rows, so
+      new-minus-old must be empty -- raise-enforced here, which also
+      proves the diff needed to read only removed+added files.
+
+    Columns: (from_version, to_version, change, n_docs, total_chars,
+    min_doc, max_doc) -- one row per (commit, change kind); integers +
+    a literal tag, bit-exact cross-engine.  The oracle recomputes both
+    deltas from the raw table with the same split / rank-bound
+    predicates the commits used -- agreement proves the manifest diff
+    carves exactly the rows that changed.
+
+    Scale shape: both scans are manifest-pruned to the changed files
+    (PLANS.md shows no other file in the plan); the anti-join's right
+    side is the rewritten files only.  Manifest set-difference is
+    driver-side metadata, KBs."""
+    from pyspark.sql import functions as F
+
+    _, manifests = _snapshot_commits(spark, sf_dir)
+    s1, s2, s3 = (set(manifests[v]) for v in (1, 2, 3))
+    ins12 = sorted(s2 - s1)
+    removed23 = sorted(s2 - s3)
+    added23 = sorted(s3 - s2)
+
+    inserts = spark.read.parquet(*ins12)
+    old = spark.read.parquet(*removed23)
+    new = (
+        spark.read.parquet(*added23)
+        if added23
+        else old.filter(F.lit(False))
+    )
+    # a COW rewrite deletes; it may never invent rows
+    invented = new.join(
+        old.select("doc_id"), "doc_id", "left_anti"
+    ).count()
+    if invented:
+        raise RuntimeError(
+            f"v2->v3 rewrite invented {invented} rows -- manifest diff"
+            " does not carve a pure delete"
         )
-        SELECT CAST(1 AS INT) AS version, {stats}
-        FROM documents, split WHERE doc_id <= split.s
+    deletes = old.join(new.select("doc_id"), "doc_id", "left_anti")
+
+    def _chg(df: DataFrame, fv: int, tv: int, kind: str) -> DataFrame:
+        return (
+            df.groupBy()
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .select(
+                F.lit(fv).cast("int").alias("from_version"),
+                F.lit(tv).cast("int").alias("to_version"),
+                F.lit(kind).alias("change"),
+                "n_docs",
+                "total_chars",
+                "min_doc",
+                "max_doc",
+            )
+        )
+
+    return _chg(inserts, 1, 2, "insert").unionByName(
+        _chg(deletes, 2, 3, "delete")
+    )
+
+
+def snapshot_changes_oracle() -> str:
+    return f"""
+        WITH {_snapshot_bounds_sql()}
+        SELECT CAST(1 AS INT) AS from_version, CAST(2 AS INT) AS to_version,
+               'insert' AS change, {_SNAP_STATS_SQL}
+        FROM documents, bounds WHERE doc_id > bounds.s
         UNION ALL
-        SELECT CAST(2 AS INT) AS version, {stats} FROM documents
-        UNION ALL
-        SELECT CAST(3 AS INT) AS version, {stats}
-        FROM documents, split
-        WHERE NOT (doc_id >= split.lo AND doc_id < split.hi)
+        SELECT CAST(2 AS INT) AS from_version, CAST(3 AS INT) AS to_version,
+               'delete' AS change, {_SNAP_STATS_SQL}
+        FROM documents, bounds
+        WHERE doc_id > bounds.lo AND doc_id <= bounds.hi
+    """
+
+
+def snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot EXPIRY + VACUUM -- the retention half of the table
+    format (Iceberg ``expire_snapshots`` + orphan-file removal): keep
+    only the latest version, drop the older manifests, and delete every
+    data file no RETAINED manifest references.  Without it a mutable
+    100 TB table retains every superseded byte forever -- expiry is the
+    weekly maintenance op that caps storage at ~live size.
+
+    Runs on its OWN store (``doc_snapshots_exp``): expiry mutates the
+    store, and the gate's time-travel / CDC ops must keep reading an
+    intact one.  Steps: build the same three commits, then retain ONLY
+    v3 -- orphans = (m1 ∪ m2) − m3, exactly the affected files the v3
+    copy-on-write superseded (v1 ⊂ v2 and v2's untouched files carry
+    into v3, so nothing else is unreachable).  Orphan data files are
+    unlinked FIRST, manifests second (a crash between heals on re-run:
+    the recompute sees the surviving manifests and re-deletes), and the
+    op raise-enforces that every retained file still exists -- i.e. no
+    retained manifest references a deleted file.
+
+    The returned frame is the retained version read AFTER the vacuum,
+    against the same from-raw predicate oracle -- agreement proves
+    expiry deleted exactly the unreachable bytes and nothing live.
+
+    Scale shape: expiry is driver-side manifest set-arithmetic plus
+    |orphans| file deletes; no data is read or moved (the one scan is
+    the returned frame's manifest-pruned read)."""
+    store = "doc_snapshots_exp"
+    base, manifests = _snapshot_commits(spark, sf_dir, store=store)
+    retained = set(manifests[3])
+    n_orphans = 0
+    if 1 in manifests or 2 in manifests:
+        orphans = (
+            set(manifests.get(1, [])) | set(manifests.get(2, []))
+        ) - retained
+        n_orphans = len(orphans)
+        for f in sorted(orphans):
+            Path(f).unlink(missing_ok=True)
+        for v in (1, 2):
+            (base / f"manifest_v{v}.json").unlink(missing_ok=True)
+    missing = sorted(f for f in retained if not Path(f).exists())
+    if missing:
+        raise RuntimeError(
+            "vacuum deleted files a retained manifest still"
+            f" references: {missing[:3]}"
+        )
+    key = (
+        spark.sparkContext.applicationId,
+        f"{sf_dir.rstrip('/')}#{store}",
+    )
+    _SNAP_EVIDENCE.setdefault(key, {}).update(
+        n_orphans_deleted=n_orphans, n_retained=len(retained)
+    )
+    return _snapshot_stats(
+        spark.read.parquet(*sorted(retained)), 3
+    )
+
+
+def snapshot_expiry_oracle() -> str:
+    return f"""
+        WITH {_snapshot_bounds_sql()}
+        SELECT CAST(3 AS INT) AS version, {_SNAP_STATS_SQL}
+        FROM documents, bounds
+        WHERE NOT (doc_id > bounds.lo AND doc_id <= bounds.hi)
     """

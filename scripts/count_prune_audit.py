@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Registry-wide count()-elimination audit (r14, VERDICT r13 #2).
+
+bench.py and scripts/scale_probe.py drive operators through a bare
+``df.count()``.  Catalyst legitimately ELIMINATES operators that
+cannot change the row count when no downstream column needs them --
+LEFT joins whose right side is unique on the join key, and trailing
+Window functions (windows never change cardinality).  An op whose
+plan collapses under count() is still CORRECT (the gate hashes all
+columns, which pins the full plan) but its bench/SCALING timings
+measure a plan that never does the op's work -- the r13 measurement
+hazard, found by accident on 2 ops.  This script finds the whole
+class: for every BATCH registry op it compares Join / Window /
+Aggregate operator counts between ``df``'s executed plan and
+``df.groupBy().count()``'s, and reports every op where Join or
+Window counts DROP.
+
+The fix for an offender is a row-level invariant filter on the output
+referencing the otherwise-unused computed columns (see
+dedup.substring_removal / temporal.gapfill_locf) -- it keeps every
+consumer honest without changing any answer.
+
+Usage: python scripts/count_prune_audit.py [--sf-dir DIR] [--out JSON]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+KINDS = ("Join", "Window", "Aggregate")
+
+
+def plan_counts(df) -> dict[str, int]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {k: len(re.findall(k, plan)) for k in KINDS}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default="COUNT_PRUNE.json")
+    args = ap.parse_args()
+
+    from query_optimizer_spark.functions.registry import PIPELINE_OPS
+    from query_optimizer_spark.session import get_session
+
+    spark = get_session("count-prune-audit", profile="default")
+    rows: dict[str, dict] = {}
+    offenders = []
+    for name in sorted(PIPELINE_OPS):
+        if name.startswith("stream_"):
+            continue  # streaming sinks aren't driven via count()
+        t0 = time.monotonic()
+        try:
+            df = PIPELINE_OPS[name][0](spark, args.sf_dir)
+            full = plan_counts(df)
+            cnt = plan_counts(df.groupBy().count())
+        except Exception as exc:  # pragma: no cover
+            rows[name] = {"err": str(exc)[:200]}
+            continue
+        dropped = {
+            k: (full[k], cnt[k])
+            for k in ("Join", "Window")
+            if cnt[k] < full[k]
+        }
+        rows[name] = {
+            "full": full,
+            "count": cnt,
+            "dropped": dropped,
+            "sec": round(time.monotonic() - t0, 2),
+        }
+        if dropped:
+            offenders.append(name)
+            print(f"DROP {name}: {dropped}")
+    with open(args.out, "w") as f:
+        json.dump(
+            {"offenders": offenders, "ops": rows}, f, indent=1, sort_keys=True
+        )
+    print(
+        f"wrote {args.out}: {len(rows)} batch ops audited,"
+        f" {len(offenders)} with Join/Window pruned under count():"
+        f" {offenders}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -375,20 +375,21 @@ def main() -> None:
               lambda sf=f"{WORK}/disjoint_x{k}":
                   dedup.substring_removal(spark, sf),
               n_docs0 * k)
-        # --- manifest snapshots (r13): the two initial commits are the
-        # linear cost; the COW delete must stay bounded by the files
-        # overlapping the doomed doc_id range (n_affected < n_files_v2
-        # at every scale), and the AS-OF reads are manifest-pruned.
-        # NOTE: disjoint replicas stripe doc_ids by ID_STRIDE, so the
-        # takedown range (derived from max(doc_id)) can land in an id
-        # VOID at some scales -- n_affected == 0 there is the BEST
-        # case of file-bounding (a manifest-only commit: zero files
-        # read, zero rewritten); the real-corpus gate + pytest cover
-        # the non-vacuous delete
-        def _snap_post():
-            return {k2: qsources.SNAPSHOT_LAST.get(k2) for k2 in
-                    ("n_files_v1", "n_files_v2", "n_affected",
-                     "n_files_v3")}
+        # --- manifest snapshots (r13; range data-derived r14): the two
+        # initial commits are the linear cost; the COW delete must stay
+        # bounded by the files overlapping the doomed doc_id range
+        # (0 < n_affected < n_files_v2 at EVERY scale -- the takedown
+        # bounds are rank order statistics of the observed ids now, so
+        # striped disjoint replicas can no longer park the range in an
+        # id void and make the claim vacuous, r13 VERDICT), and the
+        # AS-OF reads are manifest-pruned.  A fixed-rank takedown
+        # against a growing corpus is also the realistic regime: the
+        # deletion request does not grow because the table did, so
+        # n_affected should stay ~flat.
+        def _snap_post(sf=f"{WORK}/disjoint_x{k}"):
+            return {k2: qsources.snapshot_evidence(spark, sf).get(k2)
+                    for k2 in ("n_files_v1", "n_files_v2", "n_affected",
+                               "n_files_v3")}
 
         probe("io_snapshot_time_travel", "disjoint", k,
               lambda sf=f"{WORK}/disjoint_x{k}":

@@ -249,7 +249,7 @@ def test_snapshot_time_travel_immutability_and_cow(spark):
     )
     assert got == duck_hash(duck, sources.snapshot_time_travel_oracle())
 
-    info = dict(sources.SNAPSHOT_LAST)
+    info = sources.snapshot_evidence(spark, SF_DIR)
     assert 0 < info["n_affected"] < info["n_files_v2"], info
     m = {
         v: set(json.loads((base / f"manifest_v{v}.json").read_text()))
@@ -273,4 +273,111 @@ def test_snapshot_time_travel_immutability_and_cow(spark):
 
     before = snap()
     assert result_hash(sources.snapshot_time_travel(spark, SF_DIR)) == got
+    assert snap() == before
+
+
+def test_snapshot_changes_reads_only_changed_files(spark):
+    """io_snapshot_changes (r14): (a) the CDC frame matches the
+    from-raw oracle, (b) its plan reads ONLY the changed files --
+    commit2 (the appends), the affected files, and their rewrites;
+    never an untouched v1 survivor -- and (c) the v2->v3 diff is a pure
+    delete (the invented-rows invariant inside the op)."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    import duckdb
+
+    from query_optimizer_spark import sources
+    from query_optimizer_spark.sources import (
+        _uri_to_path,
+        session_state_path,
+    )
+    from .test_spark_exec import duck_hash
+
+    base = Path(session_state_path(spark, SF_DIR, "doc_snapshots"))
+    shutil.rmtree(base, ignore_errors=True)
+    df = sources.snapshot_changes(spark, SF_DIR)
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_DIR}/documents.parquet'"
+    )
+    assert result_hash(df) == duck_hash(
+        duck, sources.snapshot_changes_oracle()
+    )
+    m = {
+        v: set(json.loads((base / f"manifest_v{v}.json").read_text()))
+        for v in (1, 2, 3)
+    }
+    changed = (m[2] - m[1]) | (m[2] - m[3]) | (m[3] - m[2])
+    read = {_uri_to_path(f) for f in df.inputFiles()}
+    assert read and read <= changed, (sorted(read - changed)[:3])
+    # untouched v1 survivors are never in the plan
+    untouched_v1 = (m[1] & m[3]) - changed
+    assert untouched_v1 and not (read & untouched_v1)
+
+
+def test_snapshot_expiry_vacuums_only_orphans(spark):
+    """io_snapshot_expiry (r14): (a) the retained version still answers
+    its from-raw oracle after the vacuum, (b) orphans -- exactly the
+    files v3's copy-on-write superseded -- are GONE, (c) every retained
+    file is byte-identical, the old manifests are dropped, and (d) a
+    warm rerun changes nothing on disk."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    import duckdb
+
+    from query_optimizer_spark import sources
+    from query_optimizer_spark.sources import (
+        _snapshot_commits,
+        session_state_path,
+    )
+    from .test_spark_exec import duck_hash
+
+    base = Path(session_state_path(spark, SF_DIR, "doc_snapshots_exp"))
+    shutil.rmtree(base, ignore_errors=True)
+    # build the store FIRST so we can snapshot the pre-expiry state
+    _, manifests = _snapshot_commits(spark, SF_DIR, store="doc_snapshots_exp")
+    orphans = (set(manifests[1]) | set(manifests[2])) - set(manifests[3])
+    assert orphans, "nothing to vacuum -- the test is vacuous"
+    retained_before = {
+        f: (Path(f).stat().st_size, Path(f).stat().st_mtime_ns)
+        for f in manifests[3]
+    }
+
+    df = sources.snapshot_expiry(spark, SF_DIR)
+    got = result_hash(df)
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_DIR}/documents.parquet'"
+    )
+    assert got == duck_hash(duck, sources.snapshot_expiry_oracle())
+
+    ev = sources.snapshot_evidence(spark, SF_DIR, store="doc_snapshots_exp")
+    assert ev["n_orphans_deleted"] == len(orphans) > 0, ev
+    for f in orphans:
+        assert not Path(f).exists(), f
+    for f, sig in retained_before.items():
+        assert (Path(f).stat().st_size, Path(f).stat().st_mtime_ns) == sig
+    assert not (base / "manifest_v1.json").exists()
+    assert not (base / "manifest_v2.json").exists()
+    assert set(
+        json.loads((base / "manifest_v3.json").read_text())
+    ) == set(manifests[3])
+
+    def snap():
+        return {
+            str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+            for p in base.rglob("*")
+            if p.is_file()
+        }
+
+    before = snap()
+    assert result_hash(sources.snapshot_expiry(spark, SF_DIR)) == got
+    ev2 = sources.snapshot_evidence(spark, SF_DIR, store="doc_snapshots_exp")
+    assert ev2["n_orphans_deleted"] == 0, ev2
     assert snap() == before

@@ -661,6 +661,71 @@ def test_ivf_delete_rewrites_only_touched_lists(spark, duck):
     assert snapshot() == before_warm
 
 
+def test_ivf_compact_rewrites_only_fragmented_lists(spark, duck):
+    """ANN store compaction (r14): (a) the compacted store answers
+    exactly like single-shot IVFADC (shared oracle), (b) ingest
+    emulation really fragments hot lists and compaction shrinks the
+    file count, (c) COLD lists (single-file, never in the work list)
+    are byte-identical through compaction -- including through a
+    crash-heal re-run -- and (d) a warm rerun changes nothing."""
+    import shutil
+    from pathlib import Path
+
+    from query_optimizer_spark.functions import similarity
+    from query_optimizer_spark.harness import result_hash
+    from query_optimizer_spark.sources import session_state_path
+
+    idx_path = Path(session_state_path(spark, SF_DIR, "ivf_cmp_lists"))
+    shutil.rmtree(idx_path, ignore_errors=True)
+
+    df = similarity.ivf_compact_topk(spark, SF_DIR)
+    got = result_hash(df)
+    assert got == duck_hash(duck, similarity.ivf_compact_topk_oracle())
+    ev = similarity.ivf_compact_evidence(spark, SF_DIR)
+    assert ev["build_cached"] == 0.0, ev
+    assert 0 < ev["n_fragmented"] < ev["n_lists"], ev
+    assert ev["files_after"] < ev["files_before"], ev
+    # every compacted list is now exactly one file
+    for d in idx_path.glob("cent_id=*"):
+        assert len(list(d.glob("*.parquet"))) == 1, d
+    # no row lost or duplicated by the rewrite
+    n_corpus = similarity._quantized(spark, SF_DIR).count()
+    assert spark.read.parquet(str(idx_path)).count() == n_corpus
+
+    def snapshot(cents):
+        return {
+            str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+            for c in cents
+            for p in (idx_path / f"cent_id={c}").glob("*.parquet")
+        }
+
+    cold = [
+        int(d.name.split("=")[1])
+        for d in idx_path.glob("cent_id=*")
+        if int(d.name.split("=")[1]) % 4 == 0
+    ]
+    assert cold
+    cold_before = snapshot(cold)
+    # crash heal: marker gone but compaction already landed -- the
+    # re-run rewrites the sidecar's lists again (idempotent) and must
+    # never touch a cold list
+    (idx_path / "_COMPACTED").unlink()
+    assert result_hash(similarity.ivf_compact_topk(spark, SF_DIR)) == got
+    assert snapshot(cold) == cold_before
+
+    def full_snap():
+        return {
+            str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+            for p in idx_path.rglob("*.parquet")
+        }
+
+    before_warm = full_snap()
+    assert result_hash(similarity.ivf_compact_topk(spark, SF_DIR)) == got
+    assert similarity.ivf_compact_evidence(
+        spark, SF_DIR)["build_cached"] == 1.0
+    assert full_snap() == before_warm
+
+
 def test_output_ops_survive_count_pruning(spark):
     """Regression guard for the r13 count()-join-elimination class: ops
     ending in left joins against aggregates unique on the join key must
