@@ -95,114 +95,49 @@ def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
-# r13 gate window (VERDICT r12 #2): the driver records the FIRST 50
-# declared queries.  Positions 1-21 are EXACTLY the 21 rows r12 pinned
-# as _R13_FIRST -- the last of the r8-freshness stratum (7 SQL variants
-# + 14 TPC-H); after this round the freshness floor rises to r9.
-# Positions 22-25 are the ops ADDED in r13 (sim_ivf_multibatch -- the
-# TWO-DAY leg of the IVF ingest loop, the dedup_multibatch twin: day 2
-# appends onto the index day 1 grew and its probe must rank day 1's
-# vectors as corpus, still sharing the single-shot IVFADC oracle;
-# dedup_substring_removal -- the ExactSubstr curation ACTION: every
-# token covered by a corpus-duplicated K-gram excised, per-doc
-# span/kept/removed counts plus the cleaned text's md5, oracle
-# recomputing from raw; sim_ivf_delete -- the DELETE half of the ANN
-# lifecycle, FAISS remove_ids parity: doomed rows located model-side,
-# their lists rewritten filtered, lists left EMPTY removed explicitly
-# because dynamic overwrite would silently keep their old files, and
-# the shrunk index must equal single-shot IVFADC built without those
-# vectors via the parameterized exclusion oracle).  Positions 25-28
-# are the ops r13 TOUCHED:
-# sim_ivf_append's batch append is now the shared _ivf_append_batch
-# helper with an IDEMPOTENT read-back (r12 ADVICE: a crash between the
-# dynamic overwrite and the _APPENDED marker could double-union the
-# batch on re-run), io_schema_evolution's derived table moved to the
-# appId-scoped TTL-GC'd session_state_path (r12 ADVICE: concurrent
-# sessions could interleave overwrites behind a stale _DONE), and the
-# two KMV ops now share ONE cached shingle scan + ONE exact-jaccard
-# proof leg via _kmv_shared (r12 VERDICT "what's wrong" #2 -- the
-# ground-truth join used to run twice for one identical answer);
-# and evt_gapfill_locf, which (like the new removal op) gained a
-# row-level invariant filter that is also load-bearing for
-# measurement -- its obs side is unique on the join key, so a bare
-# count() let Catalyst eliminate the grid<-obs left join AND the LOCF
-# window, timing only grid generation (r13 audit: 1 join -> 0 under
-# count(); bench/probe consumers now pay the true cost).
-# Positions 31-50 rotate 20 of the 38-query r9-freshness stratum
-# (VERDICT r12 #7), prioritizing the three r9-only singletons
-# (semdedup / scd2 / pq_adc), the two cohort-bench outliers
-# (stream_feedback_join, dedup_survivors -- re-gated while r13
-# re-measures the +12.6% drift), then the dedup / sim / text / evt
-# families; the 18 deferred r9 rows (the 13 corpus_* ops +
-# evt_retention_cohorts + evt_asof_tolerance + evt_anomaly_hours +
-# evt_hourly_topk + io_zorder_skipping) are pinned as _R14_FIRST at
-# positions 51-68, first in line for r14.
+# r14 gate window (VERDICT r13 #1): the driver records the FIRST 50
+# declared queries.  Positions 1-18 are EXACTLY the 18 rows r13 pinned
+# as _R14_FIRST -- the last of the r9-freshness stratum (13 corpus_* +
+# 4 evt + io_zorder); after this round the freshness floor rises to
+# r10.  Four of them (corpus_decontaminate_bloom, corpus_pack_sequences,
+# corpus_vocab_topk, evt_anomaly_hours) were ALSO touched by this
+# round's count()-guard sweep, so their re-gate does double duty.
+# Positions 19-21 are the ops ADDED in r14 (sim_ivf_compact -- the
+# maintenance quarter of the ANN lifecycle: file-level ingest appends
+# fragment hot lists, compaction rewrites ONLY the fragmented lists
+# and must still answer like single-shot IVFADC; io_snapshot_changes
+# -- CDC between snapshot versions from the manifests' file-set
+# difference alone, inserts from appended files, deletes via the
+# old-minus-new anti-join; io_snapshot_expiry -- retain only the
+# latest version, vacuum every file unreachable from a retained
+# manifest, the retained version re-read after the vacuum).
+# Positions 22-25 are the ops r14 TOUCHED: io_snapshot_time_travel's
+# takedown range is now a rank order statistic of the observed doc_ids
+# (VERDICT r13 #7: max/k arithmetic hit id voids on striped replicas,
+# making the probe's COW delete vacuous) with urllib-normalized
+# input_file_name matching and session-keyed evidence (r13 ADVICE);
+# the two KMV ops' shared cache is now keyed on applicationId, built
+# eagerly with its cost in kmv_shared_evidence and paid by bench
+# warmup (r13 VERDICT "what's wrong" #1: per-query attribution
+# drifted with declaration order); and sim_ivf_multibatch's
+# stop_after hook now raises on a warm index (r13 ADVICE) -- it also
+# seeds the store sim_ivf_compact compacts.
+# Positions 26-44 are the 19 OTHER ops the r14 count()-guard sweep
+# touched (VERDICT r13 #2: the r13 hazard generalized -- a
+# registry-wide audit, scripts/count_prune_audit.py, found 23 ops
+# whose trailing LEFT joins / Windows Catalyst eliminated under a
+# bare count(), so bench/SCALING timed plans that skipped that work;
+# every one now carries a row-level invariant filter pinning the full
+# plan, and the sweep is pinned by
+# tests/test_plan_shape.py::test_registry_ops_survive_count_pruning).
+# Nine of these were due r10-stratum rotation anyway.
+# Positions 45-50 rotate the SQL/planner slice of the 44-row
+# r10-freshness stratum (the 4 shared-derived-partsupp TPC-H queries,
+# sql_recursive_spine, join_group_3); the 29 deferred r10 rows are
+# pinned as _R15_FIRST at positions 51-79, first in line for r15.
 # =========================================================================
-_R13_WINDOW = [
-    # --- the 21 r8-evidence rows pinned by r12 (VERDICT r12 #2) ---
-    "sql_date_arith",
-    "sql_full_outer_merge",
-    "sql_left_antijoin",
-    "sql_left_join_agg",
-    "sql_median",
-    "sql_null_funcs",
-    "sql_stddev",
-    "sql_q5_local_revenue",
-    "sql_q7_volume_shipping",
-    "sql_q8_market_share",
-    "sql_q9_product_profit",
-    "sql_q10_returned_items",
-    "sql_q15_top_supplier",
-    "sql_q18_large_volume",
-    "sql_q4_order_priority",
-    "sql_q6_forecast_revenue",
-    "sql_q12_priority_classes",
-    "sql_q14_promo_effect",
-    "sql_q17_small_qty_revenue",
-    "sql_q19_discounted_revenue",
-    "sql_q22_sales_opportunity",
-    # --- added in r13 ---
-    "sim_ivf_multibatch",
-    "dedup_substring_removal",
-    "sim_ivf_delete",
-    "io_snapshot_time_travel",
-    # --- touched in r13 (idempotent append helper, session-scoped
-    # evolved-orders state, shared KMV shingle cache + exact leg) ---
-    "sim_ivf_append",
-    "io_schema_evolution",
-    "text_kmv_overlap",
-    "text_kmv_rollup",
-    "evt_gapfill_locf",
-    # --- the r9-evidence stratum: singletons + bench outliers first ---
-    "dedup_semdedup",
-    "evt_scd2_intervals",
-    "sim_pq_adc_topk",
-    "join_pipeline_5",
-    "stream_feedback_join",
-    "dedup_survivors",
-    "stream_hll_users",
-    # --- r9-evidence dedup family ---
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_family_agreement",
-    # --- r9-evidence similarity family ---
-    "sim_bruteforce_topk",
-    "sim_ivf_topk",
-    "sim_lsh_ann_topk",
-    # --- r9-evidence text / event rows ---
-    "text_hll_rollup",
-    "text_oov_bigram_rate",
-    "text_repetition_stats",
-]
-
-# positions 51-68: the r9 remainder (13 corpus_* ops +
-# evt_retention_cohorts + evt_asof_tolerance + evt_anomaly_hours +
-# evt_hourly_topk + io_zorder_skipping), first in line for r14
-_R14_FIRST = [
+_R14_WINDOW = [
+    # --- the 18 r9-evidence rows pinned by r13 (VERDICT r13 #1) ---
     "corpus_chunk_overlap",
     "corpus_clean",
     "corpus_curate",
@@ -221,6 +156,79 @@ _R14_FIRST = [
     "evt_anomaly_hours",
     "evt_hourly_topk",
     "io_zorder_skipping",
+    # --- added in r14 ---
+    "sim_ivf_compact",
+    "io_snapshot_changes",
+    "io_snapshot_expiry",
+    # --- touched in r14 (rank-derived takedown range + keyed snapshot
+    # evidence; appId-keyed eagerly-built KMV cache; warm stop_after
+    # raise + compaction seed) ---
+    "io_snapshot_time_travel",
+    "text_kmv_overlap",
+    "text_kmv_rollup",
+    "sim_ivf_multibatch",
+    # --- the count()-guard sweep's other 19 touched ops (VERDICT r13
+    # #2); the 9 marked + are r10-stratum rows rotating anyway ---
+    "corpus_boilerplate",       # +
+    "corpus_shuffle_shard",     # +
+    "corpus_source_stats",      # +
+    "dedup_semdedup",
+    "emb_matryoshka_recall",
+    "evt_funnel",               # +
+    "evt_quantile_rollup",      # +
+    "evt_quantile_sketch",
+    "evt_range_join",
+    "evt_scd2_intervals",
+    "evt_transition_matrix",    # +
+    "evt_value_quantiles",      # +
+    "sim_range_search",
+    "text_bigram_topk",         # +
+    "text_bpe_pair_topk",       # +
+    "text_hll_rollup",
+    "text_hll_vocab",
+    "text_oov_bigram_rate",
+    "text_repetition_stats",
+    # --- r10-stratum rotation: the SQL/planner slice ---
+    "sql_q2_min_cost_supplier",
+    "sql_q11_important_stock",
+    "sql_q16_supplier_cnt",
+    "sql_q20_promotion_stock",
+    "sql_recursive_spine",
+    "join_group_3",
+]
+
+# positions 51-79: the r10-stratum remainder (corpus/emb/evt/io/mm/
+# sim/stream/text families), first in line for r15
+_R15_FIRST = [
+    "corpus_dataset_card",
+    "corpus_mix_weighted",
+    "corpus_train_pipeline",
+    "emb_gram_matrix",
+    "emb_norm_stats",
+    "emb_pca_project",
+    "emb_quantize_int8",
+    "evt_asof_join",
+    "evt_hourly_rollup",
+    "evt_sessionize",
+    "evt_user_features",
+    "io_partitioned_roundtrip",
+    "mm_audio_framing",
+    "mm_binary_stats",
+    "mm_frame_sample",
+    "mm_shard_manifest",
+    "sim_ivfpq_residual",
+    "sim_ivfpq_topk",
+    "sim_recall_report",
+    "stream_quantile_sketch",
+    "text_bigram_lm_score",
+    "text_fingerprint",
+    "text_heaps_law",
+    "text_lang_confusion",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_token_diversity",
+    "text_winnow_fingerprints",
 ]
 
 
@@ -288,17 +296,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window and are EXACTLY round 12's lead (VERDICT r11 #1).  Round
     12 led with those 11, its 15 additions, and the 3 ops its shared
     probe/commit refactor touched, then rotated 21 of the 42-query
-    r8-freshness stratum, pinning the 21-row remainder.  Round 13's
-    window is the explicit ``_R13_WINDOW`` list above: those 21
-    pinned r8 rows first (after this round the freshness floor is
-    r9), the four r13 additions (the two-day IVF ingest leg; the
-    ExactSubstr removal action; the ANN delete primitive; manifest
-    snapshots + time travel), the 5 ops
-    r13 touched (idempotent append helper, session-scoped
-    evolved-orders state, shared KMV cache + proof leg, the two
-    count()-join-elimination measurement guards), then 20 of the
-    38-query r9-freshness stratum; the 18 deferred r9 rows are pinned
-    as ``_R14_FIRST`` at positions 51-68.
+    r8-freshness stratum, pinning the 21-row remainder.  Round 13 led
+    with those 21 pinned r8 rows, its four additions (the two-day IVF
+    ingest leg; the ExactSubstr removal action; the ANN delete
+    primitive; manifest snapshots + time travel), the 5 ops it
+    touched, then 20 of the 38-query r9-freshness stratum, pinning the
+    18-row remainder.  Round 14's window is the explicit
+    ``_R14_WINDOW`` list above: those 18 pinned r9 rows first (after
+    this round the freshness floor is r10), the three r14 additions
+    (ANN list compaction; snapshot CDC read; snapshot expiry+vacuum),
+    the 4 ops r14 touched (rank-derived snapshot takedown + keyed
+    evidence, the appId-keyed eagerly-built KMV cache, the multibatch
+    warm-hook raise), the 19 other ops the registry-wide count()-guard
+    sweep touched (VERDICT r13 #2 -- 9 of them due r10 rotation
+    anyway), then the SQL/planner slice of the r10 stratum; the 29
+    deferred r10 rows are pinned as ``_R15_FIRST`` at positions 51-79.
     ALL declared queries are
     checked against their DuckDB oracles by scripts/local_gate.py
     (checked-in: CORRECTNESS_LOCAL_FULL.json) and pytest every round
@@ -661,16 +673,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["join_park_cards"] = _park_cards
 
-    # final declaration order = the r13 gate window (see _R13_WINDOW),
-    # then the pinned r13 lead block, then everything else in build
+    # final declaration order = the r14 gate window (see _R14_WINDOW),
+    # then the pinned r15 lead block, then everything else in build
     # order.  A missing name here is a rotation bug -- fail loudly.
-    missing = [n for n in _R13_WINDOW + _R14_FIRST if n not in out]
-    if missing or len(_R13_WINDOW) != 50:
+    missing = [n for n in _R14_WINDOW + _R15_FIRST if n not in out]
+    if missing or len(_R14_WINDOW) != 50:
         raise RuntimeError(
-            f"gate-window rotation broken: len={len(_R13_WINDOW)}"
+            f"gate-window rotation broken: len={len(_R14_WINDOW)}"
             f" missing={missing}"
         )
-    head = _R13_WINDOW + _R14_FIRST
+    head = _R14_WINDOW + _R15_FIRST
     return {n: out[n] for n in head} | {
         n: r for n, r in out.items() if n not in set(head)
     }

@@ -139,6 +139,11 @@ def vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         topk.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("rank", "tok", "cnt")
+        # row-level invariant guard (row_number >= 1 always): windows
+        # never change cardinality, so without a reference Catalyst
+        # ELIMINATES the K-row rank window under a bare count() (r14
+        # sweep: scripts/count_prune_audit.py)
+        .filter(F.col("rank") >= 1)
     )
 
 
@@ -456,7 +461,14 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " as int)"
             ).alias("n_shared_exact"),
         )
-        .filter(F.col("n_bloom_hits") > 0)
+        # the n_shared_exact arm is the count()-elimination guard (r14
+        # sweep): eval_grams is unique on g, so a bare count() would
+        # drop the exact ride-along; Bloom filters have no false
+        # negatives, so every exact-shared shingle is also a bloom hit
+        .filter(
+            (F.col("n_bloom_hits") > 0)
+            & (F.col("n_shared_exact") <= F.col("n_bloom_hits"))
+        )
     )
 
 
@@ -606,6 +618,13 @@ def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_boiler",
             F.expr("round(n_boiler / n_shingles, 6)").alias("boiler_rate"),
         )
+        # count()-elimination guard (r14 sweep): the boilerplate set is
+        # unique on the shingle, so a bare count() would drop the df
+        # join entirely; a doc's boiler shingles are a subset of its own
+        .filter(
+            (F.col("n_boiler") >= 0)
+            & (F.col("n_boiler") <= F.col("n_shingles"))
+        )
     )
 
 
@@ -728,7 +747,8 @@ def shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "shard",
         F.row_number().over(w).cast("int").alias("pos"),
-    )
+        # count()-elimination guard (r14 sweep): row_number >= 1 always
+    ).filter(F.col("pos") >= 1)
 
 
 def shuffle_shard_oracle() -> str:
@@ -869,7 +889,9 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_tokens").over(w) - F.col("n_tokens"))
             / F.lit(PACK_TOKEN_BUDGET)
         ).cast("int").alias("seq_id"),
-    )
+        # count()-elimination guard (r14 sweep): the running sum minus
+        # the row's own contribution is never negative
+    ).filter(F.col("seq_id") >= 0)
 
 
 def pack_sequences_oracle() -> str:
@@ -1166,7 +1188,9 @@ def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("n_docs") / F.sum("n_docs").over(w), 6
         ).alias("share"),
-    )
+        # count()-elimination guard (r14 sweep): every source's share
+        # of the corpus is in (0, 1]
+    ).filter((F.col("share") > 0) & (F.col("share") <= 1))
 
 
 def source_stats_oracle() -> str:

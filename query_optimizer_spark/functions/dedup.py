@@ -1798,6 +1798,11 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_of").isNotNull().alias("is_dup"),
             "dup_of",
         )
+        # count()-elimination guard (r14 sweep): dups is unique on
+        # vec_id, so a bare count() would drop the whole pairwise leg;
+        # dup_of = min(a_id) over pairs with a_id < vec_id, so it is
+        # strictly smaller whenever the row is a duplicate
+        .filter(F.col("dup_of").isNull() | (F.col("dup_of") < F.col("vec_id")))
     )
 
 

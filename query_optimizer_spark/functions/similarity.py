@@ -2288,9 +2288,16 @@ def range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= RANGE_TAU)
     )
     w = Window.partitionBy("query_id")
-    return scored.withColumn(
-        "n_in_range", F.count("*").over(w).cast("int")
-    ).select("query_id", "neighbor_id", "cosine", "n_in_range")
+    return (
+        scored.withColumn(
+            "n_in_range", F.count("*").over(w).cast("int")
+        )
+        .select("query_id", "neighbor_id", "cosine", "n_in_range")
+        # count()-elimination guard (r14 sweep): windows never change
+        # cardinality, so a bare count() would drop the per-query
+        # count; every surviving row's partition contains itself
+        .filter(F.col("n_in_range") >= 1)
+    )
 
 
 def range_search_oracle() -> str:
@@ -3149,6 +3156,10 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", F.col("d").cast("int").alias("prefix_dim"))
         .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("int").alias("n_hits"))
         .withColumn("recall", F.round(F.col("n_hits") / ANN_TOP_K, 6))
+        # count()-elimination guard (r14 sweep): truth is unique on the
+        # join key, so a bare count() would drop the full-dim truth leg
+        # (its window included) and time only the prefix scan
+        .filter((F.col("n_hits") >= 0) & (F.col("n_hits") <= ANN_TOP_K))
     )
 
 

@@ -238,6 +238,10 @@ def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.col("t3").isNotNull().cast("int")
             ).cast("int").alias("funnel_step"),
         )
+        # count()-elimination guard (r14 sweep): s2/s3 are unique on
+        # user_id, so a bare count() would drop BOTH stage joins and
+        # their upstream event joins -- timing only the stage-1 scan
+        .filter((F.col("funnel_step") >= 1) & (F.col("funnel_step") <= 3))
     )
 
 
@@ -390,7 +394,10 @@ def anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"pow(total - s1 / n, 2) > {ANOMALY_Z2_THRESHOLD}"
             " * (s2 - s1 * s1 / n) / n"
         ).alias("is_anomaly"),
-    )
+        # count()-elimination guard (r14 sweep): the per-type stats
+        # windows never change cardinality, so a bare count() would
+        # drop them; an anomalous hour has |z| > 2 after rounding
+    ).filter((~F.col("is_anomaly")) | (F.col("z") != 0.0))
 
 
 def anomaly_hours_oracle() -> str:
@@ -507,7 +514,9 @@ def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("round(cnt / sum(cnt) over (partition by event_type), 6)").alias(
             "p"
         ),
-    )
+        # count()-elimination guard (r14 sweep): cnt >= 1 per pair and
+        # the per-type sum >= cnt, so p is always in (0, 1]
+    ).filter((F.col("p") > 0) & (F.col("p") <= 1))
 
 
 def transition_matrix_oracle() -> str:
@@ -659,7 +668,9 @@ def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return cum.groupBy("event_type").agg(
         F.max("n").cast("int").alias("n_events"), *qcol
-    )
+        # count()-elimination guard (r14 sweep): the CDF-walk windows
+        # never change cardinality; quantiles are monotone in q
+    ).filter((F.col("n_events") >= 1) & (F.col("p50") <= F.col("p99")))
 
 
 def value_quantiles_oracle() -> str:
@@ -866,6 +877,16 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_views_1h", F.lit(0)).cast("int").alias("n_views_1h"),
             (F.col("ms") - F.col("last_v_ms")).alias("ms_since_last_view"),
         )
+        # count()-elimination guard (r14 sweep): matched is unique on
+        # event_id, so a bare count() would drop the whole bucketed
+        # range join; matched views satisfy v_ms <= ms
+        .filter(
+            (F.col("n_views_1h") >= 0)
+            & (
+                F.col("ms_since_last_view").isNull()
+                | (F.col("ms_since_last_view") >= 0)
+            )
+        )
     )
 
 
@@ -932,6 +953,15 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ms").over(w).alias("valid_to_ms"),
         F.row_number().over(w).cast("int").alias("version"),
         F.lead("ms").over(w).isNull().alias("is_current"),
+        # count()-elimination guard (r14 sweep): the trailing
+        # lead/row_number window never changes cardinality; intervals
+        # are ordered, so the close time is never before the open
+    ).filter(
+        (F.col("version") >= 1)
+        & (
+            F.col("valid_to_ms").isNull()
+            | (F.col("valid_to_ms") >= F.col("valid_from_ms"))
+        )
     )
 
 
@@ -1177,6 +1207,12 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ],
+        # count()-elimination guard (r14 sweep): both CDF-walk window
+        # stacks never change cardinality; quantiles are monotone in q
+    ).filter(
+        (F.col("n_events") >= 1)
+        & (F.col("p50_est") <= F.col("p99_est"))
+        & (F.col("p50_exact") <= F.col("p99_exact"))
     )
 
 
@@ -1283,7 +1319,11 @@ def quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_rows = walk(merged, ["event_type"]).select(
         "event_type", F.lit("ALL").alias("scope"), *out_cols
     )
-    return day_rows.unionByName(all_rows)
+    # count()-elimination guard (r14 sweep): both branches' CDF-walk
+    # windows never change cardinality; quantiles are monotone in q
+    return day_rows.unionByName(all_rows).filter(
+        (F.col("n_events") >= 1) & (F.col("p50_est") <= F.col("p99_est"))
+    )
 
 
 def quantile_rollup_oracle() -> str:

@@ -264,6 +264,12 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         topk.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("rank", "bigram", "cnt")
+        # row-level invariant guard (row_number >= 1 always): windows
+        # never change cardinality, so without a reference Catalyst
+        # ELIMINATES the rank window under a bare count() (r14 sweep:
+        # scripts/count_prune_audit.py) -- here it is a K-row window,
+        # but the guard keeps bench/probe consumers honest uniformly
+        .filter(F.col("rank") >= 1)
     )
 
 
@@ -336,6 +342,13 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CASE WHEN n_bigrams > 0"
                 " THEN round(top_bigram_cnt / n_bigrams, 6) END"
             ).alias("top_bigram_frac"),
+        )
+        # count()-elimination guard (r14 sweep): bg_stats is unique on
+        # doc_id, so a bare count() would drop the bigram leg entirely;
+        # n_bigrams <= n_tokens holds (each bigram consumes a token)
+        .filter(
+            (F.col("n_bigrams") >= 0)
+            & (F.col("n_bigrams") <= F.col("n_tokens"))
         )
     )
 
@@ -413,6 +426,9 @@ def oov_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bigrams",
             F.expr("round(1.0 - n_head / n_bigrams, 6)").alias("oov_rate"),
         )
+        # count()-elimination guard (r14 sweep): the broadcast head
+        # join is unique on bigram; n_head <= n_bigrams by construction
+        .filter(F.expr("round(1.0 - oov_rate, 6) >= 0"))
     )
 
 
@@ -544,6 +560,8 @@ def bpe_pair_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         topk.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("rank", "pair", "cnt")
+        # count()-elimination guard (r14 sweep; see bigram_topk)
+        .filter(F.col("rank") >= 1)
     )
 
 
@@ -1062,6 +1080,10 @@ def hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "round((est / exact_vocab - 1) * 100, 2)"
             ).alias("rel_err_pct"),
         )
+        # count()-elimination guard (r14 sweep): the exact ground-truth
+        # leg is a 1-row aggregate cross-joined in, so a bare count()
+        # would drop it and time only the sketch side
+        .filter((F.col("exact_vocab") >= 1) & (F.col("used_registers") >= 0))
     )
 
 
@@ -1214,6 +1236,9 @@ def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"round(({_HLL_CORRECTED}) / exact_vocab * 100 - 100, 2)"
             ).alias("rel_err_pct"),
         )
+        # count()-elimination guard (r14 sweep): the exact legs ride
+        # 1-row-aggregate cross joins; see hll_vocab
+        .filter((F.col("exact_vocab") >= 1) & (F.col("used_registers") >= 0))
     )
 
 
