@@ -395,6 +395,27 @@ def main() -> None:
               lambda sf=f"{WORK}/disjoint_x{k}":
                   qsources.snapshot_time_travel(spark, sf),
               n_docs0 * k, post=_snap_post)
+        # --- snapshot CDC read (r14): the insert delta is the append
+        # commit's files (~half the corpus -> ~linear) but the delete
+        # delta reads only the fixed-rank takedown's affected +
+        # rewritten files -- n_affected must stay small and ~flat
+        probe("io_snapshot_changes", "disjoint", k,
+              lambda sf=f"{WORK}/disjoint_x{k}":
+                  qsources.snapshot_changes(spark, sf),
+              n_docs0 * k, post=_snap_post)
+        # --- snapshot expiry + vacuum (r14): manifest set-arithmetic
+        # + |orphans| unlinks (both file-count-bounded, ~flat); the
+        # timed read is the retained version's manifest-pruned scan
+        def _exp_post(sf=f"{WORK}/disjoint_x{k}"):
+            ev = qsources.snapshot_evidence(
+                spark, sf, store="doc_snapshots_exp")
+            return {"n_orphans_deleted": ev.get("n_orphans_deleted"),
+                    "n_retained": ev.get("n_retained")}
+
+        probe("io_snapshot_expiry", "disjoint", k,
+              lambda sf=f"{WORK}/disjoint_x{k}":
+                  qsources.snapshot_expiry(spark, sf),
+              n_docs0 * k, post=_exp_post)
         # --- BM25 retrieval (r12): the corpus-sized stage is the token
         # explode pruned by the broadcast term join.  Disjoint replicas
         # suffix every token, so query terms match ONLY the original
@@ -525,6 +546,27 @@ def main() -> None:
         probe("sim_ivf_delete", "disjoint", k,
               lambda sf=sfd: similarity.ivf_delete_topk(spark, sf),
               n_vecs0 * k, post=_del_post(sfd))
+        # --- ANN store compaction (r14): the per-list file count is
+        # bounded by the ingest-batch count regardless of corpus size,
+        # so files_before/files_after must stay ~constant while bytes
+        # (and compact_sec, a rewrite of only the fragmented lists'
+        # rows) grow at most linearly; cold lists are never read
+        def _cmp_post(sf_of):
+            def post():
+                ev = similarity.ivf_compact_evidence(spark, sf_of)
+                return {
+                    "build_sec": round(ev.get("build_sec", 0.0), 2),
+                    "compact_sec": ev.get("compact_sec"),
+                    "n_fragmented": ev.get("n_fragmented"),
+                    "files_before": ev.get("files_before"),
+                    "files_after": ev.get("files_after"),
+                }
+
+            return post
+
+        probe("sim_ivf_compact", "disjoint", k,
+              lambda sf=sfd: similarity.ivf_compact_topk(spark, sf),
+              n_vecs0 * k, post=_cmp_post(sfd))
         # --- residual IVF-PQ (r10): per-(query, list) LUTs are
         # corpus-independent model state, so growth must track the
         # non-residual variant's (one linear codes pass)
