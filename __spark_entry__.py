@@ -102,7 +102,7 @@ def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r10.  Four of them (corpus_decontaminate_bloom, corpus_pack_sequences,
 # corpus_vocab_topk, evt_anomaly_hours) were ALSO touched by this
 # round's count()-guard sweep, so their re-gate does double duty.
-# Positions 19-21 are the ops ADDED in r14 (sim_ivf_compact -- the
+# Positions 19-22 are the ops ADDED in r14 (sim_ivf_compact -- the
 # maintenance quarter of the ANN lifecycle: file-level ingest appends
 # fragment hot lists, compaction rewrites ONLY the fragmented lists
 # and must still answer like single-shot IVFADC; io_snapshot_changes
@@ -110,8 +110,12 @@ def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # difference alone, inserts from appended files, deletes via the
 # old-minus-new anti-join; io_snapshot_expiry -- retain only the
 # latest version, vacuum every file unreachable from a retained
-# manifest, the retained version re-read after the vacuum).
-# Positions 22-25 are the ops r14 TOUCHED: io_snapshot_time_travel's
+# manifest, the retained version re-read after the vacuum;
+# sim_ivf_recluster -- the coarse-quantizer RETRAIN after heavy
+# deletion: survivors re-encoded under a disjoint new centroid range
+# with the membership read ids-only from the aged store, answering
+# like single-shot IVFADC under the new model).
+# Positions 23-26 are the ops r14 TOUCHED: io_snapshot_time_travel's
 # takedown range is now a rank order statistic of the observed doc_ids
 # (VERDICT r13 #7: max/k arithmetic hit id voids on striped replicas,
 # making the probe's COW delete vacuous) with urllib-normalized
@@ -122,7 +126,7 @@ def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # drifted with declaration order); and sim_ivf_multibatch's
 # stop_after hook now raises on a warm index (r13 ADVICE) -- it also
 # seeds the store sim_ivf_compact compacts.
-# Positions 26-44 are the 19 OTHER ops the r14 count()-guard sweep
+# Positions 27-45 are the 19 OTHER ops the r14 count()-guard sweep
 # touched (VERDICT r13 #2: the r13 hazard generalized -- a
 # registry-wide audit, scripts/count_prune_audit.py, found 23 ops
 # whose trailing LEFT joins / Windows Catalyst eliminated under a
@@ -131,10 +135,11 @@ def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plan, and the sweep is pinned by
 # tests/test_plan_shape.py::test_registry_ops_survive_count_pruning).
 # Nine of these were due r10-stratum rotation anyway.
-# Positions 45-50 rotate the SQL/planner slice of the 44-row
-# r10-freshness stratum (the 4 shared-derived-partsupp TPC-H queries,
-# sql_recursive_spine, join_group_3); the 29 deferred r10 rows are
-# pinned as _R15_FIRST at positions 51-79, first in line for r15.
+# Positions 46-50 rotate the SQL slice of the 44-row r10-freshness
+# stratum (the 4 shared-derived-partsupp TPC-H queries +
+# sql_recursive_spine); join_group_3 -- displaced by the late-r14
+# recluster addition -- plus the 29 other deferred r10 rows are
+# pinned as _R15_FIRST at positions 51-80, first in line for r15.
 # =========================================================================
 _R14_WINDOW = [
     # --- the 18 r9-evidence rows pinned by r13 (VERDICT r13 #1) ---
@@ -160,6 +165,7 @@ _R14_WINDOW = [
     "sim_ivf_compact",
     "io_snapshot_changes",
     "io_snapshot_expiry",
+    "sim_ivf_recluster",
     # --- touched in r14 (rank-derived takedown range + keyed snapshot
     # evidence; appId-keyed eagerly-built KMV cache; warm stop_after
     # raise + compaction seed) ---
@@ -194,12 +200,14 @@ _R14_WINDOW = [
     "sql_q16_supplier_cnt",
     "sql_q20_promotion_stock",
     "sql_recursive_spine",
-    "join_group_3",
 ]
 
-# positions 51-79: the r10-stratum remainder (corpus/emb/evt/io/mm/
-# sim/stream/text families), first in line for r15
+# positions 51-80: join_group_3 (displaced from the window by the
+# late-r14 recluster op -- the established late-addition precedent)
+# plus the r10-stratum remainder (corpus/emb/evt/io/mm/sim/stream/text
+# families), first in line for r15
 _R15_FIRST = [
+    "join_group_3",
     "corpus_dataset_card",
     "corpus_mix_weighted",
     "corpus_train_pipeline",
@@ -303,14 +311,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     touched, then 20 of the 38-query r9-freshness stratum, pinning the
     18-row remainder.  Round 14's window is the explicit
     ``_R14_WINDOW`` list above: those 18 pinned r9 rows first (after
-    this round the freshness floor is r10), the three r14 additions
-    (ANN list compaction; snapshot CDC read; snapshot expiry+vacuum),
-    the 4 ops r14 touched (rank-derived snapshot takedown + keyed
-    evidence, the appId-keyed eagerly-built KMV cache, the multibatch
-    warm-hook raise), the 19 other ops the registry-wide count()-guard
-    sweep touched (VERDICT r13 #2 -- 9 of them due r10 rotation
-    anyway), then the SQL/planner slice of the r10 stratum; the 29
-    deferred r10 rows are pinned as ``_R15_FIRST`` at positions 51-79.
+    this round the freshness floor is r10), the four r14 additions
+    (ANN list compaction; snapshot CDC read; snapshot expiry+vacuum;
+    IVF recluster -- the coarse-quantizer retrain after heavy
+    deletion), the 4 ops r14 touched (rank-derived snapshot takedown +
+    keyed evidence, the appId-keyed eagerly-built KMV cache, the
+    multibatch warm-hook raise), the 19 other ops the registry-wide
+    count()-guard sweep touched (VERDICT r13 #2 -- 9 of them due r10
+    rotation anyway), then the SQL slice of the r10 stratum;
+    join_group_3 (displaced by the late recluster addition) and the
+    29 other deferred r10 rows are pinned as ``_R15_FIRST`` at
+    positions 51-80.
     ALL declared queries are
     checked against their DuckDB oracles by scripts/local_gate.py
     (checked-in: CORRECTNESS_LOCAL_FULL.json) and pytest every round

@@ -192,8 +192,10 @@ headline = [
     "io_snapshot_time_travel",
     # r14: IVF list compaction (store maintenance -- reps measure the
     # compacted-store probe), CDC read from manifest diffs, snapshot
-    # expiry + vacuum (reps measure the retained-version read)
+    # expiry + vacuum (reps measure the retained-version read), and
+    # coarse-quantizer recluster (reps measure the new-model probe)
     "sim_ivf_compact", "io_snapshot_changes", "io_snapshot_expiry",
+    "sim_ivf_recluster",
 ]
 
 
@@ -276,6 +278,7 @@ def main() -> None:
                 ivf_compact_topk,
                 ivf_delete_topk,
                 ivf_multibatch_topk,
+                ivf_recluster_topk,
             )
 
             ivf_append_topk(spark, sf_dir).count()
@@ -285,9 +288,10 @@ def main() -> None:
             ivf_multibatch_topk(spark, sf_dir).count()
             ivf_delete_topk(spark, sf_dir).count()
             # ...and the maintenance quarter (r14): ingest emulation +
-            # compaction are the one-time cost; reps measure the
-            # compacted-store probe
+            # compaction / aged-store build + recluster are the
+            # one-time cost; reps measure the maintained-store probes
             ivf_compact_topk(spark, sf_dir).count()
+            ivf_recluster_topk(spark, sf_dir).count()
             # manifest snapshots (r13; expiry/CDC r14): the commits,
             # the vacuum, and the manifest diffs are the one-time
             # cost; reps measure the manifest-pruned reads

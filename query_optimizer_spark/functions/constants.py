@@ -133,6 +133,11 @@ BM25_QUANT = 1_000_000  # per-term contribution -> integer micro-score
 # codebook < 16, queries < 8), so the frozen model never sees the batch
 IVF_APPEND_LO = 64
 IVF_APPEND_N = 64
+# reclustering (coarse-quantizer retrain after heavy deletion): the new
+# centroid id range -- disjoint from BOTH the old range [0, 32) and the
+# deleted slice [IVF_APPEND_LO, LO+N), so the reclustered index is
+# provably a different model over the surviving corpus
+IVF_RECLUSTER_CENT_LO = 128
 BOILER_DF_MIN = 2
 
 # --- weighted source mixing --------------------------------------------------

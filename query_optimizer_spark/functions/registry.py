@@ -584,6 +584,15 @@ PIPELINE_OPS: dict[str, tuple] = {
         similarity.ivf_compact_topk,
         similarity.ivf_compact_topk_oracle(),
     ),
+    # r14: coarse-quantizer RETRAIN after heavy deletion -- membership
+    # read ids-only from the aged store (ReadSchema raise-enforced),
+    # survivors re-encoded under a DISJOINT new centroid range into a
+    # new store; must answer like single-shot IVFADC with the new
+    # model over the survivors (parameterized cent_lo + exclusion)
+    "sim_ivf_recluster": (
+        similarity.ivf_recluster_topk,
+        similarity.ivf_recluster_topk_oracle(),
+    ),
     # r12: Matryoshka prefix-dimension recall -- recall@k of 8/16/32-dim
     # truncated indexes vs the full-dim brute-force truth, the
     # acceptance gate before shipping a cheaper truncated index

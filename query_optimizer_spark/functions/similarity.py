@@ -27,6 +27,7 @@ from .constants import (
     IVF_APPEND_N,
     IVF_N_CENTROIDS,
     IVF_NPROBE,
+    IVF_RECLUSTER_CENT_LO,
     KMEANS_ITERS,
     KMEANS_K,
     LSH_BAND_BITS,
@@ -1327,7 +1328,7 @@ def pq_adc_topk_oracle() -> str:
     """
 
 
-def _ivfpq_model(emb: DataFrame):
+def _ivfpq_model(emb: DataFrame, cent_lo: int = 0):
     """Collect the IVF-PQ model state: 32 centroids, the 16-row PQ
     codebook, the query set, each query's ADC LUT and probe mask.  All
     of it is a few KB of driver-held integers (k x d MODEL state,
@@ -1335,11 +1336,20 @@ def _ivfpq_model(emb: DataFrame):
     are the IVF_NPROBE nearest centroids per query by exact integer
     |q-c|^2 (the |q|^2 constant drops for ranking), ties -> smallest
     cent_id: lexsort, like the oracle's row_number over (d2,
-    cent_id)."""
+    cent_id).
+
+    ``cent_lo`` picks the centroid id range [cent_lo, cent_lo +
+    IVF_N_CENTROIDS) -- the data-defined analog of RETRAINING the
+    coarse quantizer (sim_ivf_recluster uses a disjoint range so the
+    reclustered index is provably a different model, not a rewrite of
+    the old assignment)."""
     import numpy as np
 
     cent_rows = sorted(
-        emb.filter(F.col("vec_id") < IVF_N_CENTROIDS)
+        emb.filter(
+            (F.col("vec_id") >= cent_lo)
+            & (F.col("vec_id") < cent_lo + IVF_N_CENTROIDS)
+        )
         .select("vec_id", "q")
         .collect()
     )
@@ -1496,13 +1506,15 @@ def _ivfpq_rerank(emb: DataFrame, adc: DataFrame) -> DataFrame:
 
 
 def ivfpq_topk_oracle(
-    exclude_lo: int | None = None, exclude_n: int = 0
+    exclude_lo: int | None = None, exclude_n: int = 0, cent_lo: int = 0
 ) -> str:
     """Single-shot IVFADC oracle.  ``exclude_lo``/``exclude_n`` drop a
     vec_id range from the CANDIDATE side only (model rows all sit below
     IVF_APPEND_LO, queries keep ranking) -- the ``sim_ivf_delete``
     ground truth: an index after remove_ids must answer exactly like
-    one built without those vectors."""
+    one built without those vectors.  ``cent_lo`` selects the centroid
+    id range (the retrained coarse quantizer of
+    ``sim_ivf_recluster``)."""
     excl = (
         f" AND NOT (e.vec_id >= {exclude_lo}"
         f" AND e.vec_id < {exclude_lo + exclude_n})"
@@ -1521,7 +1533,8 @@ def ivfpq_topk_oracle(
         WITH {_SQL_QUANT},
         cents AS (
             SELECT vec_id AS cent_id, q FROM qn
-            WHERE vec_id < {IVF_N_CENTROIDS}
+            WHERE vec_id >= {cent_lo}
+              AND vec_id < {cent_lo + IVF_N_CENTROIDS}
         ),
         cdist AS (
             SELECT a.vec_id, c.cent_id,
@@ -3060,6 +3073,203 @@ def ivf_compact_topk_oracle() -> str:
     oracle -- agreement proves no row was lost or duplicated by the
     rewrite."""
     return ivfpq_topk_oracle()
+
+
+# --- IVF recluster (coarse-quantizer retrain after heavy deletion) --------------
+
+_IVF_RC_EVIDENCE: dict[tuple[str, str], dict[str, float]] = {}
+
+
+def ivf_recluster_evidence(spark: SparkSession, sf_dir: str) -> dict:
+    """Evidence dict of the last ivf_recluster_topk run in this session
+    for the given sf_dir (list-size skew before/after, phase times)."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    return dict(_IVF_RC_EVIDENCE.get(key, {}))
+
+
+def ivf_recluster_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF RECLUSTERING -- the last maintenance gap in the ANN store
+    lifecycle (build / add / delete / compact exist; r13 VERDICT
+    "what's missing" #1 also named "re-clusters after heavy deletion"):
+    after enough takedowns the old coarse quantizer no longer fits the
+    surviving distribution -- lists the deleted vectors dominated sit
+    near-empty while others stay hot, so probe IO is spent on a
+    partition of the DELETED corpus, not the live one.  Real stores
+    periodically retrain the quantizer and rebuild assignments; this op
+    is that pass.
+
+    1. AGED STORE (one-time): the survivors (corpus minus the deleted
+       slice [IVF_APPEND_LO, LO+N)) encoded under the OLD model
+       (centroid ids [0, 32)) and written ``partitionBy(cent_id)`` --
+       the state ``sim_ivf_delete`` leaves behind.
+    2. RECLUSTER: membership is read from the OLD STORE projecting
+       ``vec_id`` ALONE (raise-enforced via ReadSchema -- the codes
+       column must not be read: PQ codes cannot be re-assigned, so the
+       pass re-fetches original vectors BY ID, which at 100 TB is the
+       vector-store lookup, never a corpus rescan); the survivors are
+       re-encoded under the NEW model (centroid ids
+       [IVF_RECLUSTER_CENT_LO, +32) -- a DISJOINT range, so the result
+       is provably a retrained quantizer, not a rewrite of the old
+       assignment) and written to a NEW store.  The old store is left
+       intact (the swap is the caller's atomic pointer flip -- here the
+       two directories).
+    3. PROBE: the reclustered store answers through the shared
+       PartitionFilter-enforced scan + ADC + exact re-rank under the
+       NEW model's probe lists, and must be bit-identical to
+       single-shot IVFADC built with that model over the survivors:
+       ``ivfpq_topk_oracle(exclude_lo, exclude_n, cent_lo)``.
+
+    Reclustering is deliberately the EXPENSIVE maintenance op -- a
+    linear re-encode of the survivors (like the initial build; FAISS
+    retrains the same way) -- so the measured claims are (a) the
+    membership read is ids-only (ReadSchema), (b) list-size skew
+    evidence shows what triggered it, and (c) the answer identity
+    above.  Scale shape: one id-projection scan of the old store, one
+    broadcast-join vector fetch, one encode pass, one partitioned
+    write; collects are model state and the two 32-row list-size
+    frames."""
+    import time as _time
+    from pathlib import Path
+
+    import numpy as np
+
+    from ..executor import physical_plan
+    from ..sources import session_state_path
+
+    emb = _quantized(spark, sf_dir)
+    # OLD model for the aged store; NEW model for the recluster + probe
+    _, _, _, cb_old, cents_old, cn2_old, _ = _ivfpq_model(emb)
+    qids, _, lut, cb_new, cents_new, cn2_new, probe_mask = _ivfpq_model(
+        emb, cent_lo=IVF_RECLUSTER_CENT_LO
+    )
+    del_cond = (F.col("vec_id") >= IVF_APPEND_LO) & (
+        F.col("vec_id") < IVF_APPEND_LO + IVF_APPEND_N
+    )
+    enc_schema = "vec_id long, cent_id int, codes array<int>"
+    _enc_old = _ivfpq_encode_fn(
+        spark.sparkContext.broadcast((cb_old, cents_old, cn2_old))
+    )
+    _enc_new = _ivfpq_encode_fn(
+        spark.sparkContext.broadcast((cb_new, cents_new, cn2_new))
+    )
+
+    old_path = session_state_path(spark, sf_dir, "ivf_rc_old")
+    new_path = session_state_path(spark, sf_dir, "ivf_rc_new")
+    marker = Path(new_path) / "_RECLUSTERED"
+    cached = marker.exists()
+    build_sec = recluster_sec = 0.0
+    skew_before = skew_after = -1.0
+    if not cached:
+        t0 = _time.monotonic()
+        if not (Path(old_path) / "_SUCCESS").exists():
+            (
+                emb.filter(~del_cond)
+                .select("vec_id", "q")
+                .mapInPandas(_enc_old, enc_schema)
+                .write.mode("overwrite")
+                .partitionBy("cent_id")
+                .parquet(old_path)
+            )
+        build_sec = round(_time.monotonic() - t0, 4)
+
+        t1 = _time.monotonic()
+        # membership: ids ONLY from the aged store (codes must not be
+        # read -- raise if column pruning failed)
+        members = spark.read.parquet(old_path).select("vec_id")
+        plan = physical_plan(members)
+        seg = plan.split("ReadSchema", 1)
+        if len(seg) != 2 or "codes" in seg[1][:200]:
+            raise RuntimeError(
+                "recluster membership read did not prune to vec_id"
+                f" alone; plan:\n{plan}"
+            )
+        # original vectors fetched by id (broadcast the 32-row-bounded
+        # side is wrong here -- members IS the corpus; the join is a
+        # plain equi-join Spark plans by size)
+        survivors = emb.join(members, "vec_id").select("vec_id", "q")
+        (
+            survivors.mapInPandas(_enc_new, enc_schema)
+            .write.mode("overwrite")
+            .partitionBy("cent_id")
+            .parquet(new_path)
+        )
+        sizes_old = {
+            int(r.cent_id): r.n
+            for r in spark.read.parquet(old_path)
+            .groupBy("cent_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        sizes_new = {
+            int(r.cent_id): r.n
+            for r in spark.read.parquet(new_path)
+            .groupBy("cent_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+        def _skew(sizes: dict) -> float:
+            vals = list(sizes.values()) + [0] * (
+                IVF_N_CENTROIDS - len(sizes)
+            )
+            return round(max(vals) / (sum(vals) / len(vals)), 4)
+
+        skew_before, skew_after = _skew(sizes_old), _skew(sizes_new)
+        marker.touch()
+        recluster_sec = round(_time.monotonic() - t1, 4)
+
+    probed = sorted(
+        {int(c) for qi in range(len(qids))
+         for c in np.nonzero(probe_mask[qi])[0]}
+    )
+    while len(_IVF_RC_EVIDENCE) >= 8:
+        _IVF_RC_EVIDENCE.pop(next(iter(_IVF_RC_EVIDENCE)))
+    _IVF_RC_EVIDENCE[
+        (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    ] = dict(
+        n_lists=len(list(Path(new_path).glob("cent_id=*"))),
+        n_probed=len(probed),
+        skew_before=skew_before,
+        skew_after=skew_after,
+        build_sec=build_sec,
+        recluster_sec=recluster_sec,
+        build_cached=float(cached),
+    )
+
+    existing_probed = [
+        int(c)
+        for c in probed
+        if (Path(new_path) / f"cent_id={c}").exists()
+    ]
+    lists = spark.read.parquet(new_path).filter(
+        F.col("cent_id").isin(existing_probed)
+    )
+    plan = physical_plan(lists)
+    seg = plan.split("PartitionFilters", 1)
+    if len(seg) != 2 or "cent_id" not in seg[1][:200]:
+        raise RuntimeError(
+            "ivf-recluster probe predicate did not reach the scan as a"
+            f" PartitionFilter; plan:\n{plan}"
+        )
+
+    bc = spark.sparkContext.broadcast((qids, lut, probe_mask))
+    _adc = _ivfpq_adc_fn(bc)
+    adc = lists.mapInPandas(
+        _adc, "query_id long, neighbor_id long, adc_dist long"
+    )
+    return _ivfpq_rerank(emb, adc)
+
+
+def ivf_recluster_topk_oracle() -> str:
+    """The reclustered index must answer exactly like single-shot
+    IVFADC built with the NEW coarse quantizer over the SURVIVING
+    corpus (deleted slice excluded candidate-side; queries, PQ
+    codebook, and both centroid ranges are untouched by the delete)."""
+    return ivfpq_topk_oracle(
+        exclude_lo=IVF_APPEND_LO,
+        exclude_n=IVF_APPEND_N,
+        cent_lo=IVF_RECLUSTER_CENT_LO,
+    )
 
 
 # --- Matryoshka prefix-dimension recall ----------------------------------------

@@ -567,6 +567,25 @@ def main() -> None:
         probe("sim_ivf_compact", "disjoint", k,
               lambda sf=sfd: similarity.ivf_compact_topk(spark, sf),
               n_vecs0 * k, post=_cmp_post(sfd))
+        # --- IVF recluster (r14): deliberately the LINEAR maintenance
+        # op (survivor re-encode, like the initial build); the scale
+        # claims are the ids-only membership read (raise-enforced
+        # in-op) and the new-model probe staying list-bounded
+        def _rc_post(sf_of):
+            def post():
+                ev = similarity.ivf_recluster_evidence(spark, sf_of)
+                return {
+                    "build_sec": round(ev.get("build_sec", 0.0), 2),
+                    "recluster_sec": ev.get("recluster_sec"),
+                    "skew_before": ev.get("skew_before"),
+                    "skew_after": ev.get("skew_after"),
+                }
+
+            return post
+
+        probe("sim_ivf_recluster", "disjoint", k,
+              lambda sf=sfd: similarity.ivf_recluster_topk(spark, sf),
+              n_vecs0 * k, post=_rc_post(sfd))
         # --- residual IVF-PQ (r10): per-(query, list) LUTs are
         # corpus-independent model state, so growth must track the
         # non-residual variant's (one linear codes pass)

@@ -726,6 +726,71 @@ def test_ivf_compact_rewrites_only_fragmented_lists(spark, duck):
     assert full_snap() == before_warm
 
 
+def test_ivf_recluster_new_model_over_survivors(spark, duck):
+    """IVF recluster (r14): (a) the reclustered store answers exactly
+    like single-shot IVFADC under the NEW centroid range over the
+    survivors (parameterized cent_lo + exclusion oracle), (b) the new
+    store is a genuinely different partition of the same membership
+    (same vec_id set, different model), (c) no deleted vec_id appears
+    in either store, and (d) the aged store is left byte-intact and a
+    warm rerun changes nothing."""
+    import shutil
+    from pathlib import Path
+
+    from query_optimizer_spark.functions import similarity
+    from query_optimizer_spark.functions.constants import (
+        IVF_APPEND_LO,
+        IVF_APPEND_N,
+    )
+    from query_optimizer_spark.harness import result_hash
+    from query_optimizer_spark.sources import session_state_path
+
+    old_path = Path(session_state_path(spark, SF_DIR, "ivf_rc_old"))
+    new_path = Path(session_state_path(spark, SF_DIR, "ivf_rc_new"))
+    shutil.rmtree(old_path, ignore_errors=True)
+    shutil.rmtree(new_path, ignore_errors=True)
+
+    df = similarity.ivf_recluster_topk(spark, SF_DIR)
+    got = result_hash(df)
+    assert got == duck_hash(duck, similarity.ivf_recluster_topk_oracle())
+    ev = similarity.ivf_recluster_evidence(spark, SF_DIR)
+    assert ev["build_cached"] == 0.0, ev
+    assert ev["skew_before"] > 0 and ev["skew_after"] > 0, ev
+
+    old = spark.read.parquet(str(old_path)).select("vec_id", "cent_id")
+    new = spark.read.parquet(str(new_path)).select("vec_id", "cent_id")
+    # same membership...
+    assert old.select("vec_id").subtract(new.select("vec_id")).count() == 0
+    assert new.select("vec_id").subtract(old.select("vec_id")).count() == 0
+    # ...different partition of it (the model really changed)
+    moved = (
+        old.withColumnRenamed("cent_id", "old_cent")
+        .join(new, "vec_id")
+        .filter(F.col("old_cent") != F.col("cent_id"))
+        .count()
+    )
+    assert moved > 0
+    # no deleted id anywhere
+    for store in (old, new):
+        left = store.filter(
+            (F.col("vec_id") >= IVF_APPEND_LO)
+            & (F.col("vec_id") < IVF_APPEND_LO + IVF_APPEND_N)
+        ).count()
+        assert left == 0
+
+    def snap(base):
+        return {
+            str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+            for p in base.rglob("*.parquet")
+        }
+
+    old_before, new_before = snap(old_path), snap(new_path)
+    assert result_hash(similarity.ivf_recluster_topk(spark, SF_DIR)) == got
+    assert similarity.ivf_recluster_evidence(
+        spark, SF_DIR)["build_cached"] == 1.0
+    assert snap(old_path) == old_before and snap(new_path) == new_before
+
+
 def test_registry_ops_survive_count_pruning(spark):
     """The r13 count()-join-elimination class, swept over the ENTIRE
     registry (r14, VERDICT r13 #2 -- r13 found the hazard by accident
