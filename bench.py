@@ -195,7 +195,7 @@ headline = [
     # expiry + vacuum (reps measure the retained-version read), and
     # coarse-quantizer recluster (reps measure the new-model probe)
     "sim_ivf_compact", "io_snapshot_changes", "io_snapshot_expiry",
-    "sim_ivf_recluster",
+    "sim_ivf_recluster", "text_bpe_train",
 ]
 
 
@@ -312,6 +312,12 @@ def main() -> None:
             from query_optimizer_spark.functions.text import _kmv_shared
 
             _kmv_shared(spark, sf_dir)
+            # ...and the BPE trainer's memoized word-frequency frame
+            # (r14): the one corpus-sized stage of text_bpe_train --
+            # reps then measure the vocab-sized merge loop
+            from query_optimizer_spark.functions.text import _bpe_words
+
+            _bpe_words(spark, sf_dir)
             warmup_secs.append(round(time.monotonic() - t_warm, 4))
             for _ in range(cohort_reps):
                 order = headline[:]

@@ -615,4 +615,13 @@ PIPELINE_OPS: dict[str, tuple] = {
         text.novelty_curve,
         text.novelty_curve_oracle(),
     ),
+    # r14: the ACTUAL BPE trainer loop (apply-merge-and-recount for K
+    # rounds; merged symbols feed later merges) -- one memoized corpus
+    # word count, then vocab-sized iterations; the U+001F-delimited
+    # string replace IS the left-to-right non-overlapping merge in both
+    # engines; oracle unrolls the same K stages as chained CTEs
+    "text_bpe_train": (
+        text.bpe_train_merges,
+        text.bpe_train_merges_oracle(),
+    ),
 }

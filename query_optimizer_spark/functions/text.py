@@ -591,6 +591,211 @@ def bpe_pair_topk_oracle() -> str:
     """
 
 
+# --- iterative BPE training (the tokenizer-trainer loop) -----------------------
+
+# number of merge iterations the trainer runs; each merge is one
+# vocab-sized aggregation + a one-row argmax collect (model state)
+BPE_TRAIN_MERGES = 4
+# symbol boundary marker inside the encoded word string: U+001F (unit
+# separator) cannot appear in BPE_WORD_RE words, so '<US>a<US><US>b<US>'
+# unambiguously encodes the symbol sequence [a, b] and a string
+# replace() of '<US>l<US><US>r<US>' -> '<US>lr<US>' IS the BPE merge --
+# left-to-right, non-overlapping, identical semantics in Spark and
+# DuckDB (both use leftmost-first non-overlapping replace)
+_BPE_SEP = chr(31)
+
+# session-keyed memo of the word-frequency frame (the one corpus-sized
+# stage), FIFO-bounded with unpersist-on-evict -- the _KMV_SHARED
+# discipline: without it every merge iteration's argmax action (and
+# every gate-hash re-execution) re-runs the corpus scan
+_BPE_WORDS: dict = {}
+
+
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    df = _BPE_WORDS.get(key)
+    if df is None:
+        while len(_BPE_WORDS) >= 4:
+            old = _BPE_WORDS.pop(next(iter(_BPE_WORDS)))
+            try:
+                old.unpersist(blocking=False)
+            except Exception:
+                pass
+        df = (
+            _docs(spark, sf_dir)
+            .select(
+                F.explode(
+                    F.expr(
+                        "regexp_extract_all(lower(text),"
+                        f" '{BPE_WORD_RE}', 0)"
+                    )
+                ).alias("w")
+            )
+            .groupBy("w")
+            .agg(F.count("*").alias("freq"))
+            .filter(F.length("w") >= 2)
+            .cache()
+        )
+        df.count()
+        _BPE_WORDS[key] = df
+    return df
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE TRAINING -- the actual tokenizer-trainer loop
+    (Sennrich et al. 2016), not just its first statistic
+    (``text_bpe_pair_topk`` ranks the stage-0 pair counts; training
+    must APPLY each merge and recount, because merged symbols feed
+    later merges -- 'th' must exist before 'the' can win): for
+    BPE_TRAIN_MERGES rounds, count adjacent-symbol pairs over the
+    word-frequency table weighted by corpus frequency, merge the
+    winner (ties -> lexicographically smallest pair, cross-engine
+    deterministic), rewrite the vocabulary, repeat.
+
+    The standard trainer compression keeps this cheap at 100 TB: the
+    corpus-sized stage is ONE word count (map-side combinable,
+    memoized per session); every merge iteration then runs over the
+    vocabulary-sized (word, freq) table -- pair explode, one hash
+    aggregation, a 1-row argmax collect (model state), and a string
+    ``replace`` that IS the merge (symbols ride a U+001F-delimited
+    encoding, so replacing '<US>l<US><US>r<US>' with '<US>lr<US>' is
+    exactly the left-to-right non-overlapping BPE merge in both
+    engines).  Pair counts stay overlapping (the standard count:
+    'aaa' contributes (a,a) twice) while application is
+    non-overlapping ('aaa' -> ['aa','a']) -- the replace gives the
+    latter for free.
+
+    Columns: one row per merge -- (merge_rank, left_sym, right_sym,
+    merged, weighted_freq); integer counts + ASCII symbols, bit-exact
+    cross-engine.  The oracle unrolls the same K stages as chained
+    CTEs, each applying the previous stage's argmax via scalar
+    subqueries -- an independently-planned recomputation of the whole
+    loop."""
+    S = _BPE_SEP
+    S2 = S + S
+    words = _bpe_words(spark, sf_dir)
+    enc = words.select(
+        F.expr(f"regexp_replace(w, '(.)', '{S}$1{S}')").alias("s"),
+        "freq",
+    )
+    sym_expr = f"split(substring(s, 2, length(s) - 2), '{S2}')"
+    merges = []
+    for i in range(BPE_TRAIN_MERGES):
+        pr = (
+            enc.select("freq", F.expr(sym_expr).alias("sym"))
+            .filter(F.expr("size(sym) >= 2"))
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(sym, 1, size(sym) - 1),"
+                        " slice(sym, 2, size(sym) - 1),"
+                        " (a, b) -> struct(a AS l, b AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pr.orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .select(
+                F.lit(i + 1).cast("int").alias("merge_rank"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.concat("l", "r").alias("merged"),
+                F.col("cnt").cast("long").alias("weighted_freq"),
+            )
+        )
+        row = best.collect()  # ONE row -- the merge decision
+        if not row:
+            raise RuntimeError(
+                f"BPE merge {i + 1}: no adjacent pair left -- corpus"
+                " too small for BPE_TRAIN_MERGES"
+            )
+        left, right = row[0].left_sym, row[0].right_sym
+        merges.append(best)
+        enc = enc.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f"{S}{left}{S}{S}{right}{S}"),
+                F.lit(f"{S}{left}{right}{S}"),
+            ).alias("s"),
+            "freq",
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def bpe_train_merges_oracle() -> str:
+    """The same K-stage trainer unrolled as chained CTEs: each stage's
+    argmax (ties -> smallest pair) feeds the next stage's replace via
+    scalar subqueries.  chr(31) is the same U+001F symbol boundary the
+    Spark side uses."""
+    sep = "chr(31)"
+    stages = [
+        f"""words AS (
+            SELECT w, count(*) AS freq FROM (
+                SELECT unnest(regexp_extract_all(lower(text),
+                                                 '{BPE_WORD_RE}')) AS w
+                FROM documents
+            ) GROUP BY w HAVING len(w) >= 2
+        ),
+        s0 AS (
+            SELECT regexp_replace(w, '(.)',
+                                  {sep} || '\\1' || {sep}, 'g') AS s,
+                   freq
+            FROM words
+        )"""
+    ]
+    for i in range(1, BPE_TRAIN_MERGES + 1):
+        stages.append(
+            f"""p{i} AS (
+            SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM (
+                SELECT unnest([{{'l': sym[j], 'r': sym[j + 1]}}
+                               for j in generate_series(1, len(sym) - 1)])
+                           AS p,
+                       freq
+                FROM (
+                    SELECT string_split(substr(s, 2, length(s) - 2),
+                                        {sep} || {sep}) AS sym,
+                           freq
+                    FROM s{i - 1}
+                ) WHERE len(sym) >= 2
+            ) GROUP BY p.l, p.r
+        ),
+        b{i} AS (
+            SELECT CAST({i} AS INT) AS merge_rank, l AS left_sym,
+                   r AS right_sym, l || r AS merged,
+                   cnt AS weighted_freq
+            FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1
+        ),
+        s{i} AS (
+            SELECT replace(s,
+                           (SELECT {sep} || left_sym || {sep} || {sep}
+                                   || right_sym || {sep} FROM b{i}),
+                           (SELECT {sep} || left_sym || right_sym
+                                   || {sep} FROM b{i})) AS s,
+                   freq
+            FROM s{i - 1}
+        )"""
+        )
+    union = "\n        UNION ALL\n        ".join(
+        f"SELECT * FROM b{i}" for i in range(1, BPE_TRAIN_MERGES + 1)
+    )
+    return (
+        "\n        WITH "
+        + ",\n        ".join(stages)
+        + "\n        "
+        + union
+        + "\n    "
+    )
+
+
 # --- bigram-LM document scoring (CCNet-style quality signal) -----------------
 
 LM_QUANT = 1_000_000  # probability -> integer micro-probability

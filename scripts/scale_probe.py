@@ -426,6 +426,15 @@ def main() -> None:
               lambda sf=f"{WORK}/disjoint_x{k}":
                   text.bm25_topk(spark, sf),
               n_docs0 * k)
+        # --- iterative BPE trainer (r14): the corpus-sized stage is
+        # the ONE memoized word count (linear); every merge iteration
+        # is vocab-sized.  Disjoint replicas suffix tokens, so the
+        # vocabulary ALSO grows ~linearly -- wall time must stay
+        # ~linear overall, never quadratic in merges x corpus
+        probe("text_bpe_train", "disjoint", k,
+              lambda sf=f"{WORK}/disjoint_x{k}":
+                  text.bpe_train_merges(spark, sf),
+              n_docs0 * k)
         # --- exact blocked cosine (block_rows=2000 so every scale is
         # multi-block / genuinely distributed)
         sf = f"{WORK}/replica_x{k}"

@@ -541,6 +541,42 @@ def test_bpe_pairs_are_wellformed(spark):
     assert len({r.rank for r in rows}) == len(rows)
 
 
+def test_bpe_train_merge_sequence(spark):
+    """The BPE trainer's merge sequence (r14): (a) exactly
+    BPE_TRAIN_MERGES rows, ranks 1..K, (b) merge 1 equals
+    text_bpe_pair_topk's rank-1 pair (same stage-0 statistic), (c)
+    weighted_freq is NON-INCREASING across merges -- merging the
+    argmax pair can only create pairs bounded by its own count, the
+    classic BPE monotonicity -- and (d) every merged symbol is the
+    concatenation of its parts and parts may be prior merges."""
+    from query_optimizer_spark.functions.text import BPE_TRAIN_MERGES
+
+    rows = sorted(
+        PIPELINE_OPS["text_bpe_train"][0](spark, SF_DIR).collect(),
+        key=lambda r: r.merge_rank,
+    )
+    assert [r.merge_rank for r in rows] == list(
+        range(1, BPE_TRAIN_MERGES + 1)
+    )
+    top = sorted(
+        PIPELINE_OPS["text_bpe_pair_topk"][0](spark, SF_DIR).collect(),
+        key=lambda r: r.rank,
+    )[0]
+    assert rows[0].left_sym + rows[0].right_sym == top.pair
+    assert rows[0].weighted_freq == top.cnt
+    last = None
+    seen = set()
+    for r in rows:
+        assert r.merged == r.left_sym + r.right_sym
+        assert last is None or r.weighted_freq <= last
+        last = r.weighted_freq
+        seen.add(r.merged)
+    # later merges may consume earlier merged symbols (that is what
+    # distinguishes training from the stage-0 statistic); at minimum
+    # nothing requires they don't -- assert structural sanity only
+    assert all(len(r.merged) >= 2 for r in rows)
+
+
 def test_user_features_consistency(spark, duck):
     """Feature vector covers every user exactly once; the dominant type
     really is a modal event type for that user."""
