@@ -195,7 +195,7 @@ headline = [
     # expiry + vacuum (reps measure the retained-version read), and
     # coarse-quantizer recluster (reps measure the new-model probe)
     "sim_ivf_compact", "io_snapshot_changes", "io_snapshot_expiry",
-    "sim_ivf_recluster", "text_bpe_train",
+    "sim_ivf_recluster", "text_bpe_train", "io_snapshot_branch",
 ]
 
 
@@ -296,6 +296,7 @@ def main() -> None:
             # the vacuum, and the manifest diffs are the one-time
             # cost; reps measure the manifest-pruned reads
             from query_optimizer_spark.sources import (
+                snapshot_branch,
                 snapshot_changes,
                 snapshot_expiry,
                 snapshot_time_travel,
@@ -304,6 +305,7 @@ def main() -> None:
             snapshot_time_travel(spark, sf_dir).count()
             snapshot_changes(spark, sf_dir).count()
             snapshot_expiry(spark, sf_dir).count()
+            snapshot_branch(spark, sf_dir).count()
             # shared KMV shingle scan + exact proof leg (r14, VERDICT
             # r13 "what's wrong" #1): building it here charges the
             # one-time cost to warmup_sec, so text_kmv_overlap /

@@ -549,6 +549,14 @@ PIPELINE_OPS: dict[str, tuple] = {
         sources.snapshot_expiry,
         sources.snapshot_expiry_oracle(),
     ),
+    # r14: snapshot branching -- a branch is another manifest chain
+    # forking at v2, applying its OWN COW delete into its OWN
+    # directory; main's manifests byte-unchanged (raise-enforced);
+    # base/main/branch each read from their manifest's exact files
+    "io_snapshot_branch": (
+        sources.snapshot_branch,
+        sources.snapshot_branch_oracle(),
+    ),
     # r12: incremental ANN ingest -- the IVF twin of the dedup ingest
     # loop: base index built WITHOUT the batch, batch encoded under the
     # frozen model and dynamic-partition-overwritten into ONLY its

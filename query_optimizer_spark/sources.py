@@ -824,6 +824,10 @@ SNAPSHOT_FILES_PER_COMMIT = 4
 # deletion request does not grow because the table did.
 SNAPSHOT_TD_LO_RANK = 32
 SNAPSHOT_TD_HI_RANK = 96
+# the BRANCH's takedown window -- a different rank range than main's,
+# so the two refs' histories genuinely diverge from the shared fork
+SNAPSHOT_BR_LO_RANK = 128
+SNAPSHOT_BR_HI_RANK = 192
 
 # per-(applicationId, sf_dir#store) file-count evidence, recorded on
 # EVERY _snapshot_commits call -- cached ones reload the manifests
@@ -858,6 +862,18 @@ def _uri_to_path(uri: str) -> str:
     return unquote(parsed.path) if parsed.scheme else uri
 
 
+def _rank_bound(ids: DataFrame, rank: int):
+    """doc_id at ascending rank ``rank`` of the distinct ids -- the max
+    of the ``rank`` smallest (TakeOrderedAndProject, never a global
+    sort).  One scalar collect -- model state."""
+    from pyspark.sql import functions as F
+
+    return (
+        ids.orderBy("doc_id").limit(rank).agg(F.max("doc_id"))
+        .collect()[0][0]
+    )
+
+
 def _snapshot_bounds(spark: SparkSession, docs: DataFrame):
     """(split, lo, hi) -- the v1/v2 append split (floor(max/2): exact
     integer arithmetic) and the takedown ranks' doc_id values.  Three
@@ -868,33 +884,32 @@ def _snapshot_bounds(spark: SparkSession, docs: DataFrame):
         F.expr("cast(floor(max(doc_id) / 2.0) as bigint)")
     ).collect()[0][0]
     ids = docs.select("doc_id").distinct()
-    lo = (
-        ids.orderBy("doc_id")
-        .limit(SNAPSHOT_TD_LO_RANK)
-        .agg(F.max("doc_id"))
-        .collect()[0][0]
+    return (
+        split,
+        _rank_bound(ids, SNAPSHOT_TD_LO_RANK),
+        _rank_bound(ids, SNAPSHOT_TD_HI_RANK),
     )
-    hi = (
-        ids.orderBy("doc_id")
-        .limit(SNAPSHOT_TD_HI_RANK)
-        .agg(F.max("doc_id"))
-        .collect()[0][0]
-    )
-    return split, lo, hi
 
 
 def _snapshot_bounds_sql() -> str:
-    """The bounds CTE every snapshot oracle shares -- same split and
-    same rank-order-statistic takedown bounds, recomputed by DuckDB."""
+    """The bounds CTE every snapshot oracle shares -- same split, the
+    same rank-order-statistic takedown bounds, plus the branch ranks'
+    bounds, all recomputed by DuckDB."""
+
+    def _rb(rank: int) -> str:
+        return (
+            "(SELECT max(doc_id) FROM ("
+            "SELECT DISTINCT doc_id FROM documents"
+            f" ORDER BY doc_id LIMIT {rank}))"
+        )
+
     return f"""bounds AS (
             SELECT (SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT)
                     FROM documents) AS s,
-                   (SELECT max(doc_id) FROM (
-                        SELECT DISTINCT doc_id FROM documents
-                        ORDER BY doc_id LIMIT {SNAPSHOT_TD_LO_RANK})) AS lo,
-                   (SELECT max(doc_id) FROM (
-                        SELECT DISTINCT doc_id FROM documents
-                        ORDER BY doc_id LIMIT {SNAPSHOT_TD_HI_RANK})) AS hi
+                   {_rb(SNAPSHOT_TD_LO_RANK)} AS lo,
+                   {_rb(SNAPSHOT_TD_HI_RANK)} AS hi,
+                   {_rb(SNAPSHOT_BR_LO_RANK)} AS blo,
+                   {_rb(SNAPSHOT_BR_HI_RANK)} AS bhi
         )"""
 
 
@@ -1257,4 +1272,127 @@ def snapshot_expiry_oracle() -> str:
         SELECT CAST(3 AS INT) AS version, {_SNAP_STATS_SQL}
         FROM documents, bounds
         WHERE NOT (doc_id > bounds.lo AND doc_id <= bounds.hi)
+    """
+
+
+def snapshot_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot BRANCHING -- divergent histories over shared immutable
+    files (Iceberg refs / Nessie's git-for-data): a branch is nothing
+    but another manifest chain whose first entry points at an existing
+    version's file set.  The lakehouse workflow this enables at 100 TB
+    -- audit a takedown, test a migration, stage a backfill WITHOUT
+    copying the table -- is pure manifest arithmetic.
+
+    ``branch1`` forks from v2 (the fork point main's v3 also grew
+    from) and applies its OWN copy-on-write delete of a DIFFERENT
+    rank window [BR_LO, BR_HI): affected files are located with the
+    same normalized ``input_file_name`` probe, rewritten filtered into
+    the branch's OWN ``branch1/`` directory, and
+    ``manifest_branch1.json`` = v2's untouched files + the branch
+    rewrites.  Main's manifests and data files are never written --
+    raise-enforced here by snapshotting every main-manifest path
+    before and after the branch commit (and pytest re-asserts
+    byte-identity of the shared files).  The two refs now share most
+    of their storage while disagreeing exactly on their private
+    deletes.
+
+    Columns: one row per ref -- (ref, n_docs, total_chars, min_doc,
+    max_doc) for the common ancestor ``base@v2``, ``main@v3``, and
+    ``branch1`` -- each read from ITS manifest's exact file list; the
+    oracle recomputes all three from raw with the same split/rank
+    predicates.  Scale shape: the branch commit reads only the files
+    overlapping its range; the three reads are manifest-pruned."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    base, manifests = _snapshot_commits(spark, sf_dir)
+    bmanifest = base / "manifest_branch1.json"
+    if not bmanifest.exists():
+        main_state = {
+            v: (base / f"manifest_v{v}.json").read_text()
+            for v in (1, 2, 3)
+        }
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ids = docs.select("doc_id").distinct()
+        blo = _rank_bound(ids, SNAPSHOT_BR_LO_RANK)
+        bhi = _rank_bound(ids, SNAPSHOT_BR_HI_RANK)
+        doomed = (F.col("doc_id") > blo) & (F.col("doc_id") <= bhi)
+        v2 = manifests[2]
+        affected = {
+            _uri_to_path(r.f)
+            for r in spark.read.parquet(*v2)
+            .filter(doomed)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        stray = affected - set(v2)
+        if stray:
+            raise RuntimeError(
+                f"branch probe left the v2 file set: {sorted(stray)[:3]}"
+            )
+        if not affected:
+            raise RuntimeError(
+                "branch takedown matched zero files -- the divergence"
+                " would be vacuous"
+            )
+        bdir = base / "branch1"
+        if not (bdir / "_SUCCESS").exists():
+            (
+                spark.read.parquet(*sorted(affected))
+                .filter(~doomed)
+                .write.mode("overwrite")
+                .parquet(str(bdir))
+            )
+        bfiles = [f for f in v2 if f not in affected] + sorted(
+            str(p) for p in bdir.glob("*.parquet")
+        )
+        bmanifest.write_text(_json.dumps(bfiles))
+        # a branch commit may not move main by a single byte
+        for v, txt in main_state.items():
+            if (base / f"manifest_v{v}.json").read_text() != txt:
+                raise RuntimeError(
+                    f"branch commit rewrote main manifest v{v}"
+                )
+
+    def _ref_stats(files: list[str], ref: str) -> DataFrame:
+        return (
+            spark.read.parquet(*files)
+            .groupBy()
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .select(
+                F.lit(ref).alias("ref"),
+                "n_docs",
+                "total_chars",
+                "min_doc",
+                "max_doc",
+            )
+        )
+
+    bfiles = _json.loads(bmanifest.read_text())
+    return (
+        _ref_stats(manifests[2], "base@v2")
+        .unionByName(_ref_stats(manifests[3], "main@v3"))
+        .unionByName(_ref_stats(bfiles, "branch1"))
+    )
+
+
+def snapshot_branch_oracle() -> str:
+    return f"""
+        WITH {_snapshot_bounds_sql()}
+        SELECT 'base@v2' AS ref, {_SNAP_STATS_SQL} FROM documents
+        UNION ALL
+        SELECT 'main@v3' AS ref, {_SNAP_STATS_SQL}
+        FROM documents, bounds
+        WHERE NOT (doc_id > bounds.lo AND doc_id <= bounds.hi)
+        UNION ALL
+        SELECT 'branch1' AS ref, {_SNAP_STATS_SQL}
+        FROM documents, bounds
+        WHERE NOT (doc_id > bounds.blo AND doc_id <= bounds.bhi)
     """

@@ -416,6 +416,13 @@ def main() -> None:
               lambda sf=f"{WORK}/disjoint_x{k}":
                   qsources.snapshot_expiry(spark, sf),
               n_docs0 * k, post=_exp_post)
+        # --- snapshot branching (r14): the branch commit reads/writes
+        # only the files overlapping its fixed-rank window (~flat);
+        # the three ref reads are manifest-pruned
+        probe("io_snapshot_branch", "disjoint", k,
+              lambda sf=f"{WORK}/disjoint_x{k}":
+                  qsources.snapshot_branch(spark, sf),
+              n_docs0 * k)
         # --- BM25 retrieval (r12): the corpus-sized stage is the token
         # explode pruned by the broadcast term join.  Disjoint replicas
         # suffix every token, so query terms match ONLY the original

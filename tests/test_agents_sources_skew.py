@@ -318,6 +318,71 @@ def test_snapshot_changes_reads_only_changed_files(spark):
     assert untouched_v1 and not (read & untouched_v1)
 
 
+def test_snapshot_branch_diverges_without_touching_main(spark):
+    """io_snapshot_branch (r14): (a) the three refs match the from-raw
+    oracle, (b) the branch commit leaves main's manifests AND every
+    shared data file byte-identical, (c) the branch manifest shares
+    exactly v2's untouched files and adds only branch1/ rewrites, and
+    (d) the two refs disagree exactly on their private deletes (main
+    lacks its range, branch lacks the other)."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    import duckdb
+
+    from query_optimizer_spark import sources
+    from query_optimizer_spark.sources import session_state_path
+    from .test_spark_exec import duck_hash
+
+    base = Path(session_state_path(spark, SF_DIR, "doc_snapshots"))
+    shutil.rmtree(base, ignore_errors=True)
+    # build main first so we can snapshot it around the branch commit
+    sources.snapshot_time_travel(spark, SF_DIR).collect()
+
+    def main_snap():
+        return {
+            str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+            for p in base.rglob("*")
+            if p.is_file() and "branch1" not in str(p)
+        }
+
+    before = main_snap()
+    df = sources.snapshot_branch(spark, SF_DIR)
+    got = result_hash(df)
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_DIR}/documents.parquet'"
+    )
+    assert got == duck_hash(duck, sources.snapshot_branch_oracle())
+    assert main_snap() == before, "branch commit touched main"
+
+    m2 = set(json.loads((base / "manifest_v2.json").read_text()))
+    m3 = set(json.loads((base / "manifest_v3.json").read_text()))
+    b1 = set(json.loads((base / "manifest_branch1.json").read_text()))
+    rewrites = {f for f in b1 if "branch1" in f}
+    assert rewrites and (b1 - rewrites) < m2
+    # divergence: each ref removed a DIFFERENT part of v2
+    assert (m2 - m3) != (m2 - b1) and (m2 - m3) and (m2 - b1)
+    rows = {r.ref: r for r in df.collect()}
+    assert rows["base@v2"].n_docs > rows["main@v3"].n_docs
+    assert rows["base@v2"].n_docs > rows["branch1"].n_docs
+    assert rows["main@v3"].n_docs != rows["base@v2"].n_docs
+
+    # warm rerun: nothing on disk changes anywhere
+    def full_snap():
+        return {
+            str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+            for p in base.rglob("*")
+            if p.is_file()
+        }
+
+    b = full_snap()
+    assert result_hash(sources.snapshot_branch(spark, SF_DIR)) == got
+    assert full_snap() == b
+
+
 def test_snapshot_expiry_vacuums_only_orphans(spark):
     """io_snapshot_expiry (r14): (a) the retained version still answers
     its from-raw oracle after the vacuum, (b) orphans -- exactly the
