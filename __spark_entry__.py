@@ -102,7 +102,7 @@ def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r10.  Four of them (corpus_decontaminate_bloom, corpus_pack_sequences,
 # corpus_vocab_topk, evt_anomaly_hours) were ALSO touched by this
 # round's count()-guard sweep, so their re-gate does double duty.
-# Positions 19-24 are the ops ADDED in r14 (sim_ivf_compact -- the
+# Positions 19-25 are the ops ADDED in r14 (sim_ivf_compact -- the
 # maintenance quarter of the ANN lifecycle: file-level ingest appends
 # fragment hot lists, compaction rewrites ONLY the fragmented lists
 # and must still answer like single-shot IVFADC; io_snapshot_changes
@@ -120,8 +120,10 @@ def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # chained CTEs; io_snapshot_branch -- divergent manifest chains over
 # shared immutable files: the branch forks at v2, applies its own COW
 # delete of a different rank window into its own directory, and main
-# must stay byte-identical, raise-enforced).
-# Positions 25-28 are the ops r14 TOUCHED: io_snapshot_time_travel's
+# must stay byte-identical, raise-enforced; text_bpe_apply -- the
+# trained merges applied and the tokens-per-word compression
+# measured, the tokenizer acceptance metric).
+# Positions 26-29 are the ops r14 TOUCHED: io_snapshot_time_travel's
 # takedown range is now a rank order statistic of the observed doc_ids
 # (VERDICT r13 #7: max/k arithmetic hit id voids on striped replicas,
 # making the probe's COW delete vacuous) with urllib-normalized
@@ -132,7 +134,7 @@ def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # drifted with declaration order); and sim_ivf_multibatch's
 # stop_after hook now raises on a warm index (r13 ADVICE) -- it also
 # seeds the store sim_ivf_compact compacts.
-# Positions 29-47 are the 19 OTHER ops the r14 count()-guard sweep
+# Positions 30-48 are the 19 OTHER ops the r14 count()-guard sweep
 # touched (VERDICT r13 #2: the r13 hazard generalized -- a
 # registry-wide audit, scripts/count_prune_audit.py, found 23 ops
 # whose trailing LEFT joins / Windows Catalyst eliminated under a
@@ -141,12 +143,12 @@ def _env_agent_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plan, and the sweep is pinned by
 # tests/test_plan_shape.py::test_registry_ops_survive_count_pruning).
 # Nine of these were due r10-stratum rotation anyway.
-# Positions 48-50 rotate the SQL slice of the 44-row r10-freshness
-# stratum (3 of the 4 shared-derived-partsupp TPC-H queries);
-# sql_q20_promotion_stock, sql_recursive_spine and join_group_3 --
-# displaced by the late-r14 recluster / BPE-trainer / branch
-# additions -- plus the 29 other deferred r10 rows are pinned as
-# _R15_FIRST at positions 51-82, first in line for r15.
+# Positions 49-50 rotate the SQL slice of the 44-row r10-freshness
+# stratum (2 of the 4 shared-derived-partsupp TPC-H queries); the
+# four rows displaced by the late-r14 recluster / BPE-trainer /
+# branch / BPE-apply additions (sql_q16, sql_q20, sql_recursive_spine,
+# join_group_3) plus the 29 other deferred r10 rows are pinned as
+# _R15_FIRST at positions 51-83, first in line for r15.
 # =========================================================================
 _R14_WINDOW = [
     # --- the 18 r9-evidence rows pinned by r13 (VERDICT r13 #1) ---
@@ -175,6 +177,7 @@ _R14_WINDOW = [
     "sim_ivf_recluster",
     "text_bpe_train",
     "io_snapshot_branch",
+    "text_bpe_apply",
     # --- touched in r14 (rank-derived takedown range + keyed snapshot
     # evidence; appId-keyed eagerly-built KMV cache; warm stop_after
     # raise + compaction seed) ---
@@ -206,7 +209,6 @@ _R14_WINDOW = [
     # --- r10-stratum rotation: the SQL slice ---
     "sql_q2_min_cost_supplier",
     "sql_q11_important_stock",
-    "sql_q16_supplier_cnt",
 ]
 
 # positions 51-81: sql_recursive_spine and join_group_3 (displaced
@@ -215,6 +217,7 @@ _R14_WINDOW = [
 # remainder (corpus/emb/evt/io/mm/sim/stream/text families), first in
 # line for r15
 _R15_FIRST = [
+    "sql_q16_supplier_cnt",
     "sql_q20_promotion_stock",
     "sql_recursive_spine",
     "join_group_3",
@@ -321,19 +324,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     touched, then 20 of the 38-query r9-freshness stratum, pinning the
     18-row remainder.  Round 14's window is the explicit
     ``_R14_WINDOW`` list above: those 18 pinned r9 rows first (after
-    this round the freshness floor is r10), the six r14 additions
+    this round the freshness floor is r10), the seven r14 additions
     (ANN list compaction; snapshot CDC read; snapshot expiry+vacuum;
     IVF recluster -- the coarse-quantizer retrain after heavy
-    deletion; the iterative BPE trainer; snapshot branching), the 4
-    ops r14 touched (rank-derived snapshot takedown + keyed evidence,
-    the appId-keyed eagerly-built KMV cache, the multibatch warm-hook
-    raise), the 19 other ops the registry-wide count()-guard sweep
-    touched (VERDICT r13 #2 -- 9 of them due r10 rotation anyway),
-    then the SQL slice of the r10 stratum; the three rows displaced
-    by the late recluster / BPE-trainer / branch additions
-    (sql_q20_promotion_stock, sql_recursive_spine, join_group_3) and
-    the 29 other deferred r10 rows are pinned as ``_R15_FIRST`` at
-    positions 51-82.
+    deletion; the iterative BPE trainer and its apply/compression
+    twin; snapshot branching), the 4 ops r14 touched (rank-derived
+    snapshot takedown + keyed evidence, the appId-keyed eagerly-built
+    KMV cache, the multibatch warm-hook raise), the 19 other ops the
+    registry-wide count()-guard sweep touched (VERDICT r13 #2 -- 9 of
+    them due r10 rotation anyway), then the SQL slice of the r10
+    stratum; the four rows displaced by the late additions (sql_q16,
+    sql_q20, sql_recursive_spine, join_group_3) and the 29 other
+    deferred r10 rows are pinned as ``_R15_FIRST`` at positions
+    51-83.
     ALL declared queries are
     checked against their DuckDB oracles by scripts/local_gate.py
     (checked-in: CORRECTNESS_LOCAL_FULL.json) and pytest every round

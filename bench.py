@@ -196,6 +196,7 @@ headline = [
     # coarse-quantizer recluster (reps measure the new-model probe)
     "sim_ivf_compact", "io_snapshot_changes", "io_snapshot_expiry",
     "sim_ivf_recluster", "text_bpe_train", "io_snapshot_branch",
+    "text_bpe_apply",
 ]
 
 

@@ -632,4 +632,12 @@ PIPELINE_OPS: dict[str, tuple] = {
         text.bpe_train_merges,
         text.bpe_train_merges_oracle(),
     ),
+    # r14: apply the K trained merges and measure the tokens-per-word
+    # compression -- the acceptance metric before shipping a tokenizer;
+    # shares the trainer's loop + memoized word table; one row of exact
+    # integers + one correctly-rounded division
+    "text_bpe_apply": (
+        text.bpe_apply_stats,
+        text.bpe_apply_stats_oracle(),
+    ),
 }

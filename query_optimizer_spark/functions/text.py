@@ -671,6 +671,17 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs, each applying the previous stage's argmax via scalar
     subqueries -- an independently-planned recomputation of the whole
     loop."""
+    merges, _ = _bpe_run(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _bpe_run(spark: SparkSession, sf_dir: str):
+    """The K-merge trainer loop shared by ``bpe_train_merges`` (returns
+    the merge table) and ``bpe_apply_stats`` (aggregates the final
+    encoding): returns ``(merge frames, final encoded frame)``."""
     S = _BPE_SEP
     S2 = S + S
     words = _bpe_words(spark, sf_dir)
@@ -724,10 +735,73 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
             "freq",
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    return merges, enc
+
+
+def bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the K trained merges and measure what training bought --
+    the tokens-per-word COMPRESSION the merge table exists to optimize
+    (the acceptance metric before shipping a tokenizer): corpus-
+    frequency-weighted symbol counts before (one symbol per character)
+    and after the K merges, and their ratio.
+
+    Same machinery as ``text_bpe_train`` (shared ``_bpe_run`` loop over
+    the memoized word-frequency table); the final encoding aggregates
+    to ONE row of exact integers plus one correctly-rounded division,
+    so both engines agree on every bit.  Columns: (n_words,
+    symbols_before, symbols_after, compression)."""
+    S2 = _BPE_SEP + _BPE_SEP
+    _, enc = _bpe_run(spark, sf_dir)
+    after = enc.agg(
+        F.sum(
+            F.expr(
+                "freq * size(split(substring(s, 2, length(s) - 2),"
+                f" '{S2}'))"
+            )
+        )
+        .cast("long")
+        .alias("symbols_after")
+    )
+    before = _bpe_words(spark, sf_dir).agg(
+        F.sum("freq").cast("long").alias("n_words"),
+        F.sum(F.expr("freq * length(w)")).cast("long").alias(
+            "symbols_before"
+        ),
+    )
+    return before.crossJoin(after).select(
+        "n_words",
+        "symbols_before",
+        "symbols_after",
+        F.round(
+            F.col("symbols_after") / F.col("symbols_before"), 6
+        ).alias("compression"),
+    )
+
+
+def bpe_apply_stats_oracle() -> str:
+    """The same K unrolled stages, aggregated: symbols_before from the
+    raw word table, symbols_after from the final stage's encoding."""
+    sep = "chr(31)"
+    train = bpe_train_merges_oracle()
+    # reuse the trainer's CTE chain verbatim; swap the final union for
+    # the before/after aggregate join
+    body = train[: train.rindex("SELECT * FROM b1")]
+    k = BPE_TRAIN_MERGES
+    return f"""{body}SELECT a.n_words, a.symbols_before,
+               b.symbols_after,
+               round(b.symbols_after / (1.0 * a.symbols_before), 6)
+                   AS compression
+        FROM (
+            SELECT CAST(sum(freq) AS BIGINT) AS n_words,
+                   CAST(sum(freq * len(w)) AS BIGINT) AS symbols_before
+            FROM words
+        ) a, (
+            SELECT CAST(sum(freq * len(string_split(
+                       substr(s, 2, length(s) - 2),
+                       {sep} || {sep}))) AS BIGINT) AS symbols_after
+            FROM s{k}
+        ) b
+    """
 
 
 def bpe_train_merges_oracle() -> str:

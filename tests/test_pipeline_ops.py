@@ -576,6 +576,20 @@ def test_bpe_train_merge_sequence(spark):
     # nothing requires they don't -- assert structural sanity only
     assert all(len(r.merged) >= 2 for r in rows)
 
+    # the apply/compression twin: each application removes one symbol
+    # per NON-overlapping occurrence, and the decision-time count is
+    # the OVERLAPPING one, so the removal is bounded by (and on
+    # overlap-free corpora equals) sum(weighted_freq); compression is
+    # strictly < 1 and n_words <= symbols_after (a word is >= 1 symbol)
+    stats = PIPELINE_OPS["text_bpe_apply"][0](spark, SF_DIR).collect()
+    assert len(stats) == 1
+    st = stats[0]
+    assert st.symbols_after >= st.symbols_before - sum(
+        r.weighted_freq for r in rows
+    )
+    assert st.n_words <= st.symbols_after < st.symbols_before
+    assert 0 < st.compression < 1
+
 
 def test_user_features_consistency(spark, duck):
     """Feature vector covers every user exactly once; the dominant type
