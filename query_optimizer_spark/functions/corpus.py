@@ -1188,9 +1188,14 @@ def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("n_docs") / F.sum("n_docs").over(w), 6
         ).alias("share"),
-        # count()-elimination guard (r14 sweep): every source's share
-        # of the corpus is in (0, 1]
-    ).filter((F.col("share") > 0) & (F.col("share") <= 1))
+        # count()-elimination guard (r14 sweep; predicate revised r15
+        # ADVICE): strict positivity is checked on the UNROUNDED
+        # n_docs (a genuine source with share < 5e-7 rounds to 0.0,
+        # so `share > 0` would silently drop it at large corpus
+        # sizes); `share <= 1` is total -- round() can never push a
+        # ratio above 1 -- and keeps the window column referenced so
+        # Catalyst cannot eliminate the window under a bare count()
+    ).filter((F.col("n_docs") >= 1) & (F.col("share") <= 1))
 
 
 def source_stats_oracle() -> str:

@@ -2963,9 +2963,15 @@ def ivf_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint()
             )
             cold = F.col("cent_id") % 4 == 0
-            encoded.filter(cold).write.mode("append").partitionBy(
-                "cent_id"
-            ).parquet(idx_path)
+            # one file per cold list, at EVERY scale: partitionBy
+            # writes one file per (task, cent_id), so a multi-
+            # partition encoded frame (e.g. scale_probe's disjoint_x
+            # replicas) would fragment cold lists too and silently
+            # promote them into the _FRAG_LISTS work list, undermining
+            # the "cold lists never read/rewritten" claim (r15 ADVICE)
+            encoded.filter(cold).repartition("cent_id").write.mode(
+                "append"
+            ).partitionBy("cent_id").parquet(idx_path)
             for i in range(IVF_COMPACT_BATCHES):
                 (
                     encoded.filter(

@@ -514,9 +514,13 @@ def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("round(cnt / sum(cnt) over (partition by event_type), 6)").alias(
             "p"
         ),
-        # count()-elimination guard (r14 sweep): cnt >= 1 per pair and
-        # the per-type sum >= cnt, so p is always in (0, 1]
-    ).filter((F.col("p") > 0) & (F.col("p") <= 1))
+        # count()-elimination guard (r14 sweep; predicate revised r15
+        # ADVICE): strict positivity on the UNROUNDED cnt -- a genuine
+        # pair with p < 5e-7 rounds to 0.0, so `p > 0` would silently
+        # drop it at scale; `p <= 1` is total (round never pushes a
+        # ratio above 1) and keeps the window column referenced so the
+        # window survives count()-pruning
+    ).filter((F.col("cnt") >= 1) & (F.col("p") <= 1))
 
 
 def transition_matrix_oracle() -> str:

@@ -421,14 +421,22 @@ def oov_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("int").alias("n_bigrams"),
             F.sum(F.coalesce("in_head", F.lit(0))).cast("int").alias("n_head"),
         )
+        # count()-elimination guard (r14 sweep; predicate revised r15
+        # ADVICE): guard on the non-null components directly --
+        # filtering round(1.0 - oov_rate, 6) >= 0 would evaluate to
+        # NULL (row silently dropped) if oov_rate were ever NULL
+        # (n_bigrams = 0), changing semantics instead of failing if
+        # the explode-drops-bigramless-docs invariant ever broke.
+        # n_head references the LEFT-join-derived sum, so the join
+        # still survives count()-pruning, and the predicate is total.
+        .filter(
+            (F.col("n_head") >= 0) & (F.col("n_head") <= F.col("n_bigrams"))
+        )
         .select(
             "doc_id",
             "n_bigrams",
             F.expr("round(1.0 - n_head / n_bigrams, 6)").alias("oov_rate"),
         )
-        # count()-elimination guard (r14 sweep): the broadcast head
-        # join is unique on bigram; n_head <= n_bigrams by construction
-        .filter(F.expr("round(1.0 - oov_rate, 6) >= 0"))
     )
 
 
@@ -784,8 +792,11 @@ def bpe_apply_stats_oracle() -> str:
     sep = "chr(31)"
     train = bpe_train_merges_oracle()
     # reuse the trainer's CTE chain verbatim; swap the final union for
-    # the before/after aggregate join
-    body = train[: train.rindex("SELECT * FROM b1")]
+    # the before/after aggregate join.  Anchor on the newline-
+    # terminated first union member: a bare rindex("SELECT * FROM b1")
+    # would also prefix-match "SELECT * FROM b10" once
+    # BPE_TRAIN_MERGES >= 10 and cut mid-union (r15 ADVICE)
+    body = train[: train.index("SELECT * FROM b1\n")]
     k = BPE_TRAIN_MERGES
     return f"""{body}SELECT a.n_words, a.symbols_before,
                b.symbols_after,

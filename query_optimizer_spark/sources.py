@@ -1348,13 +1348,18 @@ def snapshot_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         bfiles = [f for f in v2 if f not in affected] + sorted(
             str(p) for p in bdir.glob("*.parquet")
         )
-        bmanifest.write_text(_json.dumps(bfiles))
-        # a branch commit may not move main by a single byte
+        # a branch commit may not move main by a single byte -- and the
+        # branch manifest is written only AFTER that verification
+        # passes (r15 ADVICE: writing it first meant a raise here left
+        # the manifest behind, so every warm call skipped the build
+        # branch and returned "successfully" against corrupted main
+        # state, masking the violation)
         for v, txt in main_state.items():
             if (base / f"manifest_v{v}.json").read_text() != txt:
                 raise RuntimeError(
                     f"branch commit rewrote main manifest v{v}"
                 )
+        bmanifest.write_text(_json.dumps(bfiles))
 
     def _ref_stats(files: list[str], ref: str) -> DataFrame:
         return (
