@@ -640,4 +640,14 @@ PIPELINE_OPS: dict[str, tuple] = {
         text.bpe_apply_stats,
         text.bpe_apply_stats_oracle(),
     ),
+    # r15: per-document tokenizer ENCODE under the K trained merges --
+    # the token-ids emission a training run consumes (VERDICT r14
+    # missing #2); zero-shuffle narrow projection (K chained replaces
+    # inside a transform lambda), ids_hash pins the full ordered id
+    # sequence per doc; oracle reuses the trainer CTE chain with the
+    # b1..bK one-row merge tables cross-joined in
+    "text_bpe_encode": (
+        text.bpe_encode_docs,
+        text.bpe_encode_docs_oracle(),
+    ),
 }
