@@ -383,6 +383,104 @@ def test_snapshot_branch_diverges_without_touching_main(spark):
     assert full_snap() == b
 
 
+def test_merge_manifest_conflict_and_fast_forward():
+    """_merge_manifest (r15) is pure set arithmetic: disjoint rewrites
+    merge (target's chain + branch's private files), overlapping
+    ancestor rewrites RAISE SnapshotMergeConflict, and merging into the
+    unadvanced fork point fast-forwards to the branch head through the
+    same code path."""
+    import pytest as _pytest
+
+    from query_optimizer_spark.sources import (
+        SnapshotMergeConflict,
+        _merge_manifest,
+    )
+
+    fork = ["a", "b", "c"]
+    target = ["a", "b", "x"]  # target rewrote c -> x
+    branch = ["a", "c", "y"]  # branch rewrote b -> y
+    assert _merge_manifest(target, fork, branch) == ["a", "x", "y"]
+    # fast-forward: target == fork -> exactly the branch head
+    assert _merge_manifest(fork, fork, branch) == sorted(branch)
+    # conflict: both refs rewrote ancestor b
+    with _pytest.raises(SnapshotMergeConflict):
+        _merge_manifest(["a", "c", "x"], fork, branch)
+    # no-op merge: branch == fork -> exactly the target
+    assert _merge_manifest(target, fork, fork) == sorted(target)
+
+
+def test_snapshot_merge_closes_branch_loop(spark):
+    """io_snapshot_merge (r15): (a) all four refs match the from-raw
+    oracle, (b) the merge writes ZERO data files outside branch2/ and
+    leaves every pre-existing file byte-identical (it is manifest set
+    arithmetic), (c) v4 carries BOTH refs' private rewrites and drops
+    both refs' touched ancestors, (d) the disjoint-window row
+    arithmetic holds exactly (merged = main + branch2 - base), and
+    (e) a warm rerun changes nothing on disk."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    import duckdb
+
+    from query_optimizer_spark import sources
+    from query_optimizer_spark.sources import session_state_path
+    from .test_spark_exec import duck_hash
+
+    base = Path(session_state_path(spark, SF_DIR, "doc_snapshots"))
+    shutil.rmtree(base, ignore_errors=True)
+    sources.snapshot_time_travel(spark, SF_DIR).collect()
+
+    def snap(exclude: str = "") -> dict:
+        return {
+            str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+            for p in base.rglob("*")
+            if p.is_file() and (not exclude or exclude not in str(p))
+        }
+
+    before = snap()
+    df = sources.snapshot_merge(spark, SF_DIR)
+    got = result_hash(df)
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_DIR}/documents.parquet'"
+    )
+    assert got == duck_hash(duck, sources.snapshot_merge_oracle())
+    # every file that existed before the merge is byte-identical, and
+    # the only additions are branch2's rewrites + the two manifests
+    after = snap()
+    assert {k: v for k, v in after.items() if k in before} == before
+    new = set(after) - set(before)
+    assert new and all(
+        "branch2" in p or p.endswith("manifest_v4_merge.json") for p in new
+    ), new
+
+    m2 = set(json.loads((base / "manifest_v2.json").read_text()))
+    m3 = set(json.loads((base / "manifest_v3.json").read_text()))
+    b2 = set(json.loads((base / "manifest_branch2.json").read_text()))
+    v4 = set(json.loads((base / "manifest_v4_merge.json").read_text()))
+    # v4 holds both refs' private rewrites, neither ref's tombstones
+    assert (m3 - m2) <= v4 and (b2 - m2) <= v4
+    assert not (v4 & (m2 - m3)) and not (v4 & (m2 - b2))
+    # the two refs touched DISJOINT ancestors (commit1 vs commit2)
+    assert not ((m2 - m3) & (m2 - b2))
+
+    rows = {r.ref: r for r in df.collect()}
+    n_base = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert (
+        rows["merged@v4"].n_docs
+        == rows["main@v3"].n_docs + rows["branch2"].n_docs - n_base
+    )
+    assert rows["ff@fork+branch2"].n_docs == rows["branch2"].n_docs
+    assert rows["merged@v4"].n_docs < rows["main@v3"].n_docs < n_base
+
+    # warm rerun: nothing on disk changes anywhere
+    b = snap()
+    assert result_hash(sources.snapshot_merge(spark, SF_DIR)) == got
+    assert snap() == b
+
+
 def test_snapshot_expiry_vacuums_only_orphans(spark):
     """io_snapshot_expiry (r14): (a) the retained version still answers
     its from-raw oracle after the vacuum, (b) orphans -- exactly the
