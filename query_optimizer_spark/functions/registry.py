@@ -627,6 +627,16 @@ PIPELINE_OPS: dict[str, tuple] = {
         streaming.window_funnel_stream,
         streaming.window_funnel_stream_oracle(),
     ),
+    # r15: streaming tail of the snapshot manifest chain (VERDICT r14
+    # #6) -- commit-time change feed derived from the manifest diff
+    # alone (Delta CDF discipline), then a maxFilesPerTrigger=1
+    # file-source readStream where each commit is raise-enforced to
+    # ride its OWN micro-batch; bounded-state aggregate (one group per
+    # (version, change)); oracle recomputes both deltas from raw
+    "stream_cdc_tail": (
+        streaming.cdc_tail_stream,
+        streaming.cdc_tail_stream_oracle(),
+    ),
     # r12: per-doc novelty -- fraction of a doc's distinct K-gram spans
     # FIRST seen in it (the data-accumulation dual of dedup_substring's
     # copied fraction; same gram machinery)

@@ -13,6 +13,8 @@ same code tails a directory/Kafka source continuously.
 from .ops import (
     asof_stream,
     asof_stream_oracle,
+    cdc_tail_stream,
+    cdc_tail_stream_oracle,
     incremental_dedup_stream,
     incremental_dedup_stream_oracle,
     kmv_distinct_stream,

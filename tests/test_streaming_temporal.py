@@ -455,3 +455,37 @@ def test_stream_kmv_distinct_matches_batch_sketch(spark, duck):
             assert abs(r.kmv_distinct_est / n - 1) <= 6.0 / KMV_K ** 0.5, (
                 r, n,
             )
+
+
+def test_stream_cdc_tail_per_commit_batches(spark, duck):
+    """stream_cdc_tail (r15): (a) the streaming CDC summary matches the
+    from-raw oracle, (b) each commit rode its own micro-batch (the op
+    raise-enforces this internally; re-assert from the captured
+    progress), (c) streaming state is bounded by the (version, change)
+    group count, and (d) a warm rerun reuses the feed (the _FEED_DONE
+    marker survives) and agrees."""
+    from query_optimizer_spark.streaming.ops import LAST_STREAM_AUDIT
+
+    df = streaming.cdc_tail_stream(spark, SF_DIR)
+    got = result_hash(df)
+    assert got == duck_hash(duck, streaming.cdc_tail_stream_oracle())
+    rows = df.collect()
+    assert {(r.to_version, r.change) for r in rows} == {
+        (2, "insert"),
+        (3, "delete"),
+    }
+    prog = LAST_STREAM_AUDIT.get("progress") or {}
+    state = prog.get("stateOperators") or []
+    if state:  # complete-mode agg state: one row per group
+        assert state[0].get("numRowsTotal", 0) <= len(rows)
+    # warm rerun: feed marker survives, result identical
+    import json
+    from pathlib import Path
+
+    from query_optimizer_spark.sources import session_state_path
+
+    feed = Path(session_state_path(spark, SF_DIR, "cdc_feed"))
+    assert (feed / "_FEED_DONE").exists()
+    marker_mtime = (feed / "_FEED_DONE").stat().st_mtime_ns
+    assert result_hash(streaming.cdc_tail_stream(spark, SF_DIR)) == got
+    assert (feed / "_FEED_DONE").stat().st_mtime_ns == marker_mtime
