@@ -916,10 +916,12 @@ def _snapshot_bounds(spark: SparkSession, docs: DataFrame):
     )
 
 
-def _snapshot_bounds_sql() -> str:
+def _snapshot_bounds_sql(with_merge: bool = False) -> str:
     """The bounds CTE every snapshot oracle shares -- same split, the
     same rank-order-statistic takedown bounds, plus the branch ranks'
-    bounds, all recomputed by DuckDB."""
+    bounds, all recomputed by DuckDB.  ``with_merge`` adds the merge
+    branch's descending-rank bounds (only the merge oracle needs them;
+    the flag keeps the other snapshot oracles' SQL byte-stable)."""
 
     def _rb(rank: int) -> str:
         return (
@@ -935,15 +937,20 @@ def _snapshot_bounds_sql() -> str:
             f" ORDER BY doc_id DESC LIMIT {rank}))"
         )
 
+    merge_cols = (
+        f""",
+                   {_rbd(SNAPSHOT_MG_LO_RANK)} AS mlo,
+                   {_rbd(SNAPSHOT_MG_HI_RANK)} AS mhi"""
+        if with_merge
+        else ""
+    )
     return f"""bounds AS (
             SELECT (SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT)
                     FROM documents) AS s,
                    {_rb(SNAPSHOT_TD_LO_RANK)} AS lo,
                    {_rb(SNAPSHOT_TD_HI_RANK)} AS hi,
                    {_rb(SNAPSHOT_BR_LO_RANK)} AS blo,
-                   {_rb(SNAPSHOT_BR_HI_RANK)} AS bhi,
-                   {_rbd(SNAPSHOT_MG_LO_RANK)} AS mlo,
-                   {_rbd(SNAPSHOT_MG_HI_RANK)} AS mhi
+                   {_rb(SNAPSHOT_BR_HI_RANK)} AS bhi{merge_cols}
         )"""
 
 
@@ -1621,7 +1628,7 @@ def snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def snapshot_merge_oracle() -> str:
     return f"""
-        WITH {_snapshot_bounds_sql()}
+        WITH {_snapshot_bounds_sql(with_merge=True)}
         SELECT 'main@v3' AS ref, {_SNAP_STATS_SQL}
         FROM documents, bounds
         WHERE NOT (doc_id > bounds.lo AND doc_id <= bounds.hi)
