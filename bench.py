@@ -197,6 +197,13 @@ headline = [
     "sim_ivf_compact", "io_snapshot_changes", "io_snapshot_expiry",
     "sim_ivf_recluster", "text_bpe_train", "io_snapshot_branch",
     "text_bpe_apply",
+    # r15: branch merge + fast-forward (reps measure the four
+    # manifest-pruned ref reads; branch2 build + merge arithmetic are
+    # warmup), per-doc tokenizer encode (reps measure the zero-shuffle
+    # projection; trainer memo is warmup), and the streaming CDC tail
+    # (reps measure the per-commit micro-batch replay; feed
+    # materialization is warmup)
+    "io_snapshot_merge", "text_bpe_encode", "stream_cdc_tail",
 ]
 
 
@@ -300,6 +307,7 @@ def main() -> None:
                 snapshot_branch,
                 snapshot_changes,
                 snapshot_expiry,
+                snapshot_merge,
                 snapshot_time_travel,
             )
 
@@ -307,6 +315,17 @@ def main() -> None:
             snapshot_changes(spark, sf_dir).count()
             snapshot_expiry(spark, sf_dir).count()
             snapshot_branch(spark, sf_dir).count()
+            # ...and the merge (r15): branch2's one-time rewrite + the
+            # manifest arithmetic land here; reps measure the four
+            # manifest-pruned ref reads
+            snapshot_merge(spark, sf_dir).count()
+            # the CDC feed materialization (r15): one-time change-file
+            # derivation; reps measure the per-commit streaming replay
+            from query_optimizer_spark.streaming.ops import (
+                cdc_tail_stream,
+            )
+
+            cdc_tail_stream(spark, sf_dir).count()
             # shared KMV shingle scan + exact proof leg (r14, VERDICT
             # r13 "what's wrong" #1): building it here charges the
             # one-time cost to warmup_sec, so text_kmv_overlap /
@@ -317,10 +336,16 @@ def main() -> None:
             _kmv_shared(spark, sf_dir)
             # ...and the BPE trainer's memoized word-frequency frame
             # (r14): the one corpus-sized stage of text_bpe_train --
-            # reps then measure the vocab-sized merge loop
-            from query_optimizer_spark.functions.text import _bpe_words
+            # reps then measure the vocab-sized merge loop; r15 also
+            # fills the collected-merge memo so text_bpe_encode's reps
+            # measure the per-doc projection, not the trainer loop
+            from query_optimizer_spark.functions.text import (
+                _bpe_merges,
+                _bpe_words,
+            )
 
             _bpe_words(spark, sf_dir)
+            _bpe_merges(spark, sf_dir)
             warmup_secs.append(round(time.monotonic() - t_warm, 4))
             for _ in range(cohort_reps):
                 order = headline[:]

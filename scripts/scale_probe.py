@@ -242,6 +242,7 @@ def main() -> None:
     )
     from query_optimizer_spark import sources as qsources
     from query_optimizer_spark.session import get_session
+    from query_optimizer_spark.streaming import ops as qstreaming
 
     spark = get_session("scale-probe", profile="default", cpus="32")
 
@@ -441,6 +442,32 @@ def main() -> None:
         probe("text_bpe_train", "disjoint", k,
               lambda sf=f"{WORK}/disjoint_x{k}":
                   text.bpe_train_merges(spark, sf),
+              n_docs0 * k)
+        # --- per-doc BPE encode (r15): one narrow projection over the
+        # corpus (K chained replaces inside a transform lambda, zero
+        # shuffles) -- wall time must stay ~linear in docs; the merge
+        # table is memoized model state (charged to the trainer probe)
+        probe("text_bpe_encode", "disjoint", k,
+              lambda sf=f"{WORK}/disjoint_x{k}":
+                  text.bpe_encode_docs(spark, sf),
+              n_docs0 * k)
+        # --- branch merge + fast-forward (r15): branch2's rewrite is
+        # bounded by the files overlapping its fixed tail-rank window
+        # (~flat); the merge itself is manifest set arithmetic (zero
+        # data files); the four ref reads are manifest-pruned -- wall
+        # time tracks the v2/v3-sized stats scans, file counts constant
+        probe("io_snapshot_merge", "disjoint", k,
+              lambda sf=f"{WORK}/disjoint_x{k}":
+                  qsources.snapshot_merge(spark, sf),
+              n_docs0 * k)
+        # --- streaming CDC tail (r15): the change feed is bounded by
+        # the commits' changed rows (insert delta ~half the corpus ->
+        # ~linear; delete delta fixed-rank ~flat); the replay is two
+        # micro-batches at every scale -- per-commit batch count is
+        # raise-enforced in-op, so a passing probe IS the contract
+        probe("stream_cdc_tail", "disjoint", k,
+              lambda sf=f"{WORK}/disjoint_x{k}":
+                  qstreaming.cdc_tail_stream(spark, sf),
               n_docs0 * k)
         # --- exact blocked cosine (block_rows=2000 so every scale is
         # multi-block / genuinely distributed)
