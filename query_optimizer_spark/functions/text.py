@@ -924,7 +924,9 @@ def bpe_train_merges_oracle() -> str:
     )
 
 
-def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_encode_docs(
+    spark: SparkSession, sf_dir: str, via_vocab: bool = False
+) -> DataFrame:
     """Per-document TOKENIZER ENCODE under the K trained merges -- the
     op the pipeline exists to feed (VERDICT r14 "what's missing" #2:
     train/apply measured corpus stats; nothing emitted the per-doc
@@ -943,10 +945,12 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ZERO shuffles -- one narrow projection per document
     (regexp word extraction, K chained ``replace``s inside a
     ``transform`` lambda, hash + join, all JVM-side whole-stage
-    codegen).  At a realistic K the chained-replace apply becomes a
-    vocabulary-table join (encode each DISTINCT word once, then a
-    broadcast map); at K=4 the inline chain is strictly cheaper.
-    Columns: (doc_id, n_tokens, ids_hash)."""
+    codegen).  At a realistic K (10k-50k merges) the chained-replace
+    apply must run once per DISTINCT word, not per occurrence --
+    ``via_vocab=True`` is that path (encode the vocabulary, join it
+    back, reassemble per-doc order from word positions), bit-identical
+    by pytest to the inline chain.  Columns: (doc_id, n_tokens,
+    ids_hash)."""
     S = _BPE_SEP
     S2 = S + S
     enc_w = f"regexp_replace(w, '(.)', '{S}$1{S}')"
@@ -955,8 +959,57 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"replace({enc_w}, '{S}{left}{S}{S}{right}{S}',"
             f" '{S}{left}{right}{S}')"
         )
-    syms = f"split(substring(ws, 2, length(ws) - 2), '{S2}')"
     id_of = "conv(substring(md5(x), 1, 8), 16, 10)"
+    if via_vocab:
+        # the realistic-K shape: pay the K replaces once per DISTINCT
+        # word (vocabulary-sized), never per occurrence; per-doc order
+        # is reassembled from posexplode positions.  posexplode_outer
+        # keeps wordless docs (they encode to the empty id sequence,
+        # exactly like the inline path).
+        syms_w = f"split(substring({enc_w}, 2, length({enc_w}) - 2), '{S2}')"
+        occurrences = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.posexplode_outer(
+                F.expr(
+                    f"regexp_extract_all(lower(text), '{BPE_WORD_RE}', 0)"
+                )
+            ).alias("pos", "w"),
+        )
+        vocab = (
+            occurrences.select("w")
+            .filter(F.col("w").isNotNull())
+            .distinct()
+            .select(
+                "w",
+                F.expr(f"cast(size({syms_w}) as int)").alias("n_syms"),
+                F.expr(
+                    f"array_join(transform({syms_w}, x -> {id_of}), ',')"
+                ).alias("idstr"),
+            )
+        )
+        return (
+            occurrences.join(vocab, "w", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.coalesce("n_syms", F.lit(0)))
+                .cast("int")
+                .alias("n_tokens"),
+                F.expr(
+                    "array_join(transform(array_sort("
+                    "collect_list(struct(pos, idstr))),"
+                    " s -> s.idstr), ',')"
+                ).alias("ids"),
+            )
+            .select(
+                "doc_id",
+                "n_tokens",
+                F.expr(
+                    "cast(conv(substring(md5(ids), 1, 8), 16, 10)"
+                    " as bigint)"
+                ).alias("ids_hash"),
+            )
+        )
+    syms = f"split(substring(ws, 2, length(ws) - 2), '{S2}')"
     return (
         _docs(spark, sf_dir)
         .select(

@@ -659,6 +659,24 @@ def test_bpe_encode_token_accounting(spark, duck):
     assert again == {r.doc_id: (r.n_tokens, r.ids_hash) for r in rows}
 
 
+def test_bpe_encode_vocab_path_is_bit_identical(spark):
+    """The realistic-K encode path (via_vocab=True: K replaces paid
+    once per DISTINCT word, per-doc order reassembled from positions)
+    must be bit-identical to the inline chained-replace path --
+    including wordless docs (empty id sequence) and 1-char words."""
+    from query_optimizer_spark.functions.text import bpe_encode_docs
+
+    inline = {
+        r.doc_id: (r.n_tokens, r.ids_hash)
+        for r in bpe_encode_docs(spark, SF_DIR).collect()
+    }
+    vocab = {
+        r.doc_id: (r.n_tokens, r.ids_hash)
+        for r in bpe_encode_docs(spark, SF_DIR, via_vocab=True).collect()
+    }
+    assert vocab == inline
+
+
 def test_user_features_consistency(spark, duck):
     """Feature vector covers every user exactly once; the dominant type
     really is a modal event type for that user."""
