@@ -924,6 +924,16 @@ def bpe_train_merges_oracle() -> str:
     )
 
 
+# count()-elimination guard for both encode paths (caught by the r15
+# scale probe: a PURE projection is entirely pruned under a bare
+# count() -- no Join/Window for the registry sweep to flag -- so the
+# probe timed a bare scan and the exponent came out NEGATIVE).  Total
+# by construction: n_tokens is a sum of array sizes (>= 0) and
+# ids_hash is conv(md5(...)) of a never-null string; referencing both
+# output columns forces the encode to execute under any consumer.
+_BPE_ENCODE_GUARD = "n_tokens >= 0 AND ids_hash IS NOT NULL"
+
+
 def bpe_encode_docs(
     spark: SparkSession, sf_dir: str, via_vocab: bool = False
 ) -> DataFrame:
@@ -1008,6 +1018,7 @@ def bpe_encode_docs(
                     " as bigint)"
                 ).alias("ids_hash"),
             )
+            .filter(_BPE_ENCODE_GUARD)
         )
     syms = f"split(substring(ws, 2, length(ws) - 2), '{S2}')"
     return (
@@ -1031,6 +1042,7 @@ def bpe_encode_docs(
                 " ',')), ',')), 1, 8), 16, 10) as bigint)"
             ).alias("ids_hash"),
         )
+        .filter(_BPE_ENCODE_GUARD)
     )
 
 
