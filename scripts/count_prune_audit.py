@@ -36,10 +36,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 KINDS = ("Join", "Window", "Aggregate")
 
+# r15: markers whose presence in a count() plan proves row-level work
+# still executes; a count() plan with NONE of them, no Join/Window,
+# only the count's own aggregate pair, and a real FILE leaf has been
+# pruned WHOLESALE to a bare scan count (the text_bpe_encode class --
+# pure projections have no Join/Window for the kind-count check to
+# flag).  ExistingRDD/LocalTableScan leaves are exempt: the op
+# materialized its result eagerly at call time, so timing is honest.
+WORK_MARKERS = (
+    "Filter", "Generate", "ArrowEvalPython", "MapInPandas",
+    "FlatMapGroupsInPandas", "Expand", "Sample", "Union", "Sort",
+)
+
 
 def plan_counts(df) -> dict[str, int]:
     plan = df._jdf.queryExecution().executedPlan().toString()
     return {k: len(re.findall(k, plan)) for k in KINDS}
+
+
+def bare_scan_count(cnt_plan: str) -> bool:
+    return (
+        not re.search("Join|Window", cnt_plan)
+        and len(re.findall("Aggregate", cnt_plan)) <= 2
+        and not any(m in cnt_plan for m in WORK_MARKERS)
+        and "ExistingRDD" not in cnt_plan
+        and "LocalTableScan" not in cnt_plan
+    )
 
 
 def main() -> None:
@@ -61,7 +83,11 @@ def main() -> None:
         try:
             df = PIPELINE_OPS[name][0](spark, args.sf_dir)
             full = plan_counts(df)
-            cnt = plan_counts(df.groupBy().count())
+            cnt_df = df.groupBy().count()
+            cnt = plan_counts(cnt_df)
+            cnt_plan = (
+                cnt_df._jdf.queryExecution().executedPlan().toString()
+            )
         except Exception as exc:  # pragma: no cover
             rows[name] = {"err": str(exc)[:200]}
             continue
@@ -70,15 +96,17 @@ def main() -> None:
             for k in ("Join", "Window")
             if cnt[k] < full[k]
         }
+        bare = bare_scan_count(cnt_plan)
         rows[name] = {
             "full": full,
             "count": cnt,
             "dropped": dropped,
+            "bare_scan": bare,
             "sec": round(time.monotonic() - t0, 2),
         }
-        if dropped:
+        if dropped or bare:
             offenders.append(name)
-            print(f"DROP {name}: {dropped}")
+            print(f"DROP {name}: {dropped or 'bare-scan count()'}")
     with open(args.out, "w") as f:
         json.dump(
             {"offenders": offenders, "ops": rows}, f, indent=1, sort_keys=True

@@ -807,6 +807,20 @@ def test_registry_ops_survive_count_pruning(spark):
 
     from query_optimizer_spark.functions.registry import PIPELINE_OPS
 
+    # r15 extension (found by the scale probe on text_bpe_encode,
+    # which has NO Join/Window for the kind-count check to flag): a
+    # PURE projection op can be pruned WHOLESALE under count() -- the
+    # plan collapses to a bare file-scan count and the timing measures
+    # a scan.  A count() plan with no Join/Window, only the count's
+    # own aggregate pair, none of the row-level work markers, and a
+    # real FILE leaf is flagged; an ExistingRDD/LocalTableScan leaf is
+    # exempt -- the op materialized its result eagerly at call time,
+    # so the timing is honest (evt_markov_stationary's power
+    # iteration, io_runtime_bloom_prune's in-force aggregate).
+    work_markers = (
+        "Filter", "Generate", "ArrowEvalPython", "MapInPandas",
+        "FlatMapGroupsInPandas", "Expand", "Sample", "Union", "Sort",
+    )
     bad = {}
     for name, (runner, _) in sorted(PIPELINE_OPS.items()):
         if name.startswith("stream_"):
@@ -825,7 +839,15 @@ def test_registry_ops_survive_count_pruning(spark):
             n_cnt = len(re.findall(kind, cnt))
             if n_cnt < n_full:
                 bad[f"{name}/{kind}"] = (n_full, n_cnt)
+        if (
+            not re.search("Join|Window", cnt)
+            and len(re.findall("Aggregate", cnt)) <= 2
+            and not any(m in cnt for m in work_markers)
+            and "ExistingRDD" not in cnt
+            and "LocalTableScan" not in cnt
+        ):
+            bad[f"{name}/bare-scan"] = "count() collapses to a scan count"
     assert not bad, (
-        f"Join/Window pruned under count() for: {bad} -- add a"
-        " row-level invariant guard referencing the pruned columns"
+        f"count()-pruned plans: {bad} -- add a row-level invariant"
+        " guard referencing the pruned columns"
     )
