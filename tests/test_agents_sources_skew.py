@@ -481,6 +481,43 @@ def test_snapshot_merge_closes_branch_loop(spark):
     assert snap() == b
 
 
+def test_snapshot_merge_crash_heals(spark):
+    """A crash between the branch2 build and the merge-manifest write
+    heals idempotently: deleting manifest_v4_merge.json (the last
+    artifact the op writes) forces the warm path back through the
+    build branch, which must reuse branch2's existing rewrite files
+    byte-identically (no re-write), re-verify, and reproduce the same
+    manifests and the same result hash."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    from query_optimizer_spark import sources
+    from query_optimizer_spark.sources import session_state_path
+
+    base = Path(session_state_path(spark, SF_DIR, "doc_snapshots"))
+    shutil.rmtree(base, ignore_errors=True)
+    sources.snapshot_time_travel(spark, SF_DIR).collect()
+    got = result_hash(sources.snapshot_merge(spark, SF_DIR))
+    v4 = (base / "manifest_v4_merge.json").read_text()
+    b2 = (base / "manifest_branch2.json").read_text()
+
+    def b2_snap():
+        return {
+            str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+            for p in (base / "branch2").rglob("*")
+            if p.is_file()
+        }
+
+    before = b2_snap()
+    # simulate the crash: the merge manifest never landed
+    (base / "manifest_v4_merge.json").unlink()
+    assert result_hash(sources.snapshot_merge(spark, SF_DIR)) == got
+    assert (base / "manifest_v4_merge.json").read_text() == v4
+    assert (base / "manifest_branch2.json").read_text() == b2
+    assert b2_snap() == before, "heal re-wrote branch2's data files"
+
+
 def test_snapshot_expiry_vacuums_only_orphans(spark):
     """io_snapshot_expiry (r14): (a) the retained version still answers
     its from-raw oracle after the vacuum, (b) orphans -- exactly the
