@@ -931,9 +931,13 @@ def _snapshot_bounds_sql(with_merge: bool = False) -> str:
         )
 
     def _rbd(rank: int) -> str:
+        # descending ranks among the ids ABOVE the append split --
+        # commit2's id domain (matches _rank_bound_desc over ids2)
         return (
             "(SELECT min(doc_id) FROM ("
             "SELECT DISTINCT doc_id FROM documents"
+            " WHERE doc_id > (SELECT CAST(floor(max(doc_id) / 2.0)"
+            " AS BIGINT) FROM documents)"
             f" ORDER BY doc_id DESC LIMIT {rank}))"
         )
 
@@ -1350,56 +1354,18 @@ def snapshot_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, manifests = _snapshot_commits(spark, sf_dir)
     bmanifest = base / "manifest_branch1.json"
     if not bmanifest.exists():
-        main_state = {
-            v: (base / f"manifest_v{v}.json").read_text()
-            for v in (1, 2, 3)
-        }
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         ids = docs.select("doc_id").distinct()
         blo = _rank_bound(ids, SNAPSHOT_BR_LO_RANK)
         bhi = _rank_bound(ids, SNAPSHOT_BR_HI_RANK)
         doomed = (F.col("doc_id") > blo) & (F.col("doc_id") <= bhi)
-        v2 = manifests[2]
-        affected = {
-            _uri_to_path(r.f)
-            for r in spark.read.parquet(*v2)
-            .filter(doomed)
-            .select(F.input_file_name().alias("f"))
-            .distinct()
-            .collect()
-        }
-        stray = affected - set(v2)
-        if stray:
-            raise RuntimeError(
-                f"branch probe left the v2 file set: {sorted(stray)[:3]}"
-            )
-        if not affected:
-            raise RuntimeError(
-                "branch takedown matched zero files -- the divergence"
-                " would be vacuous"
-            )
-        bdir = base / "branch1"
-        if not (bdir / "_SUCCESS").exists():
-            (
-                spark.read.parquet(*sorted(affected))
-                .filter(~doomed)
-                .write.mode("overwrite")
-                .parquet(str(bdir))
-            )
-        bfiles = [f for f in v2 if f not in affected] + sorted(
-            str(p) for p in bdir.glob("*.parquet")
+        # the shared build-branch block verifies main moved by zero
+        # bytes BEFORE returning; the manifest is written only after
+        # (r15 ADVICE write-ordering: a raise may not leave the branch
+        # manifest behind to mask the violation on warm calls)
+        bfiles = _commit_branch(
+            spark, base, manifests[2], doomed, "branch1", "branch"
         )
-        # a branch commit may not move main by a single byte -- and the
-        # branch manifest is written only AFTER that verification
-        # passes (r15 ADVICE: writing it first meant a raise here left
-        # the manifest behind, so every warm call skipped the build
-        # branch and returned "successfully" against corrupted main
-        # state, masking the violation)
-        for v, txt in main_state.items():
-            if (base / f"manifest_v{v}.json").read_text() != txt:
-                raise RuntimeError(
-                    f"branch commit rewrote main manifest v{v}"
-                )
         bmanifest.write_text(_json.dumps(bfiles))
 
     def _ref_stats(files: list[str], ref: str) -> DataFrame:
@@ -1442,6 +1408,66 @@ def snapshot_branch_oracle() -> str:
         FROM documents, bounds
         WHERE NOT (doc_id > bounds.blo AND doc_id <= bounds.bhi)
     """
+
+
+def _commit_branch(
+    spark: SparkSession,
+    base: Path,
+    v2: list[str],
+    doomed,
+    dirname: str,
+    label: str,
+) -> list[str]:
+    """The shared COW build-branch block of ``snapshot_branch`` /
+    ``snapshot_merge`` (r15 review: the two ops previously duplicated
+    ~40 lines, so an invariant fix had to land twice).  Locates the
+    ancestor files overlapping ``doomed`` via the normalized
+    ``input_file_name`` probe (must resolve inside the fork's file set
+    -- raise), rewrites them filtered into the branch's OWN
+    ``dirname`` directory, verifies main's manifests moved by ZERO
+    bytes, and returns the branch's file list (fork's untouched files
+    + the rewrites).  The CALLER writes its manifest(s) -- only after
+    its own remaining checks pass (the r15 ADVICE write-ordering
+    discipline)."""
+    from pyspark.sql import functions as F
+
+    main_state = {
+        v: (base / f"manifest_v{v}.json").read_text() for v in (1, 2, 3)
+    }
+    affected = {
+        _uri_to_path(r.f)
+        for r in spark.read.parquet(*v2)
+        .filter(doomed)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    stray = affected - set(v2)
+    if stray:
+        raise RuntimeError(
+            f"{label} probe left the v2 file set: {sorted(stray)[:3]}"
+        )
+    if not affected:
+        raise RuntimeError(
+            f"{label} takedown matched zero files -- the divergence"
+            " would be vacuous"
+        )
+    bdir = base / dirname
+    if not (bdir / "_SUCCESS").exists():
+        (
+            spark.read.parquet(*sorted(affected))
+            .filter(~doomed)
+            .write.mode("overwrite")
+            .parquet(str(bdir))
+        )
+    bfiles = [f for f in v2 if f not in affected] + sorted(
+        str(p) for p in bdir.glob("*.parquet")
+    )
+    # a branch commit may not move main by a single byte
+    for v, txt in main_state.items():
+        if (base / f"manifest_v{v}.json").read_text() != txt:
+            raise RuntimeError(f"{label} commit rewrote main manifest v{v}")
+    return bfiles
 
 
 class SnapshotMergeConflict(RuntimeError):
@@ -1490,10 +1516,16 @@ def snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     refs; a staging-backfill user hits the merge on day one).
 
     A fresh ``branch2`` forks at v2 and COW-deletes a window at the
-    TAIL of the id space (descending ranks [MG_LO, MG_HI) -- always
-    inside commit2's files, while main's takedown lives in commit1's,
-    so the refs never touch the same ancestor at any corpus size
-    >= 384 distinct ids).  Then:
+    TAIL of the id space: descending ranks [MG_LO, MG_HI) of the
+    distinct ids ABOVE the append split, so branch2's ancestors are
+    commit2 files whenever commit2 holds >= MG_LO distinct ids --
+    rank-true under ANY id distribution (r15 review: an unrestricted
+    descending-rank window could dip below a value-skewed split and
+    collide with main's takedown).  Main's takedown is commit1-bounded
+    whenever commit1 holds >= TD_HI_RANK distinct ids, so the refs
+    touch disjoint commits under those two rank conditions; anything
+    more pathological lands in the conflict raise, never a silent
+    wrong merge.  Then:
 
     - 3-WAY MERGE into main: ``_merge_manifest(v3, v2, branch2)`` --
       main's chain + branch2's private rewrites, CONFLICT raise if
@@ -1521,45 +1553,23 @@ def snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     mmanifest = base / "manifest_v4_merge.json"
     v2, v3 = manifests[2], manifests[3]
     if not mmanifest.exists():
-        main_state = {
-            v: (base / f"manifest_v{v}.json").read_text()
-            for v in (1, 2, 3)
-        }
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        ids = docs.select("doc_id").distinct()
-        mlo = _rank_bound_desc(ids, SNAPSHOT_MG_LO_RANK)
-        mhi = _rank_bound_desc(ids, SNAPSHOT_MG_HI_RANK)
-        doomed = (F.col("doc_id") >= mlo) & (F.col("doc_id") < mhi)
-        affected = {
-            _uri_to_path(r.f)
-            for r in spark.read.parquet(*v2)
-            .filter(doomed)
-            .select(F.input_file_name().alias("f"))
+        split = docs.agg(
+            F.expr("cast(floor(max(doc_id) / 2.0) as bigint)")
+        ).collect()[0][0]
+        # descending ranks among the ids ABOVE the split: commit2's id
+        # domain, so the window is commit2-bounded regardless of how
+        # ids are distributed around the value-based split
+        ids2 = (
+            docs.filter(F.col("doc_id") > split)
+            .select("doc_id")
             .distinct()
-            .collect()
-        }
-        stray = affected - set(v2)
-        if stray:
-            raise RuntimeError(
-                f"merge-branch probe left the v2 file set:"
-                f" {sorted(stray)[:3]}"
-            )
-        if not affected:
-            raise RuntimeError(
-                "merge-branch takedown matched zero files -- the merge"
-                " would be vacuous"
-            )
-        bdir = base / "branch2"
-        if not (bdir / "_SUCCESS").exists():
-            (
-                spark.read.parquet(*sorted(affected))
-                .filter(~doomed)
-                .write.mode("overwrite")
-                .parquet(str(bdir))
-            )
+        )
+        mlo = _rank_bound_desc(ids2, SNAPSHOT_MG_LO_RANK)
+        mhi = _rank_bound_desc(ids2, SNAPSHOT_MG_HI_RANK)
+        doomed = (F.col("doc_id") >= mlo) & (F.col("doc_id") < mhi)
         bfiles = sorted(
-            [f for f in v2 if f not in affected]
-            + [str(p) for p in bdir.glob("*.parquet")]
+            _commit_branch(spark, base, v2, doomed, "branch2", "merge-branch")
         )
         # the merge itself: pure manifest arithmetic, conflict-checked
         merged = _merge_manifest(v3, v2, bfiles)
@@ -1578,26 +1588,27 @@ def snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         for req in set(bfiles) - set(v2):
             if req not in merged:
                 raise RuntimeError(f"merge dropped branch2's rewrite {req}")
-        # a merge commit may not move main's existing chain by a byte;
         # manifests are written only after every check above passes
-        for v, txt in main_state.items():
-            if (base / f"manifest_v{v}.json").read_text() != txt:
-                raise RuntimeError(f"merge rewrote main manifest v{v}")
+        # (main-chain byte-identity was raise-verified inside the
+        # shared build-branch block, after its only disk write)
         bmanifest.write_text(_json.dumps(bfiles))
         mmanifest.write_text(_json.dumps(merged))
-        key = (
-            spark.sparkContext.applicationId,
-            f"{sf_dir.rstrip('/')}#doc_snapshots",
-        )
-        _SNAP_EVIDENCE.setdefault(key, {}).update(
-            n_merge_conflicts=0,
-            n_branch2_private=len(set(bfiles) - set(v2)),
-            n_merged_files=len(merged),
-            merge_ff_ok=1,
-        )
 
     bfiles = _json.loads(bmanifest.read_text())
     merged = _json.loads(mmanifest.read_text())
+    # evidence is (re)recorded on EVERY call -- _snapshot_commits
+    # resets the session's evidence dict each invocation, so a
+    # cold-path-only update vanished on warm reruns (r15 review)
+    key = (
+        spark.sparkContext.applicationId,
+        f"{sf_dir.rstrip('/')}#doc_snapshots",
+    )
+    _SNAP_EVIDENCE.setdefault(key, {}).update(
+        n_merge_conflicts=0,
+        n_branch2_private=len(set(bfiles) - set(v2)),
+        n_merged_files=len(merged),
+        merge_ff_ok=1,
+    )
 
     def _ref_stats(files: list[str], ref: str) -> DataFrame:
         return (
@@ -1618,11 +1629,24 @@ def snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # the ff row re-labels branch2's aggregate instead of re-scanning
+    # its file list (the fast-forward identity set(ff) == set(bfiles)
+    # is raise-verified at commit time, so the stats are equal by
+    # construction; r15 review caught the duplicated scan in the
+    # timed rep path)
+    b2_both = _ref_stats(bfiles, "branch2").select(
+        F.explode(
+            F.array(F.lit("branch2"), F.lit("ff@fork+branch2"))
+        ).alias("ref"),
+        "n_docs",
+        "total_chars",
+        "min_doc",
+        "max_doc",
+    )
     return (
         _ref_stats(v3, "main@v3")
-        .unionByName(_ref_stats(bfiles, "branch2"))
         .unionByName(_ref_stats(merged, "merged@v4"))
-        .unionByName(_ref_stats(bfiles, "ff@fork+branch2"))
+        .unionByName(b2_both)
     )
 
 

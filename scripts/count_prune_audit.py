@@ -36,29 +36,43 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 KINDS = ("Join", "Window", "Aggregate")
 
-# r15: markers whose presence in a count() plan proves row-level work
-# still executes; a count() plan with NONE of them, no Join/Window,
-# only the count's own aggregate pair, and a real FILE leaf has been
-# pruned WHOLESALE to a bare scan count (the text_bpe_encode class --
-# pure projections have no Join/Window for the kind-count check to
-# flag).  ExistingRDD/LocalTableScan leaves are exempt: the op
-# materialized its result eagerly at call time, so timing is honest.
-WORK_MARKERS = (
-    "Filter", "Generate", "ArrowEvalPython", "MapInPandas",
-    "FlatMapGroupsInPandas", "Expand", "Sample", "Union", "Sort",
+# r15: operators whose presence in a count() plan proves row-level
+# work still executes; a count() plan with NONE of them, no
+# Join/Window, only the count's own aggregate pair, and a real FILE
+# leaf has been pruned WHOLESALE to a bare scan count (the
+# text_bpe_encode class -- pure projections have no Join/Window for
+# the kind-count check to flag).  ExistingRDD/LocalTableScan leaves
+# are exempt: the op materialized its result eagerly at call time, so
+# timing is honest.  Matching is OPERATOR-NODE-anchored, not raw
+# substring: every FileScan's metadata prints "DataFilters: [] ...
+# PushedFilters: []", so a substring test for "Filter" is true on
+# EVERY scan plan and a detector built on it can never fire (caught
+# by the r15 self-review); likewise "Sort" would match SortAggregate
+# / SortMergeJoin.  A work operator appears at the start of a tree
+# line -- only tree-drawing characters (space + - * : ( ) digits
+# brackets) precede it -- and is followed by a space, '(', '[', or
+# end of line (bare "Union").
+WORK_MARKER_RE = re.compile(
+    r"(?m)^[^A-Za-z]*"
+    r"(?:Filter|Generate|Expand|Sample|Union|Sort|"
+    r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas)"
+    r"(?:[ (\[]|$)"
 )
 
 
-def plan_counts(df) -> dict[str, int]:
-    plan = df._jdf.queryExecution().executedPlan().toString()
+def plan_counts(plan: str) -> dict[str, int]:
     return {k: len(re.findall(k, plan)) for k in KINDS}
+
+
+def plan_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
 
 
 def bare_scan_count(cnt_plan: str) -> bool:
     return (
         not re.search("Join|Window", cnt_plan)
         and len(re.findall("Aggregate", cnt_plan)) <= 2
-        and not any(m in cnt_plan for m in WORK_MARKERS)
+        and not WORK_MARKER_RE.search(cnt_plan)
         and "ExistingRDD" not in cnt_plan
         and "LocalTableScan" not in cnt_plan
     )
@@ -82,12 +96,9 @@ def main() -> None:
         t0 = time.monotonic()
         try:
             df = PIPELINE_OPS[name][0](spark, args.sf_dir)
-            full = plan_counts(df)
-            cnt_df = df.groupBy().count()
-            cnt = plan_counts(cnt_df)
-            cnt_plan = (
-                cnt_df._jdf.queryExecution().executedPlan().toString()
-            )
+            full = plan_counts(plan_str(df))
+            cnt_plan = plan_str(df.groupBy().count())
+            cnt = plan_counts(cnt_plan)
         except Exception as exc:  # pragma: no cover
             rows[name] = {"err": str(exc)[:200]}
             continue

@@ -811,16 +811,25 @@ def test_registry_ops_survive_count_pruning(spark):
     # which has NO Join/Window for the kind-count check to flag): a
     # PURE projection op can be pruned WHOLESALE under count() -- the
     # plan collapses to a bare file-scan count and the timing measures
-    # a scan.  A count() plan with no Join/Window, only the count's
-    # own aggregate pair, none of the row-level work markers, and a
-    # real FILE leaf is flagged; an ExistingRDD/LocalTableScan leaf is
-    # exempt -- the op materialized its result eagerly at call time,
-    # so the timing is honest (evt_markov_stationary's power
-    # iteration, io_runtime_bloom_prune's in-force aggregate).
-    work_markers = (
-        "Filter", "Generate", "ArrowEvalPython", "MapInPandas",
-        "FlatMapGroupsInPandas", "Expand", "Sample", "Union", "Sort",
+    # a scan.  Detection is shared with the standalone audit (the
+    # operator-node-anchored bare_scan_count -- a raw substring test
+    # is vacuous because every FileScan prints "PushedFilters: []");
+    # ExistingRDD/LocalTableScan leaves are exempt -- the op
+    # materialized its result eagerly at call time, so the timing is
+    # honest (evt_markov_stationary's power iteration,
+    # io_runtime_bloom_prune's in-force aggregate).
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(
+        0,
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "scripts",
+        ),
     )
+    from count_prune_audit import bare_scan_count
+
     bad = {}
     for name, (runner, _) in sorted(PIPELINE_OPS.items()):
         if name.startswith("stream_"):
@@ -839,13 +848,7 @@ def test_registry_ops_survive_count_pruning(spark):
             n_cnt = len(re.findall(kind, cnt))
             if n_cnt < n_full:
                 bad[f"{name}/{kind}"] = (n_full, n_cnt)
-        if (
-            not re.search("Join|Window", cnt)
-            and len(re.findall("Aggregate", cnt)) <= 2
-            and not any(m in cnt for m in work_markers)
-            and "ExistingRDD" not in cnt
-            and "LocalTableScan" not in cnt
-        ):
+        if bare_scan_count(cnt):
             bad[f"{name}/bare-scan"] = "count() collapses to a scan count"
     assert not bad, (
         f"count()-pruned plans: {bad} -- add a row-level invariant"
