@@ -66,7 +66,11 @@ def clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"cast(length(text) - length({_CLEAN_SPARK}) as int)").alias(
             "n_chars_removed"
         ),
-    )
+        # count()-elimination guard (r15 bare-scan sweep): total
+        # invariant referencing the computed outputs, so the projection
+        # executes under a bare count() (otherwise bench/SCALING time a
+        # parquet-footer scan count)
+    ).filter("n_chars_removed >= 0 AND length(clean_prefix) <= 80")
 
 
 def clean_text_oracle() -> str:
@@ -104,7 +108,11 @@ def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"cast(length({_CONTACT_SPARK}) - length({redacted}) as int)"
         ).alias("n_chars_redacted"),
-    )
+        # count()-elimination guard (r15 bare-scan sweep): total
+        # invariant referencing the computed outputs, so the projection
+        # executes under a bare count() (otherwise bench/SCALING time a
+        # parquet-footer scan count)
+    ).filter("redacted IS NOT NULL AND n_chars_redacted IS NOT NULL")
 
 
 def redact_pii_oracle() -> str:
@@ -271,7 +279,11 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"WHEN {bucket} < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT} THEN 'valid' "
             "ELSE 'test' END"
         ).alias("split"),
-    )
+        # count()-elimination guard (r15 bare-scan sweep): total
+        # invariant referencing the computed outputs, so the projection
+        # executes under a bare count() (otherwise bench/SCALING time a
+        # parquet-footer scan count)
+    ).filter("split IN ('train', 'valid', 'test')")
 
 
 def dataset_split_oracle() -> str:

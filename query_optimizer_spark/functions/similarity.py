@@ -370,6 +370,10 @@ def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(array_min(q) as int)").alias("q_min"),
             F.expr("cast(array_max(q) as int)").alias("q_max"),
         )
+        # count()-elimination guard (r15 bare-scan sweep): total
+        # invariant referencing the computed outputs, so the
+        # projection executes under a bare count()
+        .filter("q_min <= q_max AND q_sum IS NOT NULL")
     )
 
 

@@ -52,7 +52,10 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"cast(size(regexp_extract_all(lower(text), '{BPE_RE}', 0)) as int)"
         ).alias("n_bpe_tokens"),
-    )
+        # count()-elimination guard (r15 bare-scan sweep): total
+        # invariant referencing the computed outputs, so the projection
+        # executes under a bare count()
+    ).filter("n_ws_tokens >= 0 AND n_bpe_tokens >= 0")
 
 
 def token_count_oracle() -> str:
@@ -101,7 +104,10 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(_pred_case(cols)).alias("pred_lang"),
         F.expr("GREATEST(" + ", ".join(cols.values()) + ")").alias("best_hits"),
-    )
+        # count()-elimination guard (r15 bare-scan sweep): total
+        # invariant referencing the computed outputs, so the projection
+        # executes under a bare count()
+    ).filter("pred_lang IS NOT NULL AND best_hits >= 0")
 
 
 def language_id_oracle() -> str:
@@ -213,7 +219,10 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _docs(spark, sf_dir).select(
         "doc_id", F.expr(expr).alias("fp")
-    )
+        # count()-elimination guard (r15 bare-scan sweep): total
+        # invariant referencing the computed outputs, so the projection
+        # executes under a bare count()
+    ).filter(f"fp >= 0 AND fp < {MINHASH_P}")
 
 
 def fingerprint_oracle() -> str:
