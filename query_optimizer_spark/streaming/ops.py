@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import contextlib
 import json
 import uuid
 import warnings
@@ -47,6 +48,73 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plan audit (scripts/plan_audit.py reads this after running each
 # stream_* op; the memory/parquet sink table itself carries no plan)
 LAST_STREAM_AUDIT: dict = {}
+
+
+def _src_bytes(*paths) -> int:
+    """Total on-disk bytes of a streaming source (file or directory of
+    parquet) -- the input-size signal ``_stream_shuffle_partitions``
+    scales the query's shuffle width by."""
+    from pathlib import Path
+
+    total = 0
+    for p in paths:
+        pth = Path(p)
+        if pth.is_dir():
+            total += sum(
+                f.stat().st_size for f in pth.glob("**/*.parquet")
+            )
+        elif pth.exists():
+            total += pth.stat().st_size
+    return total
+
+
+def _stream_shuffle_partitions(spark, input_bytes: int) -> int:
+    """Scale-adaptive shuffle-partition count for ONE streaming query
+    (optimization guide §2.2/§2.5 + §2 'make partitioning
+    scale-adaptive').  Stateful streaming operators allocate one state
+    store INSTANCE per shuffle partition (a stream-stream join
+    allocates four) and pay per-instance version-commit overhead every
+    micro-batch -- measured on join_stream at sf0.1: 128 instances
+    carrying 79 final state rows, summed commitTimeMs ~69 s, 8.1 s
+    wall; 4 partitions -> 3.0 s, identical results.  AQE cannot
+    coalesce streaming shuffles, so the width must be derived from the
+    INPUT SIZE rather than the session's batch-parallelism default:
+
+        partitions = clamp(ceil(input_bytes / target), 2, session)
+
+    target = $SPARK_GRAFT_STREAM_SHUFFLE_TARGET_BYTES (default 32 MB,
+    the guide's 100 MB-1 GB post-shuffle partition advice scaled by
+    the observed shuffle amplification of these pipelines).  At bench
+    scale (MB inputs) this floors at 2; at production scale the
+    session cap always wins, so cluster behavior is the configured
+    parallelism, unchanged."""
+    import os as _os
+
+    target = int(
+        _os.environ.get(
+            "SPARK_GRAFT_STREAM_SHUFFLE_TARGET_BYTES", str(32 << 20)
+        )
+    )
+    session = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    want = -(-max(input_bytes, 1) // target)  # ceil div
+    return max(2, min(session, want))
+
+
+@contextlib.contextmanager
+def _stream_width(spark, input_bytes):
+    """Pin spark.sql.shuffle.partitions to the scale-adaptive width for
+    the duration of one streaming query start (the query captures the
+    value at planning time), restoring the session default after."""
+    if input_bytes is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(_stream_shuffle_partitions(spark, input_bytes)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def _capture_audit(q, output_mode: str) -> None:
@@ -119,18 +187,19 @@ def _record_stream_feedback(q, store, op: str) -> None:
 
 
 def _run_to_memory(
-    sdf, output_mode: str, store=None, op: str = ""
+    sdf, output_mode: str, store=None, op: str = "", input_bytes=None
 ) -> DataFrame:
     spark = sdf.sparkSession
     name = f"stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_width(spark, input_bytes):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _capture_audit(q, output_mode)
     if store is not None:
         _record_stream_feedback(q, store, op)
@@ -157,7 +226,7 @@ def hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return _run_to_memory(agg, "complete")
+    return _run_to_memory(agg, "complete", input_bytes=_src_bytes(f"{sf_dir}/events.parquet"))
 
 
 def hourly_counts_stream_oracle() -> str:
@@ -188,7 +257,7 @@ def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return _run_to_memory(agg, "complete")
+    return _run_to_memory(agg, "complete", input_bytes=_src_bytes(f"{sf_dir}/events.parquet"))
 
 
 def sliding_counts_stream_oracle() -> str:
@@ -224,7 +293,7 @@ def enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 3).alias("total_value"),
         )
     )
-    return _run_to_memory(agg, "complete")
+    return _run_to_memory(agg, "complete", input_bytes=_src_bytes(f"{sf_dir}/events.parquet"))
 
 
 def enrich_stream_oracle() -> str:
@@ -252,7 +321,7 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type", "value")
     )
-    return _run_to_memory(deduped, "append")
+    return _run_to_memory(deduped, "append", input_bytes=_src_bytes(f"{sf_dir}/events.parquet"))
 
 
 def dedup_stream_oracle() -> str:
@@ -352,7 +421,7 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(sessions, "append")
+    return _run_to_memory(sessions, "append", input_bytes=_src_bytes(f"{sf_dir}/events.parquet"))
 
 
 def sessionize_stream_oracle() -> str:
@@ -447,7 +516,9 @@ def join_stream(
             "lag_us"
         ),
     )
-    return _run_to_memory(joined, "append", store=store, op="stream_join")
+    return _run_to_memory(
+        joined, "append", store=store, op="stream_join", input_bytes=_src_bytes(f"{sf_dir}/events.parquet")
+    )
 
 
 # phase split of the most recent feedback_broadcast_join run (bench.py
@@ -550,7 +621,7 @@ def feedback_broadcast_join(
             "lag_us"
         ),
     )
-    return _run_to_memory(joined, "append")
+    return _run_to_memory(joined, "append", input_bytes=_src_bytes(f"{sf_dir}/events.parquet"))
 
 
 def _broadcast_threshold_bytes(spark: SparkSession) -> int:
@@ -623,15 +694,18 @@ def sink_parquet_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type", "value")
     )
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_width(
+        spark, _src_bytes(f"{sf_dir}/events.parquet")
+    ):
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _capture_audit(q, "append")
     # materialize the read-back into the block cache, then remove the
     # sink + checkpoint dirs so completed runs leave nothing on disk
@@ -779,7 +853,7 @@ def asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(out, "append")
+    return _run_to_memory(out, "append", input_bytes=_src_bytes(f"{sf_dir}/events.parquet"))
 
 
 def asof_stream_oracle() -> str:
@@ -890,7 +964,7 @@ def hll_users_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    tbl = _run_to_memory(regs, "append")
+    tbl = _run_to_memory(regs, "append", input_bytes=_src_bytes(f"{sf_dir}/events.parquet"))
     # batch finish on the sink table (a few hundred rows): collapse
     # multi-batch re-emissions, then estimate.  The sink holds only
     # NON-ZERO registers, so no zero-fill grid is needed: each of the
@@ -1048,7 +1122,7 @@ def quantile_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    tbl = _run_to_memory(counts, "append")
+    tbl = _run_to_memory(counts, "append", input_bytes=_src_bytes(f"{sf_dir}/events.parquet"))
     # batch finish on the sink table: collapse multi-batch re-emissions
     # (counts are monotone -> max = final), then the CDF walk
     hist = tbl.groupBy("event_type", "b").agg(F.max("cnt").alias("cnt"))
@@ -1168,7 +1242,7 @@ def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("est").alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= MINHASH_THRESHOLD)
     )
-    return _run_to_memory(scored, "complete")
+    return _run_to_memory(scored, "complete", input_bytes=_src_bytes(f"{sf_dir}/documents.parquet"))
 
 
 def incremental_dedup_stream_oracle() -> str:
@@ -1275,7 +1349,7 @@ def kmv_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    tbl = _run_to_memory(sketch, "append")
+    tbl = _run_to_memory(sketch, "append", input_bytes=_src_bytes(f"{sf_dir}/documents.parquet"))
     # batch finish on the sink table: collapse multi-batch emissions to
     # the K smallest per source (== the final state, see _kmv_fn), then
     # the theta estimator.  (K-1) * 2^32 is exact in a double; when a
@@ -1419,7 +1493,7 @@ def window_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    tbl = _run_to_memory(levels, "append")
+    tbl = _run_to_memory(levels, "append", input_bytes=_src_bytes(f"{sf_dir}/events.parquet"))
     final = tbl.groupBy("user_id").agg(F.max("level").alias("level"))
     return final.groupBy("level").agg(
         F.count("*").cast("int").alias("n_users")
@@ -1520,14 +1594,15 @@ def cdc_tail_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_doc"),
     )
     name = f"stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_width(spark, _src_bytes(feed)):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _capture_audit(q, "complete")
     # the per-commit contract: every transition file rode its OWN
     # micro-batch (maxFilesPerTrigger=1 honored under availableNow)
