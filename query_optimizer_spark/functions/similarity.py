@@ -1804,7 +1804,9 @@ def ivfpq_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_cached=float(build_cached),
     )
 
-    lists = spark.read.parquet(idx_path).filter(
+    from ..sources import read_partitioned_store
+
+    lists = read_partitioned_store(spark, idx_path).filter(
         F.col("cent_id").isin([int(c) for c in probed])
     )
     # the probe predicate must reach the scan as a PARTITION filter
@@ -2373,7 +2375,9 @@ def _ivf_append_batch(spark, idx_path: str, emb, batch_cond, _encode) -> int:
         int(r.cent_id)
         for r in batch_rows.select("cent_id").distinct().collect()
     )
-    existing = spark.read.parquet(idx_path).filter(
+    from ..sources import read_partitioned_store
+
+    existing = read_partitioned_store(spark, idx_path).filter(
         F.col("cent_id").isin(touched) & ~batch_cond
     )
     plan = physical_plan(existing)
@@ -2514,7 +2518,9 @@ def ivf_append_topk(
         build_cached=float(cached),
     )
 
-    lists = spark.read.parquet(idx_path).filter(
+    from ..sources import read_partitioned_store
+
+    lists = read_partitioned_store(spark, idx_path).filter(
         F.col("cent_id").isin([int(c) for c in probed])
     )
     plan = physical_plan(lists)
@@ -2677,7 +2683,9 @@ def ivf_multibatch_topk(
         build_cached=float(cached),
     )
 
-    lists = spark.read.parquet(idx_path).filter(
+    from ..sources import read_partitioned_store
+
+    lists = read_partitioned_store(spark, idx_path).filter(
         F.col("cent_id").isin([int(c) for c in probed])
     )
     plan = physical_plan(lists)
@@ -2790,7 +2798,9 @@ def ivf_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in doomed.select("cent_id").distinct().collect()
         )
         n_touched = len(touched)
-        survivors = spark.read.parquet(idx_path).filter(
+        from ..sources import read_partitioned_store
+
+        survivors = read_partitioned_store(spark, idx_path).filter(
             F.col("cent_id").isin(touched) & ~del_cond
         )
         plan = physical_plan(survivors)
@@ -2850,7 +2860,9 @@ def ivf_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in probed
         if (Path(idx_path) / f"cent_id={c}").exists()
     ]
-    lists = spark.read.parquet(idx_path).filter(
+    from ..sources import read_partitioned_store
+
+    lists = read_partitioned_store(spark, idx_path).filter(
         F.col("cent_id").isin(existing_probed)
     )
     plan = physical_plan(lists)
@@ -3006,7 +3018,9 @@ def ivf_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         work = _json.loads(sidecar.read_text())
         t1 = _time.monotonic()
-        rows = spark.read.parquet(idx_path).filter(
+        from ..sources import read_partitioned_store
+
+        rows = read_partitioned_store(spark, idx_path).filter(
             F.col("cent_id").isin(work["frag"])
         )
         plan = physical_plan(rows)
@@ -3058,7 +3072,9 @@ def ivf_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_cached=float(cached),
     )
 
-    lists = spark.read.parquet(idx_path).filter(
+    from ..sources import read_partitioned_store
+
+    lists = read_partitioned_store(spark, idx_path).filter(
         F.col("cent_id").isin([int(c) for c in probed])
     )
     plan = physical_plan(lists)

@@ -1216,8 +1216,10 @@ def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key",
         *[F.col(f"m{i}").alias(f"b{i}") for i in range(MINHASH_K)],
     )
+    from ..sources import read_partitioned_store
+
     idx = (
-        spark.read.parquet(idx_path)
+        read_partitioned_store(spark, idx_path)
         # corpus-side rows only: commit-invariant, like the batch probe
         .filter(F.col("doc_id") >= INC_BATCH_N)
         .select(
