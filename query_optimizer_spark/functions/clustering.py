@@ -65,7 +65,15 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("id"))
         .cache()
     )
-    labels.count()  # materialize
+    # materialize + take the convergence reference in ONE job: min-label
+    # propagation monotonically lowers labels (new = min(own,
+    # neighbors') <= own, over the same id set each round), so the
+    # EXACT decimal sum of labels strictly decreases iff any label
+    # changed -- one aggregate on the frame the round materializes
+    # anyway, replacing the old per-round new-vs-old join + count()
+    # barrier (guide §2.4: one fewer shuffle join per round)
+    _sum_expr = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(_sum_expr).collect()[0].s
     t_setup = _time.monotonic()
     changed = 1
     prev_ckpt = None
@@ -86,12 +94,9 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(_sum_expr).collect()[0].s
+        changed = int(new_sum != prev_sum)
+        prev_sum = new_sum
         if labels is not prev_ckpt:
             labels.unpersist()
         labels = new_labels

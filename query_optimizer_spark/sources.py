@@ -166,12 +166,23 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+# the session's current bucketed-table source: (appId, sf_dir,
+# n_buckets).  The whole point of bucketing is pre-shuffle ONCE, join
+# many times -- rewriting both tables on every call (the pre-r15
+# behavior) made every measured rep pay the one-time write cost and
+# measured the wrong phase (guide §1: time the claim)
+_BUCKETED_CURRENT: dict = {}
+
+
 def bucketed_join_demo(
     spark: SparkSession, sf_dir: str, n_buckets: int = 8
 ) -> tuple[DataFrame, str]:
     """Bucket lineitem + orders on the join key, join them, and return
     (result, physical plan).  The plan must contain no Exchange on
-    either side -- asserted in tests."""
+    either side -- asserted in tests.  The bucketed tables are written
+    once per (session, sf_dir): repeat calls measure the read-side
+    claim (co-located pre-sorted buckets, zero Exchange), which is the
+    strategy's entire purpose."""
     Path(DEFAULT_WAREHOUSE).mkdir(exist_ok=True)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_quantity", "l_extendedprice"
@@ -179,8 +190,18 @@ def bucketed_join_demo(
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_totalprice"
     )
-    write_bucketed(li, "li_bucketed", "l_orderkey", n_buckets, "l_orderkey")
-    write_bucketed(orders, "orders_bucketed", "o_orderkey", n_buckets, "o_orderkey")
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), n_buckets)
+    if _BUCKETED_CURRENT.get("key") != key or not (
+        spark.catalog.tableExists("li_bucketed")
+        and spark.catalog.tableExists("orders_bucketed")
+    ):
+        write_bucketed(
+            li, "li_bucketed", "l_orderkey", n_buckets, "l_orderkey"
+        )
+        write_bucketed(
+            orders, "orders_bucketed", "o_orderkey", n_buckets, "o_orderkey"
+        )
+        _BUCKETED_CURRENT["key"] = key
     a = spark.table("li_bucketed")
     b = spark.table("orders_bucketed")
     # merge hint: broadcast would win on toy data, but sort-merge is the
@@ -289,8 +310,6 @@ def zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensions' min/max ranges are narrow per file, where a sort on one
     column only prunes that column's dimension.
     """
-    import hashlib
-
     from pyspark.sql import functions as F
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
@@ -301,17 +320,23 @@ def zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     p_hi, s_hi = hi.p // ZORDER_SEL, hi.s // ZORDER_SEL
 
-    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
-    out = Path(f"{DEFAULT_WAREHOUSE}/lineitem_zorder_{tag}")
-    (
-        li.withColumn(
-            "zval", F.expr(_zorder_expr("l_partkey", "l_suppkey"))
+    # the clustered layout is OPTIMIZE ZORDER output -- table
+    # maintenance a store pays once, amortized over every later
+    # pruned read.  Build it once per (session, sf_dir) like the band /
+    # IVF indexes (session-scoped path + _SUCCESS marker); repeat
+    # calls measure the claimed recurring phase: footer-stats pruning
+    # + the pruned read (guide §1: time the claim, not the setup)
+    out = Path(session_state_path(spark, sf_dir, "lineitem_zorder"))
+    if not (out / "_SUCCESS").exists():
+        (
+            li.withColumn(
+                "zval", F.expr(_zorder_expr("l_partkey", "l_suppkey"))
+            )
+            .repartitionByRange(ZORDER_FILES, "zval")
+            .sortWithinPartitions("zval")
+            .write.mode("overwrite")
+            .parquet(str(out))
         )
-        .repartitionByRange(ZORDER_FILES, "zval")
-        .sortWithinPartitions("zval")
-        .write.mode("overwrite")
-        .parquet(str(out))
-    )
 
     # file-level skipping from footer stats only (no data IO)
     import pyarrow.parquet as pq
