@@ -166,23 +166,27 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
-# the session's current bucketed-table source: (appId, sf_dir,
-# n_buckets).  The whole point of bucketing is pre-shuffle ONCE, join
-# many times -- rewriting both tables on every call (the pre-r15
-# behavior) made every measured rep pay the one-time write cost and
-# measured the wrong phase (guide §1: time the claim)
-_BUCKETED_CURRENT: dict = {}
-
-
 def bucketed_join_demo(
     spark: SparkSession, sf_dir: str, n_buckets: int = 8
 ) -> tuple[DataFrame, str]:
     """Bucket lineitem + orders on the join key, join them, and return
     (result, physical plan).  The plan must contain no Exchange on
     either side -- asserted in tests.  The bucketed tables are written
-    once per (session, sf_dir): repeat calls measure the read-side
-    claim (co-located pre-sorted buckets, zero Exchange), which is the
-    strategy's entire purpose."""
+    once per (session, sf_dir, n_buckets): repeat calls measure the
+    read-side claim (co-located pre-sorted buckets, zero Exchange),
+    which is the strategy's entire purpose.
+
+    Table NAMES carry the (sf_dir, appId) tag, mirroring
+    ``session_state_path``: a single shared name ("li_bucketed") was
+    rewritten whenever a sibling session or a different sf_dir came
+    through, and this session's cached relation then pointed at
+    deleted files (FAILED_READ_FILE mid-pytest).  Per-(session,
+    source) names make reuse safe by construction; dead sessions'
+    table dirs are TTL-GCed like every other session-scoped state."""
+    import hashlib
+    import os
+    import time
+
     Path(DEFAULT_WAREHOUSE).mkdir(exist_ok=True)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_quantity", "l_extendedprice"
@@ -190,20 +194,49 @@ def bucketed_join_demo(
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_totalprice"
     )
-    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), n_buckets)
-    if _BUCKETED_CURRENT.get("key") != key or not (
-        spark.catalog.tableExists("li_bucketed")
-        and spark.catalog.tableExists("orders_bucketed")
+    tag = hashlib.md5(
+        f"{sf_dir.rstrip('/')}|{spark.sparkContext.applicationId}"
+        f"|{n_buckets}".encode()
+    ).hexdigest()[:12]
+    li_tbl, od_tbl = f"li_bucketed_{tag}", f"orders_bucketed_{tag}"
+    warehouse = Path(
+        spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+    )
+    # TTL-GC sibling sessions' bucketed dirs (catalog entries die with
+    # their in-memory catalog; the dirs do not) + the pre-tag legacy
+    # names; refresh own mtimes so a live session never ages out
+    now = time.time()
+    for p in list(warehouse.glob("li_bucketed*")) + list(
+        warehouse.glob("orders_bucketed*")
     ):
+        if tag in p.name:
+            try:
+                os.utime(p)
+            except OSError:
+                pass
+            continue
+        try:
+            legacy = p.name in ("li_bucketed", "orders_bucketed")
+            if legacy or now - p.stat().st_mtime > STATE_TTL_SEC:
+                import shutil
+
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    if not (
+        spark.catalog.tableExists(li_tbl)
+        and spark.catalog.tableExists(od_tbl)
+        and (warehouse / li_tbl / "_SUCCESS").exists()
+        and (warehouse / od_tbl / "_SUCCESS").exists()
+    ):
+        write_bucketed(li, li_tbl, "l_orderkey", n_buckets, "l_orderkey")
         write_bucketed(
-            li, "li_bucketed", "l_orderkey", n_buckets, "l_orderkey"
+            orders, od_tbl, "o_orderkey", n_buckets, "o_orderkey"
         )
-        write_bucketed(
-            orders, "orders_bucketed", "o_orderkey", n_buckets, "o_orderkey"
-        )
-        _BUCKETED_CURRENT["key"] = key
-    a = spark.table("li_bucketed")
-    b = spark.table("orders_bucketed")
+    a = spark.table(li_tbl)
+    b = spark.table(od_tbl)
     # merge hint: broadcast would win on toy data, but sort-merge is the
     # strategy bucketing exists for (both sides pre-hashed + pre-sorted
     # => no Exchange, no Sort at read time)
