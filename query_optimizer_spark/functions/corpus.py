@@ -583,46 +583,56 @@ def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal (navigation chrome, license footers, mirrored pages) that a
     curation pass applies before training.
 
-    Scale shape: shingles generate map-side (hoisted ``toks``, O(n)
-    slice-transform -- same trap-avoidance as ``decontaminate``),
-    dedupe per doc in the SAME (doc_id, g) aggregation that later
-    counts df, and the boilerplate set meets the doc shingles in an
-    equi-join on the shingle under AQE (skew-safe: a viral shingle is a
-    hot JOIN key, which AQE splits -- unlike a hot window partition).
-    Nothing is broadcast: the boilerplate set is data-dependent and at
-    web scale can be huge.  Like tf-idf's df branch, the gram subtree
-    is deliberately recomputed on both sides of the join (column
-    pruning defeats ReuseExchange; caching a corpus-scale gram table
-    was measured slower at bench scale -- see ``tfidf_topk``)."""
+    Scale shape (r15 opt): shingles generate map-side (hoisted
+    ``toks``, O(n) slice-transform -- same trap-avoidance as
+    ``decontaminate``), dedupe per doc INSIDE the row
+    (``array_distinct``), and ONE shingle-keyed aggregation carries
+    both the document frequency and the doc attribution (collect_list
+    of the per-doc-distinct doc_ids, kept only for shingles that clear
+    BOILER_DF_MIN) -- the former shape re-exploded the whole corpus a
+    second time to probe the boilerplate set (two scans, two
+    tokenizations, no exchange reuse).  The per-shingle doc list is
+    bounded by that shingle's df; a web corpus with a truly viral
+    shingle would salt this aggregation two-level (partial lists under
+    (g, salt), df verdict joined back onto the salted partials --
+    same shuffle volume, bounded reducers).  The denominator
+    n_shingles is per-doc array arithmetic; the doc spine never
+    re-explodes."""
     n = BOILER_NGRAM
+    gram_arr = (
+        f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(toks, i, {n}))))"
+    )
     base = (
         _docs(spark, sf_dir)
         .select("doc_id", F.expr(TOKS).alias("toks"))
         .filter(F.expr(f"size(toks) >= {n}"))
     )
-    grams = base.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
-                f"i -> concat_ws(' ', slice(toks, i, {n}))))"
-            )
-        ).alias("g"),
-    )
-    boiler = (
-        grams.groupBy("g")
-        .agg(F.count("*").alias("df"))
+    boiler_counts = (
+        base.select("doc_id", F.explode(F.expr(gram_arr)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("df"), F.collect_list("doc_id").alias("docs"))
         .filter(F.col("df") >= BOILER_DF_MIN)
-        .select("g", F.lit(1).alias("is_boiler"))
+        .select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_boiler"))
+    )
+    # explode(array(..)) Generate barrier: materializes the per-doc
+    # shingle array once as an attribute -- a plain scalar projection
+    # would collapse the toks alias into the transform lambda and
+    # re-run the tokenizer per element (hoisted-toks trap)
+    spine = base.select(
+        "doc_id", F.explode(F.array(F.expr(gram_arr))).alias("gset")
+    ).select(
+        "doc_id", F.expr("cast(size(gset) as int)").alias("n_shingles")
     )
     return (
-        grams.join(boiler, "g", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("int").alias("n_shingles"),
-            F.sum(F.coalesce("is_boiler", F.lit(0)))
-            .cast("int")
-            .alias("n_boiler"),
+        spine
+        .join(boiler_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
         )
         .select(
             "doc_id",
@@ -630,9 +640,9 @@ def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_boiler",
             F.expr("round(n_boiler / n_shingles, 6)").alias("boiler_rate"),
         )
-        # count()-elimination guard (r14 sweep): the boilerplate set is
-        # unique on the shingle, so a bare count() would drop the df
-        # join entirely; a doc's boiler shingles are a subset of its own
+        # count()-elimination guard (r14 sweep): boiler_counts is unique
+        # on doc_id, so a bare count() would drop the df leg entirely;
+        # a doc's boiler shingles are a subset of its own
         .filter(
             (F.col("n_boiler") >= 0)
             & (F.col("n_boiler") <= F.col("n_shingles"))

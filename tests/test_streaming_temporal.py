@@ -489,3 +489,191 @@ def test_stream_cdc_tail_per_commit_batches(spark, duck):
     marker_mtime = (feed / "_FEED_DONE").stat().st_mtime_ns
     assert result_hash(streaming.cdc_tail_stream(spark, SF_DIR)) == got
     assert (feed / "_FEED_DONE").stat().st_mtime_ns == marker_mtime
+
+
+def test_stream_asof_bucketed_matches_per_user():
+    """The bucket-level vectorized as-of state function (r15 opt: one
+    Python call per bucket instead of one per user) must reproduce the
+    per-user reference implementation row for row AND state for state
+    over randomized multi-batch input -- including late batches and
+    cross-batch equal-ms ties (small ms range forces collisions)."""
+    import random
+
+    import pandas as pd
+
+    from query_optimizer_spark.streaming.ops import (
+        _asof_fn,
+        _asof_fn_bucketed,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.get = None
+
+        def update(self, tup):
+            self.exists = True
+            self.get = tup
+
+    rng = random.Random(1234)
+    users = [3, 7, 11, 12, 20, 21, 35]
+    eid = [0]
+
+    def mk_batch(n):
+        rows = []
+        for _ in range(n):
+            eid[0] += 1
+            rows.append(
+                [
+                    eid[0],
+                    rng.choice(users),
+                    rng.randrange(0, 60),  # tiny range -> equal-ms ties
+                    rng.randint(0, 1),
+                    float(rng.randint(1, 50)),
+                ]
+            )
+        # shuffle event ids out of ms order -> late arrivals
+        rng.shuffle(rows)
+        return pd.DataFrame(
+            rows, columns=["event_id", "user_id", "ms", "is_click", "value"]
+        )
+
+    batches = [mk_batch(50) for _ in range(4)]
+
+    def harvest(frames):
+        out = set()
+        for f in frames:
+            for r in f.itertuples():
+                out.add(
+                    (
+                        int(r.event_id),
+                        int(r.user_id),
+                        float(r.purchase_value),
+                        int(r.ms_since_purchase),
+                    )
+                )
+        return out
+
+    ref_out = set()
+    ref_states = {u: FakeState() for u in users}
+    for b in batches:
+        for u in users:
+            sub = b[b.user_id == u].reset_index(drop=True)
+            if len(sub) == 0:
+                continue  # per-user operator not invoked for absent keys
+            ref_out |= harvest(
+                _asof_fn((u,), iter([sub]), ref_states[u])
+            )
+
+    n_buckets = 3
+    got_out = set()
+    bstates = {r: FakeState() for r in range(n_buckets)}
+    for b in batches:
+        for r in range(n_buckets):
+            sub = b[b.user_id % n_buckets == r].reset_index(drop=True)
+            if len(sub) == 0:
+                continue
+            got_out |= harvest(
+                _asof_fn_bucketed((r,), iter([sub]), bstates[r])
+            )
+
+    assert ref_out and got_out == ref_out
+    # final carried purchases agree per user
+    ref_final = {
+        u: st.get
+        for u, st in ref_states.items()
+        if st.exists and st.get[0] is not None
+    }
+    got_final = {}
+    for st in bstates.values():
+        if not st.exists:
+            continue
+        su, sm, sv, se = st.get
+        for u, m, v, e in zip(su, sm, sv, se):
+            got_final[int(u)] = (int(m), float(v), int(e))
+    assert got_final == ref_final
+
+
+def test_stream_funnel_bucketed_matches_per_user():
+    """The bucket-level funnel state function (r15 opt) must emit the
+    same (user, level) rows and carry the same per-user stage lists as
+    the per-user reference over randomized multi-batch input."""
+    import random
+
+    import pandas as pd
+
+    from query_optimizer_spark.streaming.ops import _wf_fn, _wf_fn_bucketed
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.get = None
+
+        def update(self, tup):
+            self.exists = True
+            self.get = tup
+
+    rng = random.Random(99)
+    users = [2, 5, 9, 14, 15, 33]
+
+    def mk_batch(n):
+        rows = []
+        for _ in range(n):
+            rows.append(
+                [
+                    rng.choice(users),
+                    rng.choice(["view", "click", "purchase"]),
+                    rng.randrange(0, 10_000_000),
+                ]
+            )
+        return pd.DataFrame(rows, columns=["user_id", "event_type", "ms"])
+
+    batches = [mk_batch(60) for _ in range(3)]
+
+    def harvest(frames):
+        rows = []
+        for f in frames:
+            for r in f.itertuples():
+                rows.append((int(r.user_id), int(r.level)))
+        return sorted(rows)
+
+    ref_rows = []
+    ref_states = {u: FakeState() for u in users}
+    for b in batches:
+        per_batch = []
+        for u in users:
+            sub = b[b.user_id == u].reset_index(drop=True)
+            if len(sub) == 0:
+                continue
+            per_batch += harvest(_wf_fn((u,), iter([sub]), ref_states[u]))
+        ref_rows.append(sorted(per_batch))
+
+    n_buckets = 2
+    got_rows = []
+    bstates = {r: FakeState() for r in range(n_buckets)}
+    for b in batches:
+        per_batch = []
+        for r in range(n_buckets):
+            sub = b[b.user_id % n_buckets == r].reset_index(drop=True)
+            if len(sub) == 0:
+                continue
+            per_batch += harvest(
+                _wf_fn_bucketed((r,), iter([sub]), bstates[r])
+            )
+        got_rows.append(sorted(per_batch))
+
+    assert any(ref_rows) and got_rows == ref_rows
+    # final stage lists agree per user
+    ref_final = {
+        u: tuple(map(tuple, st.get))
+        for u, st in ref_states.items()
+        if st.exists
+    }
+    got_final = {}
+    for st in bstates.values():
+        if not st.exists:
+            continue
+        su, svs, scs, sps = st.get
+        for u, v, c, p in zip(su, svs, scs, sps):
+            got_final[int(u)] = (tuple(v), tuple(c), tuple(p))
+    assert got_final == ref_final
