@@ -1544,10 +1544,22 @@ def hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB you would keep only the sketch (256 bytes of state,
     map-side-combinable max per register -- one tiny final reduce,
     mergeable across shards/days by construction)."""
-    toks = _docs(spark, sf_dir).select(F.explode(F.expr(TOKS)).alias("tok"))
+    # ONE corpus explode feeds ONE distinct shuffle; the register max
+    # is duplicate-insensitive, so building the sketch from the
+    # DISTINCT token table (vocabulary-sized, localCheckpointed -- the
+    # exact ground-truth leg needed exactly this table anyway) is
+    # bit-identical and hashes the vocabulary instead of every
+    # occurrence (r15 opt: the former shape exploded the corpus twice,
+    # once per leg, and md5-ed every token instance)
+    vocab = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.expr(TOKS)).alias("tok"))
+        .distinct()
+        .localCheckpoint()
+    )
     h = "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
     regs = (
-        toks.select(
+        vocab.select(
             F.expr(f"{h} % {HLL_M}").alias("idx"),
             F.expr(f"{h} div {HLL_M}").alias("w"),
         )
@@ -1576,9 +1588,7 @@ def hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zeros"
         ),
     )
-    exact = toks.agg(
-        F.countDistinct("tok").cast("int").alias("exact_vocab")
-    )
+    exact = vocab.agg(F.count("*").cast("int").alias("exact_vocab"))
     return (
         stats.crossJoin(exact)
         .select(
@@ -1679,11 +1689,22 @@ def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality oracle keeps exact per-relation counts
     (query-optimizer CardinalityEstimationAlg); this is the sketch the
     same ANALYZE pass would persist per shard."""
-    docs = _docs(spark, sf_dir)
-    toks = docs.select("source", F.explode(F.expr(TOKS)).alias("tok"))
+    # ONE corpus explode -> ONE distinct shuffle -> localCheckpointed
+    # (source, tok) vocabulary table; the sketch build, BOTH exact
+    # ground-truth legs, the source grid and the register merge all
+    # read it (r15 opt: the former shape re-exploded the corpus once
+    # per consumer -- 4 corpus passes, md5 over every occurrence; the
+    # register max is duplicate-insensitive, so hashing the distinct
+    # table is bit-identical)
+    vocab = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.expr(TOKS)).alias("tok"))
+        .distinct()
+        .localCheckpoint()
+    )
     h = "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
     ranked = (
-        toks.select(
+        vocab.select(
             "source",
             F.expr(f"{h} % {HLL_M}").alias("idx"),
             F.expr(f"{h} div {HLL_M}").alias("w"),
@@ -1709,7 +1730,7 @@ def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("zeros")
 
     grid = (
-        docs.select("source")
+        vocab.select("source")
         .distinct()
         .crossJoin(spark.range(HLL_M).select(F.col("id").alias("idx")))
     )
@@ -1719,8 +1740,8 @@ def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(sv_expr, zeros_expr)
     )
-    per_src_exact = toks.groupBy("source").agg(
-        F.countDistinct("tok").cast("int").alias("exact_vocab")
+    per_src_exact = vocab.groupBy("source").agg(
+        F.count("*").cast("int").alias("exact_vocab")
     )
     per_src = per_src_stats.join(per_src_exact, "source")
 
@@ -1734,7 +1755,7 @@ def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(sv_expr, zeros_expr)
         .withColumn("source", F.lit("*ALL*"))
     )
-    union_exact = toks.agg(
+    union_exact = vocab.agg(
         F.countDistinct("tok").cast("int").alias("exact_vocab")
     )
     all_row = merged_stats.crossJoin(union_exact).select(
