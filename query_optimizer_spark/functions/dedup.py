@@ -455,6 +455,23 @@ def _band_rows(sig: DataFrame, keep_sig: bool) -> DataFrame:
     )
 
 
+def _store_write_width(spark: SparkSession) -> int:
+    """Explicit shuffle width for shard-partitioned index writes.
+
+    ``repartition("shard")`` alone lets AQE coalesce the tiny post-
+    shuffle partitions of a small index to ONE task, which then creates
+    every shard directory's parquet file sequentially -- measured 45 s
+    vs 8 s for the same 840-directory write at sf0.001 (guide §6 small
+    files: the per-file open/commit cost is the bottleneck, so spread
+    it).  An explicit partition count bypasses AQE's coalescing while
+    hash-partitioning BY shard still routes each shard to exactly one
+    task, so every shard directory keeps exactly ONE file at any width.
+    Scale-adaptive: grows with the session's cores (local[8] -> 64,
+    local[32] -> 256, a cluster -> its real parallelism), capped at one
+    task per shard."""
+    return min(INC_NSHARDS, max(16, spark.sparkContext.defaultParallelism * 8))
+
+
 def _ensure_band_index(
     spark: SparkSession, sf_dir: str, prefix: str, corpus_lo: int
 ) -> tuple[str, float, bool]:
@@ -476,7 +493,7 @@ def _ensure_band_index(
         )
         (
             _band_rows(corpus_sig, keep_sig=True)
-            .repartition("shard")
+            .repartition(_store_write_width(spark), "shard")
             .write.mode("overwrite")
             .partitionBy("shard")
             .parquet(idx_path)
@@ -605,9 +622,11 @@ def incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
        index): the corpus slice's signatures are computed in ONE Arrow
        pass, exploded to (doc_id, m0..m15, band, key) rows, and written
        ``partitionBy(shard)`` where shard = hash32(key) % INC_NSHARDS
-       -- after a ``repartition("shard")`` so each shard directory
-       holds ONE file, not one per writing task (the small-files
-       trap at 1000 executors).
+       -- after a hash ``repartition(width, "shard")`` so each shard
+       directory holds ONE file, not one per writing task (the
+       small-files trap at 1000 executors); the explicit width keeps
+       the file creation parallel when the index is small
+       (``_store_write_width``).
     2. PROBE: only the BATCH's signatures are computed (the
        deterministic FIXED-SIZE doc_id < INC_BATCH_N slice, so probe
        cost is bounded by the batch, not the corpus, at every scale --
@@ -777,7 +796,7 @@ def _commit_band_index(
         spark.conf.set(mode_key, "dynamic")
         try:
             (
-                to_write.repartition("shard")
+                to_write.repartition(_store_write_width(spark), "shard")
                 .write.mode("overwrite")
                 .partitionBy("shard")
                 .parquet(idx_path)

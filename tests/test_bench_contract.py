@@ -30,7 +30,13 @@ def test_bench_json_contract(tmp_path):
         capture_output=True,
         text=True,
         env=env,
-        timeout=900,
+        # 900 was sized for the ~75-query r7 headline; the r15 headline
+        # is 141 queries + a ~20-step session warmup (measured 456 s
+        # standalone at sf0.001, but the suite's live session fixtures
+        # contend with the subprocess and this sandbox's I/O is noisy
+        # to ~2x).  The contract under test is the stdout line, not a
+        # latency SLA -- the timeout only guards against a hang.
+        timeout=1800,
         check=True,
     )
     last = out.stdout.strip().splitlines()[-1]
