@@ -1048,7 +1048,16 @@ def recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-row aggregate, with the truth count riding a 1-row broadcast
     (the tfidf N pattern).
     """
-    truth = brute_force_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # the truth table feeds TWO consumers (the hits join and the 1-row
+    # n_truth aggregate) whose column pruning differs, so Catalyst
+    # cannot ReuseExchange them and the brute-force scan would run
+    # twice; localCheckpoint materializes it once (bounded: n_queries x
+    # k rows -- model state, guide §1.2 don't recompute what you have)
+    truth = (
+        brute_force_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     cand = (
         lsh_ann_topk(spark, sf_dir)
         .select("query_id", "neighbor_id", F.lit("lsh").alias("method"))
