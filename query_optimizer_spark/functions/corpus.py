@@ -432,29 +432,35 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("bit_or(bit)").alias("mask"))
     )
     # probe: every distinct (train doc, shingle) tests its k bits
-    # against the WHOLE filter carried as one broadcast map row (the
-    # <= 1041 (word, mask) entries are the 8.3 KB filter itself --
-    # model state).  Pure array expressions replace the former
-    # k-way position explode + broadcast join + (doc, g) re-aggregation
-    # (guide §2.4 remove shuffles outright): a gram is a hit iff ALL k
-    # probed bits are set, evaluated per row with no row multiplication.
-    # element_at on an absent word is NULL, NULL & bit is NULL, and the
-    # CASE's ELSE arm maps the NULL through to 0 -- the same "mask is
-    # not null and (mask & bit) != 0" semantics the join path had.
     train = grams.filter(~F.col("is_eval")).select("doc_id", "g").distinct()
-    bloom_map = bloom_words.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "mask"))).alias("bm")
-    )
-    per_gram = train.crossJoin(F.broadcast(bloom_map)).select(
+    probes = train.select(
         "doc_id",
         "g",
-        F.expr(
-            f"case when forall(transform(sequence(0, {k - 1}),"
-            f" i -> ({h1} + i * {h2}) % {m}),"
-            " p -> (element_at(bm, cast(p div 63 as int))"
-            " & shiftleft(cast(1 as bigint), cast(p % 63 as int))) != 0)"
-            " then 1 else 0 end"
-        ).alias("bloom_hit"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {k - 1}),"
+                f" i -> ({h1} + i * {h2}) % {m})"
+            )
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "g",
+        F.expr("cast(pos div 63 as int)").alias("w"),
+        F.expr("shiftleft(cast(1 as bigint), cast(pos % 63 as int))")
+        .alias("bit"),
+    )
+    per_gram = (
+        probes.join(F.broadcast(bloom_words), "w", "left")
+        .select(
+            "doc_id",
+            "g",
+            F.expr(
+                "case when mask is not null and (mask & bit) != 0"
+                " then 1 else 0 end"
+            ).alias("hit"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.expr(f"case when sum(hit) = {k} then 1 else 0 end").alias("bloom_hit"))
     )
     exact_marked = eval_grams.withColumn("ex", F.lit(1))
     return (
