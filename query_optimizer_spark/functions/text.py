@@ -944,7 +944,7 @@ _BPE_ENCODE_GUARD = "n_tokens >= 0 AND ids_hash IS NOT NULL"
 
 
 def bpe_encode_docs(
-    spark: SparkSession, sf_dir: str, via_vocab: bool = False
+    spark: SparkSession, sf_dir: str, via_vocab: bool = True
 ) -> DataFrame:
     """Per-document TOKENIZER ENCODE under the K trained merges -- the
     op the pipeline exists to feed (VERDICT r14 "what's missing" #2:
@@ -961,15 +961,15 @@ def bpe_encode_docs(
     the comma-joined id sequence IN DOCUMENT ORDER, so the gate pins
     the full ordered encoding of every document, not just counts.
 
-    Scale shape: ZERO shuffles -- one narrow projection per document
-    (regexp word extraction, K chained ``replace``s inside a
-    ``transform`` lambda, hash + join, all JVM-side whole-stage
-    codegen).  At a realistic K (10k-50k merges) the chained-replace
+    Scale shape: at a realistic K (10k-50k merges) the chained-replace
     apply must run once per DISTINCT word, not per occurrence --
-    ``via_vocab=True`` is that path (encode the vocabulary, join it
-    back, reassemble per-doc order from word positions), bit-identical
-    by pytest to the inline chain.  Columns: (doc_id, n_tokens,
-    ids_hash)."""
+    ``via_vocab=True`` (the default, and the declared-query path since
+    r15: measured 1.32 vs 2.95 s at sf0.1) encodes the vocabulary,
+    joins it back, and reassembles per-doc order from word positions.
+    ``via_vocab=False`` is the zero-shuffle inline chain (K replaces
+    per occurrence inside a ``transform`` lambda), bit-identical by
+    pytest and kept as the equivalence reference.  Columns: (doc_id,
+    n_tokens, ids_hash)."""
     S = _BPE_SEP
     S2 = S + S
     enc_w = f"regexp_replace(w, '(.)', '{S}$1{S}')"
