@@ -231,10 +231,24 @@ def bucketed_join_demo(
         and (warehouse / li_tbl / "_SUCCESS").exists()
         and (warehouse / od_tbl / "_SUCCESS").exists()
     ):
-        write_bucketed(li, li_tbl, "l_orderkey", n_buckets, "l_orderkey")
-        write_bucketed(
-            orders, od_tbl, "o_orderkey", n_buckets, "o_orderkey"
-        )
+        # the two table builds are independent jobs: overlap them so
+        # one build's straggler tail back-fills with the other's tasks
+        # (guide §2.6); job-description/scheduling props are
+        # thread-local, so each write is labelled and scheduled
+        # independently
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_li = pool.submit(
+                write_bucketed, li, li_tbl, "l_orderkey", n_buckets,
+                "l_orderkey",
+            )
+            f_od = pool.submit(
+                write_bucketed, orders, od_tbl, "o_orderkey", n_buckets,
+                "o_orderkey",
+            )
+            f_li.result()
+            f_od.result()
     a = spark.table(li_tbl)
     b = spark.table(od_tbl)
     # merge hint: broadcast would win on toy data, but sort-merge is the
