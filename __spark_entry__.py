@@ -203,11 +203,72 @@ _R15_WINDOW = [
     "join_selfjoin_4",
 ]
 
-# positions 51-87: the r11-stratum remainder (planner paths, adaptive/
-# feedback/env legs, outer/self-join removals, the SQL-variant slice,
-# and the r11 pipeline ops), first in line for r16
-_R16_FIRST = [
+# =========================================================================
+# r16 gate window (VERDICT r15 "Next round" #3, listed first on purpose):
+# the driver's 50-query oracle window this round covers the rewrites the
+# r15 optimization round shipped -- its rotation window was frozen before
+# the optimization session ran, so only 4 of the ~35 r15-touched ops got
+# a driver row (text_bpe_encode / io_snapshot_merge / stream_cdc_tail /
+# sim_recall_report).  Positions 1-11 are the ops the r16 OPTIMIZATION
+# round itself touches (the LEO adaptive/feedback family's overlapped
+# observe jobs; the train-pipeline shared scan; recall_report's shared
+# candidate generation; the containment/edit-distance verify stages; the
+# boilerplate/novelty gram aggregation) -- 5 of them double as r11-stale
+# rows from the pinned _R16_FIRST/_R17_FIRST list.  Positions 12-39 are
+# the r15-touched ops with no driver row for their rewrite: the stored-
+# index probe paths (dedup_incremental/index_commit/multibatch +
+# sim_ivfpq_pruned), the KMV/HLL sketch rewrites, the single-pass gram
+# family, the bucketed/z-order session layouts, dedup_survivors'
+# convergence check, and the 13 stream_* ops whose state-store width now
+# scales with input (stream_cdc_tail + stream_quantile_sketch were
+# r15-gated already).  Positions 40-50 drain the oldest r11-stratum rows
+# from the list r15 pinned (_R17_FIRST keeps the 19-row remainder --
+# outer/self-join removals, park/sampled/sketch planner paths, the SQL
+# variant slice -- first in line for r17).
+# =========================================================================
+_R16_WINDOW = [
+    # --- ops the r16 optimization round touches ---
+    "join_adaptive_full",
+    "join_adaptive_outer",
+    "join_adaptive_reopt",
+    "join_feedback_warm",
+    "join_feedback_persist",
+    "corpus_train_pipeline",
+    "sim_recall_report",
+    "dedup_containment",
     "dedup_edit_distance",
+    "corpus_boilerplate",
+    "text_novelty_curve",
+    # --- r15-touched ops with no driver row for the rewrite ---
+    "dedup_incremental",
+    "dedup_index_commit",
+    "dedup_multibatch",
+    "dedup_survivors",
+    "dedup_substring",
+    "dedup_substring_removal",
+    "text_kmv_rollup",
+    "text_kmv_overlap",
+    "text_hll_rollup",
+    "text_hll_vocab",
+    "text_countmin_freq",
+    "text_bm25_topk",
+    "io_bucketed_join",
+    "io_zorder_skipping",
+    "sim_ivfpq_pruned",
+    "stream_feedback_join",
+    "stream_incremental_dedup",
+    "stream_kmv_distinct",
+    "stream_hourly_counts",
+    "stream_asof_join",
+    "stream_hll_users",
+    "stream_window_funnel",
+    "stream_sessionize",
+    "stream_dedup",
+    "stream_enrich",
+    "stream_sliding_counts",
+    "stream_join",
+    "stream_sink_parquet",
+    # --- r11-stratum rotation (from the list r15 pinned) ---
     "emb_kmeans",
     "emb_pq_train",
     "evt_incremental_rollup",
@@ -215,14 +276,16 @@ _R16_FIRST = [
     "evt_session_window_native",
     "io_compact_small_files",
     "io_merge_upsert",
-    "join_adaptive_full",
-    "join_adaptive_outer",
-    "join_adaptive_reopt",
     "join_env_agent",
     "join_env_learned",
     "join_env_wire",
-    "join_feedback_persist",
     "join_ikkbz_events",
+]
+
+# positions 51-69: the r11-stratum remainder r16's window could not fit
+# (outer/self-join removals, the park/sampled/sketch planner paths, the
+# SQL-variant slice), first in line for r17
+_R17_FIRST = [
     "join_outer_3",
     "join_outer_full",
     "join_outer_mixed_5",
@@ -233,7 +296,6 @@ _R16_FIRST = [
     "join_selfjoin_removed_composite",
     "join_semi_prefilter",
     "join_sketch_card",
-    "sim_ivfpq_pruned",
     "sql_agg_pricing",
     "sql_exists_semijoin",
     "sql_having",
@@ -243,7 +305,6 @@ _R16_FIRST = [
     "sql_setops_nations",
     "sql_topk_orders",
     "sql_window_rank",
-    "text_countmin_freq",
 ]
 
 
@@ -339,8 +400,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     compaction cold-list repartition; two total count()-guards), then
     the join-fixture slice of the r11 stratum (join_cycle_7 doubling
     as the flagship for the exclusive runtime-matrix re-run); the 37
-    remaining r11 rows are pinned as ``_R16_FIRST`` at positions
-    51-87.
+    remaining r11 rows were pinned for r16.  Round 16's window is the
+    explicit ``_R16_WINDOW`` list above (VERDICT r15 #3): the ops the
+    r16 optimization round touches first, then the r15-touched ops
+    whose rewrites never got a driver row (the r15 gate window was
+    frozen before its optimization session ran), then as much of the
+    pinned r11 stratum as fits; the 19-row remainder is pinned as
+    ``_R17_FIRST`` at positions 51-69.
     ALL declared queries are
     checked against their DuckDB oracles by scripts/local_gate.py
     (checked-in: CORRECTNESS_LOCAL_FULL.json) and pytest every round
@@ -703,16 +769,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["join_park_cards"] = _park_cards
 
-    # final declaration order = the r15 gate window (see _R15_WINDOW),
-    # then the pinned r16 lead block, then everything else in build
+    # final declaration order = the r16 gate window (see _R16_WINDOW),
+    # then the pinned r17 lead block, then everything else in build
     # order.  A missing name here is a rotation bug -- fail loudly.
-    missing = [n for n in _R15_WINDOW + _R16_FIRST if n not in out]
-    if missing or len(_R15_WINDOW) != 50:
+    missing = [n for n in _R16_WINDOW + _R17_FIRST if n not in out]
+    if missing or len(_R16_WINDOW) != 50:
         raise RuntimeError(
-            f"gate-window rotation broken: len={len(_R15_WINDOW)}"
+            f"gate-window rotation broken: len={len(_R16_WINDOW)}"
             f" missing={missing}"
         )
-    head = _R15_WINDOW + _R16_FIRST
+    head = _R16_WINDOW + _R17_FIRST
     return {n: out[n] for n in head} | {
         n: r for n, r in out.items() if n not in set(head)
     }

@@ -26,6 +26,22 @@ Methodology (VERDICT r5 "What's wrong" #1: unexplained run-tail drifts):
   raw per-rep timings, the planning-vs-execution split and the
   adaptive phase decomposition are written to
   $SPARK_GRAFT_BENCH_RAW_PATH (default BENCH_COHORTS_LATEST.json).
+
+Raw-artifact schema ($SPARK_GRAFT_BENCH_RAW_PATH -- the per-query map's
+contractual home; VERDICT r15 "what's wrong" #1):
+
+    {"queries":  {name: best_of_reps_sec, ...},   # contract-named map
+     "timings":  same map (legacy key, r7+ tooling reads this),
+     "total_sec": sum of best-of-reps == the stdout "value",
+     "raw":      {name: [per-rep sec, chronological], ...},
+     "plan_sec": {fixture: planning-only sec, ...},
+     "adaptive_split": {name: [phase decompositions], ...},
+     "warmup_sec": [per-cohort fixed-warmup wall sec],
+     "reps"/"cohorts"/"sf"/"order"/"note": run metadata}
+
+Keys of "queries"/"timings"/"raw" always equal the headline list below
+(enforced by tests/test_bench_contract.py); entries are only ever
+ADDED round-over-round, never removed or renamed.
 """
 
 from __future__ import annotations
@@ -467,6 +483,13 @@ def main() -> None:
             with open(side_path, "w") as fh:
                 json.dump(
                     {
+                        # the per-query map under BOTH names: "queries"
+                        # is the driver contract's name for it (the r15
+                        # PERF per-query comparison came back empty --
+                        # n_common 0 -- plausibly a key-name mismatch);
+                        # "timings" stays for every r7+ script/artifact
+                        # that reads it.  Same object, never diverges.
+                        "queries": timings,
                         "timings": timings,
                         "total_sec": total,
                         "raw": raw,

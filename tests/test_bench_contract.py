@@ -63,6 +63,10 @@ def test_bench_json_contract(tmp_path):
     # decomposition in the side artifact instead
     side_doc = json.loads(side.read_text())
     assert set(side_doc["timings"]) == set(headline)
+    # the contract-named alias the driver's per-query comparison reads
+    # (VERDICT r15 #1: PERF came back n_common=0; "queries" is the
+    # map's name in the driver contract) -- identical to "timings"
+    assert side_doc["queries"] == side_doc["timings"]
     assert all(v > 0 for v in side_doc["timings"].values())
     assert abs(sum(side_doc["timings"].values()) - d["value"]) < 0.05
     assert side_doc["plan_sec"] and all(
