@@ -233,22 +233,47 @@ def bucketed_join_demo(
     ):
         # the two table builds are independent jobs: overlap them so
         # one build's straggler tail back-fills with the other's tasks
-        # (guide §2.6); job-description/scheduling props are
-        # thread-local, so each write is labelled and scheduled
-        # independently
-        from concurrent.futures import ThreadPoolExecutor
+        # (guide §2.6).  Spark's job group/description/pool are
+        # JVM-THREAD-local and a fresh pool thread starts with none, so
+        # the caller's properties (a bench label, or a cancellable job
+        # group set by harness.timed_execution -- whose cancelJobGroup
+        # must reach these writes on timeout) are copied into each
+        # submitted task explicitly (r15 ADVICE).
+        from concurrent.futures import ThreadPoolExecutor, wait
+
+        sc = spark.sparkContext
+        parent_props = {
+            k: sc.getLocalProperty(k)
+            for k in (
+                "spark.jobGroup.id",
+                "spark.job.description",
+                "spark.job.interruptOnCancel",
+                "spark.scheduler.pool",
+            )
+        }
+
+        def _build(df, tbl, key):
+            for k, v in parent_props.items():
+                if v is not None:
+                    sc.setLocalProperty(k, v)
+            write_bucketed(df, tbl, key, n_buckets, key)
 
         with ThreadPoolExecutor(max_workers=2) as pool:
-            f_li = pool.submit(
-                write_bucketed, li, li_tbl, "l_orderkey", n_buckets,
-                "l_orderkey",
-            )
-            f_od = pool.submit(
-                write_bucketed, orders, od_tbl, "o_orderkey", n_buckets,
-                "o_orderkey",
-            )
-            f_li.result()
-            f_od.result()
+            futs = [
+                pool.submit(_build, li, li_tbl, "l_orderkey"),
+                pool.submit(_build, orders, od_tbl, "o_orderkey"),
+            ]
+            wait(futs)
+            # surface EVERY failure, not just whichever future is
+            # inspected first (r15 ADVICE: a dual failure used to
+            # report one cause and silently discard the other)
+            errs = [f.exception() for f in futs if f.exception()]
+            if len(errs) == 1:
+                raise errs[0]
+            if errs:
+                raise RuntimeError(
+                    f"both bucketed builds failed: {errs[0]!r}; {errs[1]!r}"
+                )
     a = spark.table(li_tbl)
     b = spark.table(od_tbl)
     # merge hint: broadcast would win on toy data, but sort-merge is the

@@ -683,6 +683,46 @@ def _next_unit_join(node, mat: dict):
     return None
 
 
+def _all_unit_joins(node, mat: dict) -> list:
+    """EVERY join in the tree whose both children are units (leaf or
+    materialized block), left-spine first -- element 0 is exactly
+    ``_next_unit_join``.  In a bushy plan these subtrees are pairwise
+    disjoint, so their materializations are independent Spark jobs."""
+    from .joingraph import Leaf
+
+    def is_unit(n) -> bool:
+        return isinstance(n, Leaf) or n.factors in mat
+
+    out: list = []
+
+    def walk(n):
+        if is_unit(n):
+            return
+        if is_unit(n.left) and is_unit(n.right):
+            out.append(n)
+            return
+        walk(n.left)
+        walk(n.right)
+
+    walk(node)
+    return out
+
+
+def _spec_key(join) -> tuple:
+    """Identity of a unit-join materialization: the covered factor set
+    plus HOW it was constructed (the two child unit masks).  A later
+    re-plan can cover the same factors through different children
+    (associativity) -- the relation is identical but the freshly
+    executed scans, and therefore the harvested leaf observations,
+    would differ from the sequential loop's; keying on the
+    construction makes a speculative block consumable only when it is
+    bit-for-bit what the sequential loop would have built."""
+    return (
+        join.factors,
+        frozenset((join.left.factors, join.right.factors)),
+    )
+
+
 def run_fixture_adaptive_full(
     spark,
     sf_dir: str,
@@ -703,8 +743,26 @@ def run_fixture_adaptive_full(
     n-1 observation rounds for n relations; each is one count() on an
     intermediate the query needed anyway (persisted, so the final
     assembly reuses every block).  Results must hash-match the static
-    planners -- the gate enforces it."""
+    planners -- the gate enforces it.
+
+    Scheduling (r16, guide §2.6 "overlap independent jobs"): a bushy
+    plan exposes SEVERAL independent unit joins at once (disjoint
+    subtrees of the same planned tree).  All of the current tree's
+    unit joins are materialized CONCURRENTLY from a small thread pool;
+    the decision chain then consumes them strictly sequentially --
+    same ``_next_unit_join`` choice, observation, store record and
+    re-plan as before, so every recorded statistic, every round and
+    the final plan are bit-identical to the sequential loop.  A
+    speculative block is consumable only when the re-planned tree
+    still builds that exact (factors, children) subtree; one that is
+    never consumed is unpersisted and its observations are DISCARDED
+    (the sequential loop never computed them -- duplicated speculative
+    work is the same trade Spark's own speculative execution makes,
+    never a semantics change).  On a left-deep plan the batch size is
+    1 and the loop degenerates to the sequential original."""
+    import threading
     import time as _time
+    from concurrent.futures import ThreadPoolExecutor, wait
 
     from .oracle import OverlayOracle
     from .planners import plan_with_materialized
@@ -731,43 +789,104 @@ def run_fixture_adaptive_full(
     renderer.materialized = mat
     observe_sec = replan_sec = harvest_sec = 0.0
     rounds = 0
-    while True:
-        nxt = _next_unit_join(tree, mat)
-        if nxt is None:  # tree root is itself a materialized block
-            break
-        t0 = _time.monotonic()
-        block = renderer.render(nxt).persist()
-        PERSISTED_BLOCKS.append(block)
-        fresh = {nxt.factors: float(block.count())}
-        # free leaf feedback from the freshly-executed scans (cached
-        # child blocks re-read from memory and surface no scan here)
+    harvest_lock = threading.Lock()
+
+    # job group/description/pool are JVM-thread-local; pool threads
+    # start bare, so the caller's labels and any cancellable job group
+    # (harness timeouts) are copied into each observe task explicitly
+    sc = spark.sparkContext
+    parent_props = {
+        k: sc.getLocalProperty(k)
+        for k in (
+            "spark.jobGroup.id",
+            "spark.job.description",
+            "spark.job.interruptOnCancel",
+            "spark.scheduler.pool",
+        )
+    }
+
+    def _observe(unit):
+        """Materialize one unit join and harvest its observations --
+        one independent Spark job (persist+count), run from the pool."""
+        for k, v in parent_props.items():
+            if v is not None:
+                sc.setLocalProperty(k, v)
+        block = renderer.render(unit).persist()
+        n = float(block.count())
         th0 = _time.monotonic()
-        fresh.update(_scan_observations(graph, block, nxt.factors))
-        harvest_sec += _time.monotonic() - th0
-        overlay.observed.update(fresh)
-        if store is not None:
-            for m, rows in fresh.items():
-                store.record(graph, m, rows)
-        observe_sec += _time.monotonic() - t0
-        rounds += 1
-        mat[nxt.factors] = block
-        if nxt.factors == full:
-            break
-        # live blocks: materialized sets not subsumed by a larger one
-        live_masks = [
-            f for f in mat
-            if not any(o != f and (f & o) == f for o in mat)
-        ]
-        live = [_subtree_of(tree, f) for f in live_masks]
-        t0 = _time.monotonic()
-        tree = plan_with_materialized(graph, overlay, cm, live).tree
-        replan_sec += _time.monotonic() - t0
+        obs = _scan_observations(graph, block, unit.factors)
+        dt = _time.monotonic() - th0
+        nonlocal harvest_sec
+        with harvest_lock:
+            harvest_sec += dt
+        return block, n, obs
+
+    # speculative materializations: (factors, {child masks}) ->
+    # (block, count, leaf observations); consumed by the decision chain
+    spec: dict[tuple, tuple] = {}
+    pool = ThreadPoolExecutor(max_workers=4)
+    try:
+        while True:
+            nxt = _next_unit_join(tree, mat)
+            if nxt is None:  # tree root is itself a materialized block
+                break
+            t0 = _time.monotonic()
+            key = _spec_key(nxt)
+            if key not in spec:
+                units = [
+                    u for u in _all_unit_joins(tree, mat)
+                    if _spec_key(u) not in spec
+                ]
+                futs = {
+                    _spec_key(u): pool.submit(_observe, u) for u in units
+                }
+                wait(list(futs.values()))
+                for k, f in futs.items():
+                    exc = f.exception()
+                    if exc is not None:
+                        raise exc
+                    spec[k] = f.result()
+            block, n, obs = spec.pop(key)
+            PERSISTED_BLOCKS.append(block)
+            fresh = {nxt.factors: n}
+            # free leaf feedback from the freshly-executed scans (cached
+            # child blocks re-read from memory and surface no scan here)
+            fresh.update(obs)
+            overlay.observed.update(fresh)
+            if store is not None:
+                for m, rows in fresh.items():
+                    store.record(graph, m, rows)
+            observe_sec += _time.monotonic() - t0
+            rounds += 1
+            mat[nxt.factors] = block
+            if nxt.factors == full:
+                break
+            # live blocks: materialized sets not subsumed by a larger one
+            live_masks = [
+                f for f in mat
+                if not any(o != f and (f & o) == f for o in mat)
+            ]
+            live = [_subtree_of(tree, f) for f in live_masks]
+            t0 = _time.monotonic()
+            tree = plan_with_materialized(graph, overlay, cm, live).tree
+            replan_sec += _time.monotonic() - t0
+    finally:
+        pool.shutdown(wait=True)
+        # speculation misses: blocks the decision chain never consumed.
+        # Their observations were never applied or recorded; drop the
+        # persisted data too.
+        for block, _, _ in spec.values():
+            try:
+                block.unpersist(blocking=False)
+            except Exception:
+                pass
     ADAPTIVE_SPLIT.clear()
     ADAPTIVE_SPLIT.update(
         plan_sec=round(plan_sec, 4),
         observe_sec=round(observe_sec, 4),
-        # metrics-walk slice of observe_sec -- proves the count()
-        # barriers, not the py4j harvest, carry the observation cost
+        # summed per-thread metrics-walk time (overlapped wall-clock):
+        # proves the count() barriers, not the py4j harvest, carry the
+        # observation cost
         harvest_sec=round(harvest_sec, 4),
         replan_sec=round(replan_sec, 4),
         rounds=rounds,

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") for named declared queries into
-plans/r15/<query>_<suffix>.txt -- the before/after plan evidence the
-optimization round's judge checks against OPTIMIZATION_r15.md claims.
+plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt (default r16) -- the before/after plan evidence the
+optimization round's judge checks against OPTIMIZATION_<round>.md claims.
 
 Usage: python scripts/capture_plans.py <suffix> <query> [query ...]
        (suffix is e.g. 'before' or 'after'; sf dir via SPARK_GRAFT_SF_DIR,
@@ -30,7 +30,7 @@ def main() -> int:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r15",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_session(

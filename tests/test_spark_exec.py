@@ -280,3 +280,78 @@ def test_feedback_store_warm_rerun(spark, oracle):
     g2 = JoinGraph.from_query(parse_sql(FIXTURES["join_star_4"]))
     for mask, rows in store.seed(g2).items():
         assert rows == oracle.card(g2, mask)
+
+
+def test_adaptive_concurrent_observe_matches_sequential(spark):
+    """The r16 concurrent-observe scheduling of the full LEO loop (all
+    of the current tree's unit joins materialized from a thread pool,
+    consumed strictly sequentially) must record EXACTLY the sequential
+    loop's statistics: same observation masks, same true cardinalities,
+    same round count, same result.  The sequential reference is
+    re-implemented inline -- materialize ``_next_unit_join``, observe,
+    re-plan, repeat -- so a scheduling bug that consumed a
+    differently-constructed speculative block (different children =
+    different freshly-executed scans = different leaf observations)
+    fails loudly here."""
+    from query_optimizer_spark.costmodels import get_cost_model
+    from query_optimizer_spark.oracle import FeedbackStore, OverlayOracle
+    from query_optimizer_spark.planners import plan_with_materialized
+    from query_optimizer_spark.workload import (
+        ADAPTIVE_SPLIT,
+        PERSISTED_BLOCKS,
+        _MaterializedRenderer,
+        _next_unit_join,
+        _scan_observations,
+        _subtree_of,
+        plan_fixture,
+        run_fixture_adaptive_full,
+    )
+
+    def sequential(name, store):
+        graph, est, res = plan_fixture(SF_DIR, name, planner="dp_ccp")
+        cm = get_cost_model("cm1")
+        overlay = OverlayOracle(est, {})
+        mat, tree = {}, res.tree
+        full = (1 << len(graph.aliases)) - 1
+        r = _MaterializedRenderer(spark, SF_DIR, graph, overlay)
+        r.materialized = mat
+        blocks, rounds = [], 0
+        while True:
+            nxt = _next_unit_join(tree, mat)
+            if nxt is None:
+                break
+            block = r.render(nxt).persist()
+            blocks.append(block)
+            fresh = {nxt.factors: float(block.count())}
+            fresh.update(_scan_observations(graph, block, nxt.factors))
+            overlay.observed.update(fresh)
+            for m, rows in fresh.items():
+                store.record(graph, m, rows)
+            rounds += 1
+            mat[nxt.factors] = block
+            if nxt.factors == full:
+                break
+            live = [
+                _subtree_of(tree, f) for f in mat
+                if not any(o != f and (f & o) == f for o in mat)
+            ]
+            tree = plan_with_materialized(graph, overlay, cm, live).tree
+        out = sorted(map(tuple, r.finish(mat[full]).collect()))
+        for b in blocks:
+            b.unpersist(blocking=True)
+        return out, rounds
+
+    # one bushy fixture (several unit joins per tree -- real
+    # speculation) and one left-deep one (batch size 1 -- degenerates
+    # to the sequential loop)
+    for name in ("join_events_8", "join_star_4"):
+        s_seq, s_conc = FeedbackStore(), FeedbackStore()
+        rows_seq, rounds_seq = sequential(name, s_seq)
+        df = run_fixture_adaptive_full(spark, SF_DIR, name, store=s_conc)
+        rows_conc = sorted(map(tuple, df.collect()))
+        for b in PERSISTED_BLOCKS:
+            b.unpersist(blocking=True)
+        PERSISTED_BLOCKS.clear()
+        assert rows_conc == rows_seq, name
+        assert s_conc.rows == s_seq.rows, name
+        assert ADAPTIVE_SPLIT["rounds"] == rounds_seq, name
