@@ -583,21 +583,24 @@ def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal (navigation chrome, license footers, mirrored pages) that a
     curation pass applies before training.
 
-    Scale shape (r15 opt): shingles generate map-side (hoisted
-    ``toks``, O(n) slice-transform -- same trap-avoidance as
-    ``decontaminate``), dedupe per doc INSIDE the row
-    (``array_distinct``), and ONE shingle-keyed aggregation carries
-    both the document frequency and the doc attribution (collect_list
-    of the per-doc-distinct doc_ids, kept only for shingles that clear
-    BOILER_DF_MIN) -- the former shape re-exploded the whole corpus a
-    second time to probe the boilerplate set (two scans, two
-    tokenizations, no exchange reuse).  The per-shingle doc list is
-    bounded by that shingle's df; a web corpus with a truly viral
-    shingle would salt this aggregation two-level (partial lists under
-    (g, salt), df verdict joined back onto the salted partials --
-    same shuffle volume, bounded reducers).  The denominator
-    n_shingles is per-doc array arithmetic; the doc spine never
-    re-explodes."""
+    Scale shape (r16 opt, completing the r15 single-pass treatment):
+    shingles generate map-side (hoisted ``toks``, O(n) slice-transform
+    -- same trap-avoidance as ``decontaminate``), dedupe per doc INSIDE
+    the row (``array_distinct``), and ONE shingle-keyed aggregation
+    carries the document frequency AND the doc attribution
+    (collect_list of the per-doc-distinct doc_ids) for EVERY shingle;
+    re-exploding that attribution hands each (doc, shingle) row its
+    shingle's df, so a single doc-keyed aggregation derives BOTH the
+    denominator (n_shingles = the doc's row count) and the numerator
+    (n_boiler = rows whose df clears BOILER_DF_MIN).  The r15 shape
+    still re-tokenized the corpus a second time for the n_shingles
+    spine and joined the two legs; this one tokenizes and explodes the
+    grams exactly once and needs no join at all.  The per-shingle doc
+    list is bounded by that shingle's df (total volume = the exploded
+    gram stream, nothing is amplified); a web corpus with a truly
+    viral shingle would salt this aggregation two-level (partial lists
+    under (g, salt), df verdict summed across salts -- same shuffle
+    volume, bounded reducers)."""
     n = BOILER_NGRAM
     gram_arr = (
         f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
@@ -608,31 +611,17 @@ def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr(TOKS).alias("toks"))
         .filter(F.expr(f"size(toks) >= {n}"))
     )
-    boiler_counts = (
+    return (
         base.select("doc_id", F.explode(F.expr(gram_arr)).alias("g"))
         .groupBy("g")
         .agg(F.count("*").alias("df"), F.collect_list("doc_id").alias("docs"))
-        .filter(F.col("df") >= BOILER_DF_MIN)
-        .select(F.explode("docs").alias("doc_id"))
+        .select("df", F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(F.count("*").cast("int").alias("n_boiler"))
-    )
-    # explode(array(..)) Generate barrier: materializes the per-doc
-    # shingle array once as an attribute -- a plain scalar projection
-    # would collapse the toks alias into the transform lambda and
-    # re-run the tokenizer per element (hoisted-toks trap)
-    spine = base.select(
-        "doc_id", F.explode(F.array(F.expr(gram_arr))).alias("gset")
-    ).select(
-        "doc_id", F.expr("cast(size(gset) as int)").alias("n_shingles")
-    )
-    return (
-        spine
-        .join(boiler_counts, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+        .agg(
+            F.count("*").cast("int").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("df") >= BOILER_DF_MIN, 1).otherwise(0)
+            ).cast("int").alias("n_boiler"),
         )
         .select(
             "doc_id",
@@ -640,9 +629,9 @@ def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_boiler",
             F.expr("round(n_boiler / n_shingles, 6)").alias("boiler_rate"),
         )
-        # count()-elimination guard (r14 sweep): boiler_counts is unique
-        # on doc_id, so a bare count() would drop the df leg entirely;
-        # a doc's boiler shingles are a subset of its own
+        # count()-elimination guard (r14 sweep): total invariant tying
+        # the outputs together -- a doc's boiler shingles are a subset
+        # of its own
         .filter(
             (F.col("n_boiler") >= 0)
             & (F.col("n_boiler") <= F.col("n_shingles"))

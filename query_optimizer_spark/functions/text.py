@@ -2383,20 +2383,26 @@ def novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ORIGINAL fraction -- both ride the same K-gram machinery and
     constants).
 
-    Scale shape (r15 opt): per-doc gram DEDUP happens map-side
-    (``array_distinct`` before the explode), so a doc's internal
-    repetitions never reach the shuffle; first-seen is one map-side-
-    combining ``min(doc_id)`` aggregation on the gram, and because a
-    doc's novel-gram count is exactly the number of grams whose
-    first_doc IS that doc, the per-doc rollup is a second (gram-table-
-    sized, tiny) aggregation on first_doc -- NO join back onto the
-    corpus-sized gram stream at all (the former shape re-exploded the
-    whole corpus a second time to probe first_seen).  The denominator
-    n_distinct_grams is pure per-doc arithmetic on the token array --
-    a second, projection-only pass over the doc table that never
-    explodes.  Same 100 TB note as dedup_substring: the gram string
-    would be hashed to 8 bytes before the shuffle in production; kept
-    as text here for oracle bit-exactness.
+    Scale shape (r16 opt, completing the r15 single-pass treatment):
+    per-doc gram DEDUP happens map-side (``array_distinct`` before the
+    explode), so a doc's internal repetitions never reach the shuffle;
+    ONE gram-keyed aggregation computes first-seen (map-side-combining
+    ``min(doc_id)``) AND carries the doc attribution (collect_list of
+    the per-doc-distinct doc_ids); re-exploding the attribution hands
+    each (doc, gram) row its gram's first_doc, so a single doc-keyed
+    aggregation derives BOTH the denominator (n_distinct_grams = the
+    doc's row count) and the numerator (n_novel = rows whose first_doc
+    IS this doc) -- exactly the oracle's join shape, with the join
+    replaced by attribution riding the aggregation.  The r15 shape
+    still re-tokenized the corpus a second time for the
+    n_distinct_grams spine and joined the two legs; this one tokenizes
+    and explodes the grams exactly once and needs no join at all.
+    Same 100 TB note as dedup_substring: the gram string would be
+    hashed to 8 bytes before the shuffle in production; kept as text
+    here for oracle bit-exactness.  The per-gram doc list is bounded
+    by that gram's df (total volume = the exploded gram stream); a
+    viral gram would be salted two-level exactly as in
+    corpus_boilerplate.
     """
     from .constants import SUBSTR_NGRAM
 
@@ -2410,38 +2416,26 @@ def novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr(TOKS).alias("toks"))
         .filter(F.size("toks") >= k)
     )
-    novel = (
+    return (
         base.select("doc_id", F.explode(F.expr(gram_arr)).alias("gram"))
         .groupBy("gram")
-        .agg(F.min("doc_id").alias("first_doc"))
-        .groupBy(F.col("first_doc").alias("doc_id"))
-        .agg(F.count("*").cast("int").alias("n_novel"))
-    )
-    # the spine's gram-set size rides an explode(array(..)) Generate:
-    # the Generate materializes the per-doc gram array ONCE as an
-    # attribute; a plain scalar projection would collapse the toks
-    # alias INTO the transform lambda and re-run the tokenizer per
-    # array element (the hoisted-toks trap -- measured 5x slower)
-    spine = base.select(
-        "doc_id", F.explode(F.array(F.expr(gram_arr))).alias("gset")
-    ).select(
-        "doc_id",
-        F.expr("cast(size(gset) as int)").alias("n_distinct_grams"),
-    )
-    return (
-        spine
-        .join(novel, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_distinct_grams",
-            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        .agg(
+            F.min("doc_id").alias("first_doc"),
+            F.collect_list("doc_id").alias("docs"),
+        )
+        .select("first_doc", F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_distinct_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("int").alias("n_novel"),
         )
         .withColumn(
             "novelty", F.round(F.col("n_novel") / F.col("n_distinct_grams"), 6)
         )
-        # count()-elimination guard: novel is unique on doc_id, so a
-        # bare count() would drop the gram leg without a reference to
-        # n_novel; a doc's novel grams are a subset of its own grams
+        # count()-elimination guard: total invariant tying the outputs
+        # together -- a doc's novel grams are a subset of its own grams
         .filter(
             (F.col("n_novel") >= 0)
             & (F.col("n_novel") <= F.col("n_distinct_grams"))
