@@ -134,11 +134,11 @@ coalesce(list_sum([
 """
 
 
-def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k: candidates share at least one 8-bit signature band with
-    the query, then exact cosine re-rank.  Approximate by construction --
-    result is a deterministic function of the shared constants, which is
-    what the oracle checks."""
+def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate generation: (query_id, qq, qn2, vec_id, q, n2)
+    pairs sharing at least one signature band, deduplicated -- the
+    pre-rescore frame shared by ``lsh_ann_topk`` and
+    ``recall_report``'s fused ranking."""
     emb = _quantized(spark, sf_dir).withColumn("sig", F.expr(_SIG_SPARK))
     mask = (1 << LSH_BAND_BITS) - 1
     bands = (
@@ -161,7 +161,7 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("qkey"),
         F.col("band").alias("qband"),
     )
-    cand = (
+    return (
         bands.join(
             F.broadcast(queries),
             (F.col("band") == F.col("qband"))
@@ -171,22 +171,37 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "qq", "qn2", "vec_id", "q", "n2")
         .dropDuplicates(["query_id", "vec_id"])
     )
+
+
+def _rescore_topk(cand: DataFrame, extra_keys: list[str] = []) -> DataFrame:
+    """Exact cosine re-rank of a candidate frame to the per-query top-k
+    (optionally per (extra_keys..., query) -- ``recall_report`` ranks
+    both methods' candidates in ONE window pass this way)."""
     dot = DOT_SPARK.format(a="qq", b="q")
     scored = cand.select(
+        *extra_keys,
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.expr(
             f"round({dot} / (sqrt(cast(qn2 as double)) * sqrt(cast(n2 as double))), 6)"
         ).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
+    w = Window.partitionBy(*extra_keys, "query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= ANN_TOP_K)
-        .select("query_id", "neighbor_id", "rank", "cosine")
+        .select(*extra_keys, "query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: candidates share at least one 8-bit signature band with
+    the query, then exact cosine re-rank.  Approximate by construction --
+    result is a deterministic function of the shared constants, which is
+    what the oracle checks."""
+    return _rescore_topk(_lsh_candidates(spark, sf_dir))
 
 
 def lsh_ann_topk_oracle() -> str:
@@ -242,6 +257,14 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be written bucketed-by-cent_id so the probe join is
     shuffle-free.
     """
+    return _rescore_topk(_ivf_candidates(spark, sf_dir))
+
+
+def _ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF candidate generation: (query_id, qq, qn2, vec_id, q, n2)
+    pairs from each query's IVF_NPROBE nearest inverted lists -- the
+    pre-rescore frame shared by ``ivf_topk`` and ``recall_report``'s
+    fused ranking."""
     emb = _quantized(spark, sf_dir)
     cents = (
         emb.filter(F.col("vec_id") < IVF_N_CENTROIDS)
@@ -270,23 +293,10 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("qn2"),
         "cent_id",
     )
-    cand = (
+    return (
         assign.join(F.broadcast(probes), "cent_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-    )
-    dot2 = DOT_SPARK.format(a="qq", b="q")
-    rescored = cand.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.expr(_COS.format(dot=dot2, n2a="qn2", n2b="n2")).alias("cosine"),
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2).cast("int"))
-        .filter(F.col("rank") <= ANN_TOP_K)
-        .select("query_id", "neighbor_id", "rank", "cosine")
+        .select("query_id", "qq", "qn2", "vec_id", "q", "n2")
     )
 
 
@@ -1047,28 +1057,41 @@ def recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     report layer is one join on the (query, neighbor) key plus a
     2-row aggregate, with the truth count riding a 1-row broadcast
     (the tfidf N pattern).
+
+    r16 shape: the two ANN legs' exact re-rank used to run as two
+    separate window passes; the report now tags each leg's CANDIDATE
+    frame with its method and ranks the union in ONE window pass
+    partitioned by (method, query) -- per partition it is exactly the
+    per-leg window (same ordering, same ties rule), so the kept top-k
+    rows are identical while one Exchange + one Window drop out of the
+    plan (guide §2.4).
     """
     # the truth table feeds TWO consumers (the hits join and the 1-row
-    # n_truth aggregate) whose column pruning differs, so Catalyst
-    # cannot ReuseExchange them and the brute-force scan would run
-    # twice; localCheckpoint materializes it once (bounded: n_queries x
-    # k rows -- model state, guide §1.2 don't recompute what you have)
-    truth = (
-        brute_force_topk(spark, sf_dir)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
-    )
+    # n_truth aggregate), so the brute-force subtree appears twice in
+    # the plan.  r15 bridged that with an eager localCheckpoint;
+    # re-measured r16 (VERDICT r15 #7) every materialization barrier
+    # costs MORE than the recompute at bench scale -- min-of-5
+    # same-session at sf0.1: 2.38 s checkpointed, 2.19 s with the truth
+    # set collected once to the driver (it is bounded by n_queries x k
+    # at any corpus size), 1.81 s recomputed lazily, because inside ONE
+    # job Spark schedules both brute subtrees CONCURRENTLY while any
+    # eager barrier serializes brute-then-rest.  Checkpoint reverted;
+    # at a corpus size where the exact leg dominates wall-clock, the
+    # bounded driver collect (brute exactly once, broadcast back) is
+    # the shape to switch to.
+    truth = brute_force_topk(spark, sf_dir).select("query_id", "neighbor_id")
     cand = (
-        lsh_ann_topk(spark, sf_dir)
-        .select("query_id", "neighbor_id", F.lit("lsh").alias("method"))
+        _lsh_candidates(spark, sf_dir)
+        .withColumn("method", F.lit("lsh"))
         .unionByName(
-            ivf_topk(spark, sf_dir).select(
-                "query_id", "neighbor_id", F.lit("ivf").alias("method")
-            )
+            _ivf_candidates(spark, sf_dir).withColumn("method", F.lit("ivf"))
         )
     )
+    topk = _rescore_topk(cand, extra_keys=["method"]).select(
+        "method", "query_id", "neighbor_id"
+    )
     hits = (
-        cand.join(truth, ["query_id", "neighbor_id"])
+        topk.join(truth, ["query_id", "neighbor_id"])
         .groupBy("method")
         .agg(F.count("*").alias("n_hits"))
     )
