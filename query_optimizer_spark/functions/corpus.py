@@ -317,12 +317,23 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the eval side is a fixed benchmark suite (tiny), so AQE turns the
     semi-join into a broadcast; nothing here assumes it fits in memory.
     """
+    return _decontaminate_from(
+        _docs(spark, sf_dir).select(
+            "doc_id", F.expr(TOKS).alias("toks")
+        )
+    )
+
+
+def _decontaminate_from(tok: DataFrame) -> DataFrame:
+    """``decontaminate`` over a pre-tokenized (doc_id, toks) frame --
+    the factoring that lets ``train_pipeline`` feed it from the shared
+    tokenized exchange (r16) without changing the standalone op's
+    plan."""
     eval_flag = f"({_spark_hash32(f'concat({DECON_SALT!r}, doc_id)')} % {DECON_EVAL_MOD}) = 0"
     base = (
-        _docs(spark, sf_dir)
-        .select(
+        tok.select(
             "doc_id",
-            F.expr(TOKS).alias("toks"),
+            "toks",
             F.expr(eval_flag).alias("is_eval"),
         )
         .filter(F.expr(f"size(toks) >= {DECON_NGRAM}"))
@@ -1342,11 +1353,42 @@ def train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite.  The DuckDB oracle recomputes every stage from scratch
     with independent SQL (5 scans, a different shape entirely)."""
     from .dedup import minhash_lsh_pairs
-    from .text import quality_score
+    from .text import _quality_from
 
-    base = _docs(spark, sf_dir).select(
-        "doc_id", F.expr(f"cast(size({TOKS}) as int)").alias("toks_n"),
-        F.expr(f"concat_ws(' ', {TOKS})").alias("norm"),
+    # r16 (guide §2.4 two operations keyed the same way share one
+    # exchange): ONE tokenized projection of the corpus is hash-
+    # repartitioned by doc_id, and every leg that only needs
+    # (doc_id, toks) -- the base flags/survivor spine, the
+    # decontamination grams, the quality features -- consumes that SAME
+    # exchange through an explode(array(struct(..))) Generate fence.
+    # The fence must cover doc_id TOO: a filter on only the generated
+    # toks is already unpushable, but doc_id-derived predicates (the
+    # decontamination eval-slice hash, a join's isnotnull) lawfully
+    # cross a plain Generate and land below the exchange, making each
+    # leg's copy structurally different and defeating reuse (measured:
+    # only 1 of 4 legs reused until doc_id rode the struct).  With the
+    # whole row re-emitted as one generated struct attribute, nothing
+    # can push below the exchange, the copies stay identical, and
+    # physical planning/AQE emit ONE shuffle write plus ReusedExchange
+    # reads -- the corpus is scanned and tokenized once for these legs
+    # instead of once per leg.  The MinHash leg keeps its own scan: its
+    # signature pass caches a bounded (doc_id, 16 ints) table that
+    # three consumers reuse, and a cached plan compiles separately --
+    # it could not reuse this exchange anyway.
+    shared = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(TOKS).alias("toks"))
+        .repartition("doc_id")
+    )
+
+    def fenced() -> DataFrame:
+        return shared.select(
+            F.explode(F.array(F.struct("doc_id", "toks"))).alias("s")
+        ).select(F.col("s.doc_id").alias("doc_id"), F.col("s.toks").alias("toks"))
+
+    base = fenced().select(
+        "doc_id", F.expr("cast(size(toks) as int)").alias("toks_n"),
+        F.expr("concat_ws(' ', toks)").alias("norm"),
     )
     survivor = base.groupBy("norm").agg(
         F.min("doc_id").alias("survivor_id")
@@ -1360,8 +1402,8 @@ def train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"({_spark_hash32(f'concat({DECON_SALT!r}, doc_id)')}"
         f" % {DECON_EVAL_MOD}) = 0"
     )
-    contaminated = decontaminate(spark, sf_dir).select("doc_id").distinct()
-    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    contaminated = _decontaminate_from(fenced()).select("doc_id").distinct()
+    q = _quality_from(fenced()).select("doc_id", "quality")
     flags = (
         base.join(survivor, "norm")
         .join(near_dropped.withColumn("near_dup", F.lit(True)),

@@ -180,6 +180,39 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_from(tok) -> "DataFrame":
+    """``quality_score`` over a pre-tokenized (doc_id, toks) frame --
+    identical arithmetic over the ``toks`` column instead of the inline
+    tokenizer; lets ``corpus_train_pipeline`` feed it from the shared
+    tokenized exchange (r16) without touching the standalone op."""
+    en_words = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return (
+        tok.select(
+            "doc_id",
+            F.expr("cast(size(toks) as int)").alias("n_tokens"),
+            F.expr("aggregate(toks, 0L, (a, x) -> a + length(x))").alias(
+                "char_sum"
+            ),
+            F.expr(
+                f"cast(size(filter(toks,"
+                f" x -> array_contains(array({en_words}), x))) as int)"
+            ).alias("en_hits"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("round(en_hits / n_tokens, 6)").alias("stop_ratio"),
+            F.expr(
+                "round(0.5 * least(n_tokens, 200) / 200.0"
+                " + 0.3 * (en_hits / n_tokens)"
+                " + (CASE WHEN char_sum / n_tokens BETWEEN 3.0 AND 8.0"
+                "        THEN 0.2 ELSE 0.1 END), 6)"
+            ).alias("quality"),
+        )
+    )
+
+
 def quality_score_oracle() -> str:
     toks = sql_tokens("text")
     en = _hits_expr_duck("en")
