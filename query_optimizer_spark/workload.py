@@ -841,11 +841,18 @@ def run_fixture_adaptive_full(
                     _spec_key(u): pool.submit(_observe, u) for u in units
                 }
                 wait(list(futs.values()))
+                # record every SUCCEEDED materialization before raising
+                # any failure: a sibling's persisted block must land in
+                # spec so the finally-block can unpersist it
+                first_exc = None
                 for k, f in futs.items():
                     exc = f.exception()
                     if exc is not None:
-                        raise exc
-                    spec[k] = f.result()
+                        first_exc = first_exc or exc
+                    else:
+                        spec[k] = f.result()
+                if first_exc is not None:
+                    raise first_exc
             block, n, obs = spec.pop(key)
             PERSISTED_BLOCKS.append(block)
             fresh = {nxt.factors: n}
