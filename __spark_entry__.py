@@ -214,7 +214,10 @@ _R15_WINDOW = [
 # observe jobs; the train-pipeline shared scan; recall_report's shared
 # candidate generation; the containment/edit-distance verify stages; the
 # boilerplate/novelty gram aggregation) -- 5 of them double as r11-stale
-# rows from the pinned _R16_FIRST/_R17_FIRST list.  Positions 12-39 are
+# rows from the pinned _R16_FIRST/_R17_FIRST list (the two text ops
+# joined the touched block late in the round -- bigram_lm_score's LM
+# attribution and repetition_stats' zero-shuffle projection -- pushing
+# join_env_wire / join_ikkbz_events back to _R17_FIRST).  Next are
 # the r15-touched ops with no driver row for their rewrite: the stored-
 # index probe paths (dedup_incremental/index_commit/multibatch +
 # sim_ivfpq_pruned), the KMV/HLL sketch rewrites, the single-pass gram
@@ -239,6 +242,8 @@ _R16_WINDOW = [
     "dedup_edit_distance",
     "corpus_boilerplate",
     "text_novelty_curve",
+    "text_bigram_lm_score",
+    "text_repetition_stats",
     # --- r15-touched ops with no driver row for the rewrite ---
     "dedup_incremental",
     "dedup_index_commit",
@@ -278,14 +283,14 @@ _R16_WINDOW = [
     "io_merge_upsert",
     "join_env_agent",
     "join_env_learned",
-    "join_env_wire",
-    "join_ikkbz_events",
 ]
 
-# positions 51-69: the r11-stratum remainder r16's window could not fit
+# positions 51-71: the r11-stratum remainder r16's window could not fit
 # (outer/self-join removals, the park/sampled/sketch planner paths, the
 # SQL-variant slice), first in line for r17
 _R17_FIRST = [
+    "join_env_wire",
+    "join_ikkbz_events",
     "join_outer_3",
     "join_outer_full",
     "join_outer_mixed_5",

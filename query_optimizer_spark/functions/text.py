@@ -342,55 +342,83 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Gopher/MassiveText-style repetition filters (Rae et al. 2021,
     public) a training pipeline applies before dedup.
 
-    Shape for 100 TB: token and bigram counts explode map-side from the
-    token array, partial-aggregate, and meet in TWO hash aggregations
-    keyed on doc_id (no window, no self-join).  Each shuffle carries
-    one row per distinct (doc, gram), already combiner-reduced -- the
-    same scale profile as a word-count.  The reference has no text
-    operators at all (SURVEY §2.6); this is new surface.
+    Shape for 100 TB (r16 opt): every signal is DOC-LOCAL, so the whole
+    op is one zero-shuffle projection (guide §2.4 remove shuffles
+    outright) -- n_tokens/n_types/n_bigrams are array arithmetic, and
+    the top-bigram count is the longest equal-run of the SORTED per-doc
+    bigram array, computed by one linear ``aggregate`` pass per row.
+    The r15 shape exploded the corpus twice (token leg + bigram leg),
+    shuffled both by doc_id and joined them back; this shape never
+    shuffles at all, which is also why one pathological document can
+    never skew a reducer.  The explode(array(struct(..))) Generate
+    fences materialize the token/bigram arrays once as attributes -- a
+    plain scalar projection would collapse the alias into every
+    consuming lambda and re-run the tokenizer per element (the
+    hoisted-toks trap).  The reference has no text operators at all
+    (SURVEY §2.6); this is new surface.
     """
-    base = _docs(spark, sf_dir).select("doc_id", F.expr(TOKS).alias("toks"))
     bigram_expr = (
         "CASE WHEN size(toks) < 2 THEN array() "
         "ELSE zip_with(slice(toks, 1, size(toks) - 1), "
         "slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, ' ', b)) END"
     )
-    tok_stats = (
-        base.select("doc_id", F.explode("toks").alias("tok"))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("int").alias("n_tokens"),
-            F.countDistinct("tok").cast("int").alias("n_types"),
-        )
+    # longest equal-run over the sorted bigram array = the count of the
+    # most frequent bigram; one linear fold, exact ints
+    top_cnt = (
+        "aggregate(array_sort(bg), "
+        "named_struct('prev', cast(null as string), 'run', 0, 'best', 0), "
+        "(acc, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1), "
+        "  'best', greatest(acc.best, "
+        "          IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1))"
+        "), acc -> acc.best)"
     )
-    bg_stats = (
-        base.select("doc_id", F.explode(F.expr(bigram_expr)).alias("bigram"))
-        .groupBy("doc_id", "bigram")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").cast("int").alias("n_bigrams"),
-            F.max("cnt").cast("int").alias("top_bigram_cnt"),
-        )
+    # two Generate fences materialize the token and bigram arrays ONCE
+    # each as attributes (the repo's explode(array(..)) idiom)
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.array(F.expr(TOKS))).alias("toks")
+    ).filter(
+        # empty-token docs never reached the old output (their explode
+        # produced no rows); keep that row set
+        F.expr("size(toks) >= 1")
     )
     return (
-        tok_stats.join(bg_stats, "doc_id", "left")
+        toks.select(
+            "doc_id",
+            "toks",
+            F.explode(F.array(F.expr(bigram_expr))).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            F.expr("cast(size(toks) as int)").alias("n_tokens"),
+            F.expr(
+                "cast(size(array_distinct(toks)) as int)"
+            ).alias("n_types"),
+            F.expr("cast(size(bg) as int)").alias("n_bigrams"),
+            F.expr(f"cast({top_cnt} as int)").alias("top_bigram_cnt"),
+        )
         .select(
             "doc_id",
             "n_tokens",
             F.expr("round(n_types / n_tokens, 6)").alias("type_token_ratio"),
-            F.coalesce("n_bigrams", F.lit(0)).cast("int").alias("n_bigrams"),
+            "n_bigrams",
             F.expr(
                 "CASE WHEN n_bigrams > 0"
                 " THEN round(top_bigram_cnt / n_bigrams, 6) END"
             ).alias("top_bigram_frac"),
         )
-        # count()-elimination guard (r14 sweep): bg_stats is unique on
-        # doc_id, so a bare count() would drop the bigram leg entirely;
-        # n_bigrams <= n_tokens holds (each bigram consumes a token)
+        # count()-elimination guard (r14 sweep): total invariants
+        # referencing every computed column, so the projection executes
+        # under a bare count() -- each bigram consumes a token, the
+        # type count is 1..n_tokens, the top fraction is a fraction
         .filter(
             (F.col("n_bigrams") >= 0)
             & (F.col("n_bigrams") <= F.col("n_tokens"))
+            & (F.col("type_token_ratio") > 0)
+            & F.expr(
+                "coalesce(top_bigram_frac between 0 and 1, n_bigrams = 0)"
+            )
         )
     )
 
@@ -1147,14 +1175,24 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     The doc score is then sum/count of exact ints, so the result is
     independent of join order, partitioning, and engine.
 
-    Scale shape: two partial-aggregated shuffles build the unigram and
-    bigram count tables (vocabulary-sized, tiny next to the corpus);
-    they join into ONE probability table keyed by the bigram string;
-    the corpus-sized stage is a single join of exploded doc-bigrams
-    against that table (AQE handles skewed bigrams) and one doc_id
-    aggregation.  The LM tables are data-dependent and unbounded, so
-    they are deliberately NOT broadcast -- same reasoning as the
-    boilerplate set.
+    Scale shape (r16 opt): the r15 plan tokenized and exploded the
+    corpus THREE times -- once each for the bigram-count and
+    unigram-count LM tables (the latter fed from the former, but
+    Catalyst recomputes a subtree per consumer) and once more for the
+    corpus-sized scoring join against the probability table.  The
+    bigram-count aggregation now CARRIES the doc attribution
+    (collect_list of doc_ids, one entry per occurrence -- total volume
+    = the exploded stream, the corpus_boilerplate pattern); after the
+    vocab-keyed join with the unigram table, re-exploding the
+    attribution hands each bigram OCCURRENCE its p_q, so the per-doc
+    score is one aggregation -- two corpus passes total and no
+    corpus-sized join at all (guide §2.3 aggregate-before-shuffle +
+    §1.2 don't recompute).  The unigram table aggregates the exploded
+    stream directly (same exact counts: one row per bigram occurrence,
+    keyed by its head token).  The LM tables are data-dependent and
+    unbounded, so they are deliberately NOT broadcast -- same
+    reasoning as the boilerplate set; a viral bigram's attribution
+    list would be salted two-level exactly as there.
     """
     bigram_expr = (
         "CASE WHEN size(toks) < 2 THEN array() "
@@ -1169,30 +1207,25 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.expr(bigram_expr)).alias("bigram"),
         )
     )
-    big_counts = doc_bigrams.groupBy("bigram").agg(
-        F.count("*").alias("cnt_uv")
+    lm_docs = doc_bigrams.groupBy("bigram").agg(
+        F.count("*").alias("cnt_uv"),
+        F.collect_list("doc_id").alias("docs"),
     )
     # denominator of the conditional p(v|u) = count of u at non-final
-    # positions = sum of cnt_uv over bigrams headed by u -- derived from
-    # the bigram table instead of a second corpus tokenization pass
-    # (vocabulary-sized agg replaces a corpus-sized scan)
+    # positions = one map-side-combining aggregation of the same
+    # exploded stream keyed by the head token
     uni_counts = (
-        big_counts.withColumn("u", F.expr("split(bigram, ' ')[0]"))
+        doc_bigrams.select(F.expr("split(bigram, ' ')[0]").alias("u"))
         .groupBy("u")
-        .agg(F.sum("cnt_uv").alias("cnt_u"))
-    )
-    probs = (
-        big_counts.withColumn(
-            "u", F.expr("split(bigram, ' ')[0]")
-        )
-        .join(uni_counts, "u")
-        .select(
-            "bigram",
-            F.expr(f"({LM_QUANT}L * cnt_uv) div cnt_u").alias("p_q"),
-        )
+        .agg(F.count("*").alias("cnt_u"))
     )
     return (
-        doc_bigrams.join(probs, "bigram")
+        lm_docs.withColumn("u", F.expr("split(bigram, ' ')[0]"))
+        .join(uni_counts, "u")
+        .select(
+            F.expr(f"({LM_QUANT}L * cnt_uv) div cnt_u").alias("p_q"),
+            F.explode("docs").alias("doc_id"),
+        )
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("int").alias("n_bigrams"),

@@ -226,14 +226,19 @@ def test_pack_sequences_window_is_sharded(spark):
     assert "windowspecdefinition(shard" in plan, plan
 
 
-def test_repetition_stats_is_partial_agged(spark):
-    """repetition_stats must reach its doc_id aggregations through
-    partial (map-side) aggregation -- the plan carries partial_count /
-    partial_sum HashAggregates, not a raw shuffle of exploded grams."""
+def test_repetition_stats_is_zero_shuffle(spark):
+    """repetition_stats' signals are all doc-local, so the r16 shape is
+    ONE zero-shuffle projection (the r15 shape exploded the corpus
+    twice, shuffled both legs by doc_id and joined them back): the
+    plan must contain NO Exchange at all, and exactly the two Generate
+    fences that materialize the token and bigram arrays once each."""
     from query_optimizer_spark.functions import text
 
     plan = physical_plan(text.repetition_stats(spark, SF_DIR))
-    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "Exchange" not in plan, plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 2, plan
 
 
 def test_incremental_dedup_reads_only_batch_shards(spark, duck):
